@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: compare Verify.scala's
+parquet dumps against DuckDB running the oracle SQL on the same fixture dir.
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: ints → int64, floats → float64
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(qdir)
+        if not os.path.isdir(qdir):
+            continue
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        if not files:
+            results[name] = "NO_OUTPUT"
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY({len(spark_df)})" if len(spark_df) > 0 else "ROWS_ONLY_EMPTY"
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        a, b = norm(spark_df), norm(duck_df)
+        if list(a.columns) != list(b.columns):
+            results[name] = f"SCHEMA_MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+        elif len(a) != len(b):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(a)} duck={len(b)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+                results[name] = "MATCH"
+            except AssertionError as e:
+                # find first differing cell for debugging
+                diff = None
+                for c in a.columns:
+                    neq = (a[c] != b[c]) & ~(a[c].isna() & b[c].isna())
+                    if neq.any():
+                        i = neq.idxmax()
+                        diff = f"col={c} row={i} spark={a[c][i]!r} duck={b[c][i]!r}"
+                        break
+                results[name] = f"VALUE_MISMATCH {diff}"
+    n_match = sum(1 for v in results.values() if v == "MATCH")
+    n_rows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY("))
+    for k, v in sorted(results.items()):
+        flag = "  OK " if v == "MATCH" or v.startswith("ROWS_ONLY(") else "FAIL "
+        print(f"{flag}{k}: {v}")
+    print(f"\n{n_match} oracle-matched, {n_rows_only} rows-only-ok, "
+          f"{len(results) - n_match - n_rows_only} failing, {len(results)} total")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every implemented operator's query + oracle from the
+  * per-module registries. Each module co-locates the Spark DataFrame
+  * query with its DuckDB oracle SQL so column aliases stay in sync
+  * (the driver's compare hashes values under sorted column names).
+  */
 object SparkEntry {
+
+  private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+      (graft.queries.EventQueries.queries, graft.queries.EventQueries.oracles),
+      (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
+      (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracles),
+      (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
+      (graft.queries.SentimentQueries.queries, graft.queries.SentimentQueries.oracles),
+    )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.queries.EventQueries.eventSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Keys absent here get a weaker rows-only
+    * check (used for ops whose exact hash is not SQL-reproducible,
+    * e.g. murmur3-seeded MinHash signatures). */
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_._2).toMap
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's sentiment ensemble C2–C6 + composite C9 as pure
+  * Catalyst column expressions (SURVEY §2.8) — everything downstream
+  * of the two analyzers is built-in arithmetic + when/otherwise, so it
+  * codegens and never leaves WholeStageCodegen.
+  *
+  * Thresholds and weights match sentiment_analysis.py exactly:
+  *  - C2 VADER label: compound ≥ 0.05 → positive, ≤ −0.05 → negative
+  *    (sentiment_analysis.py:224-229)
+  *  - C3 TextBlob label: polarity > 0.1 / < −0.1 (…:257-262)
+  *  - C4 label→score {positive:1, neutral:0, negative:−1} (…:284-287)
+  *  - C5 combined = 0.6·vader + 0.4·textblob; label at ±0.1 (…:280-300)
+  *  - C6 confidence = min(|combined| · (1.2 if agree), 1.0) (…:303-307)
+  */
+object Ensemble {
+
+  /** C2: VADER threshold classification. */
+  def vaderLabel(compound: Column): Column =
+    when(compound >= 0.05, "positive")
+      .when(compound <= -0.05, "negative")
+      .otherwise("neutral")
+
+  /** C3: TextBlob threshold classification. */
+  def textblobLabel(polarity: Column): Column =
+    when(polarity > 0.1, "positive")
+      .when(polarity < -0.1, "negative")
+      .otherwise("neutral")
+
+  /** C4: label → numeric score. */
+  def labelScore(label: Column): Column =
+    when(label === "positive", 1.0).when(label === "negative", -1.0).otherwise(0.0)
+
+  /** C5: weighted combination of the two label scores. */
+  def combinedScore(vaderLabel: Column, textblobLabel: Column): Column =
+    labelScore(vaderLabel) * 0.6 + labelScore(textblobLabel) * 0.4
+
+  /** C5: final ensemble label from the combined score. */
+  def finalLabel(combined: Column): Column =
+    when(combined > 0.1, "positive")
+      .when(combined < -0.1, "negative")
+      .otherwise("neutral")
+
+  /** C6: confidence = |combined|, ×1.2 when both analyzers agree,
+    * capped at 1.0. */
+  def confidence(combined: Column, vaderLabel: Column, textblobLabel: Column): Column =
+    least(abs(combined) * when(vaderLabel === textblobLabel, 1.2).otherwise(1.0), lit(1.0))
+
+  /** C9 composite: text column → the full 10-field sentiment block the
+    * enriched-tweet schema carries (FIXTURES §1.2–1.3). Both analyzer
+    * UDFs return structs so each evaluates once per row; ensemble
+    * fields derive as codegen'd columns. */
+  def withSentiment(df: DataFrame, textCol: String): DataFrame = {
+    val vaderUdf = udf((t: String) => Vader.score(t))
+    val textblobUdf = udf((t: String) => TextBlobOps.score(t))
+    val step = df
+      .withColumn("_v", vaderUdf(col(textCol)))
+      .withColumn("_t", textblobUdf(col(textCol)))
+      .withColumn("sentiment_compound", col("_v.compound"))
+      .withColumn("sentiment_positive", col("_v.positive"))
+      .withColumn("sentiment_negative", col("_v.negative"))
+      .withColumn("sentiment_neutral", col("_v.neutral"))
+      .withColumn("textblob_polarity", col("_t.polarity"))
+      .withColumn("textblob_subjectivity", col("_t.subjectivity"))
+      .withColumn("vader_sentiment", vaderLabel(col("sentiment_compound")))
+      .withColumn("textblob_sentiment", textblobLabel(col("textblob_polarity")))
+    step
+      .withColumn("_c", combinedScore(col("vader_sentiment"), col("textblob_sentiment")))
+      .withColumn("final_sentiment", finalLabel(col("_c")))
+      .withColumn("confidence_score",
+        round(confidence(col("_c"), col("vader_sentiment"), col("textblob_sentiment")), 4))
+      .drop("_v", "_t", "_c")
+  }
+}

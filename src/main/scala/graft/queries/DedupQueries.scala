@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.expressions._
+
+/** Deduplication operators over `documents` — the training-data-
+  * pipeline dedup family (north star in BASELINE.json) plus the
+  * reference's own dedup semantics (F4 producer dedup, K3
+  * insert-ignore; SURVEY §2.3/§2.2).
+  *
+  * Scale design: every variant reduces to (per-doc signature →
+  * shuffle on signature/band key → within-bucket compare). Signatures
+  * are map-side (no state), buckets are small by construction, and
+  * the candidate-pair verification only touches bucket-mates — never
+  * the O(n²) cross product. At 100 TB the shuffle key cardinality
+  * (band hash) keeps partitions balanced; skewed mega-buckets would
+  * be AQE-split or salted.
+  */
+object DedupQueries {
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Exact dedup (hash-groupBy on normalized text): keep min doc_id
+    * per group — K3 insert-ignore semantics in batch. Group key is the
+    * cleaned, lower-cased text; at scale one would group on a 128-bit
+    * text hash instead of shipping full texts through the shuffle
+    * (same result, smaller exchange) — see `exactDedupByFingerprint`. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(lower(TextQueries.cleanText($"text")).as("norm_text"))
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select($"keeper_id", $"n_copies")
+      .orderBy($"keeper_id")
+  }
+
+  val exactDedupSql: String =
+    """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY lower(trim(regexp_replace(replace(text, 'RT @', ''), '\s+', ' ', 'g')))
+      |ORDER BY keeper_id""".stripMargin
+
+  /** Exact dedup shuffling only a 64-bit rolling-hash fingerprint
+    * (the scale path: the exchange carries 8 bytes/doc, not the
+    * text). Oracle reproduces the identical fingerprint. */
+  def exactDedupByFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(TextQueries.fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select($"keeper_id", $"n_copies", $"fp")
+      .orderBy($"keeper_id")
+  }
+
+  val exactDedupByFingerprintSql: String =
+    """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, fp
+      |FROM (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |  FROM documents)
+      |GROUP BY fp ORDER BY keeper_id""".stripMargin
+
+  /** N-gram (token-set) Jaccard near-dup pairs, blocked by source +
+    * bounded id window (the blocking keeps the oracle O(n·w) — the
+    * unblocked scale path is `minhashPairs`, which finds the same
+    * high-similarity pairs without enumerating windows). */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", array_distinct(tokens($"text")).as("toks"))
+    val a = docs.select($"doc_id".as("id_a"), $"source", $"toks".as("toks_a"))
+    val b = docs.select($"doc_id".as("id_b"), $"source", $"toks".as("toks_b"))
+    a.join(b, Seq("source"))
+      .filter($"id_b" > $"id_a" && $"id_b" <= $"id_a" + 50)
+      .withColumn("jaccard",
+        round(size(array_intersect($"toks_a", $"toks_b")).cast("double") /
+          size(array_union($"toks_a", $"toks_b")), 4))
+      .filter($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val ngramJaccardPairsSql: String =
+    """SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+      |  FROM (SELECT doc_id, source, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |        FROM documents) a
+      |  JOIN (SELECT doc_id, source, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |        FROM documents) b
+      |    ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50)
+      |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash + LSH near-dup pairs (the 100 TB path: no blocking
+    * window, no O(n²)). k=64 minhashes → 16 bands × 4 rows; docs
+    * sharing any band bucket become candidates; candidates are
+    * verified with exact token-set Jaccard ≥ 0.5.
+    *
+    * Plan shape: signature (map) → posexplode bands (×16) → shuffle on
+    * (band, bandSig) → within-bucket self-join → distinct pairs →
+    * verify join. Rows-only check (murmur-seeded signatures are not
+    * reproducible in the SQL oracle); LSHDedupSpec asserts recall
+    * against the exact-Jaccard oracle pairs. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = 16
+    val rowsPerBand = 4
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", array_distinct(tokens($"text")).as("toks"))
+      .withColumn("sig", minhash_signature($"toks", k = bands * rowsPerBand, seed = 42))
+    val banded = docs
+      .select($"doc_id", posexplode(
+        array((0 until bands).map(b => xxhash64(slice($"sig", b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .toDF("doc_id", "band", "band_sig")
+    val candidates = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.band_sig" === $"y.band_sig" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .distinct()
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", array_distinct(tokens($"text")).as("toks"))
+    candidates
+      .join(toks.select($"doc_id".as("id_a"), $"toks".as("toks_a")), Seq("id_a"))
+      .join(toks.select($"doc_id".as("id_b"), $"toks".as("toks_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect($"toks_a", $"toks_b")).cast("double") /
+          size(array_union($"toks_a", $"toks_b")), 4))
+      .filter($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprint, candidates via 4×16
+    * bit bands (any identical quarter → candidate; catches all pairs
+    * with Hamming ≤ 3), verified by bit_count(xor) ≤ 3. Rows-only
+    * check (same murmur-seed rationale as minhash). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", simhash64(tokens($"text")).as("fp"))
+    val banded = docs.select($"doc_id", $"fp", posexplode(
+      array((0 until 4).map(q => shiftrightunsigned($"fp", q * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "fp", "band", "band_val")
+    banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.band_val" === $"y.band_val" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        bit_count($"x.fp".bitwiseXOR($"y.fp")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs within label blocks, via the
+    * codegen'd [[graft.functions.CosineSimilarity]] expression. */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding")
+    val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter($"id_b" > $"id_a")
+      .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
+      .filter($"cosine" >= 0.4)
+      .select($"id_a", $"id_b", $"cosine")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val embeddingNearDupsSql: String =
+    """SELECT id_a, id_b, cosine FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND b.vec_id > a.vec_id)
+      |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_exact_dedup" -> (exactDedup _),
+    "q41_fingerprint_dedup" -> (exactDedupByFingerprint _),
+    "q42_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
+    "q43_minhash_pairs" -> (minhashPairs _),
+    "q44_simhash_pairs" -> (simhashPairs _),
+    "q45_embedding_neardups" -> (embeddingNearDups _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_exact_dedup" -> exactDedupSql,
+    "q41_fingerprint_dedup" -> exactDedupByFingerprintSql,
+    "q42_ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "q45_embedding_neardups" -> embeddingNearDupsSql,
+  )
+}

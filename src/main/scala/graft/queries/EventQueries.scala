@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Tweet-pipeline parity queries (SURVEY §3.2–§3.3) over the `events`
+  * fixture, which stands in for the streamed `tweets` table:
+  * `ts` ↔ processed_at, `event_type` ↔ final_sentiment,
+  * `value` ↔ confidence/engagement, `props` ↔ raw JSON payload.
+  *
+  * F3's `now() - INTERVAL h HOURS` predicate is made deterministic by
+  * anchoring to a fixed literal inside the fixture's [2024-01-01,
+  * 2024-01-31) span — same intent, reproducible hash. At scale this
+  * predicate partition-prunes when the sink is hour-partitioned (K2's
+  * intended layout, SURVEY §2.2).
+  */
+object EventQueries {
+
+  /** GET /summary parity: F3 time filter + A1 group-agg + A3 null
+    * coalescing + W3 sort. Cite: sentiment_analysis.py:450-519. */
+  def eventSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"ts" >= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(coalesce(avg($"value"), lit(0.0)), 4).as("avg_value"),
+        round(coalesce(sum($"value"), lit(0.0)), 2).as("sum_value"))
+      .orderBy($"n_events".desc, $"event_type")
+  }
+
+  val eventSummarySql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(coalesce(avg(value), 0.0), 4) AS avg_value,
+      |  round(coalesce(sum(value), 0.0), 2) AS sum_value
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY event_type ORDER BY n_events DESC, event_type""".stripMargin
+
+  /** GET /tweets parity: conditional equality filter (F2) + top-k by
+    * recency (W1) → TakeOrderedAndProject, no full sort. */
+  def recentEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_type" === "error")
+      .orderBy($"ts".desc, $"event_id".desc)
+      .limit(50)
+      .select($"event_id", $"user_id", $"event_type",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        round($"value", 2).as("value"))
+  }
+
+  val recentEventsSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |  round(value, 2) AS value
+      |FROM events WHERE event_type = 'error'
+      |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin
+
+  /** GET /export parity: F3 window + W2 unbounded recency sort.
+    * Cite: sentiment_analysis.py:668-715. */
+  def exportEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"ts" >= lit("2024-01-29 00:00:00").cast("timestamp"))
+      .select($"event_id", $"user_id", $"event_type",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        round($"value", 2).as("value"))
+      .orderBy($"ts_s".desc, $"event_id".desc)
+  }
+
+  val exportEventsSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |  round(value, 2) AS value
+      |FROM events WHERE ts >= TIMESTAMP '2024-01-29 00:00:00'
+      |ORDER BY ts_s DESC, event_id DESC""".stripMargin
+
+  /** The dead `sentiment_summary` table realized (SURVEY §1.2(d)):
+    * hourly tumbling window × type. Batch form here; streaming form in
+    * graft.streaming.Pipeline shares the same groupBy(window(...)). */
+  def hourlySummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("date_hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg($"value"), 4).as("avg_value"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"date_hour", $"event_type")
+  }
+
+  val hourlySummarySql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS date_hour,
+      |  event_type, count(*) AS n_events,
+      |  round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY date_hour, event_type""".stripMargin
+
+  /** C10 parity: JSON payload field extraction (the Kafka-envelope
+    * decode, from_json analog on a dynamic column) + aggregation. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .withColumn("k_bucket", $"k" % 10)
+      .groupBy($"k_bucket")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg($"value"), 4).as("avg_value"))
+      .orderBy($"k_bucket")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+      |  count(*) AS n_events, round(avg(value), 4) AS avg_value
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  /** Top-k per group (W1 generalized per SURVEY §2.6): 5 highest-value
+    * events per type via row_number window. */
+  def topEventsPerType(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"event_type", $"event_id", round($"value", 2).as("value"), $"rn")
+      .orderBy($"event_type", $"rn")
+  }
+
+  val topEventsPerTypeSql: String =
+    """SELECT event_type, event_id, round(value, 2) AS value, rn
+      |FROM (SELECT event_type, event_id, value,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY value DESC, event_id) AS rn
+      |      FROM events)
+      |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin
+
+  /** K3 insert-ignore parity: keep the FIRST record per key (the
+    * idempotent dedup-on-write by tweet_id, sentiment_analysis.py:
+    * 395-406) — here first event per (user_id, event_type) by time.
+    * One shuffle on the key; at scale this is the standard
+    * dedup-window pattern (state bounded by watermark in streaming). */
+  def firstEventPerUser(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val firstEventPerUserSql: String =
+    """SELECT user_id, event_type, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+      |FROM (SELECT user_id, event_type, event_id, ts,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts, event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_event_summary" -> (eventSummary _),
+    "q13_recent_events" -> (recentEvents _),
+    "q14_export_events" -> (exportEvents _),
+    "q15_hourly_summary" -> (hourlySummary _),
+    "q16_json_extract" -> (jsonExtract _),
+    "q17_top_events_per_type" -> (topEventsPerType _),
+    "q18_first_event_per_user" -> (firstEventPerUser _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q12_event_summary" -> eventSummarySql,
+    "q13_recent_events" -> recentEventsSql,
+    "q14_export_events" -> exportEventsSql,
+    "q15_hourly_summary" -> hourlySummarySql,
+    "q16_json_extract" -> jsonExtractSql,
+    "q17_top_events_per_type" -> topEventsPerTypeSql,
+    "q18_first_event_per_user" -> firstEventPerUserSql,
+  )
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Ensemble, TextBlobOps, Vader}
+
+/** Sentiment pipeline queries (SURVEY §2.8 C2–C9, §3.2).
+  *
+  * Two tiers:
+  *  1. Oracle-checked: a lexicon-count sentiment scorer whose whole
+  *     computation (regexp counts → VADER normalization → C2
+  *     thresholds → summary aggregation, and the C4–C6 ensemble
+  *     arithmetic) is reproducible in DuckDB SQL — this pins the
+  *     *rule/threshold* semantics against an independent engine.
+  *  2. Rows-only: the full [[Vader]]/[[TextBlobOps]] analyzers (rich
+  *     rule set not expressible in SQL) — deterministic, covered by
+  *     ScalaTest goldens instead.
+  *
+  * Scale: tier-1 is pure codegen'd expressions (map-side only until
+  * the final small aggregate); tier-2 is two deterministic JVM UDFs
+  * evaluated once per row — no shuffle, no state; at 100 TB both are
+  * scan-bound.
+  */
+object SentimentQueries {
+
+  private val PosPat = "\\b(fast|big|merge|join)\\b"
+  private val NegPat = "\\b(slow|dup|small|filter)\\b"
+
+  /** Tier-1 scorer: signed lexicon count, VADER-normalized
+    * (x/sqrt(x²+15), SURVEY C7 note), classified with the reference's
+    * C2 thresholds (±0.05, sentiment_analysis.py:224-229). */
+  def lexiconSentiment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pos = size(regexp_extract_all($"text", lit(PosPat), lit(0))).cast("long")
+    val neg = size(regexp_extract_all($"text", lit(NegPat), lit(0))).cast("long")
+    val diff = (pos - neg).cast("double")
+    val compound = round(diff / sqrt(diff * diff + lit(15.0)), 4)
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        pos.as("n_pos"), neg.as("n_neg"),
+        compound.as("compound"),
+        Ensemble.vaderLabel(compound).as("sentiment"))
+      .orderBy($"doc_id")
+  }
+
+  val lexiconSentimentSql: String =
+    """SELECT doc_id, n_pos, n_neg, compound,
+      |  CASE WHEN compound >= 0.05 THEN 'positive'
+      |       WHEN compound <= -0.05 THEN 'negative'
+      |       ELSE 'neutral' END AS sentiment
+      |FROM (
+      |  SELECT doc_id, n_pos, n_neg,
+      |    round((n_pos - n_neg) / sqrt((n_pos - n_neg) * (n_pos - n_neg) + 15.0), 4) AS compound
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(regexp_extract_all(text, '\b(fast|big|merge|join)\b')) AS BIGINT) AS n_pos,
+      |      CAST(len(regexp_extract_all(text, '\b(slow|dup|small|filter)\b')) AS BIGINT) AS n_neg
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** GET /summary over tier-1 labels (A1+A3+W3 on sentiment output —
+    * the reference's flagship query shape, sentiment_analysis.py:
+    * 450-519). */
+  def sentimentSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lexiconSentiment(s, dir)
+      .groupBy($"sentiment")
+      .agg(count(lit(1)).as("n_docs"),
+        round(coalesce(avg($"compound"), lit(0.0)), 4).as("avg_compound"),
+        round(coalesce(sum($"n_pos"), lit(0L)).cast("double"), 2).as("total_pos"),
+        round(coalesce(sum($"n_neg"), lit(0L)).cast("double"), 2).as("total_neg"))
+      .orderBy($"n_docs".desc, $"sentiment")
+  }
+
+  val sentimentSummarySql: String =
+    """SELECT sentiment, count(*) AS n_docs,
+      |  round(coalesce(avg(compound), 0.0), 4) AS avg_compound,
+      |  round(CAST(coalesce(sum(n_pos), 0) AS DOUBLE), 2) AS total_pos,
+      |  round(CAST(coalesce(sum(n_neg), 0) AS DOUBLE), 2) AS total_neg
+      |FROM (
+      |  SELECT doc_id, n_pos, n_neg,
+      |    round((n_pos - n_neg) / sqrt((n_pos - n_neg) * (n_pos - n_neg) + 15.0), 4) AS compound,
+      |    CASE WHEN round((n_pos - n_neg) / sqrt((n_pos - n_neg) * (n_pos - n_neg) + 15.0), 4) >= 0.05 THEN 'positive'
+      |         WHEN round((n_pos - n_neg) / sqrt((n_pos - n_neg) * (n_pos - n_neg) + 15.0), 4) <= -0.05 THEN 'negative'
+      |         ELSE 'neutral' END AS sentiment
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(regexp_extract_all(text, '\b(fast|big|merge|join)\b')) AS n_pos,
+      |      len(regexp_extract_all(text, '\b(slow|dup|small|filter)\b')) AS n_neg
+      |    FROM documents))
+      |GROUP BY sentiment ORDER BY n_docs DESC, sentiment""".stripMargin
+
+  /** C4–C6 ensemble arithmetic oracle-checked on numeric stand-ins:
+    * two pseudo-analyzer labels derived from events.value, combined
+    * with the exact reference weights/thresholds
+    * (sentiment_analysis.py:280-307). */
+  def ensembleEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vaderL = when($"value" >= 100.0, "positive")
+      .when($"value" <= 20.0, "negative").otherwise("neutral")
+    val tbL = when($"value" >= 150.0, "positive")
+      .when($"value" <= 10.0, "negative").otherwise("neutral")
+    val combined = Ensemble.combinedScore(vaderL, tbL)
+    Tables.events(s, dir)
+      .select($"event_id",
+        Ensemble.finalLabel(combined).as("final_sentiment"),
+        round(Ensemble.confidence(combined, vaderL, tbL), 4).as("confidence_score"))
+      .groupBy($"final_sentiment")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg($"confidence_score"), 4).as("avg_confidence"))
+      .orderBy($"n_events".desc, $"final_sentiment")
+  }
+
+  val ensembleEventsSql: String =
+    """SELECT final_sentiment, count(*) AS n_events,
+      |  round(avg(confidence_score), 4) AS avg_confidence
+      |FROM (
+      |  SELECT event_id,
+      |    CASE WHEN combined > 0.1 THEN 'positive'
+      |         WHEN combined < -0.1 THEN 'negative' ELSE 'neutral' END AS final_sentiment,
+      |    round(least(abs(combined) * CASE WHEN v = t THEN 1.2 ELSE 1.0 END, 1.0), 4) AS confidence_score
+      |  FROM (
+      |    SELECT event_id, v, t,
+      |      (CASE v WHEN 'positive' THEN 1.0 WHEN 'negative' THEN -1.0 ELSE 0.0 END) * 0.6 +
+      |      (CASE t WHEN 'positive' THEN 1.0 WHEN 'negative' THEN -1.0 ELSE 0.0 END) * 0.4 AS combined
+      |    FROM (
+      |      SELECT event_id,
+      |        CASE WHEN value >= 100.0 THEN 'positive'
+      |             WHEN value <= 20.0 THEN 'negative' ELSE 'neutral' END AS v,
+      |        CASE WHEN value >= 150.0 THEN 'positive'
+      |             WHEN value <= 10.0 THEN 'negative' ELSE 'neutral' END AS t
+      |      FROM events)))
+      |GROUP BY final_sentiment ORDER BY n_events DESC, final_sentiment""".stripMargin
+
+  /** Tier-2: full VADER-style analyzer over cleaned docs (rows-only;
+    * goldens in VaderSpec). */
+  def vaderDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vaderUdf = udf((t: String) => Vader.score(t))
+    Tables.documents(s, dir)
+      .withColumn("v", vaderUdf(TextQueries.cleanText($"text")))
+      .select($"doc_id", $"v.compound".as("compound"), $"v.positive".as("positive"),
+        $"v.negative".as("negative"), $"v.neutral".as("neutral"))
+      .orderBy($"doc_id")
+  }
+
+  /** Tier-2: full TextBlob-style analyzer (rows-only; goldens in
+    * TextBlobSpec). */
+  def textblobDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbUdf = udf((t: String) => TextBlobOps.score(t))
+    Tables.documents(s, dir)
+      .withColumn("t", tbUdf(TextQueries.cleanText($"text")))
+      .select($"doc_id", $"t.polarity".as("polarity"), $"t.subjectivity".as("subjectivity"))
+      .orderBy($"doc_id")
+  }
+
+  /** Tier-2: the complete C9 analyze_text block (both analyzers +
+    * ensemble) over documents — the enriched-tweet sentiment columns. */
+  def analyzeDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Ensemble.withSentiment(
+      Tables.documents(s, dir).withColumn("cleaned_text", TextQueries.cleanText($"text")),
+      "cleaned_text")
+      .select($"doc_id", $"sentiment_compound", $"textblob_polarity",
+        $"vader_sentiment", $"textblob_sentiment", $"final_sentiment", $"confidence_score")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_lexicon_sentiment" -> (lexiconSentiment _),
+    "q31_sentiment_summary" -> (sentimentSummary _),
+    "q32_ensemble_events" -> (ensembleEvents _),
+    "q33_vader_docs" -> (vaderDocs _),
+    "q34_textblob_docs" -> (textblobDocs _),
+    "q35_analyze_docs" -> (analyzeDocs _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_lexicon_sentiment" -> lexiconSentimentSql,
+    "q31_sentiment_summary" -> sentimentSummarySql,
+    "q32_ensemble_events" -> ensembleEventsSql,
+  )
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over the `documents` fixture — the
+  * reference's text path (C1 clean, F1 filter, SURVEY §2.3/§2.8) plus
+  * the training-data-pipeline text ops (token counting, quality
+  * scoring, fingerprinting, language stats).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` — no UDFs
+  * — so the whole stage stays inside WholeStageCodegen and the text
+  * column is the only wide column read (column pruning reaches the
+  * scan). At 100 TB these are embarrassingly parallel map-side ops:
+  * no shuffle except the final group-bys, which partial-aggregate
+  * map-side first.
+  */
+object TextQueries {
+
+  /** C1 clean_text as a Column: remove every "RT @" occurrence (the
+    * reference's str.replace removes all, twitter_streamer.py:91),
+    * collapse whitespace runs, trim. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "RT @", ""), "\\s+", " "))
+
+  /** Whitespace token count (training-pipeline token counting). */
+  def tokenCount(c: Column): Column = size(split(trim(c), "\\s+")).cast("long")
+
+  /** Char-level polynomial rolling hash (document fingerprinting):
+    * fp = fold(chars, 0)((acc, ch) => (acc*31 + codepoint(ch)) mod 1e9+7).
+    * Built-in `aggregate` HOF — distributed, no UDF; the DuckDB oracle
+    * reproduces it with list_reduce over string_split. */
+  def fingerprint(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(1000000007L))
+
+  /** C1 + F1: clean then keep non-empty English docs.
+    * Cite: twitter_streamer.py:86-96 (clean), 159-161 (filter). */
+  def cleanFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("cleaned_text", cleanText($"text"))
+      .filter($"lang" === "en" && length($"cleaned_text") > 0)
+      .select($"doc_id", $"cleaned_text", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val cleanFilterSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(replace(text, 'RT @', ''), '\s+', ' ', 'g')) AS cleaned_text,
+      |  source
+      |FROM documents
+      |WHERE lang = 'en'
+      |  AND length(trim(regexp_replace(replace(text, 'RT @', ''), '\s+', ' ', 'g'))) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-document token statistics. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        tokenCount($"text").as("n_tokens"),
+        length($"text").cast("long").as("len_chars"),
+        round(length($"text").cast("double") / tokenCount($"text"), 4).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  length(text) AS len_chars,
+      |  round(CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')), 4) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Training-pipeline quality scoring: stopword ratio, distinct-token
+    * ratio, mean token length — the length/punct/stopword heuristics
+    * class. regexp_extract_all keeps it codegen'd (no UDF). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokenCount($"text")
+    val stops = size(regexp_extract_all($"text", lit("\\b(the|a|and|of|to|in|is)\\b"), lit(0))).cast("long")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        toks.as("n_tokens"),
+        stops.as("n_stopwords"),
+        round(stops.cast("double") / toks, 4).as("stop_ratio"),
+        size(array_distinct(split(trim($"text"), "\\s+"))).cast("long").as("n_distinct_tokens"),
+        round(size(array_distinct(split(trim($"text"), "\\s+"))).cast("double") / toks, 4)
+          .as("distinct_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, lang,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is)\b')) AS n_stopwords,
+      |  round(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is)\b')) AS DOUBLE)
+      |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stop_ratio,
+      |  len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens,
+      |  round(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+      |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS distinct_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language × source corpus statistics (the F1 filter generalized to
+    * a profile of the corpus). */
+  def langStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        round(avg(tokenCount($"text").cast("double")), 4).as("avg_tokens"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  val langStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  round(avg(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)), 4) AS avg_tokens,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Char-level rolling-hash fingerprint per document. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_clean_filter" -> (cleanFilter _),
+    "q21_token_stats" -> (tokenStats _),
+    "q22_quality_score" -> (qualityScore _),
+    "q23_lang_stats" -> (langStats _),
+    "q24_doc_fingerprint" -> (docFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_clean_filter" -> cleanFilterSql,
+    "q21_token_stats" -> tokenStatsSql,
+    "q22_quality_score" -> qualityScoreSql,
+    "q23_lang_stats" -> langStatsSql,
+    "q24_doc_fingerprint" -> docFingerprintSql,
+  )
+}
