@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.api.TweetApi
+import graft.streaming.Pipeline
+
+/** Demo/acceptance driver for the streaming path: replays envelope
+  * JSONL through the full pipeline (file source — same parse path as
+  * Kafka after `value`), then serves the reference's API surface over
+  * the resulting tweets table. Usage: runMain graft.StreamDemo [dir]. */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(Files.createTempDirectory("graft-demo").toString)
+    val in = s"$dir/in"; Files.createDirectories(Paths.get(in))
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def env(id: String, text: String, lang: String = "en") =
+      s"""{"data": {"id": "$id", "text": "$text", "created_at": "2025-09-01T14:03:27.000Z", "author_id": "a$id", "lang": "$lang", "public_metrics": {"retweet_count": 3, "like_count": 17, "reply_count": 1, "quote_count": 0}}, "includes": {"users": []}, "kafka_timestamp": 1756735407123}"""
+
+    Files.writeString(Paths.get(s"$in/batch1.jsonl"), Seq(
+      env("1", "I love this amazing product!"),
+      env("2", "This is terribel and awful."),
+      env("2", "This is terribel and awful."),
+      env("3", "RT @fan: Best day ever! So excited!"),
+      env("4", "Buna ziua lume", lang = "ro"),
+      """{ not json""").mkString("\n"))
+
+    val source = spark.readStream.schema(graft.streaming.Schemas.envelope)
+      .option("mode", "PERMISSIVE").json(in)
+      .select(org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(org.apache.spark.sql.functions.col("*"))).as("json"))
+    val q = Pipeline.run(spark, source, s"$dir/tweets", s"$dir/json",
+      s"$dir/ckpt", Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+
+    // second micro-batch arrives while the query runs (incl. a dup of id 1)
+    Files.writeString(Paths.get(s"$in/batch2.jsonl"), Seq(
+      env("1", "I love this amazing product!"),
+      env("7", "What a wonderful day, thanks!")).mkString("\n"))
+    q.processAllAvailable()
+    q.stop()
+
+    val tweets = spark.read.parquet(s"$dir/tweets")
+    println("=== tweets table ===")
+    tweets.select("tweet_id", "cleaned_text", "final_sentiment", "confidence_score")
+      .orderBy("tweet_id").show(20, false)
+    println("=== /summary ===")
+    TweetApi.summary(tweets, hours = 24 * 365 * 10).show(false)
+    println("=== /tweets?limit=2&sentiment=positive ===")
+    TweetApi.recentTweets(tweets, 2, Some("positive"))
+      .select("tweet_id", "final_sentiment").show(false)
+    println("=== /health ===")
+    TweetApi.health(tweets).show(false)
+    println("=== /analyze (driver-side) ===")
+    println(TweetApi.analyze("Best day ever! So excited!"))
+    println("=== hourly sentiment_summary ===")
+    Pipeline.hourlySummary(tweets).show(false)
+    println(s"=== json sink partitions: ${new java.io.File(s"$dir/json").listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted.mkString(", ")}")
+    spark.stop()
+  }
+}

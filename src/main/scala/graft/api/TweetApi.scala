@@ -1,0 +1,76 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Ensemble, TextBlobOps, Vader}
+import graft.streaming.Pipeline
+
+/** Engine façade mirroring the reference's Flask surface (SURVEY
+  * §2.11, route table sentiment_analysis.py:575-715). Each endpoint
+  * is exactly one operator composition over the `tweets` DataFrame;
+  * `store` REUSES the pipeline-computed sentiment (single analysis —
+  * the reference re-analyzes per store, sentiment_analysis.py:378,
+  * doubling the work for identical output since analyze_text is
+  * deterministic on cleaned_text).
+  */
+object TweetApi {
+
+  final case class AnalyzeResult(
+      sentiment: String, confidence: Double,
+      compound: Double, positive: Double, negative: Double, neutral: Double,
+      polarity: Double, subjectivity: Double)
+
+  /** POST /analyze (sentiment_analysis.py:578-593): score one text
+    * through the C9 composite. Driver-side scalar call — the batch
+    * path is [[Ensemble.withSentiment]]. */
+  def analyze(text: String): AnalyzeResult = {
+    val cleaned = if (text == null) "" else text.trim
+    val v = Vader.score(cleaned)
+    val t = TextBlobOps.score(cleaned)
+    val vLabel = if (v.compound >= 0.05) "positive" else if (v.compound <= -0.05) "negative" else "neutral"
+    val tLabel = if (t.polarity > 0.1) "positive" else if (t.polarity < -0.1) "negative" else "neutral"
+    def s(l: String) = l match { case "positive" => 1.0; case "negative" => -1.0; case _ => 0.0 }
+    val combined = 0.6 * s(vLabel) + 0.4 * s(tLabel)
+    val label = if (combined > 0.1) "positive" else if (combined < -0.1) "negative" else "neutral"
+    val conf = math.min(math.abs(combined) * (if (vLabel == tLabel) 1.2 else 1.0), 1.0)
+    AnalyzeResult(label, conf, v.compound, v.positive, v.negative, v.neutral,
+      t.polarity, t.subjectivity)
+  }
+
+  /** POST /store semantics in batch: idempotent dedup-append (K3). */
+  def store(tweets: DataFrame): DataFrame = Pipeline.dedupBatch(tweets)
+
+  /** GET /summary?hours=N (sentiment_analysis.py:617-634): F3 window
+    * + A1 aggregate + A3 coalescing + W3 sort; A2 grand total comes
+    * from summing tweet_count client-side or via rollup. */
+  def summary(tweets: DataFrame, hours: Int = 24): DataFrame =
+    tweets
+      .filter(col("processed_at") >= current_timestamp() - expr(s"INTERVAL $hours HOURS"))
+      .groupBy(col("final_sentiment"))
+      .agg(count(lit(1)).as("tweet_count"),
+        coalesce(avg("confidence_score"), lit(0.0)).as("avg_confidence"),
+        coalesce(sum("like_count"), lit(0L)).as("total_likes"),
+        coalesce(sum("retweet_count"), lit(0L)).as("total_retweets"))
+      .orderBy(desc("tweet_count"))
+
+  /** GET /tweets?limit=K&sentiment=S (sentiment_analysis.py:636-655):
+    * optional F2 filter + W1 top-k by recency
+    * (TakeOrderedAndProject — no full sort). */
+  def recentTweets(tweets: DataFrame, limit: Int = 50, sentiment: Option[String] = None): DataFrame = {
+    val base = sentiment.fold(tweets)(s => tweets.filter(col("final_sentiment") === s))
+    base.orderBy(desc("processed_at")).limit(limit)
+  }
+
+  /** GET /export?hours=N (sentiment_analysis.py:668-715): F3 window +
+    * W2 recency sort (unbounded). CSV shaping is the caller's
+    * concern (df.write.option("header",true).csv or toLocalIterator). */
+  def export(tweets: DataFrame, hours: Int = 24): DataFrame =
+    tweets
+      .filter(col("processed_at") >= current_timestamp() - expr(s"INTERVAL $hours HOURS"))
+      .orderBy(desc("processed_at"))
+
+  /** GET /health analog: table-level liveness stats. */
+  def health(tweets: DataFrame): DataFrame =
+    tweets.agg(count(lit(1)).as("total_tweets"),
+      max("processed_at").as("last_processed_at"))
+}

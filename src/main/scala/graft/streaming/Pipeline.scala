@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.functions.Ensemble
+import graft.queries.TextQueries
+
+/** The tweet stream pipeline (SURVEY §3.1) as ONE Structured Streaming
+  * dataflow — replacing the reference's three processes, two HTTP hops
+  * and per-record daemon threads (twitter_streamer.py:266-271) with a
+  * single declarative plan:
+  *
+  *   kafka/json source → from_json(envelope) → P1/P2 projection →
+  *   C1 clean → F1 filter → C9 sentiment → watermarked dedup(F4) →
+  *   foreachBatch { parquet tweets (K3) + hourly-bucketed json (K2) }
+  *   + hourly windowed aggregate (the dead sentiment_summary, §1.2d)
+  *
+  * Every transform is identical for batch and streaming input — the
+  * functions take plain DataFrames, so the batch parity tests and the
+  * streaming path share one code path (BASELINE.md §B streaming
+  * parity: byte-identical rows on a replayed fixture).
+  *
+  * Scale: stateless until the dedup (state bounded by the watermark,
+  * the principled version of the reference's 10k cap-and-clear,
+  * twitter_producer.py:203-205) and the windowed agg (state = open
+  * windows × sentiment labels). Sinks partition by hour so downstream
+  * time-range queries partition-prune (K2's *intended* layout — the
+  * reference's %h month-name bug documented at SURVEY §2.2 K2).
+  */
+object Pipeline {
+
+  /** S2: Kafka source (subscribe topic, latest offsets — offsets are
+    * checkpoint-managed, upgrading the reference's auto-commit
+    * at-most-once, twitter_streamer.py:49-61). Not exercised in tests
+    * (no broker in the sandbox) but the parse path after `value` is
+    * shared with [[fromJsonLines]], which is tested. */
+  def kafkaSource(s: SparkSession, bootstrap: String, topic: String): DataFrame =
+    s.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .select(col("value").cast("string").as("json"))
+
+  /** File/JSONL replay source (the test/backfill path). */
+  def jsonFileSource(s: SparkSession, path: String): DataFrame =
+    s.readStream.schema(Schemas.envelope).json(path)
+      .select(to_json(struct(col("*"))).as("json"))
+
+  /** S4/C10: parse JSON envelope with the fixed schema. Malformed
+    * lines yield a null struct → quarantined by [[enrich]]'s filter
+    * (never kills the query; reference analog twitter_streamer.py:
+    * 279-281). */
+  def fromJsonLines(df: DataFrame): DataFrame =
+    df.select(from_json(col("json"), Schemas.envelope).as("env"))
+
+  /** P1+P2: nested-path projection with defaults (twitter_streamer.py:
+    * 141-154, 167-186): envelope → flat columns, engagement counters
+    * coalesced to 0, lang renamed language. */
+  def project(df: DataFrame): DataFrame =
+    df.select(
+      col("env.data.id").as("tweet_id"),
+      col("env.data.text").as("tweet_text"),
+      to_timestamp(col("env.data.created_at")).as("created_at"),
+      col("env.data.author_id").as("author_id"),
+      coalesce(col("env.data.lang"), lit("")).as("language"),
+      coalesce(col("env.data.public_metrics.retweet_count"), lit(0L)).as("retweet_count"),
+      coalesce(col("env.data.public_metrics.like_count"), lit(0L)).as("like_count"),
+      coalesce(col("env.data.public_metrics.reply_count"), lit(0L)).as("reply_count"),
+      coalesce(col("env.data.public_metrics.quote_count"), lit(0L)).as("quote_count"),
+      col("env.kafka_timestamp").as("kafka_timestamp"),
+      col("env.includes.users").as("users"))
+
+  /** C1+F1+C9: clean, language-filter, sentiment-enrich, stamp
+    * processing time. The F1 filter runs BEFORE the analyzer UDFs
+    * (the reference's hand-done expensive-expression deferral,
+    * twitter_streamer.py:159-164 — here guaranteed by projection
+    * order, and the UDFs are deterministic so Catalyst may still
+    * reorder cheap predicates in front of them). */
+  def enrich(df: DataFrame, processedAt: Option[java.sql.Timestamp] = None): DataFrame = {
+    val cleaned = df
+      .filter(col("tweet_id").isNotNull)
+      .withColumn("cleaned_text", TextQueries.cleanText(col("tweet_text")))
+      .filter(col("language") === "en" && length(col("cleaned_text")) > 0)
+    val stamped = Ensemble.withSentiment(cleaned, "cleaned_text")
+      .withColumn("processed_at",
+        processedAt.map(t => lit(t).cast("timestamp")).getOrElse(current_timestamp()))
+    stamped.select(Schemas.enrichedTweet.fieldNames.map(col): _*)
+  }
+
+  /** F4: bounded-state streaming dedup by tweet_id — the principled
+    * version of the producer's 10k cap-and-clear set. */
+  def dedup(df: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    df.withWatermark("processed_at", watermarkDelay)
+      .dropDuplicatesWithinWatermark("tweet_id")
+
+  /** Batch-side dedup with identical keep-first semantics (K3's
+    * INSERT OR IGNORE): used inside foreachBatch and by parity tests. */
+  def dedupBatch(df: DataFrame): DataFrame =
+    df.dropDuplicates("tweet_id")
+
+  /** Full batch-equivalent transform: json lines → enriched, deduped
+    * tweets table rows. One code path for both modes. */
+  def enrichJson(json: DataFrame, processedAt: Option[java.sql.Timestamp] = None): DataFrame =
+    dedupBatch(enrich(project(fromJsonLines(json)), processedAt))
+
+  /** The dead sentiment_summary realized (SURVEY §2.9 windows):
+    * hourly tumbling window × final_sentiment with the A1 aggregate
+    * set. Works on both batch and streaming input. */
+  def hourlySummary(tweets: DataFrame): DataFrame =
+    tweets
+      .groupBy(window(col("processed_at"), "1 hour").as("date_hour"), col("final_sentiment"))
+      .agg(count(lit(1)).as("tweet_count"),
+        avg(col("confidence_score")).as("avg_confidence"),
+        sum(col("like_count")).as("total_likes"),
+        sum(col("retweet_count")).as("total_retweets"))
+      .select(col("date_hour.start").as("date_hour"), col("final_sentiment").as("sentiment"),
+        col("tweet_count"), col("avg_confidence"), col("total_likes"), col("total_retweets"))
+
+  /** K2+K3 sinks via one transactional foreachBatch (replacing the
+    * fire-and-forget thread fan-out): parquet `tweets` table
+    * (idempotent per-batch dedup = INSERT OR IGNORE) + the *intended*
+    * hourly-bucketed files (C12 "yyyyMMdd_HH" — fixing the %h
+    * month-name bug at twitter_streamer.py:205). */
+  def writer(enriched: DataFrame, tweetsPath: String, jsonPath: String,
+             checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+  : DataStreamWriter[Row] = {
+    enriched.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = dedupBatch(batch)
+          .withColumn("date_hour", date_format(col("processed_at"), "yyyyMMdd_HH"))
+          .persist()
+        try {
+          b.drop("date_hour").write.mode("append").parquet(tweetsPath)
+          b.write.mode("append").partitionBy("date_hour").json(jsonPath)
+        } finally { b.unpersist(); () }
+      }
+  }
+
+  /** End-to-end streaming job: source → enrich → dedup → sinks.
+    * K5 console/progress reporting comes free from the streaming UI /
+    * StreamingQueryListener. */
+  def run(s: SparkSession, source: DataFrame, tweetsPath: String, jsonPath: String,
+          checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+  : StreamingQuery = {
+    val enriched = dedup(enrich(project(fromJsonLines(source))))
+    writer(enriched, tweetsPath, jsonPath, checkpoint, trigger).start()
+  }
+}
