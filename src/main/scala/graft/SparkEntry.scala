@@ -19,6 +19,7 @@ object SparkEntry {
       (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracles),
       (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
       (graft.queries.SentimentQueries.queries, graft.queries.SentimentQueries.oracles),
+      (graft.queries.MediaQueries.queries, graft.queries.MediaQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
