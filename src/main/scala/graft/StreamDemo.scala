@@ -62,6 +62,10 @@ object StreamDemo {
     println("=== hourly sentiment_summary ===")
     Pipeline.hourlySummary(tweets).show(false)
     println(s"=== json sink partitions: ${new java.io.File(s"$dir/json").listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted.mkString(", ")}")
+    Pipeline.exportCsv(TweetApi.export(tweets, hours = 24 * 365 * 10), s"$dir/export_csv")
+    val csv = new java.io.File(s"$dir/export_csv").listFiles().filter(_.getName.endsWith(".csv")).head
+    println(s"=== /export csv header+first line ===")
+    scala.io.Source.fromFile(csv).getLines().take(2).foreach(println)
     spark.stop()
   }
 }

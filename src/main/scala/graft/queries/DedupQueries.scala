@@ -97,42 +97,58 @@ object DedupQueries {
       |    ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50)
       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash + LSH near-dup pairs (the 100 TB path: no blocking
-    * window, no O(n²)). k=64 minhashes → 16 bands × 4 rows; docs
-    * sharing any band bucket become candidates; candidates are
-    * verified with exact token-set Jaccard ≥ 0.5.
+  /** MinHash + LSH dedup (the 100 TB path: no blocking window, no
+    * O(n²) output). k=128 minhashes → 16 bands × 8 rows (candidate
+    * s-curve centered ≈ J=0.77, near-1 recall at J≥0.9); a doc is a
+    * duplicate iff it shares a band bucket with a LOWER doc_id whose
+    * signature similarity ≥ 0.9.
     *
-    * Plan shape: signature (map) → posexplode bands (×16) → shuffle on
-    * (band, bandSig) → within-bucket self-join → distinct pairs →
-    * verify join. Rows-only check (murmur-seeded signatures are not
-    * reproducible in the SQL oracle); LSHDedupSpec asserts recall
-    * against the exact-Jaccard oracle pairs. */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    * Scale design notes (this corpus is pathologically self-similar —
+    * 74% of all pairs have J≥0.5 — so any emit-all-pairs semantic is
+    * inherently quadratic in OUTPUT; the dedup decision is not):
+    *  - output is one row per doc (doc_id, keeper_id, is_dup): O(n);
+    *  - each doc verifies against only its bucket MINIMUM, not every
+    *    bucket-mate: per-band work is linear in bucket size, so a
+    *    mega-cluster of identical docs costs O(cluster), not
+    *    O(cluster²) — the standard web-dedup trick, trading a small
+    *    recall delta (a doc whose bucket-min verify fails stays) for
+    *    linear cost;
+    *  - verification uses signature-component agreement (O(k), no
+    *    token-set join, no second pass over texts).
+    * Rows-only check (murmur-seeded signatures aren't reproducible in
+    * SQL); ExpressionsSpec pins exact-copy recall + keeper mapping. */
+  def minhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = 16
-    val rowsPerBand = 4
+    val rowsPerBand = 8
+    val k = bands * rowsPerBand
     val docs = Tables.documents(s, dir)
       .select($"doc_id", array_distinct(tokens($"text")).as("toks"))
-      .withColumn("sig", minhash_signature($"toks", k = bands * rowsPerBand, seed = 42))
+      .withColumn("sig", minhash_signature($"toks", k = k, seed = 42))
+      .select($"doc_id", $"sig")
     val banded = docs
-      .select($"doc_id", posexplode(
+      .select($"doc_id", $"sig", posexplode(
         array((0 until bands).map(b => xxhash64(slice($"sig", b * rowsPerBand + 1, rowsPerBand))): _*)))
-      .toDF("doc_id", "band", "band_sig")
-    val candidates = banded.as("x").join(banded.as("y"),
-        $"x.band" === $"y.band" && $"x.band_sig" === $"y.band_sig" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
-      .distinct()
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id", array_distinct(tokens($"text")).as("toks"))
-    candidates
-      .join(toks.select($"doc_id".as("id_a"), $"toks".as("toks_a")), Seq("id_a"))
-      .join(toks.select($"doc_id".as("id_b"), $"toks".as("toks_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        round(size(array_intersect($"toks_a", $"toks_b")).cast("double") /
-          size(array_union($"toks_a", $"toks_b")), 4))
-      .filter($"jaccard" >= 0.5)
-      .select($"id_a", $"id_b", $"jaccard")
-      .orderBy($"id_a", $"id_b")
+      .toDF("doc_id", "sig", "band", "band_sig")
+    val bucketMin = banded.groupBy($"band", $"band_sig")
+      .agg(min($"doc_id").as("min_id"))
+    val estJ = aggregate(
+      zip_with($"sig", $"min_sig", (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / k
+    val dropped = banded.join(bucketMin, Seq("band", "band_sig"))
+      .filter($"doc_id" > $"min_id")
+      .select($"doc_id", $"sig", $"min_id").distinct()
+      .join(docs.select($"doc_id".as("min_id"), $"sig".as("min_sig")), Seq("min_id"))
+      .withColumn("est_j", estJ)
+      .filter($"est_j" >= 0.9)
+      .groupBy($"doc_id")
+      .agg(min($"min_id").as("dup_of"), round(max($"est_j"), 4).as("est_jaccard"))
+    docs.join(dropped, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"dup_of", $"doc_id").as("keeper_id"),
+        $"dup_of".isNotNull.as("is_dup"),
+        coalesce($"est_jaccard", lit(1.0)).as("est_jaccard"))
+      .orderBy($"doc_id")
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint, candidates via 4×16
@@ -182,7 +198,7 @@ object DedupQueries {
     "q40_exact_dedup" -> (exactDedup _),
     "q41_fingerprint_dedup" -> (exactDedupByFingerprint _),
     "q42_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
-    "q43_minhash_pairs" -> (minhashPairs _),
+    "q43_minhash_dedup" -> (minhashDedup _),
     "q44_simhash_pairs" -> (simhashPairs _),
     "q45_embedding_neardups" -> (embeddingNearDups _),
   )

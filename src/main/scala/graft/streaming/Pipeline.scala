@@ -142,6 +142,28 @@ object Pipeline {
       }
   }
 
+  /** K1: Kafka sink — envelope rows back to a topic as JSON values
+    * (producer parity: twitter_producer.py:130-158). Delivery is
+    * checkpoint + Kafka-idempotence (strictly stronger than the
+    * reference's acks=all/max_in_flight=1 sync publish). Compiled
+    * path only in this sandbox (no broker); value encoding shared
+    * with the tested to_json path. */
+  def kafkaSink(df: DataFrame, bootstrap: String, topic: String,
+                checkpoint: String): DataStreamWriter[Row] =
+    df.select(to_json(struct(col("*"))).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** K4: CSV export sink (sentiment_analysis.py:695-707) — header'd
+    * CSV of an export query result; coalesce(1) mirrors the
+    * single-response-body semantics, drop it for parallel writes. */
+  def exportCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
   /** End-to-end streaming job: source → enrich → dedup → sinks.
     * K5 console/progress reporting comes free from the streaming UI /
     * StreamingQueryListener. */

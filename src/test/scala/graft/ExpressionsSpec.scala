@@ -53,18 +53,42 @@ class ExpressionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(ha ^ hc) >= 20, "unrelated should be far in hamming")
   }
 
-  test("minhash LSH pairs recall vs exact jaccard (sf0.001, threshold 0.5)") {
-    val exact = DedupQueries.ngramJaccardPairs(spark, sf)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val lsh = DedupQueries.minhashPairs(spark, sf)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // the exact query is window-blocked; LSH is global — LSH must
-    // recover nearly all blocked-window pairs (16 bands × 4 rows
-    // s-curve: P(candidate) ≈ 1-(1-J^4)^16 ≥ 0.995 at J=0.5... only ≥0.93
-    // at J≈0.6; allow 5% miss at the 0.5 boundary)
-    val recovered = exact.intersect(lsh).size.toDouble
-    assert(exact.isEmpty || recovered / exact.size >= 0.9,
-      s"LSH recall too low: ${recovered.toInt}/${exact.size}")
+  test("minhash LSH dedup flags exact copies with correct keepers") {
+    // 50 unique synthetic docs + 50 exact copies under higher ids:
+    // every copy must be flagged with keeper = its original.
+    val rnd = new scala.util.Random(3)
+    val vocab = (0 until 400).map(i => s"w$i")
+    val originals = (0L until 50L).map { i =>
+      i -> (0 until 60).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val copies = originals.map { case (i, t) => (i + 100L) -> t }
+    val df = (originals ++ copies).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = DedupQueries.minhashDedup(spark, dir)
+      .select("doc_id", "keeper_id", "is_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val byId = out.map(t => t._1 -> t).toMap
+    (100L until 150L).foreach { id =>
+      val (_, keeper, isDup) = byId(id)
+      assert(isDup, s"copy $id not flagged")
+      assert(keeper == id - 100L, s"copy $id keeper=$keeper, expected ${id - 100L}")
+    }
+    // originals all kept (no lower-id duplicate exists)
+    (0L until 50L).foreach { id =>
+      assert(!byId(id)._3, s"original $id wrongly flagged")
+    }
+  }
+
+  test("minhash dedup on fixture: one decision row per doc") {
+    val docs = Tables.documents(spark, sf).count()
+    val out = DedupQueries.minhashDedup(spark, sf)
+    assert(out.count() == docs)
+    assert(out.filter($"is_dup" && $"keeper_id" >= $"doc_id").count() == 0,
+      "keeper must be a lower id")
   }
 
   test("ANN LSH returns sane neighbors (bucket-mates, ranked by cosine)") {
