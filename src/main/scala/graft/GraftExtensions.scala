@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimilarity, HllDistinct, MinHashSignature, SimHash64}
+
+/** SparkSessionExtensions registration: exposes the engine's custom
+  * Catalyst expressions to plain SQL (tier-(c) integration point of
+  * the build rules — no custom Rule/Strategy is needed for semantics,
+  * SURVEY §4, so the extension surface is function injection).
+  *
+  * Usage:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   -- or --
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  *   SELECT cosine_similarity(a.embedding, b.embedding) FROM ...
+  *   SELECT hll_distinct(user_id) FROM events
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MinHashSignature(c, 128, 42)
+        case Seq(c, k) => MinHashSignature(c, intArg(k, "k"), 42)
+        case Seq(c, k, s) => MinHashSignature(c, intArg(k, "k"), intArg(s, "seed"))
+        case _ => throw new IllegalArgumentException("minhash_signature(tokens[, k[, seed]])")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SimHash64(c, 42)
+        case Seq(c, s) => SimHash64(c, intArg(s, "seed"))
+        case _ => throw new IllegalArgumentException("simhash64(tokens[, seed])")
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HllDistinct].getName, "hll_distinct"),
+      (args: Seq[Expression]) => (args match {
+        case Seq(c) => HllDistinct(c)
+        case Seq(c, p) => HllDistinct(c, intArg(p, "precision"))
+        case _ => throw new IllegalArgumentException("hll_distinct(col[, precision])")
+      }).toAggregateExpression()))
+  }
+}

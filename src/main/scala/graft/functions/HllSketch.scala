@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import scala.util.hashing.MurmurHash3
+
+/** HyperLogLog distinct-count sketch as a TypedImperativeAggregate
+  * (SURVEY §7.4 extension tier; Flajolet et al. 2007, with the
+  * small-range linear-counting correction of HLL++).
+  *
+  * Why not approx_count_distinct: that returns only the estimate.
+  * This exposes the SKETCH ITSELF (dense register array) as the
+  * aggregation buffer, which is what a 100 TB pipeline needs —
+  * sketches are mergeable across partitions/days/tables, so daily
+  * per-key sketches can be stored and re-aggregated without
+  * re-scanning raw data (the map-side combine IS a sketch merge).
+  *
+  * p=11 → 2048 registers ≈ 2 KB buffer, standard error ≈ 2.3%.
+  */
+case class HllDistinct(
+    child: Expression,
+    precision: Int = 11,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with CodegenFallback {
+
+  private val m = 1 << precision
+  private val alpha = precision match {
+    case 4 => 0.673
+    case 5 => 0.697
+    case 6 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = {
+        val h1 = MurmurHash3.stringHash(v.toString, 0x5ca1ab1e).toLong & 0xffffffffL
+        val h2 = MurmurHash3.stringHash(v.toString, 0xca11ab1e).toLong & 0xffffffffL
+        (h1 << 32) | h2
+      }
+      val idx = (h >>> (64 - precision)).toInt
+      val rest = h << precision
+      val rank = (if (rest == 0) 64 - precision else java.lang.Long.numberOfLeadingZeros(rest) + 1)
+        .min(64 - precision).toByte
+      if (rank > buf(idx)) buf(idx) = rank
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      invSum += 1.0 / (1L << buf(i))
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    var est = alpha * m * m / invSum
+    if (est <= 2.5 * m && zeros > 0) est = m * math.log(m.toDouble / zeros) // linear counting
+    java.lang.Long.valueOf(math.round(est))
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllDistinct = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllDistinct = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+object HllSketch {
+  /** Column API: hll_distinct(col) → approximate distinct count. */
+  def hll_distinct(c: Column, precision: Int = 11): Column =
+    GraftColumnBridge.column(
+      HllDistinct(GraftColumnBridge.expression(c), precision).toAggregateExpression())
+}

@@ -161,7 +161,22 @@ object EventQueries {
       |      FROM events)
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** Sketch aggregate (north-star extension, SURVEY §7.4): per-type
+    * distinct users via the mergeable HLL TypedImperativeAggregate,
+    * side by side with the exact count. Rows-only (the estimate is
+    * algorithm-specific); SketchSpec pins accuracy and merge
+    * invariance. */
+  def approxDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"),
+        graft.functions.HllSketch.hll_distinct($"user_id").as("approx_users"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_approx_distinct" -> (approxDistinctUsers _),
     "q12_event_summary" -> (eventSummary _),
     "q13_recent_events" -> (recentEvents _),
     "q14_export_events" -> (exportEvents _),
