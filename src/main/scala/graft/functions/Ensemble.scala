@@ -50,21 +50,19 @@ object Ensemble {
     least(abs(combined) * when(vaderLabel === textblobLabel, 1.2).otherwise(1.0), lit(1.0))
 
   /** C9 composite: text column → the full 10-field sentiment block the
-    * enriched-tweet schema carries (FIXTURES §1.2–1.3). Both analyzer
-    * UDFs return structs so each evaluates once per row; ensemble
-    * fields derive as codegen'd columns. */
+    * enriched-tweet schema carries (FIXTURES §1.2–1.3). Both analyzers
+    * run inside ONE native [[AnalyzeSentiment]] expression (single
+    * eval per row, no ScalaUDF encoder boundary); ensemble fields
+    * derive as codegen'd columns. */
   def withSentiment(df: DataFrame, textCol: String): DataFrame = {
-    val vaderUdf = udf((t: String) => Vader.score(t))
-    val textblobUdf = udf((t: String) => TextBlobOps.score(t))
     val step = df
-      .withColumn("_v", vaderUdf(col(textCol)))
-      .withColumn("_t", textblobUdf(col(textCol)))
-      .withColumn("sentiment_compound", col("_v.compound"))
-      .withColumn("sentiment_positive", col("_v.positive"))
-      .withColumn("sentiment_negative", col("_v.negative"))
-      .withColumn("sentiment_neutral", col("_v.neutral"))
-      .withColumn("textblob_polarity", col("_t.polarity"))
-      .withColumn("textblob_subjectivity", col("_t.subjectivity"))
+      .withColumn("_s", AnalyzeSentiment.analyze_sentiment(col(textCol)))
+      .withColumn("sentiment_compound", col("_s.compound"))
+      .withColumn("sentiment_positive", col("_s.positive"))
+      .withColumn("sentiment_negative", col("_s.negative"))
+      .withColumn("sentiment_neutral", col("_s.neutral"))
+      .withColumn("textblob_polarity", col("_s.polarity"))
+      .withColumn("textblob_subjectivity", col("_s.subjectivity"))
       .withColumn("vader_sentiment", vaderLabel(col("sentiment_compound")))
       .withColumn("textblob_sentiment", textblobLabel(col("textblob_polarity")))
     step
@@ -72,6 +70,6 @@ object Ensemble {
       .withColumn("final_sentiment", finalLabel(col("_c")))
       .withColumn("confidence_score",
         round(confidence(col("_c"), col("vader_sentiment"), col("textblob_sentiment")), 4))
-      .drop("_v", "_t", "_c")
+      .drop("_s", "_c")
   }
 }
