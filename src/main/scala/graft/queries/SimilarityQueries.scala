@@ -119,7 +119,35 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Generator/explode surface (SURVEY §2.10 UDTF note): per-dimension
+    * corpus statistics via posexplode of the embedding arrays —
+    * the only array-typed fixture column. Map-side explode feeding a
+    * 64-group aggregate; no wide shuffle (rows shrink to (dim, value)
+    * pairs before the exchange). */
+  def embeddingDimStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select(posexplode($"embedding"))
+      .toDF("dim", "v")
+      .groupBy(($"dim" + 1).cast("long").as("dim"))
+      .agg(round(avg($"v".cast("double")), 6).as("avg_v"),
+        round(min($"v".cast("double")), 6).as("min_v"),
+        round(max($"v".cast("double")), 6).as("max_v"),
+        count(lit(1)).as("n"))
+      .orderBy($"dim")
+  }
+
+  val embeddingDimStatsSql: String =
+    """SELECT i AS dim,
+      |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS avg_v,
+      |  round(min(CAST(embedding[i] AS DOUBLE)), 6) AS min_v,
+      |  round(max(CAST(embedding[i] AS DOUBLE)), 6) AS max_v,
+      |  count(*) AS n
+      |FROM embeddings, range(1, 65) t(i)
+      |GROUP BY i ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_embedding_dim_stats" -> (embeddingDimStats _),
     "q46_cosine_topk" -> (cosineTopK _),
     "q47_nn_within_label" -> (nnWithinLabel _),
     "q48_ann_lsh" -> (annLsh _),
@@ -128,5 +156,6 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q46_cosine_topk" -> cosineTopKSql,
     "q47_nn_within_label" -> nnWithinLabelSql,
+    "q49_embedding_dim_stats" -> embeddingDimStatsSql,
   )
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.Relational
+
+/** Physical-plan assertions (the ".explain and iterate" discipline,
+  * pinned as tests so regressions in plan shape fail loudly):
+  * pushdown reaches the scan, dims broadcast, window top-k uses
+  * group-limit, sketch aggregates partial-merge. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter and column pruning reach the parquet scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q04: dimension joins broadcast (no shuffle join for nation/region)") {
+    val p = planOf("q04_customer_by_region")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dims must not sort-merge:\n$p")
+  }
+
+  test("q17: rank<=k filter plans as WindowGroupLimit (bounded top-k, no full sort-all)") {
+    val p = planOf("q17_top_events_per_type")
+    assert(p.contains("WindowGroupLimit"), s"expected group-limit pushdown:\n$p")
+  }
+
+  test("q02: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val df = Relational.recentOrders(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q19: HLL sketch plans partial+final ObjectHashAggregate (map-side merge)") {
+    val p = planOf("q19_approx_distinct")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, s"expected 2-phase sketch agg:\n$p")
+  }
+}

@@ -92,6 +92,36 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(sum.forall(_.getAs[java.sql.Timestamp]("date_hour") != null))
   }
 
+  test("watermark drops late data in append-mode event-time window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // event-time rows: (event hour, value); watermark 0s, 1h windows,
+    // append mode only finalizes windows older than max(eventTime)
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val windowed = mem.toDF().toDF("ev_time", "v")
+      .withWatermark("ev_time", "0 seconds")
+      .groupBy(window($"ev_time", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w"), $"n")
+    val q = windowed.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2025-09-01 $h%02d:30:00")
+    try {
+      mem.addData((ts(10), 1.0), (ts(10), 2.0))
+      q.processAllAvailable()
+      mem.addData((ts(12), 3.0)) // advances watermark past hour 10 and 11
+      q.processAllAvailable()
+      mem.addData((ts(10), 99.0)) // LATE: behind watermark → dropped
+      mem.addData((ts(13), 4.0))  // advances watermark past hour 12
+      q.processAllAvailable()
+      val rows = spark.table("late_test").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(rows("2025-09-01 10:00:00.0") == 2L,
+        s"late row must not reopen the hour-10 window: $rows")
+      assert(rows.contains("2025-09-01 12:00:00.0"))
+    } finally q.stop()
+  }
+
   test("streaming hourly window with watermark emits append-mode results") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
