@@ -46,7 +46,7 @@ object StreamDemo {
     q.processAllAvailable()
     q.stop()
 
-    val tweets = spark.read.parquet(s"$dir/tweets")
+    val tweets = Pipeline.readTweets(spark, s"$dir/tweets")
     println("=== tweets table ===")
     tweets.select("tweet_id", "cleaned_text", "final_sentiment", "confidence_score")
       .orderBy("tweet_id").show(20, false)

@@ -123,7 +123,13 @@ object Pipeline {
     * fire-and-forget thread fan-out): parquet `tweets` table
     * (idempotent per-batch dedup = INSERT OR IGNORE) + the *intended*
     * hourly-bucketed files (C12 "yyyyMMdd_HH" — fixing the %h
-    * month-name bug at twitter_streamer.py:205). */
+    * month-name bug at twitter_streamer.py:205).
+    *
+    * Effectively-once: the parquet sink partitions by `_batch_id` and
+    * dynamically OVERWRITES that one partition, so a batch replayed
+    * after a crash rewrites its own partition instead of appending
+    * duplicates (checkpoint gives at-least-once foreachBatch; the
+    * idempotent write upgrades it). Read back via [[readTweets]]. */
   def writer(enriched: DataFrame, tweetsPath: String, jsonPath: String,
              checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
   : DataStreamWriter[Row] = {
@@ -131,16 +137,29 @@ object Pipeline {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val b = dedupBatch(batch)
           .withColumn("date_hour", date_format(col("processed_at"), "yyyyMMdd_HH"))
           .persist()
         try {
-          b.drop("date_hour").write.mode("append").parquet(tweetsPath)
+          b.drop("date_hour").withColumn("_batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("_batch_id").parquet(tweetsPath)
           b.write.mode("append").partitionBy("date_hour").json(jsonPath)
-        } finally { b.unpersist(); () }
+        } finally {
+          b.unpersist()
+          prior.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+            v => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+        }
       }
   }
+
+  /** Read the streamed tweets table (hides the `_batch_id` sink
+    * bookkeeping partition). */
+  def readTweets(s: SparkSession, tweetsPath: String): DataFrame =
+    s.read.parquet(tweetsPath).drop("_batch_id")
 
   /** K1: Kafka sink — envelope rows back to a topic as JSON values
     * (producer parity: twitter_producer.py:130-158). Delivery is

@@ -63,6 +63,33 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(jsonDirs.exists(_.matches("date_hour=\\d{8}_\\d{2}")), s"got ${jsonDirs.toSeq}")
   }
 
+  test("checkpoint restart: no duplicates, new data still lands (effectively-once)") {
+    val dir = Files.createTempDirectory("graft-restart").toString
+    val in = s"$dir/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    // file source: offsets (seen-file log) survive restarts, unlike MemoryStream
+    def source() = spark.readStream.schema(graft.streaming.Schemas.envelope).json(in)
+      .select(to_json(struct(col("*"))).as("json"))
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.jsonl"), fixture.mkString("\n"))
+    val q1 = Pipeline.run(spark, source(), s"$dir/tweets", s"$dir/json",
+      s"$dir/ckpt", Trigger.ProcessingTime("1 second"))
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = Pipeline.readTweets(spark, s"$dir/tweets")
+      .select("tweet_id").as[String].collect().sorted
+    assert(afterFirst.sameElements(Array("1", "2", "3", "6")))
+
+    // restart with the SAME checkpoint; add a second file
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.jsonl"),
+      envelope("9", "What a wonderful day, thanks!"))
+    val q2 = Pipeline.run(spark, source(), s"$dir/tweets", s"$dir/json",
+      s"$dir/ckpt", Trigger.ProcessingTime("1 second"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val ids = Pipeline.readTweets(spark, s"$dir/tweets")
+      .select("tweet_id").as[String].collect().sorted
+    assert(ids.sameElements(Array("1", "2", "3", "6", "9")),
+      s"restart must not duplicate or lose rows: ${ids.toSeq}")
+  }
+
   test("batch and streaming transforms share one code path (parity)") {
     val ts = java.sql.Timestamp.valueOf("2025-09-01 15:00:00")
     val json = fixture.toDF("json")
