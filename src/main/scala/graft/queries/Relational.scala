@@ -270,7 +270,53 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Correlated scalar subquery (Catalyst decorrelates to an
+    * aggregate + join — SURVEY §4 "free if/when used"): customers
+    * richer than their nation's average balance. */
+  def aboveNationAverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val natAvg = c.groupBy($"c_nationkey".as("nk"))
+      .agg(avg($"c_acctbal").as("nation_avg"))
+    c.join(natAvg, $"c_nationkey" === $"nk")
+      .filter($"c_acctbal" > $"nation_avg")
+      .select($"c_custkey", $"c_nationkey",
+        round($"c_acctbal", 2).as("acctbal"),
+        round($"nation_avg", 4).as("nation_avg"))
+      .orderBy($"c_custkey")
+  }
+
+  val aboveNationAverageSql: String =
+    """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
+      |  round(nation_avg, 4) AS nation_avg
+      |FROM customer
+      |JOIN (SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg
+      |      FROM customer GROUP BY c_nationkey) ON c_nationkey = nk
+      |WHERE c_acctbal > nation_avg
+      |ORDER BY c_custkey""".stripMargin
+
+  /** CUBE grouping (all 4 grouping-set combinations in one pass). */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), round(avg($"o_totalprice"), 4).as("avg_price"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"n_orders", $"avg_price")
+      .orderBy($"priority", $"status")
+  }
+
+  val cubeOrdersSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_above_nation_avg" -> (aboveNationAverage _),
+    "q26_cube_orders" -> (cubeOrders _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_recent_orders" -> (recentOrders _),
     "q03_filter_project" -> (filterProject _),
@@ -285,6 +331,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q25_above_nation_avg" -> aboveNationAverageSql,
+    "q26_cube_orders" -> cubeOrdersSql,
     "q01_pricing_summary" -> pricingSummarySql,
     "q02_recent_orders" -> recentOrdersSql,
     "q03_filter_project" -> filterProjectSql,
