@@ -79,23 +79,50 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** JVM-static hashing helpers shared by the interpreted and
+  * generated-code paths (Scala object methods surface as Java static
+  * forwarders, callable from Janino-compiled codegen). */
+object MinHashUtil {
+  val Prime = 2038074743L // large prime; a*h+b stays well under Long overflow
+
+  def tokenHash(t: UTF8String, seed: Int): Long =
+    MurmurHash3.bytesHash(t.getBytes, seed).toLong & 0xffffffffL
+
+  def tokenHash64(t: UTF8String, seed: Int): Long = {
+    val bytes = t.getBytes
+    val h1 = MurmurHash3.bytesHash(bytes, seed).toLong & 0xffffffffL
+    val h2 = MurmurHash3.bytesHash(bytes, seed + 0x9e3779b9).toLong & 0xffffffffL
+    (h1 << 32) | h2
+  }
+
+  /** (a_i, b_i) interleaved, derived deterministically from the seed. */
+  def coefficients(k: Int, seed: Int): Array[Long] = {
+    val rnd = new java.util.Random(seed.toLong)
+    val out = new Array[Long](2 * k)
+    var j = 0
+    while (j < k) {
+      out(2 * j) = 1L + math.abs(rnd.nextLong()) % (Prime - 1)
+      out(2 * j + 1) = math.abs(rnd.nextLong()) % Prime
+      j += 1
+    }
+    out
+  }
+}
+
 /** MinHash signature: array<string> tokens → array<long> of k minimum
   * hash values under k independent permutations
   * h_i(t) = (a_i·m(t) + b_i) mod p, with m = MurmurHash3 over the
   * token shingle and (a_i, b_i) derived deterministically from the
   * seed. Standard MinHash (Broder 1997) as used for near-dup doc
   * detection in web-scale corpora. Empty input → signature of
-  * Long.MaxValue. */
+  * Long.MaxValue. Fully codegen'd (`doGenCode`) — the signature
+  * projection ahead of the LSH shuffle stays in WholeStageCodegen. */
 case class MinHashSignature(child: Expression, k: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val Prime = 2038074743L // large prime < sqrt(Long.MaxValue)/2 scale-safe
-  @transient private lazy val coefs: Array[(Long, Long)] = {
-    val rnd = new java.util.Random(seed.toLong)
-    Array.fill(k)((1L + math.abs(rnd.nextLong()) % (Prime - 1), math.abs(rnd.nextLong()) % Prime))
-  }
+  @transient private lazy val coefs: Array[Long] = MinHashUtil.coefficients(k, seed)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -105,11 +132,10 @@ case class MinHashSignature(child: Expression, k: Int, seed: Int)
     while (i < n) {
       val t = arr.getUTF8String(i)
       if (t != null) {
-        val h = MurmurHash3.bytesHash(t.getBytes, seed).toLong & 0xffffffffL
+        val h = MinHashUtil.tokenHash(t, seed)
         var j = 0
         while (j < k) {
-          val (a, b) = coefs(j)
-          val v = (a * h + b) % Prime
+          val v = (coefs(2 * j) * h + coefs(2 * j + 1)) % MinHashUtil.Prime
           if (v < mins(j)) mins(j) = v
           j += 1
         }
@@ -119,14 +145,39 @@ case class MinHashSignature(child: Expression, k: Int, seed: Int)
     new GenericArrayData(mins)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coefsRef = ctx.addReferenceObj("coefs", coefs, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = graft.functions.MinHashUtil.tokenHash($arr.getUTF8String($i), $seed);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($coefsRef[2 * $j] * $h + $coefsRef[2 * $j + 1]) % ${MinHashUtil.Prime}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 64-bit SimHash (Charikar 2002) over array<string> tokens: each
   * token hashes to 64 bits; bit positions vote ±1; the sign vector is
-  * the fingerprint. Near-dups have small Hamming distance. */
+  * the fingerprint. Near-dups have small Hamming distance. Fully
+  * codegen'd like [[MinHashSignature]]. */
 case class SimHash64(child: Expression, seed: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -138,10 +189,7 @@ case class SimHash64(child: Expression, seed: Int)
     while (i < n) {
       val t = arr.getUTF8String(i)
       if (t != null) {
-        val bytes = t.getBytes
-        val h1 = MurmurHash3.bytesHash(bytes, seed).toLong & 0xffffffffL
-        val h2 = MurmurHash3.bytesHash(bytes, seed + 0x9e3779b9).toLong & 0xffffffffL
-        val h = (h1 << 32) | h2
+        val h = MinHashUtil.tokenHash64(t, seed)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -157,6 +205,31 @@ case class SimHash64(child: Expression, seed: Int)
       b += 1
     }
     java.lang.Long.valueOf(fp)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
+      val h = ctx.freshName("h"); val fp = ctx.freshName("fp")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = graft.functions.MinHashUtil.tokenHash64($arr.getUTF8String($i), $seed);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
