@@ -52,6 +52,8 @@ object StreamDemo {
       .orderBy("tweet_id").show(20, false)
     println("=== /summary ===")
     TweetApi.summary(tweets, hours = 24 * 365 * 10).show(false)
+    println("=== /summary with rollup total ===")
+    TweetApi.summaryWithTotal(tweets, hours = 24 * 365 * 10).show(false)
     println("=== /tweets?limit=2&sentiment=positive ===")
     TweetApi.recentTweets(tweets, 2, Some("positive"))
       .select("tweet_id", "final_sentiment").show(false)

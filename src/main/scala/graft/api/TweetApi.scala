@@ -53,6 +53,22 @@ object TweetApi {
         coalesce(sum("retweet_count"), lit(0L)).as("total_retweets"))
       .orderBy(desc("tweet_count"))
 
+  /** /summary with the A2 grand total in the SAME pass via rollup
+    * (the reference re-sums group counts in Python,
+    * sentiment_analysis.py:628; one rollup scan replaces that). The
+    * total row carries final_sentiment = "ALL". */
+  def summaryWithTotal(tweets: DataFrame, hours: Int = 24): DataFrame =
+    tweets
+      .filter(col("processed_at") >= current_timestamp() - expr(s"INTERVAL $hours HOURS"))
+      .rollup(col("final_sentiment"))
+      .agg(count(lit(1)).as("tweet_count"),
+        coalesce(avg("confidence_score"), lit(0.0)).as("avg_confidence"),
+        coalesce(sum("like_count"), lit(0L)).as("total_likes"),
+        coalesce(sum("retweet_count"), lit(0L)).as("total_retweets"))
+      .select(coalesce(col("final_sentiment"), lit("ALL")).as("final_sentiment"),
+        col("tweet_count"), col("avg_confidence"), col("total_likes"), col("total_retweets"))
+      .orderBy(desc("tweet_count"))
+
   /** GET /tweets?limit=K&sentiment=S (sentiment_analysis.py:636-655):
     * optional F2 filter + W1 top-k by recency
     * (TakeOrderedAndProject — no full sort). */

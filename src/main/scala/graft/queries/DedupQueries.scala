@@ -22,6 +22,14 @@ object DedupQueries {
 
   private def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** n-token shingles (order-sensitive units for MinHash — two docs
+    * with the same words in different order are NOT near-dups under
+    * shingling, unlike token sets). Pure column ops. */
+  private[graft] def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
   /** Exact dedup (hash-groupBy on normalized text): keep min doc_id
     * per group — K3 insert-ignore semantics in batch. Group key is the
     * cleaned, lower-cased text; at scale one would group on a 128-bit
@@ -98,7 +106,8 @@ object DedupQueries {
       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash + LSH dedup (the 100 TB path: no blocking window, no
-    * O(n²) output). k=128 minhashes → 16 bands × 8 rows (candidate
+    * O(n²) output). 3-token shingles (order-sensitive, the standard
+    * web-dedup unit) → k=128 minhashes → 16 bands × 8 rows (candidate
     * s-curve centered ≈ J=0.77, near-1 recall at J≥0.9); a doc is a
     * duplicate iff it shares a band bucket with a LOWER doc_id whose
     * signature similarity ≥ 0.9.
@@ -123,8 +132,8 @@ object DedupQueries {
     val rowsPerBand = 8
     val k = bands * rowsPerBand
     val docs = Tables.documents(s, dir)
-      .select($"doc_id", array_distinct(tokens($"text")).as("toks"))
-      .withColumn("sig", minhash_signature($"toks", k = k, seed = 42))
+      .select($"doc_id", shingles(tokens($"text"), 3).as("shingles"))
+      .withColumn("sig", minhash_signature($"shingles", k = k, seed = 42))
       .select($"doc_id", $"sig")
     val banded = docs
       .select($"doc_id", $"sig", posexplode(
