@@ -63,6 +63,10 @@ object StreamDemo {
     println(TweetApi.analyze("Best day ever! So excited!"))
     println("=== hourly sentiment_summary ===")
     Pipeline.hourlySummary(tweets).show(false)
+    Pipeline.compactTweets(spark, s"$dir/tweets", s"$dir/hourly")
+    val pruned = spark.read.parquet(s"$dir/hourly")
+      .filter(org.apache.spark.sql.functions.col("date_hour") >= "20260101_00")
+    println(s"=== compacted hourly partitions: ${new java.io.File(s"$dir/hourly").listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted.mkString(", ")} | pruned-query rows=${pruned.count()}")
     println(s"=== json sink partitions: ${new java.io.File(s"$dir/json").listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted.mkString(", ")}")
     Pipeline.exportCsv(TweetApi.export(tweets, hours = 24 * 365 * 10), s"$dir/export_csv")
     val csv = new java.io.File(s"$dir/export_csv").listFiles().filter(_.getName.endsWith(".csv")).head

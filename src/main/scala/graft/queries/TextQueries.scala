@@ -27,6 +27,13 @@ object TextQueries {
   /** Whitespace token count (training-pipeline token counting). */
   def tokenCount(c: Column): Column = size(split(trim(c), "\\s+")).cast("long")
 
+  /** BPE-ish token count: word-pieces and punctuation as separate
+    * tokens (the `\w+|[^\w\s]` pre-tokenizer regex most BPE vocab
+    * trainers apply before merges) — a closer LLM-token estimate than
+    * whitespace splitting. */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+
   /** Char-level polynomial rolling hash (document fingerprinting):
     * fp = fold(chars, 0)((acc, ch) => (acc*31 + codepoint(ch)) mod 1e9+7).
     * Built-in `aggregate` HOF — distributed, no UDF; the DuckDB oracle
@@ -61,6 +68,7 @@ object TextQueries {
     Tables.documents(s, dir)
       .select($"doc_id",
         tokenCount($"text").as("n_tokens"),
+        bpeishTokenCount($"text").as("n_bpeish_tokens"),
         length($"text").cast("long").as("len_chars"),
         round(length($"text").cast("double") / tokenCount($"text"), 4).as("chars_per_token"))
       .orderBy($"doc_id")
@@ -69,6 +77,7 @@ object TextQueries {
   val tokenStatsSql: String =
     """SELECT doc_id,
       |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish_tokens,
       |  length(text) AS len_chars,
       |  round(CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')), 4) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -138,7 +147,36 @@ object TextQueries {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The training-data quality GATE (filter form of q22 — the op a
+    * 100 TB pipeline actually runs: keep documents whose heuristics
+    * fall inside the accept band, drop boilerplate/degenerate text).
+    * Pure codegen'd predicates over the scan; at scale this is a
+    * map-side filter with no shuffle at all. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokenCount($"text")
+    val distinct = size(array_distinct(split(trim($"text"), "\\s+"))).cast("long")
+    val distinctRatio = distinct.cast("double") / toks
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", toks)
+      .withColumn("distinct_ratio", round(distinctRatio, 4))
+      .filter($"n_tokens".between(10, 120) && $"distinct_ratio" >= 0.35)
+      .select($"doc_id", $"lang", $"n_tokens", $"distinct_ratio")
+      .orderBy($"doc_id")
+  }
+
+  val qualityFilterSql: String =
+    """SELECT doc_id, lang, n_tokens, distinct_ratio FROM (
+      |  SELECT doc_id, lang,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |    round(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+      |          / len(regexp_split_to_array(trim(text), '\s+')), 4) AS distinct_ratio
+      |  FROM documents)
+      |WHERE n_tokens BETWEEN 10 AND 120 AND distinct_ratio >= 0.35
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_quality_filter" -> (qualityFilter _),
     "q20_clean_filter" -> (cleanFilter _),
     "q21_token_stats" -> (tokenStats _),
     "q22_quality_score" -> (qualityScore _),
@@ -147,6 +185,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q27_quality_filter" -> qualityFilterSql,
     "q20_clean_filter" -> cleanFilterSql,
     "q21_token_stats" -> tokenStatsSql,
     "q22_quality_score" -> qualityScoreSql,

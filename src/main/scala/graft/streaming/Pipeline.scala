@@ -161,6 +161,19 @@ object Pipeline {
   def readTweets(s: SparkSession, tweetsPath: String): DataFrame =
     s.read.parquet(tweetsPath).drop("_batch_id")
 
+  /** Compaction: rewrite the streaming sink's per-batch layout into
+    * the analytical hour-partitioned table (K2's intended layout).
+    * F3 time-range queries over the compacted table partition-prune —
+    * at 100 TB a `processed_at >= now()-24h` scan touches 24
+    * directories, not the full history. Run periodically (the
+    * batch-id layout stays append-only and replay-idempotent; this
+    * is the read-optimized projection of it). */
+  def compactTweets(s: SparkSession, tweetsPath: String, outPath: String): Unit =
+    readTweets(s, tweetsPath)
+      .withColumn("date_hour", date_format(col("processed_at"), "yyyyMMdd_HH"))
+      .repartition(col("date_hour"))
+      .write.mode("overwrite").partitionBy("date_hour").parquet(outPath)
+
   /** K1: Kafka sink — envelope rows back to a topic as JSON values
     * (producer parity: twitter_producer.py:130-158). Delivery is
     * checkpoint + Kafka-idempotence (strictly stronger than the

@@ -90,6 +90,31 @@ class StreamingPipelineSpec extends SparkSpec {
       s"restart must not duplicate or lose rows: ${ids.toSeq}")
   }
 
+  test("compacted table partition-prunes hour-range queries") {
+    val ts1 = java.sql.Timestamp.valueOf("2025-09-01 10:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2025-09-01 11:00:00")
+    val dir = Files.createTempDirectory("graft-compact").toString
+    // two hours of data through the batch-equivalent path
+    Pipeline.enrichJson(fixture.take(2).toDF("json"), Some(ts1))
+      .withColumn("_batch_id", lit(0L))
+      .write.partitionBy("_batch_id").mode("append").parquet(s"$dir/tweets")
+    Pipeline.enrichJson(Seq(envelope("8", "What a wonderful day, thanks!")).toDF("json"), Some(ts2))
+      .withColumn("_batch_id", lit(1L))
+      .write.partitionBy("_batch_id").mode("append").parquet(s"$dir/tweets")
+    Pipeline.compactTweets(spark, s"$dir/tweets", s"$dir/hourly")
+
+    val hourDirs = new java.io.File(s"$dir/hourly").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(hourDirs.sameElements(Array("date_hour=20250901_10", "date_hour=20250901_11")))
+
+    val q = spark.read.parquet(s"$dir/hourly").filter($"date_hour" === "20250901_11")
+    assert(q.count() == 1)
+    val scan = q.queryExecution.executedPlan.toString
+    // partition filter must prune at the file index, not post-scan
+    assert(scan.contains("PartitionFilters: [isnotnull(date_hour") ||
+      scan.contains("PartitionFilters: [(date_hour"), s"no partition pruning:\n$scan")
+  }
+
   test("batch and streaming transforms share one code path (parity)") {
     val ts = java.sql.Timestamp.valueOf("2025-09-01 15:00:00")
     val json = fixture.toDF("json")
