@@ -175,8 +175,71 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** Sessionization: gap-based user sessions (30-minute inactivity
+    * closes a session) via the lag → gap-flag → running-sum pattern —
+    * the batch form of streaming session windows. One shuffle on
+    * user_id; both window functions reuse the same partitioning.
+    * Realizes SURVEY §2.9's session concept the reference never had. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // all time arithmetic in integer MICROS so Spark and the oracle
+    // truncate identically (unix_timestamp would floor each operand
+    // to seconds; DuckDB's epoch() subtracts fractionally)
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapFlag = when(
+      unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 1800000000L, 1)
+      .otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("new_session", gapFlag)
+      .withColumn("session_idx", sum($"new_session").over(
+        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").as("duration_s"),
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, session_idx, count(*) AS n_events,
+      |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Exact percentiles per group (Spark `percentile` and DuckDB
+    * `quantile_cont` both linearly interpolate). */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy($"event_type")
+  }
+
+  val valuePercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95,
+      |  round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_approx_distinct" -> (approxDistinctUsers _),
+    "q28_sessionize" -> (sessionize _),
+    "q29_value_percentiles" -> (valuePercentiles _),
     "q12_event_summary" -> (eventSummary _),
     "q13_recent_events" -> (recentEvents _),
     "q14_export_events" -> (exportEvents _),
@@ -187,6 +250,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q28_sessionize" -> sessionizeSql,
+    "q29_value_percentiles" -> valuePercentilesSql,
     "q12_event_summary" -> eventSummarySql,
     "q13_recent_events" -> recentEventsSql,
     "q14_export_events" -> exportEventsSql,
