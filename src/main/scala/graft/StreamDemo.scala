@@ -38,6 +38,8 @@ object StreamDemo {
     val q = Pipeline.run(spark, source, s"$dir/tweets", s"$dir/json",
       s"$dir/ckpt", Trigger.ProcessingTime("1 second"))
     q.processAllAvailable()
+    val om = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("enrich_metrics")))
+    println(s"=== observed metrics (batch 1): ${om.map(r => s"rows=${r.getAs[Long]("n_rows")} pos=${r.getAs[Long]("n_positive")} neg=${r.getAs[Long]("n_negative")}").mkString("; ")}")
 
     // second micro-batch arrives while the query runs (incl. a dup of id 1)
     Files.writeString(Paths.get(s"$in/batch2.jsonl"), Seq(

@@ -44,10 +44,15 @@ object Pipeline {
       .load()
       .select(col("value").cast("string").as("json"))
 
-  /** File/JSONL replay source (the test/backfill path). */
-  def jsonFileSource(s: SparkSession, path: String): DataFrame =
-    s.readStream.schema(Schemas.envelope).json(path)
+  /** File/JSONL replay source (the test/backfill path).
+    * `maxFilesPerTrigger` bounds per-batch intake — the file-source
+    * backpressure knob (Kafka's analog is maxOffsetsPerTrigger). */
+  def jsonFileSource(s: SparkSession, path: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val base = s.readStream.schema(Schemas.envelope)
+    maxFilesPerTrigger.fold(base)(n => base.option("maxFilesPerTrigger", n))
+      .json(path)
       .select(to_json(struct(col("*"))).as("json"))
+  }
 
   /** S4/C10: parse JSON envelope with the fixed schema. Malformed
     * lines yield a null struct → quarantined by [[enrich]]'s filter
@@ -87,7 +92,33 @@ object Pipeline {
     val stamped = Ensemble.withSentiment(cleaned, "cleaned_text")
       .withColumn("processed_at",
         processedAt.map(t => lit(t).cast("timestamp")).getOrElse(current_timestamp()))
+    // A4 observable metrics (replaces the reference's every-10-records
+    // progress log, twitter_streamer.py:274-277): per-batch row count
+    // and label mix surface in StreamingQueryProgress.observedMetrics.
     stamped.select(Schemas.enrichedTweet.fieldNames.map(col): _*)
+      .observe("enrich_metrics",
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("final_sentiment") === "positive", 1L).otherwise(0L)), lit(0L))
+          .as("n_positive"),
+        coalesce(sum(when(col("final_sentiment") === "negative", 1L).otherwise(0L)), lit(0L))
+          .as("n_negative"))
+  }
+
+  /** Stream-stream join: enrich the tweet stream with a late-arriving
+    * engagement-update stream (tweet_id, new counts) within a bounded
+    * time window. Both sides are watermarked so join state is purged
+    * once `processed_at` passes the tolerance — bounded state at any
+    * throughput (SURVEY §2.9 upgraded beyond the reference's
+    * capabilities; Structured Streaming's stateful inner join). */
+  def joinEngagementUpdates(tweets: DataFrame, updates: DataFrame,
+                            tolerance: String = "1 hour"): DataFrame = {
+    val t = tweets.withWatermark("processed_at", tolerance)
+    val u = updates.withWatermark("update_time", tolerance)
+    t.join(u,
+      t("tweet_id") === u("update_tweet_id") &&
+        u("update_time") >= t("processed_at") &&
+        u("update_time") <= t("processed_at") + expr(s"INTERVAL 1 HOUR"))
+      .drop("update_tweet_id")
   }
 
   /** F4: bounded-state streaming dedup by tweet_id — the principled

@@ -90,6 +90,51 @@ class StreamingPipelineSpec extends SparkSpec {
       s"restart must not duplicate or lose rows: ${ids.toSeq}")
   }
 
+  test("stream-stream join with watermarks matches engagement updates in-window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tweetsMem = MemoryStream[String]
+    val updatesMem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val tweets = Pipeline.enrich(Pipeline.project(
+      Pipeline.fromJsonLines(tweetsMem.toDF().select(col("value").as("json")))))
+    val updates = updatesMem.toDF().toDF("update_tweet_id", "update_time", "new_likes")
+    val joined = Pipeline.joinEngagementUpdates(tweets, updates)
+      .select("tweet_id", "new_likes")
+    val q = joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    try {
+      tweetsMem.addData(fixture)
+      q.processAllAvailable()
+      val now = new java.sql.Timestamp(System.currentTimeMillis())
+      val old = java.sql.Timestamp.valueOf("2020-01-01 00:00:00") // outside window
+      updatesMem.addData(("1", now, 99L), ("3", now, 42L), ("1", old, 7L), ("999", now, 5L))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_test").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSet
+      assert(rows == Set("1" -> 99L, "3" -> 42L),
+        s"expected in-window matches only, got $rows")
+    } finally q.stop()
+  }
+
+  test("observable metrics surface per-batch counts in query progress") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val enriched = Pipeline.enrich(Pipeline.project(
+      Pipeline.fromJsonLines(mem.toDF().select(col("value").as("json")))))
+    val q = enriched.writeStream.format("noop").start()
+    try {
+      mem.addData(fixture)
+      q.processAllAvailable()
+      val metrics = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("enrich_metrics")))
+      assert(metrics.nonEmpty, "expected enrich_metrics in progress")
+      val total = metrics.map(_.getAs[Long]("n_rows")).sum
+      assert(total == 5, s"5 rows survive the filter (incl. dup), got $total") // dedup is downstream
+      val pos = metrics.map(_.getAs[Long]("n_positive")).sum
+      assert(pos >= 2)
+    } finally q.stop()
+  }
+
   test("compacted table partition-prunes hour-range queries") {
     val ts1 = java.sql.Timestamp.valueOf("2025-09-01 10:00:00")
     val ts2 = java.sql.Timestamp.valueOf("2025-09-01 11:00:00")
