@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.SessionState
+
+/** flatMapGroupsWithState sessionization: gap-close, timeout-close,
+  * state boundedness semantics. */
+class SessionStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming sessionize: gap closes a session, watermark closes stragglers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = SessionState.sessionize(
+      mem.toDF().toDF("user_id", "ts", "value"), gapMs = 30 * 60 * 1000L,
+      watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("fmgws_test")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then an event
+      // 2 hours later (gap-close → emits first session, opens second)
+      mem.addData(
+        (1L, ts("2025-09-01 10:00:00"), 1.0),
+        (1L, ts("2025-09-01 10:10:00"), 2.0),
+        (2L, ts("2025-09-01 10:05:00"), 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2025-09-01 12:10:00"), 3.0))
+      q.processAllAvailable()
+      // advance watermark far past everyone → timeout-close all open
+      mem.addData((99L, ts("2025-09-01 20:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData((98L, ts("2025-09-02 10:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("fmgws_test")
+        .select($"user_id", $"n_events", $"sum_value", $"closed_by_timeout")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      // user 1 session A: 2 events sum 3.0 closed by gap
+      assert(rows.contains((1L, 2L, 3.0, false)), s"missing gap-closed session: $rows")
+      // user 1 session B (1 event, 3.0) and user 2 (1 event, 5.0) closed by timeout
+      assert(rows.contains((1L, 1L, 3.0, true)), s"missing timeout session u1: $rows")
+      assert(rows.contains((2L, 1L, 5.0, true)), s"missing timeout session u2: $rows")
+    } finally q.stop()
+  }
+
+  test("batch q28 and a replay through the same gap logic agree on session counts") {
+    // the driver-side fold of updateUser over a single user's events
+    // must equal the window-function sessionization for that user
+    val events = Tables.events(spark, sf)
+      .filter($"user_id" === 7).orderBy($"ts")
+      .select($"ts", $"value").collect()
+      .map(r => SessionState.Event(7L, r.getTimestamp(0), r.getDouble(1)))
+    var sessions = 0
+    var last: Option[Long] = None
+    events.foreach { e =>
+      if (last.forall(l => e.ts.getTime - l > 30 * 60 * 1000L)) sessions += 1
+      last = Some(e.ts.getTime)
+    }
+    val q28 = graft.queries.EventQueries.sessionize(spark, sf)
+      .filter($"user_id" === 7).count()
+    assert(q28 == sessions, s"batch=$q28 fold=$sessions")
+  }
+}
