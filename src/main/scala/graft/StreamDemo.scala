@@ -21,7 +21,7 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("ERROR")
 
     def env(id: String, text: String, lang: String = "en") =
-      s"""{"data": {"id": "$id", "text": "$text", "created_at": "2025-09-01T14:03:27.000Z", "author_id": "a$id", "lang": "$lang", "public_metrics": {"retweet_count": 3, "like_count": 17, "reply_count": 1, "quote_count": 0}}, "includes": {"users": []}, "kafka_timestamp": 1756735407123}"""
+      s"""{"data": {"id": "$id", "text": "$text", "created_at": "2025-09-01T14:03:27.000Z", "author_id": "a$id", "lang": "$lang", "public_metrics": {"retweet_count": 3, "like_count": 17, "reply_count": 1, "quote_count": 0}}, "includes": {"users": [{"id": "a$id", "name": "User $id", "username": "u$id", "public_metrics": {"followers_count": ${id.toInt * 100}}}]}, "kafka_timestamp": 1756735407123}"""
 
     Files.writeString(Paths.get(s"$in/batch1.jsonl"), Seq(
       env("1", "I love this amazing product!"),
@@ -31,12 +31,12 @@ object StreamDemo {
       env("4", "Buna ziua lume", lang = "ro"),
       """{ not json""").mkString("\n"))
 
-    val source = spark.readStream.schema(graft.streaming.Schemas.envelope)
-      .option("mode", "PERMISSIVE").json(in)
-      .select(org.apache.spark.sql.functions.to_json(
-        org.apache.spark.sql.functions.struct(org.apache.spark.sql.functions.col("*"))).as("json"))
-    val q = Pipeline.run(spark, source, s"$dir/tweets", s"$dir/json",
-      s"$dir/ckpt", Trigger.ProcessingTime("1 second"))
+    // raw text lines — the Kafka-value shape; malformed input reaches
+    // the quarantine verbatim instead of being nulled by a schema'd read
+    val source = spark.readStream.text(in)
+      .select(org.apache.spark.sql.functions.col("value").as("json"))
+    val (q, quarantineQ) = Pipeline.runWithQuarantine(spark, source, s"$dir/tweets", s"$dir/json",
+      s"$dir/quarantine", s"$dir/ckpt", Trigger.ProcessingTime("1 second"))
     q.processAllAvailable()
     val om = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("enrich_metrics")))
     println(s"=== observed metrics (batch 1): ${om.map(r => s"rows=${r.getAs[Long]("n_rows")} pos=${r.getAs[Long]("n_positive")} neg=${r.getAs[Long]("n_negative")}").mkString("; ")}")
@@ -46,7 +46,15 @@ object StreamDemo {
       env("1", "I love this amazing product!"),
       env("7", "What a wonderful day, thanks!")).mkString("\n"))
     q.processAllAvailable()
-    q.stop()
+    quarantineQ.processAllAvailable()
+    q.stop(); quarantineQ.stop()
+    println("=== quarantine ===")
+    spark.read.json(s"$dir/quarantine").show(3, 60)
+    println("=== author-enriched (broadcast dim from includes.users) ===")
+    val userD = Pipeline.userDim(Pipeline.fromJsonLines(
+      spark.read.text(s"$dir/in").select(org.apache.spark.sql.functions.col("value").as("json"))))
+    Pipeline.withAuthorInfo(Pipeline.readTweets(spark, s"$dir/tweets"), userD)
+      .select("tweet_id", "name", "followers_count", "final_sentiment").orderBy("tweet_id").show(5, false)
 
     val tweets = Pipeline.readTweets(spark, s"$dir/tweets")
     println("=== tweets table ===")

@@ -61,6 +61,39 @@ object Pipeline {
   def fromJsonLines(df: DataFrame): DataFrame =
     df.select(from_json(col("json"), Schemas.envelope).as("env"))
 
+  /** Malformed-record split (badRecordsPath-style quarantine, SURVEY
+    * §2.9 error handling): keeps the RAW line for rows whose envelope
+    * failed to parse or carries no id, so bad input is inspectable
+    * instead of silently vanishing. */
+  def splitMalformed(withRaw: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = withRaw.select(col("json"),
+      from_json(col("json"), Schemas.envelope).as("env"))
+    val bad = parsed.filter(col("env").isNull || col("env.data.id").isNull)
+      .select(col("json").as("raw_line"))
+    val good = parsed.filter(col("env").isNotNull && col("env.data.id").isNotNull)
+      .select(col("env"))
+    (good, bad)
+  }
+
+  /** The envelope's latent author dimension (SURVEY §2.4): explode
+    * includes.users into (user_id, name, username, followers). The
+    * streamer copies only author_id (twitter_streamer.py:146); this
+    * materializes the relationship the producer already ships. */
+  def userDim(parsed: DataFrame): DataFrame =
+    parsed.select(explode(col("env.includes.users")).as("u"))
+      .select(col("u.id").as("user_id"), col("u.name").as("name"),
+        col("u.username").as("username"),
+        col("u.public_metrics.followers_count").as("followers_count"))
+      .filter(col("user_id").isNotNull)
+      .dropDuplicates("user_id")
+
+  /** Broadcast author enrichment: tweets ⋈ broadcast(user dim) on
+    * author_id — the dim stays KB-to-MB-sized at any fact scale, so
+    * broadcast is always the right physical join. */
+  def withAuthorInfo(tweets: DataFrame, users: DataFrame): DataFrame =
+    tweets.join(broadcast(users), tweets("author_id") === users("user_id"), "left")
+      .drop("user_id")
+
   /** P1+P2: nested-path projection with defaults (twitter_streamer.py:
     * 141-154, 167-186): envelope → flat columns, engagement counters
     * coalesced to 0, lang renamed language. */
@@ -235,5 +268,23 @@ object Pipeline {
   : StreamingQuery = {
     val enriched = dedup(enrich(project(fromJsonLines(source))))
     writer(enriched, tweetsPath, jsonPath, checkpoint, trigger).start()
+  }
+
+  /** [[run]] plus a quarantine sink: malformed/id-less lines stream to
+    * `quarantinePath` as raw text for inspection (its own checkpoint —
+    * the two queries progress independently over the same source).
+    * Returns (main, quarantine) queries. */
+  def runWithQuarantine(s: SparkSession, source: DataFrame, tweetsPath: String,
+                        jsonPath: String, quarantinePath: String, checkpoint: String,
+                        trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+  : (StreamingQuery, StreamingQuery) = {
+    val (good, bad) = splitMalformed(source)
+    val main = writer(dedup(enrich(project(good))), tweetsPath, jsonPath,
+      s"$checkpoint/main", trigger).start()
+    val quarantine = bad.writeStream
+      .format("json").option("path", quarantinePath)
+      .option("checkpointLocation", s"$checkpoint/quarantine")
+      .trigger(trigger).start()
+    (main, quarantine)
   }
 }

@@ -90,6 +90,45 @@ class StreamingPipelineSpec extends SparkSpec {
       s"restart must not duplicate or lose rows: ${ids.toSeq}")
   }
 
+  test("quarantine sink captures malformed lines; author dim joins broadcast") {
+    val dir = Files.createTempDirectory("graft-quar").toString
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[String]
+    val source = mem.toDF().select(col("value").as("json"))
+    val (main, quar) = Pipeline.runWithQuarantine(spark, source,
+      s"$dir/tweets", s"$dir/json", s"$dir/quarantine", s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      mem.addData(fixture)
+      main.processAllAvailable(); quar.processAllAvailable()
+    } finally { main.stop(); quar.stop() }
+
+    // exactly the malformed line lands in quarantine, raw
+    val bad = spark.read.json(s"$dir/quarantine").select("raw_line").as[String].collect()
+    assert(bad.length == 1 && bad.head.contains("this is not json"), s"got ${bad.toSeq}")
+    // good rows unaffected
+    val ids = Pipeline.readTweets(spark, s"$dir/tweets")
+      .select("tweet_id").as[String].collect().sorted
+    assert(ids.sameElements(Array("1", "2", "3", "6")))
+
+    // author dimension from the envelope's includes.users
+    val parsed = Pipeline.fromJsonLines(fixture.toDF("json"))
+      .filter(col("env").isNotNull)
+    val users = Pipeline.userDim(parsed)
+    assert(users.count() >= 4)
+    assert(users.columns.toSeq ==
+      Seq("user_id", "name", "username", "followers_count"))
+    val enrichedT = Pipeline.enrichJson(fixture.toDF("json"),
+      Some(java.sql.Timestamp.valueOf("2025-09-01 15:00:00")))
+    val joined = Pipeline.withAuthorInfo(enrichedT, users)
+    joined.count()
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "author enrichment must broadcast")
+    assert(joined.filter(col("tweet_id") === "1")
+      .select("followers_count").head().getLong(0) == 12L)
+  }
+
   test("stream-stream join with watermarks matches engagement updates in-window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
