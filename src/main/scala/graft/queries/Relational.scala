@@ -314,9 +314,55 @@ object Relational {
       |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  /** Full outer join: per-nation customer vs supplier counts, keeping
+    * nations present on either side only. */
+  def customerSupplierBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).groupBy($"c_nationkey".as("nk_c"))
+      .agg(count(lit(1)).as("n_customers"))
+    val su = Tables.supplier(s, dir).groupBy($"s_nationkey".as("nk_s"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, $"nk_c" === $"nk_s", "full_outer")
+      .select(coalesce($"nk_c", $"nk_s").as("nationkey"),
+        coalesce($"n_customers", lit(0L)).as("n_customers"),
+        coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+      .orderBy($"nationkey")
+  }
+
+  val customerSupplierBalanceSql: String =
+    """SELECT coalesce(nk_c, nk_s) AS nationkey,
+      |  coalesce(n_customers, 0) AS n_customers,
+      |  coalesce(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nk_c, count(*) AS n_customers FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      |  ON nk_c = nk_s
+      |ORDER BY nationkey""".stripMargin
+
+  /** Pivot: order counts per priority pivoted on status (fixed value
+    * list → stable output columns). */
+  def pivotOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select($"o_orderpriority", $"F".as("n_f"), $"O".as("n_o"), $"P".as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val pivotOrdersSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_above_nation_avg" -> (aboveNationAverage _),
     "q26_cube_orders" -> (cubeOrders _),
+    "q60_full_outer_balance" -> (customerSupplierBalance _),
+    "q61_pivot_orders" -> (pivotOrders _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_recent_orders" -> (recentOrders _),
     "q03_filter_project" -> (filterProject _),
@@ -333,6 +379,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q25_above_nation_avg" -> aboveNationAverageSql,
     "q26_cube_orders" -> cubeOrdersSql,
+    "q60_full_outer_balance" -> customerSupplierBalanceSql,
+    "q61_pivot_orders" -> pivotOrdersSql,
     "q01_pricing_summary" -> pricingSummarySql,
     "q02_recent_orders" -> recentOrdersSql,
     "q03_filter_project" -> filterProjectSql,
