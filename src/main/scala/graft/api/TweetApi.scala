@@ -27,12 +27,7 @@ object TweetApi {
     val cleaned = if (text == null) "" else text.trim
     val v = Vader.score(cleaned)
     val t = TextBlobOps.score(cleaned)
-    val vLabel = if (v.compound >= 0.05) "positive" else if (v.compound <= -0.05) "negative" else "neutral"
-    val tLabel = if (t.polarity > 0.1) "positive" else if (t.polarity < -0.1) "negative" else "neutral"
-    def s(l: String) = l match { case "positive" => 1.0; case "negative" => -1.0; case _ => 0.0 }
-    val combined = 0.6 * s(vLabel) + 0.4 * s(tLabel)
-    val label = if (combined > 0.1) "positive" else if (combined < -0.1) "negative" else "neutral"
-    val conf = math.min(math.abs(combined) * (if (vLabel == tLabel) 1.2 else 1.0), 1.0)
+    val (label, conf) = Ensemble.scalarEnsemble(v.compound, t.polarity)
     AnalyzeResult(label, conf, v.compound, v.positive, v.negative, v.neutral,
       t.polarity, t.subjectivity)
   }

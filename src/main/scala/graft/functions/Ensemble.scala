@@ -18,16 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object Ensemble {
 
+  // single source of truth for the reference's constants — shared by
+  // the column expressions below and the scalar path (TweetApi.analyze)
+  val VaderThreshold = 0.05
+  val TextblobThreshold = 0.1
+  val VaderWeight = 0.6
+  val TextblobWeight = 0.4
+  val FinalThreshold = 0.1
+  val AgreementBoost = 1.2
+
+  /** Scalar C2–C6 (driver-side /analyze path; numerically identical to
+    * the column expressions). Returns (final label, confidence). */
+  def scalarEnsemble(compound: Double, polarity: Double): (String, Double) = {
+    val vLabel = if (compound >= VaderThreshold) "positive"
+      else if (compound <= -VaderThreshold) "negative" else "neutral"
+    val tLabel = if (polarity > TextblobThreshold) "positive"
+      else if (polarity < -TextblobThreshold) "negative" else "neutral"
+    def score(l: String) = l match { case "positive" => 1.0; case "negative" => -1.0; case _ => 0.0 }
+    val combined = VaderWeight * score(vLabel) + TextblobWeight * score(tLabel)
+    val label = if (combined > FinalThreshold) "positive"
+      else if (combined < -FinalThreshold) "negative" else "neutral"
+    val conf = math.min(math.abs(combined) * (if (vLabel == tLabel) AgreementBoost else 1.0), 1.0)
+    (label, math.rint(conf * 10000) / 10000)
+  }
+
   /** C2: VADER threshold classification. */
   def vaderLabel(compound: Column): Column =
-    when(compound >= 0.05, "positive")
-      .when(compound <= -0.05, "negative")
+    when(compound >= VaderThreshold, "positive")
+      .when(compound <= -VaderThreshold, "negative")
       .otherwise("neutral")
 
   /** C3: TextBlob threshold classification. */
   def textblobLabel(polarity: Column): Column =
-    when(polarity > 0.1, "positive")
-      .when(polarity < -0.1, "negative")
+    when(polarity > TextblobThreshold, "positive")
+      .when(polarity < -TextblobThreshold, "negative")
       .otherwise("neutral")
 
   /** C4: label → numeric score. */

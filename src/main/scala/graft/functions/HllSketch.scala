@@ -47,8 +47,9 @@ case class HllDistinct(
     val v = child.eval(input)
     if (v != null) {
       val h = {
-        val h1 = MurmurHash3.stringHash(v.toString, 0x5ca1ab1e).toLong & 0xffffffffL
-        val h2 = MurmurHash3.stringHash(v.toString, 0xca11ab1e).toLong & 0xffffffffL
+        val str = v.toString
+        val h1 = MurmurHash3.stringHash(str, 0x5ca1ab1e).toLong & 0xffffffffL
+        val h2 = MurmurHash3.stringHash(str, 0xca11ab1e).toLong & 0xffffffffL
         (h1 << 32) | h2
       }
       val idx = (h >>> (64 - precision)).toInt

@@ -156,12 +156,16 @@ object Vader extends Serializable {
         while (d <= 3 && i - d >= 0) {
           val prev = wordsLower(i - d)
           if (lexicon.getOrElse(prev, 0.0) == 0.0) {
-            var b = boosters.getOrElse(prev, 0.0)
+            val b = boosters.getOrElse(prev, 0.0)
             if (b != 0.0) {
+              // scalar_inc_dec: booster sign follows the valence sign;
+              // an ALL-CAPS booster adds the caps emphasis in the same
+              // direction (positive AND negative valences)
+              var s0 = if (v > 0) b else -b
               if (capsDiff && isAllCaps(wordsRaw(i - d)))
-                b = if (v > 0) b + CapsBoost * (b.abs / BoostIncr) else b // caps booster amplifies
+                s0 = if (v > 0) s0 + CapsBoost else s0 - CapsBoost
               val scale = d match { case 1 => 1.0; case 2 => 0.95; case _ => 0.9 }
-              v = if (v > 0) v + b * scale else v - b * scale
+              v = v + s0 * scale
             }
             if (negations.contains(prev)) v = v * NegationFlip
           }
@@ -179,7 +183,7 @@ object Vader extends Serializable {
     val exclCount = math.min(raw.count(_ == '!'), 4)
     val qCount = raw.count(_ == '?')
     val punctAmp = exclCount * 0.292 +
-      (if (qCount > 1) { if (qCount <= 3) (qCount - 1) * 0.18 else 0.96 } else 0.0)
+      (if (qCount > 1) { if (qCount <= 3) qCount * 0.18 else 0.96 } else 0.0)
     if (sum > 0) sum += punctAmp else if (sum < 0) sum -= punctAmp
 
     val compound = normalize(sum)

@@ -15,12 +15,9 @@ import scala.util.hashing.MurmurHash3
   * star; preference tier (b) of the build rules: native Expression
   * over UDF).
   *
-  * - [[CosineSimilarity]]: full codegen (`doGenCode`) — stays inside
-  *   WholeStageCodegen, no boxing, single pass over both arrays.
-  * - [[MinHashSignature]] / [[SimHash64]]: interpreted eval (JVM-speed
-  *   loop; CodegenFallback). They run once per document in a
-  *   projection ahead of a shuffle, so the fallback boundary costs one
-  *   virtual call per row, not per element.
+  * All three are fully codegen'd (`doGenCode`) — they stay inside
+  * WholeStageCodegen with no boxing and no per-row virtual-call
+  * fallback (verified under spark.sql.codegen.factoryMode=CODEGEN_ONLY).
   */
 
 /** cosine(a, b) over two array<float|double> columns, accumulated in

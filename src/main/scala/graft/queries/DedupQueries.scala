@@ -151,7 +151,8 @@ object DedupQueries {
       .withColumn("est_j", estJ)
       .filter($"est_j" >= 0.9)
       .groupBy($"doc_id")
-      .agg(min($"min_id").as("dup_of"), round(max($"est_j"), 4).as("est_jaccard"))
+      .agg(min($"min_id").as("dup_of"),
+        round(min_by($"est_j", $"min_id"), 4).as("est_jaccard")) // similarity OF the kept pair
     docs.join(dropped, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"dup_of", $"doc_id").as("keeper_id"),

@@ -150,7 +150,7 @@ object Pipeline {
     t.join(u,
       t("tweet_id") === u("update_tweet_id") &&
         u("update_time") >= t("processed_at") &&
-        u("update_time") <= t("processed_at") + expr(s"INTERVAL 1 HOUR"))
+        u("update_time") <= t("processed_at") + expr(s"INTERVAL $tolerance"))
       .drop("update_tweet_id")
   }
 
@@ -211,7 +211,10 @@ object Pipeline {
         try {
           b.drop("date_hour").withColumn("_batch_id", lit(batchId))
             .write.mode("overwrite").partitionBy("_batch_id").parquet(tweetsPath)
-          b.write.mode("append").partitionBy("date_hour").json(jsonPath)
+          // json sink replay-idempotent too: dynamic overwrite of this
+          // batch's (date_hour, _batch_id) partitions only
+          b.withColumn("_batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("date_hour", "_batch_id").json(jsonPath)
         } finally {
           b.unpersist()
           prior.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
