@@ -78,7 +78,11 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     val nFrames = floor((octet_length(col("content")) - 1) / frameBytes) + 1
     media.withColumn("frames",
-      transform(sequence(lit(0), (nFrames - 1).cast("int"), lit(stride)),
-        i => substring(col("content"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
+      // zero-length content → empty frame list (sequence(0,-1) throws)
+      when(octet_length(col("content")) === 0,
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.BinaryType)))
+        .otherwise(transform(sequence(lit(0), (nFrames - 1).cast("int"), lit(stride)),
+          i => substring(col("content"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
   }
 }

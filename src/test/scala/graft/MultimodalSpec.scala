@@ -38,14 +38,16 @@ class MultimodalSpec extends SparkSpec {
     assert(m1.width >= 64 && m1.height >= 64 && m1.frames >= 1)
   }
 
-  test("sampleFrames: stride-4 64-byte frames with correct sizes") {
-    val df = Seq((1L, "x" * 300)).toDF("doc_id", "text")
-    val out = Multimodal.sampleFrames(Multimodal.withBinaryContent(df)).select("frames")
-    val frames = out.head().getSeq[Array[Byte]](0)
+  test("sampleFrames: stride-4 64-byte frames with correct sizes; empty content → no frames") {
+    val df = Seq((1L, "x" * 300), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(Multimodal.withBinaryContent(df))
+      .select("doc_id", "frames").collect().map(r => r.getLong(0) -> r.getSeq[Array[Byte]](1)).toMap
+    val frames = out(1L)
     // 300 bytes → frames at offsets 0,4*64=256 → 2 sampled frames
     assert(frames.length == 2, s"got ${frames.length}")
     assert(frames(0).length == 64)
     assert(frames(1).length == 300 - 256)
+    assert(out(2L).isEmpty, "empty content must yield an empty frame list, not a crash")
   }
 
   test("LangId goldens per script/stopword profile") {
