@@ -218,6 +218,16 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(rowsA == rowsB)
   }
 
+  test("dedup idempotence: processing a batch twice equals processing it once") {
+    // SURVEY §5.3 property: K3 insert-ignore semantics are idempotent
+    val ts = java.sql.Timestamp.valueOf("2025-09-01 15:00:00")
+    val once = Pipeline.enrichJson(fixture.toDF("json"), Some(ts))
+    val twice = Pipeline.enrichJson((fixture ++ fixture).toDF("json"), Some(ts))
+    val a = once.collect().map(_.toString).sorted.toSeq
+    val b = twice.collect().map(_.toString).sorted.toSeq
+    assert(a == b, "duplicated input must not change the deduped output")
+  }
+
   test("hourly summary realizes sentiment_summary on batch input") {
     val ts = java.sql.Timestamp.valueOf("2025-09-01 15:00:00")
     val tweets = Pipeline.enrichJson(fixture.toDF("json"), Some(ts))
