@@ -35,7 +35,7 @@ object StreamDemo {
     // the quarantine verbatim instead of being nulled by a schema'd read
     val source = spark.readStream.text(in)
       .select(org.apache.spark.sql.functions.col("value").as("json"))
-    val (q, quarantineQ) = Pipeline.runWithQuarantine(spark, source, s"$dir/tweets", s"$dir/json",
+    val (q, quarantineQ) = Pipeline.runWithQuarantine(source, s"$dir/tweets", s"$dir/json",
       s"$dir/quarantine", s"$dir/ckpt", Trigger.ProcessingTime("1 second"))
     q.processAllAvailable()
     val om = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("enrich_metrics")))

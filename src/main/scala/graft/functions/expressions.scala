@@ -244,4 +244,46 @@ object expressions {
 
   def simhash64(tokens: Column, seed: Int = 42): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens), seed))
+
+  def codepoint_rolling_hash(c: Column): Column =
+    GraftColumnBridge.column(CodepointRollingHash(GraftColumnBridge.expression(c)))
+}
+
+/** Codepoint-level polynomial rolling hash:
+  * fold(codepoints, 0)((acc, cp) => (acc*31 + cp) mod 1e9+7) —
+  * matches DuckDB's per-character `unicode()` fold exactly, including
+  * non-ASCII text (Spark's `split(str, "")` mangles multi-byte chars
+  * into U+FFFD replacement bytes, which collides distinct non-ASCII
+  * documents; this iterates real codepoints). Null → null; empty → 0.
+  * Fully codegen'd via a static helper. */
+case class CodepointRollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      CodepointRollingHash.hash(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CodepointRollingHash.hash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CodepointRollingHash {
+  final val Mod = 1000000007L
+
+  /** JVM-static fold over real codepoints (callable from codegen). */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 }

@@ -135,10 +135,13 @@ object DedupQueries {
       .select($"doc_id", shingles(tokens($"text"), 3).as("shingles"))
       .withColumn("sig", minhash_signature($"shingles", k = k, seed = 42))
       .select($"doc_id", $"sig")
+    // band rows carry only (doc_id, band, band_sig) — 24 bytes/row
+    // through the band shuffle, not the 1 KB signature (signatures
+    // re-join once per distinct candidate pair below)
     val banded = docs
-      .select($"doc_id", $"sig", posexplode(
+      .select($"doc_id", posexplode(
         array((0 until bands).map(b => xxhash64(slice($"sig", b * rowsPerBand + 1, rowsPerBand))): _*)))
-      .toDF("doc_id", "sig", "band", "band_sig")
+      .toDF("doc_id", "band", "band_sig")
     val bucketMin = banded.groupBy($"band", $"band_sig")
       .agg(min($"doc_id").as("min_id"))
     val estJ = aggregate(
@@ -146,7 +149,8 @@ object DedupQueries {
       lit(0), (acc, x) => acc + x).cast("double") / k
     val dropped = banded.join(bucketMin, Seq("band", "band_sig"))
       .filter($"doc_id" > $"min_id")
-      .select($"doc_id", $"sig", $"min_id").distinct()
+      .select($"doc_id", $"min_id").distinct()
+      .join(docs, Seq("doc_id"))
       .join(docs.select($"doc_id".as("min_id"), $"sig".as("min_sig")), Seq("min_id"))
       .withColumn("est_j", estJ)
       .filter($"est_j" >= 0.9)

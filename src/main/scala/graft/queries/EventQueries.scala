@@ -192,8 +192,7 @@ object EventQueries {
     Tables.events(s, dir)
       .withColumn("new_session", gapFlag)
       .withColumn("session_idx", sum($"new_session").over(
-        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-          .rowsBetween(Window.unboundedPreceding, 0)))
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"user_id", $"session_idx")
       .agg(count(lit(1)).as("n_events"),
         expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").as("duration_s"),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.queries.TextQueries
 import graft.functions.LangId
 import graft.operators.Multimodal
 
@@ -19,7 +20,10 @@ object MediaQueries {
     Multimodal.withBinaryContent(Tables.documents(s, dir))
       .select($"doc_id",
         octet_length($"content").cast("long").as("n_bytes"),
-        ascii(substring($"text", 1, 1)).cast("long").as("first_cp"),
+        // codepoint of the first char (rolling hash of a 1-char string
+        // IS its codepoint); empty text → -1 matching DuckDB unicode('')
+        when(length($"text") === 0, lit(-1L))
+          .otherwise(TextQueries.fingerprint(substring($"text", 1, 1))).as("first_cp"),
         substring($"text", 1, 8).as("head"))
       .orderBy($"doc_id")
   }
@@ -39,7 +43,8 @@ object MediaQueries {
       Multimodal.withBinaryContent(Tables.documents(s, dir)), frameBytes = 64, stride = 4)
       .select($"doc_id",
         size($"frames").cast("long").as("n_frames"),
-        octet_length(element_at($"frames", 1)).cast("long").as("first_frame_bytes"))
+        coalesce(octet_length(try_element_at($"frames", lit(1))).cast("long"), lit(0L))
+          .as("first_frame_bytes"))
       .orderBy($"doc_id")
   }
 

@@ -35,12 +35,14 @@ object TextQueries {
     size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
 
   /** Char-level polynomial rolling hash (document fingerprinting):
-    * fp = fold(chars, 0)((acc, ch) => (acc*31 + codepoint(ch)) mod 1e9+7).
-    * Built-in `aggregate` HOF — distributed, no UDF; the DuckDB oracle
-    * reproduces it with list_reduce over string_split. */
+    * fp = fold(codepoints, 0)((acc, cp) => (acc*31 + cp) mod 1e9+7),
+    * via the codegen'd [[graft.functions.CodepointRollingHash]]
+    * expression. (The earlier `aggregate(split(c,""))` formulation
+    * split per UTF-8 byte and mapped non-ASCII bytes to U+FFFD,
+    * colliding distinct non-ASCII documents and diverging from the
+    * oracle's per-character unicode() fold.) */
   def fingerprint(c: Column): Column =
-    aggregate(split(c, ""), lit(0L),
-      (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(1000000007L))
+    graft.functions.expressions.codepoint_rolling_hash(c)
 
   /** C1 + F1: clean then keep non-empty English docs.
     * Cite: twitter_streamer.py:86-96 (clean), 159-161 (filter). */

@@ -44,14 +44,17 @@ object Pipeline {
       .load()
       .select(col("value").cast("string").as("json"))
 
-  /** File/JSONL replay source (the test/backfill path).
+  /** File/JSONL replay source (the test/backfill path). Reads RAW
+    * text lines — the same shape as the Kafka value — so malformed
+    * input reaches [[splitMalformed]]'s quarantine verbatim (a
+    * schema'd JSON read would null bad lines into "{}" first).
     * `maxFilesPerTrigger` bounds per-batch intake — the file-source
     * backpressure knob (Kafka's analog is maxOffsetsPerTrigger). */
   def jsonFileSource(s: SparkSession, path: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val base = s.readStream.schema(Schemas.envelope)
+    val base = s.readStream
     maxFilesPerTrigger.fold(base)(n => base.option("maxFilesPerTrigger", n))
-      .json(path)
-      .select(to_json(struct(col("*"))).as("json"))
+      .text(path)
+      .select(col("value").as("json"))
   }
 
   /** S4/C10: parse JSON envelope with the fixed schema. Malformed
@@ -160,10 +163,17 @@ object Pipeline {
     df.withWatermark("processed_at", watermarkDelay)
       .dropDuplicatesWithinWatermark("tweet_id")
 
-  /** Batch-side dedup with identical keep-first semantics (K3's
-    * INSERT OR IGNORE): used inside foreachBatch and by parity tests. */
-  def dedupBatch(df: DataFrame): DataFrame =
-    df.dropDuplicates("tweet_id")
+  /** Batch-side dedup with DETERMINISTIC representative selection
+    * (K3's INSERT OR IGNORE): the kept row per tweet_id is the
+    * lexicographically smallest full row, so replays and re-runs are
+    * byte-identical even when a batch carries conflicting rows for
+    * one id (dropDuplicates keeps an arbitrary partition-order row). */
+  def dedupBatch(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    df.groupBy(col("tweet_id"))
+      .agg(min(struct(cols.map(col): _*)).as("_r"))
+      .select(cols.map(c => col(s"_r.$c")): _*)
+  }
 
   /** Full batch-equivalent transform: json lines → enriched, deduped
     * tweets table rows. One code path for both modes. */
@@ -266,7 +276,7 @@ object Pipeline {
   /** End-to-end streaming job: source → enrich → dedup → sinks.
     * K5 console/progress reporting comes free from the streaming UI /
     * StreamingQueryListener. */
-  def run(s: SparkSession, source: DataFrame, tweetsPath: String, jsonPath: String,
+  def run(source: DataFrame, tweetsPath: String, jsonPath: String,
           checkpoint: String, trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
   : StreamingQuery = {
     val enriched = dedup(enrich(project(fromJsonLines(source))))
@@ -277,7 +287,7 @@ object Pipeline {
     * `quarantinePath` as raw text for inspection (its own checkpoint —
     * the two queries progress independently over the same source).
     * Returns (main, quarantine) queries. */
-  def runWithQuarantine(s: SparkSession, source: DataFrame, tweetsPath: String,
+  def runWithQuarantine(source: DataFrame, tweetsPath: String,
                         jsonPath: String, quarantinePath: String, checkpoint: String,
                         trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
   : (StreamingQuery, StreamingQuery) = {

@@ -47,12 +47,18 @@ object SessionState {
     sorted.foreach { e =>
       val t = e.ts.getTime
       open match {
-        case Some(s) if t - s.lastMs <= gapMs =>
-          open = Some(s.copy(lastMs = math.max(s.lastMs, t),
+        // merge window is [start-gap, last+gap]: a within-watermark
+        // late event extends the session backwards (start = min)
+        case Some(s) if t >= s.startMs - gapMs && t <= s.lastMs + gapMs =>
+          open = Some(s.copy(startMs = math.min(s.startMs, t),
+            lastMs = math.max(s.lastMs, t),
             nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
-        case Some(s) =>
+        case Some(s) if t > s.lastMs + gapMs =>
           closed += close(s, byTimeout = false)
           open = Some(OpenSession(t, t, 1L, e.value))
+        case Some(s) => // t < start-gap: an earlier, already-complete session
+          closed += ClosedSession(userId, new java.sql.Timestamp(t),
+            new java.sql.Timestamp(t), 1L, e.value, closed_by_timeout = false)
         case None =>
           open = Some(OpenSession(t, t, 1L, e.value))
       }

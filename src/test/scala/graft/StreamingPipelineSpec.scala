@@ -39,7 +39,7 @@ class StreamingPipelineSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
     val source = mem.toDF().select(col("value").as("json"))
-    val q = Pipeline.run(spark, source, s"$dir/tweets", s"$dir/json",
+    val q = Pipeline.run(source, s"$dir/tweets", s"$dir/json",
       s"$dir/ckpt", Trigger.ProcessingTime("1 second"))
     try {
       mem.addData(fixture)
@@ -70,7 +70,7 @@ class StreamingPipelineSpec extends SparkSpec {
     def source() = spark.readStream.schema(graft.streaming.Schemas.envelope).json(in)
       .select(to_json(struct(col("*"))).as("json"))
     Files.writeString(java.nio.file.Paths.get(s"$in/b1.jsonl"), fixture.mkString("\n"))
-    val q1 = Pipeline.run(spark, source(), s"$dir/tweets", s"$dir/json",
+    val q1 = Pipeline.run(source(), s"$dir/tweets", s"$dir/json",
       s"$dir/ckpt", Trigger.ProcessingTime("1 second"))
     try q1.processAllAvailable() finally q1.stop()
     val afterFirst = Pipeline.readTweets(spark, s"$dir/tweets")
@@ -80,7 +80,7 @@ class StreamingPipelineSpec extends SparkSpec {
     // restart with the SAME checkpoint; add a second file
     Files.writeString(java.nio.file.Paths.get(s"$in/b2.jsonl"),
       envelope("9", "What a wonderful day, thanks!"))
-    val q2 = Pipeline.run(spark, source(), s"$dir/tweets", s"$dir/json",
+    val q2 = Pipeline.run(source(), s"$dir/tweets", s"$dir/json",
       s"$dir/ckpt", Trigger.ProcessingTime("1 second"))
     try q2.processAllAvailable() finally q2.stop()
 
@@ -96,7 +96,7 @@ class StreamingPipelineSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[String]
     val source = mem.toDF().select(col("value").as("json"))
-    val (main, quar) = Pipeline.runWithQuarantine(spark, source,
+    val (main, quar) = Pipeline.runWithQuarantine(source,
       s"$dir/tweets", s"$dir/json", s"$dir/quarantine", s"$dir/ckpt",
       org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
     try {
