@@ -47,6 +47,40 @@ class SessionStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order events: within-gap extends session backwards, too-old closes alone") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = SessionState.sessionize(
+      mem.toDF().toDF("user_id", "ts", "value"), gapMs = 30 * 60 * 1000L,
+      watermark = "2 hours") // wide watermark lets late rows through
+    val q = sessions.writeStream.format("memory").queryName("ooo_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2025-09-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // late but within gap of session start → extends backwards
+      mem.addData((1L, ts("2025-09-01 09:45:00"), 2.0))
+      q.processAllAvailable()
+      // older than start-gap (09:45-30min = 09:15) but still inside
+      // the 2h watermark → own single-event session, closed immediately
+      // (events BEHIND the watermark never reach the operator at all)
+      mem.addData((1L, ts("2025-09-01 09:00:00"), 5.0))
+      q.processAllAvailable()
+      // flush remaining state
+      mem.addData((99L, ts("2025-09-02 10:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData((98L, ts("2025-09-03 10:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ooo_test").filter($"user_id" === 1)
+        .select($"session_start", $"n_events", $"sum_value")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      assert(rows.contains((ts("2025-09-01 09:00:00"), 1L, 5.0)),
+        s"too-old event must close as its own session: $rows")
+      assert(rows.contains((ts("2025-09-01 09:45:00"), 2L, 3.0)),
+        s"late within-gap event must extend the session backwards: $rows")
+    } finally q.stop()
+  }
+
   test("batch q28 and a replay through the same gap logic agree on session counts") {
     // the driver-side fold of updateUser over a single user's events
     // must equal the window-function sessionization for that user
