@@ -110,6 +110,22 @@ object Vader extends Serializable {
     "hasn't", "hadnt", "hadn't", "without", "rarely", "seldom",
   )
 
+  /** Emoticon/slang valences, matched on the RAW token before
+    * punctuation stripping (strip would reduce ":)" to nothing) —
+    * tweet text leans heavily on these (VADER ships the same idea as
+    * its emoticon table). */
+  private[graft] val emoticons: Map[String, Double] = Map(
+    ":)" -> 2.0, ":-)" -> 2.2, ":D" -> 2.3, ":-D" -> 2.3, "=)" -> 2.0,
+    ";)" -> 1.4, ";-)" -> 1.4, ":]" -> 1.8, "^_^" -> 1.9, ":'‑)" -> 1.5,
+    "<3" -> 2.6, ":*" -> 1.8, ":p" -> 1.2, ":P" -> 1.2,
+    ":(" -> -1.9, ":-(" -> -2.1, ":[" -> -1.8, ":'(" -> -2.2, "=(" -> -1.9,
+    "D:" -> -2.0, ":/" -> -1.3, ":-/" -> -1.3, ":|" -> -0.6, "</3" -> -2.5,
+    "lol" -> 1.9, "lmao" -> 2.0, "rofl" -> 2.2, "haha" -> 1.9, "hahaha" -> 2.2,
+    "omg" -> 1.2, "woohoo" -> 2.6, "yay!" -> 2.4,
+    "wtf" -> -2.2, "smh" -> -1.4, "ugh" -> -1.8, "meh" -> -0.8, "yikes" -> -1.3,
+    "fml" -> -2.5, "rip" -> -1.4,
+  )
+
   private val NegationFlip = -0.74
   private val CapsBoost = 0.733
   private val Normalizer = 15.0
@@ -132,8 +148,14 @@ object Vader extends Serializable {
     val raw = text.trim
     if (raw.isEmpty) return Neutral
 
-    val wordsRaw = raw.split("\\s+").toIndexedSeq.map(stripPunct).filter(_.nonEmpty)
-    if (wordsRaw.isEmpty) return Neutral
+    // keep the raw token alongside the stripped form: emoticon/slang
+    // valences match the raw token (":)" strips to nothing)
+    val tokens = raw.split("\\s+").toIndexedSeq
+      .map(t => (t, stripPunct(t)))
+      .filter { case (t, s) => s.nonEmpty || emoticons.contains(t) }
+    if (tokens.isEmpty) return Neutral
+    val rawTokens = tokens.map(_._1)
+    val wordsRaw = tokens.map { case (t, s) => if (s.nonEmpty) s else t }
     val wordsLower = wordsRaw.map(_.toLowerCase)
     // caps emphasis only differentiates when the doc is mixed-case
     val capsDiff = {
@@ -146,7 +168,8 @@ object Vader extends Serializable {
     var i = 0
     while (i < wordsRaw.length) {
       val w = wordsLower(i)
-      var v = lexicon.getOrElse(w, 0.0)
+      var v = emoticons.getOrElse(rawTokens(i),
+        emoticons.getOrElse(w, lexicon.getOrElse(w, 0.0)))
       if (v != 0.0) {
         // ALL-CAPS emphasis on the sentiment word itself
         if (capsDiff && isAllCaps(wordsRaw(i)))
