@@ -35,32 +35,39 @@ object TweetApi {
   /** POST /store semantics in batch: idempotent dedup-append (K3). */
   def store(tweets: DataFrame): DataFrame = Pipeline.dedupBatch(tweets)
 
+  // F3 window predicate + the A1/A3 aggregate set, shared by both
+  // summary endpoints so they can never diverge
+  private def inWindow(tweets: DataFrame, hours: Int): DataFrame =
+    tweets.filter(col("processed_at") >= current_timestamp() - expr(s"INTERVAL $hours HOURS"))
+
+  private val summaryAggs = Seq(
+    count(lit(1)).as("tweet_count"),
+    coalesce(avg("confidence_score"), lit(0.0)).as("avg_confidence"),
+    coalesce(sum("like_count"), lit(0L)).as("total_likes"),
+    coalesce(sum("retweet_count"), lit(0L)).as("total_retweets"))
+
   /** GET /summary?hours=N (sentiment_analysis.py:617-634): F3 window
     * + A1 aggregate + A3 coalescing + W3 sort; A2 grand total comes
-    * from summing tweet_count client-side or via rollup. */
+    * from summing tweet_count client-side or via [[summaryWithTotal]]. */
   def summary(tweets: DataFrame, hours: Int = 24): DataFrame =
-    tweets
-      .filter(col("processed_at") >= current_timestamp() - expr(s"INTERVAL $hours HOURS"))
+    inWindow(tweets, hours)
       .groupBy(col("final_sentiment"))
-      .agg(count(lit(1)).as("tweet_count"),
-        coalesce(avg("confidence_score"), lit(0.0)).as("avg_confidence"),
-        coalesce(sum("like_count"), lit(0L)).as("total_likes"),
-        coalesce(sum("retweet_count"), lit(0L)).as("total_retweets"))
+      .agg(summaryAggs.head, summaryAggs.tail: _*)
       .orderBy(desc("tweet_count"))
 
   /** /summary with the A2 grand total in the SAME pass via rollup
     * (the reference re-sums group counts in Python,
     * sentiment_analysis.py:628; one rollup scan replaces that). The
-    * total row carries final_sentiment = "ALL". */
+    * total row carries final_sentiment = "ALL", identified via
+    * grouping() so a data group whose label is literally NULL cannot
+    * masquerade as the total. */
   def summaryWithTotal(tweets: DataFrame, hours: Int = 24): DataFrame =
-    tweets
-      .filter(col("processed_at") >= current_timestamp() - expr(s"INTERVAL $hours HOURS"))
+    inWindow(tweets, hours)
       .rollup(col("final_sentiment"))
-      .agg(count(lit(1)).as("tweet_count"),
-        coalesce(avg("confidence_score"), lit(0.0)).as("avg_confidence"),
-        coalesce(sum("like_count"), lit(0L)).as("total_likes"),
-        coalesce(sum("retweet_count"), lit(0L)).as("total_retweets"))
-      .select(coalesce(col("final_sentiment"), lit("ALL")).as("final_sentiment"),
+      .agg(summaryAggs.head, summaryAggs.tail :+ grouping(col("final_sentiment")).as("_total"): _*)
+      .select(
+        when(col("_total") === 1, lit("ALL"))
+          .otherwise(coalesce(col("final_sentiment"), lit("unscored"))).as("final_sentiment"),
         col("tweet_count"), col("avg_confidence"), col("total_likes"), col("total_retweets"))
       .orderBy(desc("tweet_count"))
 

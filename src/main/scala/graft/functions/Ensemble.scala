@@ -60,18 +60,19 @@ object Ensemble {
 
   /** C5: weighted combination of the two label scores. */
   def combinedScore(vaderLabel: Column, textblobLabel: Column): Column =
-    labelScore(vaderLabel) * 0.6 + labelScore(textblobLabel) * 0.4
+    labelScore(vaderLabel) * VaderWeight + labelScore(textblobLabel) * TextblobWeight
 
   /** C5: final ensemble label from the combined score. */
   def finalLabel(combined: Column): Column =
-    when(combined > 0.1, "positive")
-      .when(combined < -0.1, "negative")
+    when(combined > FinalThreshold, "positive")
+      .when(combined < -FinalThreshold, "negative")
       .otherwise("neutral")
 
-  /** C6: confidence = |combined|, ×1.2 when both analyzers agree,
-    * capped at 1.0. */
+  /** C6: confidence = |combined|, ×AgreementBoost when both analyzers
+    * agree, capped at 1.0. */
   def confidence(combined: Column, vaderLabel: Column, textblobLabel: Column): Column =
-    least(abs(combined) * when(vaderLabel === textblobLabel, 1.2).otherwise(1.0), lit(1.0))
+    least(abs(combined) *
+      when(vaderLabel === textblobLabel, AgreementBoost).otherwise(1.0), lit(1.0))
 
   /** C9 composite: text column → the full 10-field sentiment block the
     * enriched-tweet schema carries (FIXTURES §1.2–1.3). Both analyzers

@@ -54,8 +54,11 @@ case class HllDistinct(
       }
       val idx = (h >>> (64 - precision)).toInt
       val rest = h << precision
-      val rank = (if (rest == 0) 64 - precision else java.lang.Long.numberOfLeadingZeros(rest) + 1)
-        .min(64 - precision).toByte
+      // rho = position of leftmost 1-bit in the remaining w bits,
+      // range 1..w+1 (all-zero suffix records w+1 per Flajolet)
+      val rank = (if (rest == 0) 64 - precision + 1
+        else java.lang.Long.numberOfLeadingZeros(rest) + 1)
+        .min(64 - precision + 1).toByte
       if (rank > buf(idx)) buf(idx) = rank
     }
     buf

@@ -116,7 +116,7 @@ object Vader extends Serializable {
     * its emoticon table). */
   private[graft] val emoticons: Map[String, Double] = Map(
     ":)" -> 2.0, ":-)" -> 2.2, ":D" -> 2.3, ":-D" -> 2.3, "=)" -> 2.0,
-    ";)" -> 1.4, ";-)" -> 1.4, ":]" -> 1.8, "^_^" -> 1.9, ":'‑)" -> 1.5,
+    ";)" -> 1.4, ";-)" -> 1.4, ":]" -> 1.8, "^_^" -> 1.9, ":'-)" -> 1.5,
     "<3" -> 2.6, ":*" -> 1.8, ":p" -> 1.2, ":P" -> 1.2,
     ":(" -> -1.9, ":-(" -> -2.1, ":[" -> -1.8, ":'(" -> -2.2, "=(" -> -1.9,
     "D:" -> -2.0, ":/" -> -1.3, ":-/" -> -1.3, ":|" -> -0.6, "</3" -> -2.5,

@@ -58,7 +58,7 @@ object Multimodal {
   /** Attach a binary content column (fixture: the UTF-8 payload of the
     * doc text stands in for a media blob). */
   def withBinaryContent(docs: DataFrame): DataFrame =
-    docs.withColumn("content", encode(col("text"), "UTF-8"))
+    docs.withColumn("content", encode(coalesce(col("text"), lit("")), "UTF-8"))
 
   /** Batched decode + feature extraction via mapPartitions (the
     * mapInPandas-equivalent batch shape in Scala). */
