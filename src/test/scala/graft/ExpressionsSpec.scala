@@ -28,6 +28,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(got(2).isEmpty)
   }
 
+  test("cosine_similarity: length mismatch and null elements yield null, not truncation") {
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(1.0))),
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    val got = df.select(cosine_similarity(col("a"), col("b")).as("c")).collect()
+    assert(got.forall(_.isNullAt(0)), "mismatched/null-element input must be NULL")
+  }
+
+  test("custom expressions reject wrong input types at analysis time") {
+    val df = Seq("scalar").toDF("t")
+    val e = intercept[Exception] {
+      df.select(minhash_signature(col("t"))).collect()
+    }
+    assert(e.getMessage.contains("DATATYPE_MISMATCH") ||
+      e.getMessage.contains("array<string>"), e.getMessage.take(200))
+  }
+
   test("minhash signature estimates jaccard within tolerance") {
     val a = (1 to 100).map(i => s"tok$i")
     val b = (41 to 140).map(i => s"tok$i") // |∩|=60, |∪|=140 → J≈0.4286
