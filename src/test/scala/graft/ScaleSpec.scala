@@ -29,6 +29,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables join with zero Exchange") {
+    val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
       Scale.writeBucketed(Tables.orders(spark, sf), "b_orders", "o_orderkey", 8)
@@ -45,7 +46,7 @@ class ScaleSpec extends SparkSpec {
       val allExchanges = plan.toString.split("\n").count(_.contains("Exchange"))
       assert(allExchanges == 0, s"expected shuffle-free bucketed join, plan:\n$plan")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }

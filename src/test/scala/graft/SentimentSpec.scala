@@ -32,6 +32,9 @@ class SentimentSpec extends AnyFunSuite {
     assert(s1.compound <= -0.05, s"expected negative, got $s1")
     val s3 = Vader.score(golden(3))
     assert(s3.compound >= 0.05, s"expected positive, got $s3")
+    // golden(2) "It's okay, nothing special." — mild, not strongly polar
+    val s2 = Vader.score(golden(2))
+    assert(s2.compound > -0.05 && s2.compound < 0.4, s"expected mild, got $s2")
   }
 
   test("VADER empty/null → neutral defaults {0,0,0,1}") {

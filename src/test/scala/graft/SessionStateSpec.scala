@@ -88,11 +88,14 @@ class SessionStateSpec extends SparkSpec {
       .filter($"user_id" === 7).orderBy($"ts")
       .select($"ts", $"value").collect()
       .map(r => SessionState.Event(7L, r.getTimestamp(0), r.getDouble(1)))
+    // gap measured in integer MICROS exactly like q28 (ms truncation
+    // here would disagree with the query near the 30-minute boundary)
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
     var sessions = 0
     var last: Option[Long] = None
     events.foreach { e =>
-      if (last.forall(l => e.ts.getTime - l > 30 * 60 * 1000L)) sessions += 1
-      last = Some(e.ts.getTime)
+      if (last.forall(l => micros(e.ts) - l > 1800000000L)) sessions += 1
+      last = Some(micros(e.ts))
     }
     val q28 = graft.queries.EventQueries.sessionize(spark, sf)
       .filter($"user_id" === 7).count()

@@ -93,12 +93,11 @@ class StreamingPipelineSpec extends SparkSpec {
   test("quarantine sink captures malformed lines; author dim joins broadcast") {
     val dir = Files.createTempDirectory("graft-quar").toString
     implicit val sqlCtx = spark.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[String]
     val source = mem.toDF().select(col("value").as("json"))
     val (main, quar) = Pipeline.runWithQuarantine(source,
       s"$dir/tweets", s"$dir/json", s"$dir/quarantine", s"$dir/ckpt",
-      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      Trigger.ProcessingTime("1 second"))
     try {
       mem.addData(fixture)
       main.processAllAvailable(); quar.processAllAvailable()
@@ -130,7 +129,6 @@ class StreamingPipelineSpec extends SparkSpec {
   }
 
   test("stream-stream join with watermarks matches engagement updates in-window") {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val tweetsMem = MemoryStream[String]
     val updatesMem = MemoryStream[(String, java.sql.Timestamp, Long)]
@@ -156,7 +154,6 @@ class StreamingPipelineSpec extends SparkSpec {
   }
 
   test("observable metrics surface per-batch counts in query progress") {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
     val enriched = Pipeline.enrich(Pipeline.project(
@@ -239,7 +236,6 @@ class StreamingPipelineSpec extends SparkSpec {
   }
 
   test("watermark drops late data in append-mode event-time window") {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     // event-time rows: (event hour, value); watermark 0s, 1h windows,
     // append mode only finalizes windows older than max(eventTime)
@@ -268,7 +264,7 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming hourly window with watermark emits append-mode results") {
+  test("streaming hourly window aggregates in complete mode (append-mode late-drop covered above)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
     val enriched = Pipeline.enrich(Pipeline.project(
