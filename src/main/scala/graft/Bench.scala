@@ -6,42 +6,68 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A small warm-up runs
   * first so JVM/classloader/codegen startup is not billed to the
   * first query (the steady-state figure is what scales to a cluster;
-  * cold-start is a fixed cost paid once per application). */
+  * cold-start is a fixed cost paid once per application).
+  *
+  * Each query is materialized through the `noop` sink, which pulls
+  * EVERY output column through the full physical plan (unlike
+  * `.count()`, under which Catalyst prunes computed columns and drops
+  * the final sort — that under-measured projection-shaped queries in
+  * round 1). A query that throws is reported with a NEGATIVE elapsed
+  * time and an `"errors"` entry so the driver can distinguish a
+  * failure from a fast query. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JVM + parquet reader + codegen + one shuffle
+    // warm-up: JVM + parquet reader + codegen + one shuffle + noop sink
     try {
       import org.apache.spark.sql.functions._
-      spark.range(1000).selectExpr("id % 7 k", "id v").groupBy("k").count().count()
+      spark.range(1000).selectExpr("id % 7 k", "id v").groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()
       Tables.lineitem(spark, sfDir).select(count(lit(1))).count()
       Tables.documents(spark, sfDir).select(count(lit(1))).count()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    /** Full-result materialization: the noop sink consumes every row
+      * and every column of the final plan but writes nothing. */
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, None)
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          (-(System.nanoTime() - t0) / 1e9, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (secs, err) = run(name, fn)
+      (name, secs, err)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ").take(120) + "\""
+    }.mkString("{", ",", "}")
+    // total sums successful queries only; failures are visible via negative
+    // per-query entries and the errors map.
+    val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

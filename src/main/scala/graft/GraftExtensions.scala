@@ -37,10 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (args: Seq[Expression]) => args match {
-        case Seq(c) => MinHashSignature(c, 128, 42)
-        case Seq(c, k) => MinHashSignature(c, intArg(k, "k"), 42)
-        case Seq(c, k, s) => MinHashSignature(c, intArg(k, "k"), intArg(s, "seed"))
-        case _ => throw new IllegalArgumentException("minhash_signature(tokens[, k[, seed]])")
+        case Seq(c) => MinHashSignature(c, 1, 128, 42)
+        case Seq(c, k) => MinHashSignature(c, 1, intArg(k, "k"), 42)
+        case Seq(c, k, s) => MinHashSignature(c, 1, intArg(k, "k"), intArg(s, "seed"))
+        case Seq(c, k, s, n) =>
+          MinHashSignature(c, intArg(n, "shingle_n"), intArg(k, "k"), intArg(s, "seed"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(tokens[, k[, seed[, shingle_n]]])")
       }))
 
     ext.injectFunction((

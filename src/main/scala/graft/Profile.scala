@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler: times labeled sub-plans of expensive queries
+  * (noop-materialized, post-warm-up) so optimization targets the real
+  * cost, not a guess. Not part of the driver contract. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time(label: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // warm-up
+    spark.range(1000).selectExpr("id % 7 k").groupBy("k").count()
+      .write.format("noop").mode("overwrite").save()
+    Tables.documents(spark, sfDir).select(count(lit(1))).count()
+
+    import graft.functions.expressions._
+    import graft.queries.DedupQueries.shingles
+    val tokens = (c: org.apache.spark.sql.Column) => split(trim(c), "\\s+")
+
+    time("q43 full")(graft.queries.DedupQueries.minhashDedup(spark, sfDir))
+    time("docs scan only")(Tables.documents(spark, sfDir).select($"doc_id", $"text"))
+    time("tokenize")(Tables.documents(spark, sfDir).select($"doc_id", tokens($"text").as("t")))
+    time("shingles")(Tables.documents(spark, sfDir)
+      .select($"doc_id", shingles(tokens($"text"), 3).as("sh")))
+    time("fused sig n=3 k=128")(Tables.documents(spark, sfDir)
+      .select($"doc_id", minhash_signature(tokens($"text"), n = 3, k = 128, seed = 42).as("sig")))
+    time("q43 full again")(graft.queries.DedupQueries.minhashDedup(spark, sfDir))
+
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"label", $"embedding")
+    val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("emb_b"))
+    time("q45 pairs join only")(
+      a.join(b, Seq("label")).filter($"id_b" > $"id_a").select($"id_a", $"id_b"))
+    time("q45 pairs + cosine")(
+      a.join(b, Seq("label")).filter($"id_b" > $"id_a")
+        .select($"id_a", $"id_b", cosine_similarity($"emb_a", $"emb_b").as("c")))
+    time("q45 full")(graft.queries.DedupQueries.embeddingNearDups(spark, sfDir))
+    time("q47 full")(graft.queries.SimilarityQueries.nnWithinLabel(spark, sfDir))
+    spark.stop()
+  }
+}

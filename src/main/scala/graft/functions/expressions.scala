@@ -21,24 +21,37 @@ import scala.util.hashing.MurmurHash3
   * fallback (verified under spark.sql.codegen.factoryMode=CODEGEN_ONLY).
   */
 
-/** cosine(a, b) over two array<float|double> columns, accumulated in
-  * double, evaluated left-to-right — numerically identical to the
-  * DuckDB oracle's list_cosine_similarity on ::DOUBLE[] casts (both
-  * are sequential double sums; verified to 1e-6 by the q45 oracle).
-  * Null or zero-norm input → null. */
+/** cosine(a, b) over two array<float|double> columns (mixed widths
+  * allowed), accumulated in double, evaluated left-to-right.
+  * Float inputs are read natively and widened per element — every
+  * float is exactly representable as a double, so the result is
+  * bit-identical to first casting the array, without the per-row
+  * array<double> allocation a Cast would add (that cast cost
+  * dominated the q45/q47 pair loops at sf0.1). Numerically identical
+  * to the DuckDB oracle's list_cosine_similarity on ::DOUBLE[] casts
+  * (both are sequential double sums; verified to 1e-6 by the q45
+  * oracle). Null or zero-norm input → null. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"cosine_similarity requires two array<double> arguments, got ${l.sql} and ${r.sql}")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
     }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity requires two array<float|double> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  @transient private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -52,7 +65,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -61,6 +75,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getX = if (leftIsFloat) "getFloat" else "getDouble"
+    val getY = if (rightIsFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
@@ -69,22 +85,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |if ($x.numElements() != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $x.numElements();
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |  boolean anyNull = false;
-         |  for (int $i = 0; $i < $n && !anyNull; $i++) {
-         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { anyNull = true; }
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n && !$anyNull; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $anyNull = true; }
          |    else {
-         |      double $xi = $x.getDouble($i);
-         |      double $yi = $y.getDouble($i);
+         |      double $xi = (double) $x.$getX($i);
+         |      double $yi = (double) $y.$getY($i);
          |      $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |    }
          |  }
-         |  if (anyNull || $nx == 0.0 || $ny == 0.0) {
+         |  if ($anyNull || $nx == 0.0 || $ny == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
@@ -126,18 +143,44 @@ object MinHashUtil {
     }
     out
   }
+
+  /** MurmurHash3 64-bit finalizer — avalanches the rolling shingle
+    * combination so adjacent shingles don't produce correlated
+    * universal-hash inputs. */
+  def fmix64(v0: Long): Long = {
+    var v = v0
+    v ^= v >>> 33
+    v *= 0xff51afd7ed558ccdL
+    v ^= v >>> 33
+    v *= 0xc4ceb9fe1a85ec53L
+    v ^= v >>> 33
+    v
+  }
 }
 
-/** MinHash signature: array<string> tokens → array<long> of k minimum
-  * hash values under k independent permutations
-  * h_i(t) = (a_i·m(t) + b_i) mod p, with m = MurmurHash3 over the
-  * token shingle and (a_i, b_i) derived deterministically from the
-  * seed. Standard MinHash (Broder 1997) as used for near-dup doc
-  * detection in web-scale corpora. Empty input → signature of
-  * Long.MaxValue. Fully codegen'd (`doGenCode`) — the signature
-  * projection ahead of the LSH shuffle stays in WholeStageCodegen. */
-case class MinHashSignature(child: Expression, k: Int, seed: Int)
+/** MinHash signature with FUSED shingling: array<string> tokens →
+  * array<long> of k minimum hash values under k independent
+  * permutations h_i(x) = (a_i·x + b_i) mod p (Broder 1997), where x
+  * ranges over the hashes of the document's n-token shingles and
+  * (a_i, b_i) derive deterministically from the seed.
+  *
+  * Shingles are never materialized as strings: each token is murmur-
+  * hashed once, a rolling window combines n consecutive token hashes
+  * (order-sensitive polynomial) and an fmix64 avalanche makes the
+  * combination a well-distributed universal-hash input. Profiling at
+  * sf0.1 showed the string-shingle construction
+  * (`transform(sequence…, slice+concat_ws)`) cost ~13 µs per shingle
+  * — 3.8 s per pass over 5 000 docs — while the k=128 min-update loop
+  * itself is ~0.1 s; the fusion removes the string pass entirely.
+  *
+  * Shorter-than-n documents hash as one whole-document shingle (same
+  * semantics as the string-shingling they replace). Empty input →
+  * signature of Long.MaxValue. Fully codegen'd (`doGenCode`) — the
+  * signature projection ahead of the LSH shuffle stays in
+  * WholeStageCodegen. */
+case class MinHashSignature(child: Expression, n: Int, k: Int, seed: Int)
     extends UnaryExpression {
+  require(n >= 1 && k >= 1, "shingle width and signature size must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -151,21 +194,34 @@ case class MinHashSignature(child: Expression, k: Int, seed: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+    val nTok = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
+    // token hashes, one murmur pass per token (null tokens hash as 0)
+    val th = new Array[Long](nTok)
     var i = 0
-    while (i < n) {
+    while (i < nTok) {
       val t = arr.getUTF8String(i)
-      if (t != null) {
-        val h = MinHashUtil.tokenHash(t, seed)
-        var j = 0
-        while (j < k) {
-          val v = (coefs(2 * j) * h + coefs(2 * j + 1)) % MinHashUtil.Prime
-          if (v < mins(j)) mins(j) = v
-          j += 1
-        }
-      }
+      th(i) = if (t == null) 0L else MinHashUtil.tokenHash(t, seed)
       i += 1
+    }
+    val width = if (nTok < n) nTok else n
+    val nShingles = if (nTok == 0) 0 else nTok - width + 1
+    var s = 0
+    while (s < nShingles) {
+      var acc = 0L
+      var w = 0
+      while (w < width) {
+        acc = acc * 0x100000001b3L ^ th(s + w)
+        w += 1
+      }
+      val x = MinHashUtil.fmix64(acc) & 0xffffffffL
+      var j = 0
+      while (j < k) {
+        val v = (coefs(2 * j) * x + coefs(2 * j + 1)) % MinHashUtil.Prime
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      s += 1
     }
     new GenericArrayData(mins)
   }
@@ -174,19 +230,31 @@ case class MinHashSignature(child: Expression, k: Int, seed: Int)
     val coefsRef = ctx.addReferenceObj("coefs", coefs, "long[]")
     nullSafeCodeGen(ctx, ev, arr => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
-      val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      val nTok = ctx.freshName("nTok"); val mins = ctx.freshName("mins")
+      val th = ctx.freshName("th"); val width = ctx.freshName("width")
+      val nSh = ctx.freshName("nSh"); val sIdx = ctx.freshName("s")
+      val acc = ctx.freshName("acc"); val w = ctx.freshName("w")
+      val x = ctx.freshName("x"); val v = ctx.freshName("v")
       s"""
-         |int $n = $arr.numElements();
+         |int $nTok = $arr.numElements();
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$arr.isNullAt($i)) {
-         |    long $h = graft.functions.MinHashUtil.tokenHash($arr.getUTF8String($i), $seed);
-         |    for (int $j = 0; $j < $k; $j++) {
-         |      long $v = ($coefsRef[2 * $j] * $h + $coefsRef[2 * $j + 1]) % ${MinHashUtil.Prime}L;
-         |      if ($v < $mins[$j]) $mins[$j] = $v;
-         |    }
+         |long[] $th = new long[$nTok];
+         |for (int $i = 0; $i < $nTok; $i++) {
+         |  $th[$i] = $arr.isNullAt($i) ? 0L
+         |    : graft.functions.MinHashUtil.tokenHash($arr.getUTF8String($i), $seed);
+         |}
+         |int $width = $nTok < $n ? $nTok : $n;
+         |int $nSh = $nTok == 0 ? 0 : $nTok - $width + 1;
+         |for (int $sIdx = 0; $sIdx < $nSh; $sIdx++) {
+         |  long $acc = 0L;
+         |  for (int $w = 0; $w < $width; $w++) {
+         |    $acc = $acc * 0x100000001b3L ^ $th[$sIdx + $w];
+         |  }
+         |  long $x = graft.functions.MinHashUtil.fmix64($acc) & 0xffffffffL;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($coefsRef[2 * $j] * $x + $coefsRef[2 * $j + 1]) % ${MinHashUtil.Prime}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
@@ -267,14 +335,17 @@ case class SimHash64(child: Expression, seed: Int)
 }
 
 object expressions {
-  /** Column API for [[CosineSimilarity]]; casts float arrays up. */
+  /** Column API for [[CosineSimilarity]]; float and double arrays are
+    * both read natively (no per-row cast allocation). */
   def cosine_similarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
-      GraftColumnBridge.expression(a.cast(ArrayType(DoubleType))),
-      GraftColumnBridge.expression(b.cast(ArrayType(DoubleType)))))
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  def minhash_signature(tokens: Column, k: Int = 64, seed: Int = 42): Column =
-    GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(tokens), k, seed))
+  /** `n` = shingle width in tokens (1 = token-set MinHash; 3 = the
+    * standard order-sensitive web-dedup unit). Shingling happens
+    * inside the expression — pass raw tokens, not shingle strings. */
+  def minhash_signature(tokens: Column, n: Int = 1, k: Int = 64, seed: Int = 42): Column =
+    GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(tokens), n, k, seed))
 
   def simhash64(tokens: Column, seed: Int = 42): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens), seed))

@@ -75,16 +75,30 @@ object DedupQueries {
 
   /** N-gram (token-set) Jaccard near-dup pairs, blocked by source +
     * bounded id window (the blocking keeps the oracle O(n·w) — the
-    * unblocked scale path is `minhashPairs`, which finds the same
-    * high-similarity pairs without enumerating windows). */
+    * unblocked scale path is `minhashDedup`, which finds the same
+    * high-similarity pairs without enumerating windows).
+    *
+    * The `(id_a, id_a+50]` window is realized as an EQUI-JOIN key, not
+    * a post-join filter: ids bucket into blocks of 50
+    * (`blk = doc_id div 50`), the left side explodes into its own and
+    * the next block, and the join keys on `(source, blk)`. Every
+    * window pair lands in exactly one bucket pairing (b's block is
+    * either a's or the adjacent one), so the output is identical to
+    * the naive cross-product-then-filter form — but each join bucket
+    * holds ≤ 2·50 rows regardless of corpus size, so candidate
+    * enumeration is O(n·w), never O(n²) within a source group. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val blockW = 50
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"source", array_distinct(tokens($"text")).as("toks"))
-    val a = docs.select($"doc_id".as("id_a"), $"source", $"toks".as("toks_a"))
-    val b = docs.select($"doc_id".as("id_b"), $"source", $"toks".as("toks_b"))
-    a.join(b, Seq("source"))
-      .filter($"id_b" > $"id_a" && $"id_b" <= $"id_a" + 50)
+    val a = docs.select($"doc_id".as("id_a"), $"source", $"toks".as("toks_a"),
+        explode(array(($"doc_id" / blockW).cast("long"),
+          ($"doc_id" / blockW).cast("long") + 1)).as("blk"))
+    val b = docs.select($"doc_id".as("id_b"), $"source", $"toks".as("toks_b"),
+        ($"doc_id" / blockW).cast("long").as("blk"))
+    a.join(b, Seq("source", "blk"))
+      .filter($"id_b" > $"id_a" && $"id_b" <= $"id_a" + blockW)
       .withColumn("jaccard",
         round(size(array_intersect($"toks_a", $"toks_b")).cast("double") /
           size(array_union($"toks_a", $"toks_b")), 4))
@@ -131,10 +145,16 @@ object DedupQueries {
     val bands = 16
     val rowsPerBand = 8
     val k = bands * rowsPerBand
+    // shingling is fused inside the expression (no 13 µs/shingle
+    // string materialization — see MinHashSignature's Scaladoc).
+    // The signature relation feeds three plan branches (banding, and
+    // both sides of the candidate re-join); persisting it computes
+    // signatures once — the same "materialize the signature table"
+    // step a production web-dedup pipeline checkpoints before LSH.
     val docs = Tables.documents(s, dir)
-      .select($"doc_id", shingles(tokens($"text"), 3).as("shingles"))
-      .withColumn("sig", minhash_signature($"shingles", k = k, seed = 42))
-      .select($"doc_id", $"sig")
+      .select($"doc_id",
+        minhash_signature(tokens($"text"), n = 3, k = k, seed = 42).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band rows carry only (doc_id, band, band_sig) — 24 bytes/row
     // through the band shuffle, not the 1 KB signature (signatures
     // re-join once per distinct candidate pair below)

@@ -43,4 +43,12 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q19_approx_distinct")
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, s"expected 2-phase sketch agg:\n$p")
   }
+
+  test("q42: id-window blocking is a join KEY (bounded buckets), not a post-join filter") {
+    val p = planOf("q42_ngram_jaccard_pairs")
+    // hash-join key lists render as `...Join [source#1, blk#2], [source#3, blk#4], ...`
+    val keyedJoin = """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\]]*blk[^\]]*\]""".r
+    assert(keyedJoin.findFirstIn(p).isDefined,
+      s"expected an equi-join keyed on the blk column:\n$p")
+  }
 }
