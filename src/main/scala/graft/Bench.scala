@@ -14,7 +14,18 @@ import org.apache.spark.sql.SparkSession
   * the final sort — that under-measured projection-shaped queries in
   * round 1). A query that throws is reported with a NEGATIVE elapsed
   * time and an `"errors"` entry so the driver can distinguish a
-  * failure from a fast query. */
+  * failure from a fast query.
+  *
+  * Every query runs twice: the primary `value`/`queries` figures are
+  * the COLD runs (first execution, including Catalyst planning and
+  * Janino whole-stage-codegen compilation — the conservative number),
+  * and `value_warm`/`queries_warm` are the immediate re-runs, where
+  * the codegen cache is hot and only planning + execution remain.
+  * Profiling showed compile cost is ~0.3–0.5 s per query at tiny SF —
+  * a fixed per-query-SHAPE cost that amortizes to noise on a cluster
+  * running a query over 100 TB, which is why both numbers are
+  * reported: cold bounds the worst case, warm approximates the
+  * steady-state marginal cost that actually scales. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,18 +67,23 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (secs, err) = run(name, fn)
-      (name, secs, err)
+      val (cold, err) = run(name, fn)
+      val (warm, _) = if (err.isEmpty) run(name, fn) else (cold, err)
+      (name, cold, warm, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
+    def jmap(f: ((String, Double, Double, Option[String])) => (String, Double)): String =
+      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap { case (k, cold, _, _) => (k, cold) }
+    val qsWarm = jmap { case (k, _, warm, _) => (k, warm) }
+    val errs = results.collect { case (k, _, _, Some(m)) =>
       "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ").take(120) + "\""
     }.mkString("{", ",", "}")
-    // total sums successful queries only; failures are visible via negative
+    // totals sum successful queries only; failures are visible via negative
     // per-query entries and the errors map.
-    val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.map { case (_, v, _, _) => math.max(v, 0.0) }.sum
+    val totalWarm = results.map { case (_, _, v, _) => math.max(v, 0.0) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_warm":$totalWarm,""" +
+      s""""queries":$qs,"queries_warm":$qsWarm,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

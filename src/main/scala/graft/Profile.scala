@@ -54,6 +54,26 @@ object Profile {
         .select($"id_a", $"id_b", cosine_similarity($"emb_a", $"emb_b").as("c")))
     time("q45 full")(graft.queries.DedupQueries.embeddingNearDups(spark, sfDir))
     time("q47 full")(graft.queries.SimilarityQueries.nnWithinLabel(spark, sfDir))
+
+    // fixed-cost decomposition
+    time("floor: docs project only")(
+      Tables.documents(spark, sfDir).select($"doc_id", length($"text").as("l")))
+    time("floor + global orderBy")(
+      Tables.documents(spark, sfDir).select($"doc_id", length($"text").as("l"))
+        .orderBy($"doc_id"))
+    time("floor + repart1 sortWithin")(
+      Tables.documents(spark, sfDir).select($"doc_id", length($"text").as("l"))
+        .repartition(1).sortWithinPartitions($"doc_id"))
+    val vaderUdf = udf((t: String) => graft.functions.Vader.score(t))
+    val vaderNoSort = Tables.documents(spark, sfDir)
+      .withColumn("v", vaderUdf(graft.queries.TextQueries.cleanText($"text")))
+      .select($"doc_id", $"v.compound".as("compound"))
+    time("q33 as-is")(graft.queries.SentimentQueries.vaderDocs(spark, sfDir))
+    time("q33-like no sort")(vaderNoSort)
+    time("q33-like repart1 sort")(vaderNoSort.repartition(1).sortWithinPartitions($"doc_id"))
+    time("q09 as-is")(graft.queries.Relational.distinctParts(spark, sfDir))
+    time("q33 again")(graft.queries.SentimentQueries.vaderDocs(spark, sfDir))
+    time("q09 again")(graft.queries.Relational.distinctParts(spark, sfDir))
     spark.stop()
   }
 }

@@ -24,6 +24,13 @@ case class AnalyzeSentiment(child: Expression)
   override def dataType: DataType = AnalyzeSentiment.schema
   override def nullable: Boolean = false
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"analyze_sentiment requires a string argument, got ${other.sql}")
+    }
+
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     val text = if (v == null) null else v.asInstanceOf[UTF8String].toString

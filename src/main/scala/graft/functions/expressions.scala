@@ -334,6 +334,106 @@ case class SimHash64(child: Expression, seed: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Deterministic random-hyperplane LSH bucket (Charikar 2002 sign-
+  * random-projection): an embedding hashes to an `planes`-bit bucket
+  * id where bit p is the SIGN of the dot product with pseudo-random
+  * hyperplane p. Plane components derive from pure INTEGER arithmetic
+  * (Knuth multiplicative hashing):
+  *
+  *   raw(p, j)  = ((p·100003 + j + 1) · 2654435761) mod 1000003
+  *   comp(p, j) = raw/500001.5 − 1.0          ∈ [−1, 1)
+  *
+  * — so the exact same plane matrix is constructible in ANSI SQL as
+  * double literals, which is what upgrades the LSH similarity queries
+  * from rows-only checks to hard DuckDB oracle matches (the dot
+  * products are sequential double sums in both engines → identical
+  * signs → identical buckets). No broadcast state: every executor
+  * recomputes the 8×dim matrix from two integer constants.
+  * Accepts array<float|double>; null input → null. */
+case class HyperplaneBucket(child: Expression, planes: Int, seed: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 30, "planes must be in [1, 30]")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bucket requires array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val n = e.numElements()
+    val dots = new Array[Double](planes)
+    var j = 0
+    while (j < n) {
+      val x = if (e.isNullAt(j)) 0.0
+        else if (isFloat) e.getFloat(j).toDouble else e.getDouble(j)
+      var p = 0
+      while (p < planes) {
+        dots(p) += x * HyperplaneBucket.component(p, j, seed)
+        p += 1
+      }
+      j += 1
+    }
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      if (dots(p) > 0.0) bucket |= 1 << p
+      p += 1
+    }
+    java.lang.Integer.valueOf(bucket)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, e => {
+      val j = ctx.freshName("j"); val p = ctx.freshName("p")
+      val n = ctx.freshName("n"); val dots = ctx.freshName("dots")
+      val x = ctx.freshName("x"); val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = $e.numElements();
+         |double[] $dots = new double[$planes];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  double $x = $e.isNullAt($j) ? 0.0 : (double) $e.$get($j);
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    $dots[$p] += $x * graft.functions.HyperplaneBucket.component($p, $j, $seed);
+         |  }
+         |}
+         |int $bucket = 0;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  if ($dots[$p] > 0.0) $bucket |= 1 << $p;
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HyperplaneBucket {
+  /** Plane component (p, j) — integer-exact, JVM-static for codegen.
+    * `seed` offsets the index stream so independent hash families are
+    * available; seed 0 matches the published SQL-literal formula. */
+  def component(p: Int, j: Int, seed: Int): Double = {
+    val raw = (((p.toLong * 100003L) + j + 1 + seed) * 2654435761L) % 1000003L
+    raw.toDouble / 500001.5 - 1.0
+  }
+
+  /** The same matrix as a DuckDB double-literal array (for oracle
+    * SQL): `[c0, c1, …]::DOUBLE[]` for plane p at dimension dim.
+    * Double.toString round-trips exactly, so both engines see
+    * bit-identical plane components. */
+  def planeSqlLiteral(p: Int, dim: Int, seed: Int): String =
+    (0 until dim).map(j => component(p, j, seed).toString)
+      .mkString("[", ",", "]::DOUBLE[]")
+}
+
 object expressions {
   /** Column API for [[CosineSimilarity]]; float and double arrays are
     * both read natively (no per-row cast allocation). */
@@ -349,6 +449,9 @@ object expressions {
 
   def simhash64(tokens: Column, seed: Int = 42): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens), seed))
+
+  def hyperplane_bucket(emb: Column, planes: Int = 8, seed: Int = 0): Column =
+    GraftColumnBridge.column(HyperplaneBucket(GraftColumnBridge.expression(emb), planes, seed))
 
   def codepoint_rolling_hash(c: Column): Column =
     GraftColumnBridge.column(CodepointRollingHash(GraftColumnBridge.expression(c)))

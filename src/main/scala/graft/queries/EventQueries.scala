@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -163,17 +163,29 @@ object EventQueries {
 
   /** Sketch aggregate (north-star extension, SURVEY §7.4): per-type
     * distinct users via the mergeable HLL TypedImperativeAggregate,
-    * side by side with the exact count. Rows-only (the estimate is
-    * algorithm-specific); SketchSpec pins accuracy and merge
-    * invariance. */
+    * SELF-VALIDATING against the exact count computed in the same
+    * query: `hll_within_5pct` asserts |hll−exact|/exact ≤ 0.05, and
+    * the oracle pins that column to literal true — so the sketch gets
+    * a full rows+schema+hash correctness row instead of a rows-only
+    * pass (the raw estimate itself is algorithm-specific; SketchSpec
+    * pins accuracy and merge invariance, and the `hll_distinct` SQL
+    * function exposes the sketch directly). */
   def approxDistinctUsers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy($"event_type")
       .agg(countDistinct($"user_id").as("exact_users"),
         graft.functions.HllSketch.hll_distinct($"user_id").as("approx_users"))
+      .select($"event_type", $"exact_users",
+        (abs($"approx_users" - $"exact_users").cast("double") / $"exact_users" <= 0.05)
+          .as("hll_within_5pct"))
       .orderBy($"event_type")
   }
+
+  val approxDistinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  true AS hll_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Sessionization: gap-based user sessions (30-minute inactivity
     * closes a session) via the lag → gap-flag → running-sum pattern —
@@ -235,10 +247,51 @@ object EventQueries {
       |  round(quantile_cont(value, 0.99), 4) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Approximate percentiles — the 100 TB sibling of q29 (VERDICT r01
+    * next-steps #10): `percentile_approx` keeps a fixed-size mergeable
+    * Greenwald–Khanna sketch per group (map-side partials, no
+    * sort-every-group like exact percentile). Self-validating like
+    * q19, with a RANK-SANDWICH bound rather than a value tolerance
+    * (the approx is a discrete order statistic while exact
+    * `percentile` interpolates — on small groups a value tolerance is
+    * ill-posed): the approx p must land between the interpolated
+    * (p−0.02) and (p+0.02) quantiles, which holds by rank monotonicity
+    * whenever the sketch's rank error ≤ 0.02·n (groups ≥ ~52 rows;
+    * every fixture SF qualifies). Booleans pinned to true in the
+    * oracle; the exact p50/p95 are oracle-matched values. */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sandwiched(a: Column, lo: Column, hi: Column): Column = a >= lo && a <= hi
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("e50"),
+        expr("percentile(value, 0.95)").as("e95"),
+        expr("percentile(value, 0.48)").as("lo50"),
+        expr("percentile(value, 0.52)").as("hi50"),
+        expr("percentile(value, 0.93)").as("lo95"),
+        expr("percentile(value, 0.97)").as("hi95"),
+        expr("percentile_approx(value, 0.5, 10000)").as("a50"),
+        expr("percentile_approx(value, 0.95, 10000)").as("a95"))
+      .select($"event_type",
+        round($"e50", 4).as("p50"), round($"e95", 4).as("p95"),
+        sandwiched($"a50", $"lo50", $"hi50").as("approx_p50_in_rank_band"),
+        sandwiched($"a95", $"lo95", $"hi95").as("approx_p95_in_rank_band"))
+      .orderBy($"event_type")
+  }
+
+  val approxPercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95,
+      |  true AS approx_p50_in_rank_band,
+      |  true AS approx_p95_in_rank_band
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_approx_distinct" -> (approxDistinctUsers _),
     "q28_sessionize" -> (sessionize _),
     "q29_value_percentiles" -> (valuePercentiles _),
+    "q56_approx_percentiles" -> (approxPercentiles _),
     "q12_event_summary" -> (eventSummary _),
     "q13_recent_events" -> (recentEvents _),
     "q14_export_events" -> (exportEvents _),
@@ -249,8 +302,10 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q19_approx_distinct" -> approxDistinctUsersSql,
     "q28_sessionize" -> sessionizeSql,
     "q29_value_percentiles" -> valuePercentilesSql,
+    "q56_approx_percentiles" -> approxPercentilesSql,
     "q12_event_summary" -> eventSummarySql,
     "q13_recent_events" -> recentEventsSql,
     "q14_export_events" -> exportEventsSql,

@@ -81,31 +81,20 @@ object SimilarityQueries {
       |    ON a.label = b.label AND a.vec_id <> b.vec_id)
       |WHERE rn = 1 ORDER BY id_a""".stripMargin
 
-  /** Random-hyperplane LSH ANN: 8 seeded pseudo-hyperplanes → 256
-    * sign buckets; top-3 neighbors within bucket. Hyperplane
-    * component j of plane p is a deterministic hash-derived value in
-    * [−1, 1] — reproducible across executors with no broadcast state.
-    * Rows-only check (hash-seeded projections aren't SQL-expressible);
-    * AnnSpec asserts recall vs brute force. */
+  /** Random-hyperplane LSH ANN: 8 deterministic hyperplanes → 256
+    * sign buckets via the codegen'd
+    * [[graft.functions.HyperplaneBucket]] expression; top-3 neighbors
+    * within bucket. Plane components derive from integer arithmetic,
+    * so the EXACT buckets are reproducible in the DuckDB oracle as
+    * double-literal plane arrays — this is an oracle-hash-checked LSH
+    * query, not a rows-only one. AnnSpec additionally asserts recall
+    * vs brute force. Scale shape: one bucket-keyed shuffle of
+    * (id, bucket, vector), per-bucket re-rank, WindowGroupLimit
+    * bounds the candidate sort. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val planes = 8
-    // deterministic pseudo-random hyperplane components via murmur-mix
-    def planeComponent(p: Int, j: Int): Double = {
-      val h = scala.util.hashing.MurmurHash3.productHash((p, j), 42)
-      (h.toDouble / Int.MaxValue)
-    }
-    val dim = 64
-    val planeArrays = (0 until planes).map(p => (0 until dim).map(j => planeComponent(p, j)).toArray)
-    val bucketOf = (emb: org.apache.spark.sql.Column) =>
-      planeArrays.zipWithIndex.map { case (pa, p) =>
-        val dot = aggregate(
-          zip_with(array(pa.map(lit): _*), emb.cast("array<double>"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
     val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"label", $"embedding", bucketOf($"embedding").as("bucket"))
+      .select($"vec_id", $"embedding", hyperplane_bucket($"embedding", 8, 0).as("bucket"))
     val a = e.select($"vec_id".as("query_id"), $"bucket", $"embedding".as("q_emb"))
       .filter($"query_id" < 10)
     val b = e.select($"vec_id".as("neighbor_id"), $"bucket", $"embedding".as("n_emb"))
@@ -118,6 +107,64 @@ object SimilarityQueries {
       .select($"query_id", $"neighbor_id", $"cosine", $"rank", $"bucket")
       .orderBy($"query_id", $"rank")
   }
+
+  /** The 8×64 bucket computation as DuckDB SQL — bit p of the bucket
+    * is the sign of the dot product with the SAME integer-derived
+    * plane matrix [[graft.functions.HyperplaneBucket]] uses (double
+    * literals round-trip exactly; both engines sum left-to-right in
+    * double, so signs — hence buckets — agree bit-for-bit). */
+  private[graft] def bucketSql: String = {
+    val bits = (0 until 8).map { p =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
+        s"${graft.functions.HyperplaneBucket.planeSqlLiteral(p, 64, 0)}) > 0 " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"SELECT vec_id, label, embedding::DOUBLE[] AS e, $bits AS bucket FROM embeddings"
+  }
+
+  val annLshSql: String =
+    s"""WITH b AS ($bucketSql)
+      |SELECT query_id, neighbor_id, cosine, rank, bucket FROM (
+      |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id, a.bucket AS bucket,
+      |    round(list_cosine_similarity(a.e, c.e), 6) AS cosine,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY round(list_cosine_similarity(a.e, c.e), 6) DESC, c.vec_id) AS rank
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+      |  WHERE a.vec_id < 10)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Scale-path sibling of q47 (VERDICT r01 "What's wrong" #3): the
+    * per-vector nearest neighbor computed over LSH-bucket candidates
+    * with exact cosine re-rank — one bucket-keyed shuffle instead of
+    * a label-block cross product. Output shrinks to vectors that have
+    * at least one bucket-mate (an IVF/LSH index answers from its own
+    * cell); the blocked q47 remains the small-sf exact oracle of the
+    * full-coverage semantics. */
+  def nnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", hyperplane_bucket($"embedding", 8, 0).as("bucket"))
+    val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("id_b"), $"bucket", $"embedding".as("emb_b"))
+    val w = Window.partitionBy($"id_a").orderBy($"cosine".desc, $"id_b")
+    a.join(b, Seq("bucket"))
+      .filter($"id_a" =!= $"id_b")
+      .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"id_a", $"id_b".as("nearest_id"), $"cosine", $"bucket")
+      .orderBy($"id_a")
+  }
+
+  val nnLshSql: String =
+    s"""WITH b AS ($bucketSql)
+      |SELECT id_a, nearest_id, cosine, bucket FROM (
+      |  SELECT a.vec_id AS id_a, c.vec_id AS nearest_id, a.bucket AS bucket,
+      |    round(list_cosine_similarity(a.e, c.e), 6) AS cosine,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY round(list_cosine_similarity(a.e, c.e), 6) DESC, c.vec_id) AS rn
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+      |WHERE rn = 1 ORDER BY id_a""".stripMargin
 
   /** Generator/explode surface (SURVEY §2.10 UDTF note): per-dimension
     * corpus statistics via posexplode of the embedding arrays —
@@ -151,11 +198,14 @@ object SimilarityQueries {
     "q46_cosine_topk" -> (cosineTopK _),
     "q47_nn_within_label" -> (nnWithinLabel _),
     "q48_ann_lsh" -> (annLsh _),
+    "q55_nn_lsh" -> (nnLsh _),
   )
 
   val oracles: Map[String, String] = Map(
     "q46_cosine_topk" -> cosineTopKSql,
     "q47_nn_within_label" -> nnWithinLabelSql,
+    "q48_ann_lsh" -> annLshSql,
     "q49_embedding_dim_stats" -> embeddingDimStatsSql,
+    "q55_nn_lsh" -> nnLshSql,
   )
 }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.{DriverManager, SQLException, Types}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** K3's actual storage backend: a JDBC sink with INSERT-IGNORE
+  * semantics — the reference stores every analyzed tweet with
+  * `INSERT OR IGNORE` (SQLite) / `ON CONFLICT DO NOTHING` (PostgreSQL)
+  * (sentiment_analysis.py:94-149, 367-448); this is the Spark-side
+  * equivalent for any JDBC database with a primary/unique key on the
+  * target table.
+  *
+  * Semantics: each row is inserted; a duplicate-key violation
+  * (SQLState 23xxx) is swallowed — the FIRST writer of a key wins,
+  * exactly the reference's behavior. Because the no-op on conflict
+  * makes every insert idempotent, the at-least-once delivery of
+  * `foreachBatch` upgrades to effectively-once end-to-end without a
+  * transactional sink.
+  *
+  * Scale notes: one connection per partition (no driver funnel),
+  * periodic commits bound transaction size, and the row-at-a-time
+  * conflict handling mirrors the reference's executemany loop. At
+  * real scale against PostgreSQL you would switch the statement to
+  * the database's native `INSERT … ON CONFLICT DO NOTHING` (one
+  * round-trip per batch, no exception control flow); Derby — the
+  * embedded database available in this sandbox — has no such clause,
+  * so the portable per-row form is the tested path. */
+object JdbcSink {
+
+  private def sqlTypeOf(dt: DataType): Int = dt match {
+    case StringType => Types.VARCHAR
+    case LongType => Types.BIGINT
+    case IntegerType => Types.INTEGER
+    case DoubleType => Types.DOUBLE
+    case FloatType => Types.FLOAT
+    case BooleanType => Types.BOOLEAN
+    case TimestampType => Types.TIMESTAMP
+    case DateType => Types.DATE
+    case _: DecimalType => Types.DECIMAL
+    case _ => Types.OTHER
+  }
+
+  private def isDuplicateKey(e: SQLException): Boolean =
+    Option(e.getSQLState).exists(s => s == "23505" || s.startsWith("23"))
+
+  /** Insert every row of `batch` into `table` (columns matched by
+    * name), ignoring duplicate-key violations. Executor-side: one
+    * JDBC connection per partition. */
+  def insertIgnore(batch: DataFrame, url: String, table: String,
+                   commitEvery: Int = 1000): Unit = {
+    val cols = batch.columns
+    val types = batch.schema.fields.map(f => sqlTypeOf(f.dataType))
+    val insertSql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    batch.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(insertSql)
+          var n = 0
+          rows.foreach { r =>
+            var i = 0
+            while (i < cols.length) {
+              val v = r.get(i)
+              if (v == null) ps.setNull(i + 1, types(i)) else ps.setObject(i + 1, v)
+              i += 1
+            }
+            try ps.executeUpdate()
+            catch { case e: SQLException if isDuplicateKey(e) => () } // first writer wins
+            n += 1
+            if (n % commitEvery == 0) conn.commit()
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Streaming K3: enriched tweets → JDBC table, effectively-once via
+    * checkpoint (at-least-once replay) × idempotent insert-ignore.
+    * Batches are deduped first so a single batch carrying conflicting
+    * rows for one key inserts its deterministic representative. */
+  def writer(enriched: DataFrame, url: String, table: String, checkpoint: String,
+             trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+  : DataStreamWriter[Row] =
+    enriched.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        insertIgnore(Pipeline.dedupBatch(batch), url, table)
+      }
+}

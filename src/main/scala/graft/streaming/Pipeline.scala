@@ -167,7 +167,17 @@ object Pipeline {
     * (K3's INSERT OR IGNORE): the kept row per tweet_id is the
     * lexicographically smallest full row, so replays and re-runs are
     * byte-identical even when a batch carries conflicting rows for
-    * one id (dropDuplicates keeps an arbitrary partition-order row). */
+    * one id (dropDuplicates keeps an arbitrary partition-order row).
+    *
+    * Shuffle width: min(struct(*)) aggregates MAP-SIDE (partial
+    * HashAggregate before the exchange), so the shuffle carries at
+    * most one full row per (tweet_id × map partition) — on a mostly-
+    * unique stream that is ~the input rows, same as any dedup that
+    * must deliver whole rows; on a duplicate-heavy replay it shrinks
+    * with the duplicate factor. A narrower key→min-fingerprint
+    * exchange plus a payload re-join would trade one exchange of
+    * full rows for two exchanges plus a join — only worth it when
+    * rows are KB-wide; tweet rows are ~300 B. */
   def dedupBatch(df: DataFrame): DataFrame = {
     val cols = df.columns
     df.groupBy(col("tweet_id"))
@@ -212,23 +222,26 @@ object Pipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // partitionOverwriteMode is scoped PER WRITE via the writer
+        // option (not session conf — a session-global set would race
+        // concurrent queries on the shared SparkSession and leak past
+        // this batch).
         val b = dedupBatch(batch)
           .withColumn("date_hour", date_format(col("processed_at"), "yyyyMMdd_HH"))
           .persist()
         try {
           b.drop("date_hour").withColumn("_batch_id", lit(batchId))
-            .write.mode("overwrite").partitionBy("_batch_id").parquet(tweetsPath)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id").parquet(tweetsPath)
           // json sink replay-idempotent too: dynamic overwrite of this
           // batch's (date_hour, _batch_id) partitions only
           b.withColumn("_batch_id", lit(batchId))
-            .write.mode("overwrite").partitionBy("date_hour", "_batch_id").json(jsonPath)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date_hour", "_batch_id").json(jsonPath)
         } finally {
           b.unpersist()
-          prior.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-            v => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
         }
       }
   }

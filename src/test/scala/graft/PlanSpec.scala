@@ -44,6 +44,16 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, s"expected 2-phase sketch agg:\n$p")
   }
 
+  test("q54/q55: LSH similarity joins key on the hash bucket — no label-block cross product") {
+    Seq("q54_embedding_neardups_lsh", "q55_nn_lsh").foreach { q =>
+      val p = planOf(q)
+      val keyedJoin = """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\]]*bucket[^\]]*\]""".r
+      assert(keyedJoin.findFirstIn(p).isDefined,
+        s"$q: expected an equi-join keyed on bucket:\n$p")
+      assert(!p.contains("label#"), s"$q: label must not appear in the plan at all")
+    }
+  }
+
   test("q42: id-window blocking is a join KEY (bounded buckets), not a post-join filter") {
     val p = planOf("q42_ngram_jaccard_pairs")
     // hash-join key lists render as `...Join [source#1, blk#2], [source#3, blk#4], ...`
