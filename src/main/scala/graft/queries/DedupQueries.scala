@@ -177,12 +177,13 @@ object DedupQueries {
       .groupBy($"doc_id")
       .agg(min($"min_id").as("dup_of"),
         round(min_by($"est_j", $"min_id"), 4).as("est_jaccard")) // similarity OF the kept pair
+    // no global sort: per-doc decisions need no total order, and the
+    // range-sampler would re-execute the assembly join for sampling
     docs.join(dropped, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"dup_of", $"doc_id").as("keeper_id"),
         $"dup_of".isNotNull.as("is_dup"),
         coalesce($"est_jaccard", lit(1.0)).as("est_jaccard"))
-      .orderBy($"doc_id")
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint, candidates via 4×16

@@ -232,11 +232,16 @@ object EventQueries {
     * `quantile_cont` both linearly interpolate). */
   def valuePercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ONE percentile aggregate evaluating all three points — a single
+    // per-group value buffer instead of three (array-percentile shares
+    // the sorted digest across requested points).
     Tables.events(s, dir)
       .groupBy($"event_type")
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.95)"), 4).as("p95"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("ps"))
+      .select($"event_type",
+        round($"ps"(0), 4).as("p50"),
+        round($"ps"(1), 4).as("p95"),
+        round($"ps"(2), 4).as("p99"))
       .orderBy($"event_type")
   }
 
@@ -262,20 +267,16 @@ object EventQueries {
   def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def sandwiched(a: Column, lo: Column, hi: Column): Column = a >= lo && a <= hi
+    // one exact-percentile buffer for all six points + one GK sketch
+    // for both approx points (array forms share per-group state)
     Tables.events(s, dir)
       .groupBy($"event_type")
-      .agg(expr("percentile(value, 0.5)").as("e50"),
-        expr("percentile(value, 0.95)").as("e95"),
-        expr("percentile(value, 0.48)").as("lo50"),
-        expr("percentile(value, 0.52)").as("hi50"),
-        expr("percentile(value, 0.93)").as("lo95"),
-        expr("percentile(value, 0.97)").as("hi95"),
-        expr("percentile_approx(value, 0.5, 10000)").as("a50"),
-        expr("percentile_approx(value, 0.95, 10000)").as("a95"))
+      .agg(expr("percentile(value, array(0.48, 0.5, 0.52, 0.93, 0.95, 0.97))").as("e"),
+        expr("percentile_approx(value, array(0.5, 0.95), 10000)").as("a"))
       .select($"event_type",
-        round($"e50", 4).as("p50"), round($"e95", 4).as("p95"),
-        sandwiched($"a50", $"lo50", $"hi50").as("approx_p50_in_rank_band"),
-        sandwiched($"a95", $"lo95", $"hi95").as("approx_p95_in_rank_band"))
+        round($"e"(1), 4).as("p50"), round($"e"(4), 4).as("p95"),
+        sandwiched($"a"(0), $"e"(0), $"e"(2)).as("approx_p50_in_rank_band"),
+        sandwiched($"a"(1), $"e"(3), $"e"(5)).as("approx_p95_in_rank_band"))
       .orderBy($"event_type")
   }
 

@@ -56,7 +56,10 @@ object MediaQueries {
 
   /** Batched (stub) decode + feature extraction via mapPartitions —
     * rows-only (hash-derived embeddings aren't SQL-reproducible);
-    * MultimodalSpec pins determinism and unit-norm. */
+    * MultimodalSpec pins determinism and unit-norm. No global sort:
+    * a total order on a per-doc map output is semantically inert and
+    * its range-sampling pass would run the featurizer twice (see
+    * SentimentQueries.vaderDocs). */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Multimodal.featurize(Tables.documents(s, dir), dim = 16, batchSize = 32)
@@ -64,11 +67,11 @@ object MediaQueries {
         $"meta.width".as("width"), $"meta.height".as("height"),
         round(element_at($"embedding", 1), 6).as("e0"),
         round(element_at($"embedding", 2), 6).as("e1"))
-      .orderBy($"doc_id")
   }
 
   /** Language-ID heuristic over documents — rows-only (per-language
-    * profile scoring is a Scala function; LangIdSpec pins goldens). */
+    * profile scoring is a Scala function; LangIdSpec pins goldens).
+    * No global sort — same rationale as [[mediaFeatures]]. */
   def langIdDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val detect = udf((t: String) => LangId.detect(t))
@@ -76,7 +79,6 @@ object MediaQueries {
       .withColumn("d", detect($"text"))
       .select($"doc_id", $"lang".as("labeled_lang"),
         $"d.lang".as("detected_lang"), round($"d.confidence", 4).as("confidence"))
-      .orderBy($"doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

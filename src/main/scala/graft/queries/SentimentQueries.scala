@@ -134,7 +134,14 @@ object SentimentQueries {
       |GROUP BY final_sentiment ORDER BY n_events DESC, final_sentiment""".stripMargin
 
   /** Tier-2: full VADER-style analyzer over cleaned docs (rows-only;
-    * goldens in VaderSpec). */
+    * goldens in SentimentSpec, 60 pinned per-doc values).
+    *
+    * Deliberately NO global orderBy: a total order on a per-doc map
+    * output buys nothing semantically, and the range-partitioner's
+    * sampling pass would execute the whole analyzer projection a
+    * second time (measured 2× at sf0.1) — at 100 TB an unnecessary
+    * total order is exactly the operator you delete. Same rationale
+    * for the other per-doc analyzer queries below. */
   def vaderDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vaderUdf = udf((t: String) => Vader.score(t))
@@ -142,22 +149,21 @@ object SentimentQueries {
       .withColumn("v", vaderUdf(TextQueries.cleanText($"text")))
       .select($"doc_id", $"v.compound".as("compound"), $"v.positive".as("positive"),
         $"v.negative".as("negative"), $"v.neutral".as("neutral"))
-      .orderBy($"doc_id")
   }
 
   /** Tier-2: full TextBlob-style analyzer (rows-only; goldens in
-    * TextBlobSpec). */
+    * SentimentSpec). No global sort — see [[vaderDocs]]. */
   def textblobDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tbUdf = udf((t: String) => TextBlobOps.score(t))
     Tables.documents(s, dir)
       .withColumn("t", tbUdf(TextQueries.cleanText($"text")))
       .select($"doc_id", $"t.polarity".as("polarity"), $"t.subjectivity".as("subjectivity"))
-      .orderBy($"doc_id")
   }
 
   /** Tier-2: the complete C9 analyze_text block (both analyzers +
-    * ensemble) over documents — the enriched-tweet sentiment columns. */
+    * ensemble) over documents — the enriched-tweet sentiment columns.
+    * No global sort — see [[vaderDocs]]. */
   def analyzeDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Ensemble.withSentiment(
@@ -165,7 +171,6 @@ object SentimentQueries {
       "cleaned_text")
       .select($"doc_id", $"sentiment_compound", $"textblob_polarity",
         $"vader_sentiment", $"textblob_sentiment", $"final_sentiment", $"confidence_score")
-      .orderBy($"doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
