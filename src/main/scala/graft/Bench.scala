@@ -67,23 +67,34 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (cold, err) = run(name, fn)
-      val (warm, _) = if (err.isEmpty) run(name, fn) else (cold, err)
-      (name, cold, warm, err)
+      val (cold, coldErr) = run(name, fn)
+      val (warm, warmErr) = if (coldErr.isEmpty) run(name, fn) else (cold, coldErr)
+      (name, cold, warm, coldErr.orElse(warmErr.map("warm run: " + _)))
     }
+    // full JSON string escape (backslash, quote, ALL control chars) —
+    // Spark exception messages can carry arbitrary bytes, and one bad
+    // char would invalidate the driver's json.load of this line.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def jmap(f: ((String, Double, Double, Option[String])) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap { case (k, cold, _, _) => (k, cold) }
     val qsWarm = jmap { case (k, _, warm, _) => (k, warm) }
     val errs = results.collect { case (k, _, _, Some(m)) =>
-      "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ").take(120) + "\""
+      "\"" + k + "\":" + jstr(m.take(160))
     }.mkString("{", ",", "}")
-    // totals sum successful queries only; failures are visible via negative
-    // per-query entries and the errors map.
+    // totals sum successful queries only; a failed query cannot fabricate
+    // a time, so failure is surfaced loudly instead: n_failed at top
+    // level, a negative per-query entry, and an errors message.
+    val nFailed = results.count(_._4.isDefined)
     val total = results.map { case (_, v, _, _) => math.max(v, 0.0) }.sum
     val totalWarm = results.map { case (_, _, v, _) => math.max(v, 0.0) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_warm":$totalWarm,""" +
-      s""""queries":$qs,"queries_warm":$qsWarm,"errors":$errs,"sf":"$sfDir"}""")
+      s""""n_failed":$nFailed,"queries":$qs,"queries_warm":$qsWarm,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

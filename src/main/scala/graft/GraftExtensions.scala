@@ -36,14 +36,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      // argument order mirrors the Scala API exactly — (tokens, n, k,
+      // seed), all-int params would silently misassign otherwise
       (args: Seq[Expression]) => args match {
         case Seq(c) => MinHashSignature(c, 1, 128, 42)
-        case Seq(c, k) => MinHashSignature(c, 1, intArg(k, "k"), 42)
-        case Seq(c, k, s) => MinHashSignature(c, 1, intArg(k, "k"), intArg(s, "seed"))
-        case Seq(c, k, s, n) =>
+        case Seq(c, n) => MinHashSignature(c, intArg(n, "shingle_n"), 128, 42)
+        case Seq(c, n, k) => MinHashSignature(c, intArg(n, "shingle_n"), intArg(k, "k"), 42)
+        case Seq(c, n, k, s) =>
           MinHashSignature(c, intArg(n, "shingle_n"), intArg(k, "k"), intArg(s, "seed"))
         case _ => throw new IllegalArgumentException(
-          "minhash_signature(tokens[, k[, seed[, shingle_n]]])")
+          "minhash_signature(tokens[, shingle_n[, k[, seed]]])")
       }))
 
     ext.injectFunction((

@@ -56,7 +56,7 @@ object TextBlobOps extends Serializable {
     // subjectivity) pairs in en-sentiment.xml's value neighborhoods.
     // Entries above are kept verbatim so existing goldens stay stable.
     "able" -> (0.5, 0.625), "active" -> (0.1, 0.3), "adorable" -> (0.6, 0.9),
-    "afraid" -> (-0.6, 0.9), "alone" -> (-0.2, 0.5), "angry" -> (-0.5, 1.0),
+    "afraid" -> (-0.6, 0.9), "alone" -> (-0.2, 0.5),
     "annoyed" -> (-0.6, 0.9), "anxious" -> (-0.4, 0.9), "apparent" -> (0.0, 0.5),
     "ashamed" -> (-0.5, 0.9), "attractive" -> (0.5, 1.0), "available" -> (0.4, 0.5),
     "average" -> (-0.15, 0.4), "aware" -> (0.1, 0.6), "bitter" -> (-0.4, 0.7),

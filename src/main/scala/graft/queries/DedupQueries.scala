@@ -148,13 +148,18 @@ object DedupQueries {
     // shingling is fused inside the expression (no 13 µs/shingle
     // string materialization — see MinHashSignature's Scaladoc).
     // The signature relation feeds three plan branches (banding, and
-    // both sides of the candidate re-join); persisting it computes
-    // signatures once — the same "materialize the signature table"
-    // step a production web-dedup pipeline checkpoints before LSH.
+    // both sides of the candidate re-join); an EAGER localCheckpoint
+    // computes signatures once — the "materialize the signature
+    // table" step a production web-dedup pipeline checkpoints before
+    // LSH. localCheckpoint over persist(): blocks are freed by the
+    // ContextCleaner when the plan is garbage-collected (persist
+    // entries pin the CacheManager until an explicit unpersist that
+    // no caller could safely issue), and each invocation
+    // re-materializes instead of aliasing a prior call's cache.
     val docs = Tables.documents(s, dir)
       .select($"doc_id",
         minhash_signature(tokens($"text"), n = 3, k = k, seed = 42).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // band rows carry only (doc_id, band, band_sig) — 24 bytes/row
     // through the band shuffle, not the 1 KB signature (signatures
     // re-join once per distinct candidate pair below)

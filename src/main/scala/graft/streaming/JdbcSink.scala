@@ -42,8 +42,13 @@ object JdbcSink {
     case _ => Types.OTHER
   }
 
+  /** ONLY unique/primary-key violations (SQLState 23505) are the
+    * insert-ignore no-op; other integrity violations (23502 NOT NULL,
+    * 23503 FK, 23514 CHECK…) must surface — swallowing them would
+    * silently drop malformed rows and break the "first writer of a
+    * key wins" contract. */
   private def isDuplicateKey(e: SQLException): Boolean =
-    Option(e.getSQLState).exists(s => s == "23505" || s.startsWith("23"))
+    Option(e.getSQLState).contains("23505")
 
   /** Insert every row of `batch` into `table` (columns matched by
     * name), ignoring duplicate-key violations. Executor-side: one

@@ -68,13 +68,15 @@ class JdbcSinkSpec extends SparkSpec {
     val mem = MemoryStream[(String, String)]
     val df = mem.toDF().toDF("tweet_id", "txt")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-jdbc-ckpt").toString
-    val q = JdbcSink.writer(df, url, "stream_ii", ckpt, Trigger.AvailableNow()).start()
+    // data BEFORE start: AvailableNow latches end offsets at startup,
+    // so addData after start() races the latch and can process 0 rows
     mem.addData(("s1", "one"), ("s2", "two"), ("s1", "dup-in-batch"))
+    val q = JdbcSink.writer(df, url, "stream_ii", ckpt, Trigger.AvailableNow()).start()
     q.awaitTermination()
     assert(count("stream_ii") == 2)
     // second micro-batch replays an already-stored key
-    val q2 = JdbcSink.writer(df, url, "stream_ii", ckpt, Trigger.AvailableNow()).start()
     mem.addData(("s2", "replay"), ("s3", "three"))
+    val q2 = JdbcSink.writer(df, url, "stream_ii", ckpt, Trigger.AvailableNow()).start()
     q2.awaitTermination()
     assert(count("stream_ii") == 3, "replayed key ignored, new key inserted")
   }

@@ -68,8 +68,9 @@ class SketchSpec extends SparkSpec {
       val sim = s2.sql(
         "SELECT simhash64(array('a','b','c')) = simhash64(array('a','b','c')) eq").head().getBoolean(0)
       assert(sim)
+      // SQL arg order mirrors the Scala API: (tokens, shingle_n, k, seed)
       val mh = s2.sql(
-        "SELECT size(minhash_signature(array('x','y'), 32)) n").head().getInt(0)
+        "SELECT size(minhash_signature(array('x','y'), 1, 32)) n").head().getInt(0)
       assert(mh == 32)
     } finally {
       SparkSession.setDefaultSession(prior)
