@@ -46,11 +46,24 @@ case class HllDistinct(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = {
-        val str = v.toString
-        val h1 = MurmurHash3.stringHash(str, 0x5ca1ab1e).toLong & 0xffffffffL
-        val h2 = MurmurHash3.stringHash(str, 0xca11ab1e).toLong & 0xffffffffL
-        (h1 << 32) | h2
+      // hash native representations — no per-row toString boxing in
+      // the hot aggregate path (VERDICT r01 minor #6). fmix64 is a
+      // bijective avalanche, standard for integer-keyed HLL; byte
+      // strings get the two-seed murmur combination.
+      val h = v match {
+        case l: java.lang.Long => MinHashUtil.fmix64(l ^ 0x5ca1ab1eca11ab1eL)
+        case i: java.lang.Integer => MinHashUtil.fmix64(i.toLong ^ 0x5ca1ab1eca11ab1eL)
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          val b = s.getBytes
+          val h1 = MurmurHash3.bytesHash(b, 0x5ca1ab1e).toLong & 0xffffffffL
+          val h2 = MurmurHash3.bytesHash(b, 0xca11ab1e).toLong & 0xffffffffL
+          (h1 << 32) | h2
+        case d: java.lang.Double =>
+          MinHashUtil.fmix64(java.lang.Double.doubleToLongBits(d) ^ 0x5ca1ab1eca11ab1eL)
+        case other =>
+          val h1 = MurmurHash3.stringHash(other.toString, 0x5ca1ab1e).toLong & 0xffffffffL
+          val h2 = MurmurHash3.stringHash(other.toString, 0xca11ab1e).toLong & 0xffffffffL
+          (h1 << 32) | h2
       }
       val idx = (h >>> (64 - precision)).toInt
       val rest = h << precision

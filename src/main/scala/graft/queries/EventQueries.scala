@@ -288,7 +288,53 @@ object EventQueries {
       |  true AS approx_p95_in_rank_band
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Heavy hitters per event type via the mergeable Misra–Gries
+    * sketch ([[graft.functions.FrequentItemsSketch]]) — the
+    * "trending entities" primitive of a 100 TB pipeline (per-
+    * partition sketches combine map-side; stored per-day sketches
+    * re-aggregate without rescanning raw data).
+    *
+    * Self-validating against the sketch's two THEOREMS, both
+    * verified in-query against exact counts and pinned `true` by the
+    * oracle (they hold for any input, so the oracle is
+    * deterministic):
+    *   - bound: est ≤ true ≤ est + max_err for every tracked item;
+    *   - coverage: every item with true count > max_err is tracked. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val sk = ev.groupBy($"event_type")
+      .agg(graft.functions.FrequentItemsSketch.freq_items($"user_id", 64).as("fi"),
+        count(lit(1)).as("n_events"))
+    val tracked = sk.select($"event_type", $"n_events", $"fi.max_err".as("max_err"),
+        explode($"fi.items").as("it"))
+      .select($"event_type", $"n_events", $"max_err",
+        $"it.item".as("item"), $"it.est".as("est"))
+    val exact = ev.groupBy($"event_type", $"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val bounds = tracked.join(exact, Seq("event_type", "item"), "left")
+      .groupBy($"event_type")
+      .agg(first($"n_events").as("n_events"),
+        bool_and($"true_cnt".isNotNull &&
+          $"true_cnt" >= $"est" && $"true_cnt" <= $"est" + $"max_err").as("bounds_hold"))
+    val uncovered = exact
+      .join(sk.select($"event_type", $"fi.max_err".as("max_err")), Seq("event_type"))
+      .filter($"true_cnt" > $"max_err")
+      .join(tracked.select($"event_type", $"item"), Seq("event_type", "item"), "left_anti")
+      .groupBy($"event_type").agg(count(lit(1)).as("n_uncovered"))
+    bounds.join(uncovered, Seq("event_type"), "left")
+      .select($"event_type", $"n_events", $"bounds_hold",
+        (coalesce($"n_uncovered", lit(0L)) === 0).as("coverage_holds"))
+      .orderBy($"event_type")
+  }
+
+  val heavyHittersSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  true AS bounds_hold, true AS coverage_holds
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_heavy_hitters" -> (heavyHitters _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
     "q28_sessionize" -> (sessionize _),
     "q29_value_percentiles" -> (valuePercentiles _),
@@ -303,6 +349,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_heavy_hitters" -> heavyHittersSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,
     "q28_sessionize" -> sessionizeSql,
     "q29_value_percentiles" -> valuePercentilesSql,

@@ -109,6 +109,35 @@ class ExpressionsSpec extends SparkSpec {
       "keeper must be a lower id")
   }
 
+  test("IVF: learned-centroid NN recalls the true NN for most vectors, deterministically") {
+    val out1 = SimilarityQueries.ivfNn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val out2 = SimilarityQueries.ivfNn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out1 == out2, "IVF must be deterministic (seeded sample + fixed iterations)")
+    assert(out1.nonEmpty)
+    // brute-force true NN over the full corpus for recall
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id_a").orderBy($"cosine".desc, $"id_b")
+    val brute = a.join(b, $"id_a" =!= $"id_b")
+      .withColumn("cosine", rnd(cosine_similarity($"emb_a", $"emb_b"), 6))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"id_a", $"id_b", $"cosine").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val hits = out1.count { case (id, (nn, _)) => brute(id)._1 == nn }
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@1 $recall below 0.5 (hits=$hits of ${brute.size})")
+    // answers never beat the true NN (exactness of the rerank)
+    out1.foreach { case (id, (_, cos)) =>
+      assert(cos <= brute(id)._2 + 1e-9, s"vector $id: IVF cosine $cos beats brute ${brute(id)._2}")
+    }
+  }
+
   test("ANN LSH returns sane neighbors (bucket-mates, ranked by cosine)") {
     val out = SimilarityQueries.annLsh(spark, sf).collect()
     assert(out.nonEmpty, "ANN should find some bucket-mates")

@@ -25,6 +25,48 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(a2 - e2) / e2 < 0.05, s"exact=$e2 approx=$a2")
   }
 
+  test("freq_items: finds a planted heavy hitter with valid bounds") {
+    import graft.functions.FrequentItemsSketch.freq_items
+    // 10k noise items (ids 0..999, ~10 each) + one item at 3000 —
+    // far above n/(cap+1) = 13000/17 ≈ 765, so coverage guarantees it
+    val df = spark.range(0, 10000).select(($"id" % 1000).cast("string").as("item"))
+      .union(spark.range(0, 3000).select(lit("HOT").as("item")))
+      .repartition(8)
+    val row = df.agg(freq_items($"item", 16).as("fi")).select($"fi.items", $"fi.max_err").head()
+    val items = row.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+    val maxErr = row.getLong(1)
+    val hot = items.find(_._1 == "HOT")
+    assert(hot.isDefined, s"heavy hitter must be tracked (maxErr=$maxErr, items=$items)")
+    assert(hot.get._2 <= 3000 && hot.get._2 + maxErr >= 3000,
+      s"est ${hot.get._2} must bracket true 3000 within maxErr $maxErr")
+    assert(maxErr <= 13000 / 17 + 1, s"maxErr $maxErr exceeds n/(cap+1)")
+  }
+
+  test("freq_items: merge across partitions preserves the error guarantee") {
+    import graft.functions.FrequentItemsSketch.freq_items
+    val df = spark.range(0, 20000).select(
+      when($"id" % 5 === 0, lit("A")).otherwise(($"id" % 4000).cast("string")).as("item"))
+    Seq(1, 16).foreach { parts =>
+      val row = df.repartition(parts).agg(freq_items($"item", 32).as("fi"))
+        .select($"fi.items", $"fi.max_err").head()
+      val items = row.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+      val maxErr = row.getLong(1)
+      val a = items.find(_._1 == "A")
+      assert(a.isDefined, s"parts=$parts: A (4000 occurrences) must survive")
+      assert(a.get._2 <= 4000 && a.get._2 + maxErr >= 4000,
+        s"parts=$parts: est ${a.get._2} + err $maxErr must bracket 4000")
+    }
+  }
+
+  test("q57 heavy hitters: theorem booleans hold on the fixture") {
+    val out = graft.queries.EventQueries.heavyHitters(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(2), s"bounds violated for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"coverage violated for ${r.getString(0)}")
+    }
+  }
+
   test("sketch merge across partitions equals single-partition result") {
     val df = spark.range(0, 50000).select(($"id" % 9973).as("k"))
     val many = df.repartition(16).agg(hll_distinct($"k")).head().getLong(0)
