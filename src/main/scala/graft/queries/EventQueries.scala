@@ -333,8 +333,98 @@ object EventQueries {
       |  true AS bounds_hold, true AS coverage_holds
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** AS-OF join (the time-series operator Spark lacks natively): for
+    * every click event, the latest purchase of the same user at or
+    * before the click's timestamp. Implemented WITHOUT a join — the
+    * classic scale-safe union-and-carry-forward plan: tag both sides,
+    * union, one shuffle on user_id, and a running
+    * `last(ignoreNulls)` window carries the most recent purchase
+    * forward to each click. O(n log n/partition) with bounded memory,
+    * versus the O(n·m)-per-key cross product an inequality join would
+    * plan. At equal timestamps the purchase sorts first (is_a = 0),
+    * matching ASOF's inclusive `>=`. Oracle: DuckDB's native ASOF
+    * JOIN (timestamps cast to µs on both sides so comparisons agree
+    * with Spark's µs-floored events.ts). */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts", lit(1).as("is_a"),
+        lit(null).cast("long").as("b_event"), lit(null).cast("double").as("b_value"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", lit(0).as("is_a"),
+        $"event_id".as("b_event"), $"value".as("b_value"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_a", $"b_event")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_event", last($"b_event", ignoreNulls = true).over(w))
+      .withColumn("asof_value", last($"b_value", ignoreNulls = true).over(w))
+      .filter($"is_a" === 1 && $"asof_event".isNotNull)
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        $"asof_event", round($"asof_value", 2).as("asof_value"))
+      .orderBy($"event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT a.event_id, a.user_id,
+      |  strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |  b.event_id AS asof_event, round(b.value, 2) AS asof_value
+      |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      |      WHERE event_type = 'click') a
+      |ASOF JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events
+      |           WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id AND a.ts >= b.ts
+      |ORDER BY a.event_id""".stripMargin
+
+  /** Range (interval) join: for every error event, how many clicks
+    * the same user made in the preceding 10 minutes. The range
+    * predicate becomes an EQUI-join key by bucketing time into
+    * window-sized epochs (the q42 trick in the time domain): a click
+    * in [t−10min, t) lies in the error's bucket or the previous one,
+    * so errors probe exactly two buckets and the join never
+    * enumerates a per-user cross product. All time math in integer
+    * micros on both engines. */
+  def rangeJoinCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val winUs = 600000000L // 10 minutes
+    val ev = Tables.events(s, dir)
+    val errs = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts", unix_micros($"ts").as("t_err"))
+    val probes = errs.select($"event_id", $"user_id", $"t_err",
+      explode(array(expr(s"t_err div $winUs"), expr(s"t_err div $winUs") - 1)).as("bkt"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("t_clk"))
+      .withColumn("bkt", expr(s"t_clk div $winUs"))
+    val counts = probes.join(clicks, Seq("user_id", "bkt"))
+      .filter($"t_clk" >= $"t_err" - winUs && $"t_clk" < $"t_err")
+      .groupBy($"event_id").agg(count(lit(1)).as("n"))
+    errs.join(counts, Seq("event_id"), "left")
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        coalesce($"n", lit(0L)).as("n_recent_clicks"))
+      .orderBy($"event_id")
+  }
+
+  val rangeJoinCountsSql: String =
+    """SELECT e.event_id, e.user_id,
+      |  strftime(e.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |  coalesce(c.n, 0) AS n_recent_clicks
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      |LEFT JOIN (
+      |  SELECT e2.event_id, count(*) AS n
+      |  FROM events e2 JOIN events c
+      |    ON e2.event_type = 'error' AND c.event_type = 'click'
+      |   AND c.user_id = e2.user_id
+      |   AND epoch_us(c.ts::TIMESTAMP) >= epoch_us(e2.ts::TIMESTAMP) - 600000000
+      |   AND epoch_us(c.ts::TIMESTAMP) <  epoch_us(e2.ts::TIMESTAMP)
+      |  GROUP BY e2.event_id) c ON c.event_id = e.event_id
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_heavy_hitters" -> (heavyHitters _),
+    "q59_asof_join" -> (asofJoin _),
+    "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
     "q28_sessionize" -> (sessionize _),
     "q29_value_percentiles" -> (valuePercentiles _),
@@ -350,6 +440,8 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q57_heavy_hitters" -> heavyHittersSql,
+    "q59_asof_join" -> asofJoinSql,
+    "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,
     "q28_sessionize" -> sessionizeSql,
     "q29_value_percentiles" -> valuePercentilesSql,

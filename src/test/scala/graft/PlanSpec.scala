@@ -54,6 +54,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q59: as-of join plans as union + window — NO join operator at all") {
+    val p = planOf("q59_asof_join")
+    assert(p.contains("Window"), s"expected a window carry-forward:\n$p")
+    assert(!p.contains("Join"), s"as-of must not plan any join (cross-product risk):\n$p")
+  }
+
+  test("q62: range predicate is an equi-join keyed on the time bucket") {
+    val p = planOf("q62_range_join_counts")
+    val keyedJoin = """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\]]*bkt[^\]]*\]""".r
+    assert(keyedJoin.findFirstIn(p).isDefined,
+      s"expected an equi-join keyed on the bkt column:\n$p")
+    assert(!p.contains("NestedLoop"), s"range join must not plan a nested loop:\n$p")
+  }
+
   test("q42: id-window blocking is a join KEY (bounded buckets), not a post-join filter") {
     val p = planOf("q42_ngram_jaccard_pairs")
     // hash-join key lists render as `...Join [source#1, blk#2], [source#3, blk#4], ...`
