@@ -10,9 +10,10 @@ import json, os, subprocess, sys, time
 
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_duck import TABLES  # single source of truth for fixture tables
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 OPENS = " ".join(f"--add-opens java.base/{p}=ALL-UNNAMED" for p in [
     "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
     "java.net", "java.nio", "java.util", "java.util.concurrent",
@@ -49,8 +50,12 @@ def spark_bench():
         cmd = (f"java {OPENS} -Xmx16g -Dspark.ui.enabled=false "
                f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' graft.Bench")
         res = subprocess.run(cmd, shell=True, env=env, capture_output=True, text=True)
-        line = next(l for l in res.stdout.splitlines() if l.startswith('{"metric"'))
-        runs[sf] = json.loads(line)
+        lines = [l for l in res.stdout.splitlines() if l.startswith('{"metric"')]
+        if res.returncode != 0 or not lines:
+            sys.stderr.write(f"bench failed for {sf} (rc={res.returncode}); stderr tail:\n"
+                             + "\n".join(res.stderr.splitlines()[-20:]) + "\n")
+            raise SystemExit(1)
+        runs[sf] = json.loads(lines[0])
     art = {"_meta": {
         "harness": "graft.Bench — noop-sink full materialization; per-query cold (first run, incl. Catalyst planning + Janino codegen compile) and warm (immediate re-run, codegen cache hot) seconds; local[32], AQE on, shuffle.partitions=32",
         "duckdb_baseline": "BASELINE_DUCK.json — best-of-2 seconds per oracle statement on the same parquet",

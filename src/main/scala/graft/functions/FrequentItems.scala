@@ -73,7 +73,12 @@ case class FrequentItemsSketch(
     val out = new DataOutputStream(bos)
     out.writeLong(buf.maxErr)
     out.writeInt(buf.counters.size)
-    buf.counters.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    // length-prefixed UTF-8 (writeUTF caps items at 64 KB — too small
+    // for a generic Column API that may track long strings)
+    buf.counters.foreach { case (k, c) =>
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -83,7 +88,13 @@ case class FrequentItemsSketch(
     buf.maxErr = in.readLong()
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.counters(in.readUTF()) = in.readLong(); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.counters(new String(b, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
+      i += 1
+    }
     buf
   }
 

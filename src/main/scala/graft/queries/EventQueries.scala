@@ -303,14 +303,23 @@ object EventQueries {
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
+    // localCheckpoint: the tiny (one row per event_type) sketch result
+    // feeds both validation branches — materialize it once instead of
+    // trusting ReuseExchange to dedupe two sketch aggregations.
     val sk = ev.groupBy($"event_type")
       .agg(graft.functions.FrequentItemsSketch.freq_items($"user_id", 64).as("fi"),
         count(lit(1)).as("n_events"))
+      .localCheckpoint()
     val tracked = sk.select($"event_type", $"n_events", $"fi.max_err".as("max_err"),
         explode($"fi.items").as("it"))
       .select($"event_type", $"n_events", $"max_err",
         $"it.item".as("item"), $"it.est".as("est"))
-    val exact = ev.groupBy($"event_type", $"user_id".cast("string").as("item"))
+    // NULL keys are skipped by the sketch (update ignores null input),
+    // so they must be excluded from the exact side too — a NULL-keyed
+    // group would otherwise survive the left_anti join forever and
+    // falsify coverage_holds on data with NULL user_ids.
+    val exact = ev.filter($"user_id".isNotNull)
+      .groupBy($"event_type", $"user_id".cast("string").as("item"))
       .agg(count(lit(1)).as("true_cnt"))
     val bounds = tracked.join(exact, Seq("event_type", "item"), "left")
       .groupBy($"event_type")
@@ -344,7 +353,11 @@ object EventQueries {
     * plan. At equal timestamps the purchase sorts first (is_a = 0),
     * matching ASOF's inclusive `>=`. Oracle: DuckDB's native ASOF
     * JOIN (timestamps cast to µs on both sides so comparisons agree
-    * with Spark's µs-floored events.ts). */
+    * with Spark's µs-floored events.ts). Known fragility, latent on
+    * the fixture: when two purchases share an identical (user_id, ts)
+    * microsecond, this picks the max event_id deterministically while
+    * DuckDB's ASOF picks an arbitrary tied row — the fixture has zero
+    * such collisions (ns timestamps), so the hash match is stable. */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -356,13 +369,21 @@ object EventQueries {
         $"event_id".as("b_event"), $"value".as("b_value"))
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_a", $"b_event")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE struct carried forward so (event, value) always come from the
+    // SAME purchase row — two independent last(ignoreNulls) windows
+    // would pair the latest event id with an older non-null value
+    // whenever the latest purchase's value is NULL. The struct is null
+    // for click rows (so ignoreNulls skips them) but non-null for a
+    // purchase with a NULL value (so that purchase still wins).
     clicks.unionByName(purchases)
-      .withColumn("asof_event", last($"b_event", ignoreNulls = true).over(w))
-      .withColumn("asof_value", last($"b_value", ignoreNulls = true).over(w))
-      .filter($"is_a" === 1 && $"asof_event".isNotNull)
+      .withColumn("b_pair",
+        when($"is_a" === 0, struct($"b_event", $"b_value")))
+      .withColumn("asof", last($"b_pair", ignoreNulls = true).over(w))
+      .filter($"is_a" === 1 && $"asof".isNotNull)
       .select($"event_id", $"user_id",
         date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
-        $"asof_event", round($"asof_value", 2).as("asof_value"))
+        $"asof.b_event".as("asof_event"),
+        round($"asof.b_value", 2).as("asof_value"))
       .orderBy($"event_id")
   }
 

@@ -101,4 +101,36 @@ class SessionStateSpec extends SparkSpec {
       .filter($"user_id" === 7).count()
     assert(q28 == sessions, s"batch=$q28 fold=$sessions")
   }
+
+  test("streaming trending: MG state accumulates across batches with valid bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val trends = graft.streaming.TrendingState.trending(
+      mem.toDF().toDF("event_type", "user_id"), capacity = 4, k = 2)
+    val q = trends.writeStream.format("memory").queryName("trending_test")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 7 dominates clicks
+      mem.addData(("click", 7L), ("click", 7L), ("click", 7L), ("click", 1L), ("click", 2L))
+      q.processAllAvailable()
+      // batch 2: more of user 7 plus churn that forces decrements (cap 4)
+      mem.addData(("click", 7L), ("click", 7L), ("click", 3L), ("click", 4L),
+        ("click", 5L), ("click", 6L), ("click", 8L))
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.col
+      val last = spark.table("trending_test").filter(col("event_type") === "click")
+        .orderBy(col("n_events").desc).limit(1)
+        .select("top_items", "top_ests", "max_err", "n_events", "n_tracked")
+        .collect().head
+      val items = last.getSeq[String](0)
+      val ests = last.getSeq[Long](1)
+      val maxErr = last.getLong(2)
+      assert(last.getLong(3) == 12L, "state must accumulate across batches")
+      assert(last.getInt(4) <= 4, "state bounded by capacity")
+      assert(items.head == "7", s"dominant user must lead the trend: $items")
+      // bound theorem: est <= true(=5 for user 7) <= est + max_err
+      assert(ests.head <= 5L && ests.head + maxErr >= 5L,
+        s"est ${ests.head} + err $maxErr must bracket true 5")
+    } finally q.stop()
+  }
 }
