@@ -51,4 +51,48 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("interleaveBits: Morton code interleaves correctly") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (0xffffffffL, 0L), (2L, 3L))
+      .toDF("a", "b")
+      .select(Scale.interleaveBits(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    // bit i of a → position 2i; bit i of b → position 2i+1
+    assert(got == Seq(0L, 1L, 2L, 3L, 0x5555555555555555L, 0xEL), s"got $got")
+  }
+
+  test("z-order write: every file covers a compact range of BOTH columns") {
+    import org.apache.spark.sql.functions._
+    // a 2-D grid where the two columns are independent — the
+    // adversarial case for any single-column sort
+    val n = 40000
+    val grid = spark.range(n).select(
+      (col("id") % 200).as("x"),
+      (col("id") / 200).cast("long").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+
+    def meanSpanFraction(path: String, c: String, domain: Double): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max(col(c)) - min(col(c))).cast("double") / domain).as("span"))
+        .select(avg(col("span"))).head().getDouble(0)
+      spans
+    }
+
+    // linear sort on x: files are perfect on x, full-domain on y
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    // z-order on (x, y)
+    Scale.zorderWrite(grid, "x", "y", s"$base/zorder", files = 16)
+
+    val linearY = meanSpanFraction(s"$base/linear", "y", 200.0)
+    val zX = meanSpanFraction(s"$base/zorder", "x", 200.0)
+    val zY = meanSpanFraction(s"$base/zorder", "y", 200.0)
+    // the linear layout cannot skip on y at all (each file spans ~the
+    // whole y domain); the z-order layout must bound BOTH dimensions
+    assert(linearY > 0.9, s"sanity: linear-x files should span y, got $linearY")
+    assert(zX < 0.6 && zY < 0.6,
+      s"z-order files must cover compact rectangles: x-span $zX, y-span $zY")
+  }
 }
