@@ -50,13 +50,12 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Z-value of two long columns: bit-interleaved Morton code over
-    * each column's RANK within the dataframe (ranks, not raw values,
-    * so arbitrary distributions map onto a uniform grid — the same
-    * normalization lakehouse OPTIMIZE ZORDER implementations use).
-    * Rank computation is two global sorts; z-ordering is a one-time
-    * layout rewrite, so that cost is paid at write time, not query
-    * time. */
+  /** Bit-interleaved Morton code of two BUCKET-ID columns. Inputs
+    * must be in [0, 2^31): the spread keeps 32 bits per input, so
+    * larger values collide, and a b-value ≥ 2^31 would reach the Long
+    * sign bit and break z monotonicity under signed comparison.
+    * [[zorderWrite]] feeds partition ids (< gridBuckets), which
+    * always satisfy the contract. */
   private[graft] def interleaveBits(a: Column, b: Column): Column = {
     // spread the low 32 bits of x so bit i lands at position 2i —
     // classic Morton spreading via shift-or-mask rounds, expressed as
@@ -89,14 +88,20 @@ object Scale {
     * implementations use; no single-partition window, no collect. */
   def zorderWrite(df: DataFrame, c1: String, c2: String, path: String,
                   files: Int = 16, gridBuckets: Int = 256): Unit = {
+    // internal column names that cannot shadow (and then silently
+    // drop) a user column of the same name
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val (cb1, cb2, cz) = (fresh("_zorder_b1"), fresh("_zorder_b2"), fresh("_zorder_z"))
     val b1 = df.repartitionByRange(gridBuckets, col(c1))
-      .withColumn("_b1", spark_partition_id().cast("long"))
+      .withColumn(cb1, spark_partition_id().cast("long"))
     val b2 = b1.repartitionByRange(gridBuckets, col(c2))
-      .withColumn("_b2", spark_partition_id().cast("long"))
-    b2.withColumn("_z", interleaveBits(col("_b1"), col("_b2")))
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_b1", "_b2", "_z")
+      .withColumn(cb2, spark_partition_id().cast("long"))
+    b2.withColumn(cz, interleaveBits(col(cb1), col(cb2)))
+      .repartitionByRange(files, col(cz))
+      .sortWithinPartitions(cz)
+      .drop(cb1, cb2, cz)
       .write.mode("overwrite").parquet(path)
   }
 }
