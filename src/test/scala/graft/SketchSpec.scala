@@ -58,6 +58,45 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("freq_items theorems hold under seeded fuzz (50 random streams, random merges)") {
+    // q57's oracle pins bounds_hold/coverage_holds to literal true, so
+    // the gate is only sound if the theorems hold for ANY stream and
+    // ANY partitioning — probe both with adversarial-ish random data.
+    import graft.functions.FrequentItemsSketch
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { trial =>
+      val cap = 1 + rnd.nextInt(12)
+      val n = 50 + rnd.nextInt(3000)
+      // zipf-ish: small ids are hot
+      val stream = Seq.fill(n)(
+        math.floor(math.pow(rnd.nextDouble(), 3) * 60).toInt.toString)
+      val nParts = 1 + rnd.nextInt(5)
+      val parts = stream.grouped(math.max(1, n / nParts)).toSeq
+      val agg = FrequentItemsSketch(null, cap)
+      val bufs = parts.map { p =>
+        val b = new FrequentItemsSketch.Buffer()
+        p.foreach(item => b.add(item, 1L, cap))
+        // serialization round-trip must preserve the sketch exactly
+        agg.deserialize(agg.serialize(b))
+      }
+      val merged = bufs.reduce { (a, b) => agg.merge(a, b) }
+      val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val maxErr = merged.maxErr
+      assert(maxErr <= n.toLong / (cap + 1) + 1,
+        s"trial $trial: maxErr $maxErr exceeds n/(cap+1) = ${n / (cap + 1)}")
+      merged.counters.foreach { case (item, est) =>
+        val truth = exact.getOrElse(item, 0L)
+        assert(est <= truth && truth <= est + maxErr,
+          s"trial $trial: item $item est=$est true=$truth err=$maxErr")
+      }
+      exact.foreach { case (item, truth) =>
+        if (truth > maxErr)
+          assert(merged.counters.contains(item),
+            s"trial $trial: heavy item $item (true=$truth > err=$maxErr) not tracked")
+      }
+    }
+  }
+
   test("q57 heavy hitters: theorem booleans hold on the fixture") {
     val out = graft.queries.EventQueries.heavyHitters(spark, sf).collect()
     assert(out.nonEmpty)
