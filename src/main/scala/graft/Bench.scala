@@ -16,16 +16,26 @@ import org.apache.spark.sql.SparkSession
   * time and an `"errors"` entry so the driver can distinguish a
   * failure from a fast query.
   *
-  * Every query runs twice: the primary `value`/`queries` figures are
-  * the COLD runs (first execution, including Catalyst planning and
-  * Janino whole-stage-codegen compilation — the conservative number),
-  * and `value_warm`/`queries_warm` are the immediate re-runs, where
-  * the codegen cache is hot and only planning + execution remain.
-  * Profiling showed compile cost is ~0.3–0.5 s per query at tiny SF —
-  * a fixed per-query-SHAPE cost that amortizes to noise on a cluster
-  * running a query over 100 TB, which is why both numbers are
-  * reported: cold bounds the worst case, warm approximates the
-  * steady-state marginal cost that actually scales. */
+  * Every query runs three times: the primary `value`/`queries`
+  * figures are the COLD runs (first execution, including Catalyst
+  * planning and Janino whole-stage-codegen compilation — the
+  * conservative number), and `value_warm`/`queries_warm` are the BEST
+  * of two immediate re-runs (the standard min-of-k steady-state
+  * estimator; a single transient stall — GC pause, safepoint, noisy
+  * neighbor — cannot pollute the steady-state figure, while the cold
+  * figure stays an honest first-execution measurement). Profiling
+  * showed compile cost is ~0.3–0.5 s per query at tiny SF — a fixed
+  * per-query-SHAPE cost that amortizes to noise on a cluster running
+  * a query over 100 TB, which is why both numbers are reported: cold
+  * bounds the worst case, warm approximates the steady-state marginal
+  * cost that actually scales.
+  *
+  * `queries_gc_ms` records the JVM GC time attributed to each COLD
+  * run. Round 2's driver artifact carried a 5.07 s cold entry for
+  * q16_json_extract that no re-run reproduces (0.68–0.76 s across
+  * repeated identical invocations; the query scans a 0.1 MB parquet
+  * column — IO cannot explain it). The per-query GC delta makes any
+  * future one-off stall self-diagnosing in the artifact itself. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,10 +76,22 @@ object Bench {
       }
     }
 
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis()
       val (cold, coldErr) = run(name, fn)
-      val (warm, warmErr) = if (coldErr.isEmpty) run(name, fn) else (cold, coldErr)
-      (name, cold, warm, coldErr.orElse(warmErr.map("warm run: " + _)))
+      val gcCold = gcMillis() - gc0
+      // warm = best of two re-runs: min-of-k is robust to a one-off
+      // GC/safepoint stall landing in a single re-run.
+      val (warm, warmErr) = if (coldErr.isEmpty) {
+        val (w1, e1) = run(name, fn)
+        val (w2, e2) = run(name, fn)
+        (math.min(w1, w2), e1.orElse(e2))
+      } else (cold, coldErr)
+      (name, cold, warm, gcCold, coldErr.orElse(warmErr.map("warm run: " + _)))
     }
     // full JSON string escape (backslash, quote, ALL control chars) —
     // Spark exception messages can carry arbitrary bytes, and one bad
@@ -80,21 +102,24 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    def jmap(f: ((String, Double, Double, Option[String])) => (String, Double)): String =
+    def jmap(f: ((String, Double, Double, Long, Option[String])) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap { case (k, cold, _, _) => (k, cold) }
-    val qsWarm = jmap { case (k, _, warm, _) => (k, warm) }
-    val errs = results.collect { case (k, _, _, Some(m)) =>
+    val qs = jmap { case (k, cold, _, _, _) => (k, cold) }
+    val qsWarm = jmap { case (k, _, warm, _, _) => (k, warm) }
+    val qsGc = results.map { case (k, _, _, gc, _) => "\"" + k + "\":" + gc }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(m)) =>
       "\"" + k + "\":" + jstr(m.take(160))
     }.mkString("{", ",", "}")
     // totals sum successful queries only; a failed query cannot fabricate
     // a time, so failure is surfaced loudly instead: n_failed at top
     // level, a negative per-query entry, and an errors message.
-    val nFailed = results.count(_._4.isDefined)
-    val total = results.map { case (_, v, _, _) => math.max(v, 0.0) }.sum
-    val totalWarm = results.map { case (_, _, v, _) => math.max(v, 0.0) }.sum
+    val nFailed = results.count(_._5.isDefined)
+    val total = results.map { case (_, v, _, _, _) => math.max(v, 0.0) }.sum
+    val totalWarm = results.map { case (_, _, v, _, _) => math.max(v, 0.0) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_warm":$totalWarm,""" +
-      s""""n_failed":$nFailed,"queries":$qs,"queries_warm":$qsWarm,"errors":$errs,"sf":"$sfDir"}""")
+      s""""n_failed":$nFailed,"queries":$qs,"queries_warm":$qsWarm,"queries_gc_ms":$qsGc,""" +
+      s""""errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
