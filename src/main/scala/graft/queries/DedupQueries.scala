@@ -138,8 +138,9 @@ object DedupQueries {
     *    linear cost;
     *  - verification uses signature-component agreement (O(k), no
     *    token-set join, no second pass over texts).
-    * Rows-only check (murmur-seeded signatures aren't reproducible in
-    * SQL); ExpressionsSpec pins exact-copy recall + keeper mapping. */
+    * ExpressionsSpec pins exact-copy recall + keeper mapping; the
+    * registered q43 form is [[minhashDedupValidated]], which folds
+    * those theorems into oracle-pinned booleans. */
   def minhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = 16
@@ -193,9 +194,11 @@ object DedupQueries {
 
   /** SimHash near-dup pairs: 64-bit fingerprint, candidates via 4×16
     * bit bands (any identical quarter → candidate; catches all pairs
-    * with Hamming ≤ 3), verified by bit_count(xor) ≤ 3. Rows-only
-    * check (same murmur-seed rationale as minhash). */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    * with Hamming ≤ 3), verified by bit_count(xor) ≤ 3. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsRaw(s, dir).orderBy(col("id_a"), col("id_b"))
+
+  private def simhashPairsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", simhash64(tokens($"text")).as("fp"))
@@ -208,8 +211,83 @@ object DedupQueries {
         bit_count($"x.fp".bitwiseXOR($"y.fp")).as("hamming"))
       .distinct()
       .filter($"hamming" <= 3)
-      .orderBy($"id_a", $"id_b")
   }
+
+  /** q43 as a SELF-VALIDATING query (the q19/q56/q57 pattern — the
+    * murmur-seeded signatures are not SQL-expressible, so the oracle
+    * pins the operator's THEOREMS instead):
+    *  - `n_docs` / `n_text_groups`: the keeper map covers every doc
+    *    exactly once (count + distinct-fingerprint count are both
+    *    reproduced independently by DuckDB);
+    *  - exact-copy recall: docs with byte-identical text share one
+    *    keeper (identical text ⇒ identical signature ⇒ identical band
+    *    buckets ⇒ the same bucket-min candidate set, so the keeper
+    *    decision is provably equal — a regression here means the
+    *    banding or verify join lost determinism);
+    *  - keeper_id ≤ doc_id (candidates only come from bucket minima);
+    *  - is_dup ⇔ keeper ≠ self; est_jaccard ∈ [0.9, 1].
+    * The full LSH dedup (signatures, banding, bucket-min verify,
+    * keeper assembly) runs unchanged underneath — the aggregate only
+    * folds its per-doc output into pinned booleans. */
+  def minhashDedupValidated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = Tables.documents(s, dir)
+      .select($"doc_id", TextQueries.fingerprint($"text").as("fp"))
+    minhashDedup(s, dir).join(fp, Seq("doc_id"))
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("n"),
+        (countDistinct($"keeper_id") === 1).as("grp_same_keeper"),
+        expr("bool_and(keeper_id <= doc_id)").as("grp_keeper_le"),
+        expr("bool_and(is_dup = (keeper_id != doc_id))").as("grp_dup_flag"),
+        expr("bool_and(est_jaccard between 0.9 and 1.0)").as("grp_ej"))
+      .agg(sum($"n").as("n_docs"), count(lit(1)).as("n_text_groups"),
+        expr("bool_and(grp_same_keeper)").as("exact_copies_share_keeper"),
+        expr("bool_and(grp_keeper_le)").as("keeper_is_min"),
+        expr("bool_and(grp_dup_flag)").as("dup_flag_consistent"),
+        expr("bool_and(grp_ej)").as("est_jaccard_in_range"))
+  }
+
+  val minhashDedupValidatedSql: String =
+    """SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_text_groups,
+      |  true AS exact_copies_share_keeper, true AS keeper_is_min,
+      |  true AS dup_flag_consistent, true AS est_jaccard_in_range
+      |FROM (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |  FROM documents)""".stripMargin
+
+  /** q44 self-validation: the LSH banding theorem — 4 bands over 64
+    * bits catch EVERY pair within Hamming ≤ 3 (pigeonhole) — checked
+    * in-query against an exhaustive all-pairs sweep of a
+    * deterministic 2% id-sample (bounded: the full all-pairs form is
+    * exactly the quadratic this operator exists to avoid), plus the
+    * structural contracts of the pair list (ordered ids, no
+    * duplicates, at least one pair on this self-similar corpus). */
+  def simhashPairsValidated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = simhashPairsRaw(s, dir)
+    val checks = pairs.agg(
+      (count(lit(1)) > 0).as("has_pairs"),
+      expr("bool_and(id_a < id_b)").as("all_ordered"),
+      (count(lit(1)) === countDistinct($"id_a", $"id_b")).as("no_dup_pairs"),
+      expr("bool_and(hamming <= 3)").as("hamming_bound"))
+    val sub = Tables.documents(s, dir).filter($"doc_id" % 50 === 0)
+      .select($"doc_id", simhash64(tokens($"text")).as("fp"))
+    val subPairs = sub.as("x").join(sub.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        bit_count($"x.fp".bitwiseXOR($"y.fp")).as("h"))
+      .filter($"h" <= 3)
+    val complete = subPairs.join(pairs, Seq("id_a", "id_b"), "left_anti")
+      .agg((count(lit(1)) === 0).as("subset_complete"))
+    checks.crossJoin(complete)
+  }
+
+  val simhashPairsValidatedSql: String =
+    """SELECT true AS has_pairs, true AS all_ordered, true AS no_dup_pairs,
+      |  true AS hamming_bound, true AS subset_complete""".stripMargin
 
   /** Embedding-cosine near-dup pairs within label blocks, via the
     * codegen'd [[graft.functions.CosineSimilarity]] expression. */
@@ -270,8 +348,8 @@ object DedupQueries {
     "q40_exact_dedup" -> (exactDedup _),
     "q41_fingerprint_dedup" -> (exactDedupByFingerprint _),
     "q42_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
-    "q43_minhash_dedup" -> (minhashDedup _),
-    "q44_simhash_pairs" -> (simhashPairs _),
+    "q43_minhash_dedup" -> (minhashDedupValidated _),
+    "q44_simhash_pairs" -> (simhashPairsValidated _),
     "q45_embedding_neardups" -> (embeddingNearDups _),
     "q54_embedding_neardups_lsh" -> (embeddingNearDupsLsh _),
   )
@@ -280,6 +358,8 @@ object DedupQueries {
     "q40_exact_dedup" -> exactDedupSql,
     "q41_fingerprint_dedup" -> exactDedupByFingerprintSql,
     "q42_ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "q43_minhash_dedup" -> minhashDedupValidatedSql,
+    "q44_simhash_pairs" -> simhashPairsValidatedSql,
     "q45_embedding_neardups" -> embeddingNearDupsSql,
     "q54_embedding_neardups_lsh" -> embeddingNearDupsLshSql,
   )

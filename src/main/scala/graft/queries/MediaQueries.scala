@@ -81,15 +81,71 @@ object MediaQueries {
         $"d.lang".as("detected_lang"), round($"d.confidence", 4).as("confidence"))
   }
 
+  /** q52 as a SELF-VALIDATING query (the hash-mixed stub embeddings
+    * are not SQL-expressible, so the oracle pins the featurizer's
+    * CONTRACTS instead): every doc is featurized exactly once
+    * (count), the metadata byte size round-trips to what DuckDB
+    * computes from the same text (a REAL cross-engine number, not a
+    * pinned boolean), embeddings are unit-norm float vectors of the
+    * requested dimension, and the decoded metadata stays in its
+    * declared ranges. The batched mapPartitions featurize runs
+    * unchanged underneath. */
+  def mediaFeaturesValidated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.featurize(Tables.documents(s, dir), dim = 16, batchSize = 32)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"meta.nBytes").cast("long").as("sum_bytes"),
+        expr("bool_and(size(embedding) = 16)").as("dim_ok"),
+        expr("bool_and(meta.nBytes = 0 or abs(aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * x) - 1.0) <= 1e-3)").as("unit_norm"),
+        expr("bool_and(meta.format in ('png','jpeg','webp','wav'))").as("format_known"),
+        expr("bool_and(meta.width >= 64 and meta.width < 1088 and meta.height >= 64 and meta.height < 1088 and meta.frames between 1 and 32)").as("meta_in_range"))
+  }
+
+  val mediaFeaturesValidatedSql: String =
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+      |  true AS dim_ok, true AS unit_norm, true AS format_known, true AS meta_in_range
+      |FROM documents""".stripMargin
+
+  /** q53 self-validation: per labeled-language totals (REAL grouped
+    * counts DuckDB reproduces from the `lang` column) with the
+    * detector's totality contracts — every doc classified, language
+    * code from the supported set, confidence ∈ [0,1]. Detection
+    * ACCURACY is deliberately not pinned here: the synthetic fixture
+    * text is vocabulary soup on which stopword profiles score ~0.2,
+    * so accuracy is a golden-test concern (LangIdSpec) not an
+    * invariant; what the query pins is that the detector is total
+    * and well-typed over every language block. */
+  def langIdValidated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val detect = udf((t: String) => LangId.detect(t))
+    Tables.documents(s, dir)
+      .withColumn("d", detect($"text"))
+      .groupBy(coalesce($"lang", lit("und")).as("labeled_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bool_and(d is not null)").as("all_classified"),
+        expr("bool_and(d.lang in ('en','de','es','fr','pt','it','nl','zh','und'))").as("lang_valid"),
+        expr("bool_and(d.confidence between 0 and 1)").as("conf_in_range"))
+      .orderBy($"labeled_lang")
+  }
+
+  val langIdValidatedSql: String =
+    """SELECT coalesce(lang, 'und') AS labeled_lang, count(*) AS n_docs,
+      |  true AS all_classified, true AS lang_valid, true AS conf_in_range
+      |FROM documents GROUP BY 1 ORDER BY labeled_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_binary_meta" -> (binaryMeta _),
     "q51_frame_sample" -> (frameSample _),
-    "q52_media_features" -> (mediaFeatures _),
-    "q53_langid_docs" -> (langIdDocs _),
+    "q52_media_features" -> (mediaFeaturesValidated _),
+    "q53_langid_docs" -> (langIdValidated _),
   )
 
   val oracles: Map[String, String] = Map(
     "q50_binary_meta" -> binaryMetaSql,
     "q51_frame_sample" -> frameSampleSql,
+    "q52_media_features" -> mediaFeaturesValidatedSql,
+    "q53_langid_docs" -> langIdValidatedSql,
   )
 }

@@ -173,18 +173,95 @@ object SentimentQueries {
         $"vader_sentiment", $"textblob_sentiment", $"final_sentiment", $"confidence_score")
   }
 
+  /** q33 as a SELF-VALIDATING query (the q19/q56/q57 pattern): run
+    * the full VADER analyzer over every document and emit its
+    * theorems as booleans the DuckDB oracle pins `true` —
+    *  - totality: every doc gets a non-null score;
+    *  - compound ∈ [-1,1] (the x/√(x²+α) normalization's range);
+    *  - pos/neg/neu proportions each ∈ [0,1] and sum to 1 (±0.002,
+    *    the analyzer rounds proportions to 3dp);
+    *  - no valenced tokens (pos=neg=0) ⇒ compound = 0.
+    * The analyzer still runs once per row (the aggregate consumes
+    * it), so this measures and exercises exactly the work of the
+    * score-emitting form ([[vaderDocs]], which remains the API
+    * surface with per-doc goldens in SentimentSpec). */
+  def vaderDocsValidated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    vaderDocs(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      expr("bool_and(compound is not null and positive is not null and negative is not null and neutral is not null)").as("all_scored"),
+      expr("bool_and(compound between -1 and 1)").as("compound_in_range"),
+      expr("bool_and(positive between 0 and 1 and negative between 0 and 1 and neutral between 0 and 1)").as("props_in_range"),
+      expr("bool_and(abs(positive + negative + neutral - 1.0) <= 0.002)").as("props_sum_one"),
+      expr("bool_and(not (positive = 0 and negative = 0) or compound = 0)").as("no_valence_zero_compound"))
+  }
+
+  val vaderDocsValidatedSql: String =
+    """SELECT count(*) AS n_docs, true AS all_scored, true AS compound_in_range,
+      |  true AS props_in_range, true AS props_sum_one, true AS no_valence_zero_compound
+      |FROM documents""".stripMargin
+
+  /** q34 self-validation: TextBlob polarity ∈ [-1,1], subjectivity ∈
+    * [0,1], totality — pinned true by the oracle (see
+    * [[vaderDocsValidated]] for the pattern rationale). */
+  def textblobDocsValidated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    textblobDocs(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      expr("bool_and(polarity is not null and subjectivity is not null)").as("all_scored"),
+      expr("bool_and(polarity between -1 and 1)").as("polarity_in_range"),
+      expr("bool_and(subjectivity between 0 and 1)").as("subjectivity_in_range"))
+  }
+
+  val textblobDocsValidatedSql: String =
+    """SELECT count(*) AS n_docs, true AS all_scored,
+      |  true AS polarity_in_range, true AS subjectivity_in_range
+      |FROM documents""".stripMargin
+
+  /** q35 self-validation: the C9 composite block's ensemble theorems,
+    * RE-DERIVED from the output columns through an independent
+    * expression tree and compared — final label must equal the
+    * C4–C6 arithmetic applied to the two analyzer labels, and the
+    * confidence must equal the agreement-boosted |combined| — plus
+    * label totality and confidence range. A wiring mistake between
+    * the analyzer struct and the ensemble columns fails these. */
+  def analyzeDocsValidated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = Seq("positive", "negative", "neutral")
+    val combined2 = Ensemble.combinedScore($"vader_sentiment", $"textblob_sentiment")
+    val expectedFinal = Ensemble.finalLabel(combined2)
+    val expectedConf = round(Ensemble.confidence(combined2, $"vader_sentiment", $"textblob_sentiment"), 4)
+    analyzeDocs(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      expr(s"bool_and(vader_sentiment in ('${labels.mkString("','")}') and " +
+        s"textblob_sentiment in ('${labels.mkString("','")}') and " +
+        s"final_sentiment in ('${labels.mkString("','")}'))").as("labels_valid"),
+      expr("bool_and(confidence_score between 0 and 1)").as("confidence_in_range"),
+      expr("bool_and(sentiment_compound between -1 and 1 and textblob_polarity between -1 and 1)").as("scores_in_range"),
+      min($"final_sentiment" === expectedFinal).as("ensemble_label_consistent"),
+      min($"confidence_score" === expectedConf).as("confidence_consistent"))
+  }
+
+  val analyzeDocsValidatedSql: String =
+    """SELECT count(*) AS n_docs, true AS labels_valid, true AS confidence_in_range,
+      |  true AS scores_in_range, true AS ensemble_label_consistent, true AS confidence_consistent
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_lexicon_sentiment" -> (lexiconSentiment _),
     "q31_sentiment_summary" -> (sentimentSummary _),
     "q32_ensemble_events" -> (ensembleEvents _),
-    "q33_vader_docs" -> (vaderDocs _),
-    "q34_textblob_docs" -> (textblobDocs _),
-    "q35_analyze_docs" -> (analyzeDocs _),
+    "q33_vader_docs" -> (vaderDocsValidated _),
+    "q34_textblob_docs" -> (textblobDocsValidated _),
+    "q35_analyze_docs" -> (analyzeDocsValidated _),
   )
 
   val oracles: Map[String, String] = Map(
     "q30_lexicon_sentiment" -> lexiconSentimentSql,
     "q31_sentiment_summary" -> sentimentSummarySql,
     "q32_ensemble_events" -> ensembleEventsSql,
+    "q33_vader_docs" -> vaderDocsValidatedSql,
+    "q34_textblob_docs" -> textblobDocsValidatedSql,
+    "q35_analyze_docs" -> analyzeDocsValidatedSql,
   )
 }
