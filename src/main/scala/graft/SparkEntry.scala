@@ -36,4 +36,14 @@ object SparkEntry {
     * e.g. murmur3-seeded MinHash signatures). */
   def oracleSql: Map[String, String] =
     modules.flatMap(_._2).toMap
+
+  /** Registry metadata: queries whose pair enumeration is
+    * intentionally quadratic-within-blocks — they exist as exhaustive
+    * small-sf oracles for their LSH-bucketed scale siblings (q45→q54,
+    * q47→q55) and REFUSE to run past
+    * `spark.graft.oracleTier.maxRows` (default 100k) rows so the
+    * quadratic form cannot be benched or shipped as a default at
+    * scale. See [[graft.queries.Scale.oracleTierGuard]]. */
+  val oracleTierQueries: Set[String] =
+    Set("q45_embedding_neardups", "q47_nn_within_label")
 }

@@ -20,9 +20,16 @@ object Scale {
     * key across `salt` reducers ((key, salt) partial agg), phase 2
     * merges the partials per key. Identical result to a direct
     * groupBy; the first shuffle is balanced even if one key owns 90%
-    * of rows. */
-  def saltedCount(df: DataFrame, key: Column, salt: Int): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    * of rows.
+    *
+    * `saltBy` must be a per-row DETERMINISTIC discriminator (a
+    * primary key or any column that varies within a hot key): the
+    * salt is `hash(saltBy) mod salt`, so task retries and AQE
+    * re-partitioning replay byte-identical salts — unlike a
+    * partition-id/rowid salt, which is correct (any assignment
+    * works) but makes replays nondeterministic. */
+  def saltedCount(df: DataFrame, key: Column, saltBy: Column, salt: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(saltBy), lit(salt)))
       .groupBy(key.as("key"), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col("key"))
@@ -32,12 +39,30 @@ object Scale {
     * that is still too large (or too row-multiplying) to broadcast:
     * fact rows get a per-row salt in [0, salt); the dim side is
     * replicated `salt` ways; the join key becomes (key, salt) so one
-    * hot key spreads over `salt` reducers. */
-  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
-    val saltedFact = fact.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)).cast("int"))
+    * hot key spreads over `salt` reducers. `saltBy`: see
+    * [[saltedCount]] — a deterministic per-row discriminator. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, saltBy: Column, salt: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", pmod(hash(saltBy), lit(salt)))
     val replicatedDim = dim.withColumn("_salt", explode(lit((0 until salt).toArray)))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Gate for intentionally-quadratic ORACLE-TIER operators (q45/q47:
+    * exhaustive within-block pair enumeration kept as the small-sf
+    * ground truth for their LSH scale siblings q54/q55). Counting the
+    * input is one cheap metadata-backed job; past
+    * `spark.graft.oracleTier.maxRows` (default 100k) the operator
+    * refuses to run rather than silently planning O(n²/L) work at
+    * scale — the caller is pointed at the scale-path sibling. */
+  def oracleTierGuard(df: DataFrame, what: String, scalePath: String): DataFrame = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.oracleTier.maxRows").getOrElse("100000").toLong
+    val n = df.count()
+    require(n <= cap,
+      s"$what is an oracle-tier operator (quadratic-within-block pair enumeration) " +
+        s"and its input has $n rows > the $cap-row cap. Use $scalePath at scale, " +
+        "or raise spark.graft.oracleTier.maxRows to run it anyway.")
+    df
   }
 
   /** Bucketed write: co-locates (and co-sorts) a table on its join

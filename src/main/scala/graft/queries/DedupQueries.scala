@@ -290,10 +290,15 @@ object DedupQueries {
       |  true AS hamming_bound, true AS subset_complete""".stripMargin
 
   /** Embedding-cosine near-dup pairs within label blocks, via the
-    * codegen'd [[graft.functions.CosineSimilarity]] expression. */
+    * codegen'd [[graft.functions.CosineSimilarity]] expression.
+    * ORACLE TIER: exhaustive O(n²/L) pair enumeration, gated by
+    * [[graft.operators.Scale.oracleTierGuard]] — the scale path is
+    * [[embeddingNearDupsLsh]] (q54). */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding")
+    val e = graft.operators.Scale.oracleTierGuard(
+      Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding"),
+      "q45_embedding_neardups", "q54_embedding_neardups_lsh (LSH-bucketed)")
     val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("emb_a"))
     val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("emb_b"))
     a.join(b, Seq("label"))

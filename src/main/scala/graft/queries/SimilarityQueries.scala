@@ -54,10 +54,14 @@ object SimilarityQueries {
 
   /** Exact nearest neighbor per vector within its label block
     * (blocked k-NN join — the verify pass of an IVF-style index where
-    * `label` stands in for the coarse centroid assignment). */
+    * `label` stands in for the coarse centroid assignment).
+    * ORACLE TIER: exhaustive O(n²/L) pair enumeration, gated by
+    * [[graft.operators.Scale.oracleTierGuard]] — the scale path is
+    * [[nnLsh]] (q55). */
   def nnWithinLabel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    val e = graft.operators.Scale.oracleTierGuard(Tables.embeddings(s, dir),
+      "q47_nn_within_label", "q55_nn_lsh (LSH-bucketed)")
     val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("emb_a"))
     val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("emb_b"))
     val w = Window.partitionBy($"id_a").orderBy($"cosine".desc, $"id_b")

@@ -9,14 +9,18 @@ class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
   test("saltedCount is exact vs direct groupBy on skewed data") {
-    // 90% of rows under one key
+    // 90% of rows under one key; id is the deterministic salt source
     val df = spark.range(100000)
-      .select(when($"id" % 10 =!= 0, lit(0L)).otherwise($"id").as("k"))
+      .select($"id", when($"id" % 10 =!= 0, lit(0L)).otherwise($"id").as("k"))
     val direct = df.groupBy($"k").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val salted = Scale.saltedCount(df, $"k", salt = 16).collect()
+    val salted = Scale.saltedCount(df, $"k", saltBy = $"id", salt = 16).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted == direct)
+    // the hot key really spreads: its rows land on >1 salt value
+    val spread = df.filter($"k" === 0L)
+      .select(pmod(hash($"id"), lit(16)).as("s")).distinct().count()
+    assert(spread > 1)
   }
 
   test("saltedJoin is exact vs direct join") {
@@ -24,8 +28,21 @@ class ScaleSpec extends SparkSpec {
       .select(when($"id" % 5 =!= 0, lit(1L)).otherwise($"id" % 100).as("k"), $"id".as("v"))
     val dim = spark.range(100).select($"id".as("k"), concat(lit("d"), $"id").as("name"))
     val direct = fact.join(dim, "k").agg(count(lit(1)), sum($"v")).head()
-    val salted = Scale.saltedJoin(fact, dim, "k", salt = 8).agg(count(lit(1)), sum($"v")).head()
+    val salted = Scale.saltedJoin(fact, dim, "k", saltBy = $"v", salt = 8)
+      .agg(count(lit(1)), sum($"v")).head()
     assert(direct == salted)
+  }
+
+  test("oracleTierGuard refuses quadratic oracle queries past the row cap") {
+    spark.conf.set("spark.graft.oracleTier.maxRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.queries.SimilarityQueries.nnWithinLabel(spark, sf)
+      }
+      assert(e.getMessage.contains("q55_nn_lsh"))
+    } finally spark.conf.unset("spark.graft.oracleTier.maxRows")
+    // under the default cap the oracle-tier form still runs
+    assert(graft.queries.SimilarityQueries.nnWithinLabel(spark, sf).limit(1).count() === 1)
   }
 
   test("bucketed tables join with zero Exchange") {
@@ -97,5 +114,34 @@ class ScaleSpec extends SparkSpec {
     // z-quadrant edges (whose bounding boxes are wider)
     assert(zX < 0.7 && zY < 0.7,
       s"z-order files must cover compact rectangles: x-span $zX, y-span $zY")
+
+    // pruned-files metric (the q64 shape): count the files whose
+    // (min,max) envelope overlaps a predicate — the files a
+    // stats-aware scanner (parquet row-group stats, Delta/Iceberg
+    // file stats) actually reads. Z-order's contract is WORKLOAD
+    // symmetry: a linear-x layout prunes x-predicates perfectly but
+    // reads EVERY file for a y-only predicate; z-order prunes on
+    // either dimension. (For a small two-sided box a per-dim linear
+    // sort can beat z-order on its own dimension — that is the
+    // documented trade, not a regression.)
+    def overlappingFiles(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+          min(col("y")).as("y0"), max(col("y")).as("y1"))
+        .filter(pred)
+        .count()
+    val yBox = col("y1") >= 40 && col("y0") <= 45
+    val bothBox = col("x1") >= 40 && col("x0") <= 45 && yBox
+    val linearYOnly = overlappingFiles(s"$base/linear", yBox)
+    val zorderYOnly = overlappingFiles(s"$base/zorder", yBox)
+    val zorderBoth = overlappingFiles(s"$base/zorder", bothBox)
+    assert(linearYOnly === 16,
+      s"sanity: the linear-x layout cannot prune a y-only predicate, got $linearYOnly of 16")
+    assert(zorderYOnly <= 8,
+      s"z-order must prune a y-only ~3% predicate to at most half the files, " +
+        s"got $zorderYOnly of 16")
+    assert(zorderBoth <= zorderYOnly,
+      s"adding the x side must not read MORE files: $zorderBoth vs $zorderYOnly")
   }
 }
