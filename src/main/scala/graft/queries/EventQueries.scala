@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.queries.Export._
 
 /** Tweet-pipeline parity queries (SURVEY §3.2–§3.3) over the `events`
   * fixture, which stands in for the streamed `tweets` table:
@@ -28,7 +29,7 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"),
         round(coalesce(avg($"value"), lit(0.0)), 4).as("avg_value"),
         round(coalesce(sum($"value"), lit(0.0)), 2).as("sum_value"))
-      .orderBy($"n_events".desc, $"event_type")
+      .domainOrdered($"n_events".desc, $"event_type")
   }
 
   val eventSummarySql: String =
@@ -88,7 +89,7 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"),
         round(avg($"value"), 4).as("avg_value"),
         round(sum($"value"), 2).as("sum_value"))
-      .orderBy($"date_hour", $"event_type")
+      .domainOrdered($"date_hour", $"event_type")
   }
 
   val hourlySummarySql: String =
@@ -107,7 +108,7 @@ object EventQueries {
       .groupBy($"k_bucket")
       .agg(count(lit(1)).as("n_events"),
         round(avg($"value"), 4).as("avg_value"))
-      .orderBy($"k_bucket")
+      .domainOrdered($"k_bucket")
   }
 
   val jsonExtractSql: String =
@@ -124,7 +125,7 @@ object EventQueries {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5)
       .select($"event_type", $"event_id", round($"value", 2).as("value"), $"rn")
-      .orderBy($"event_type", $"rn")
+      .domainOrdered($"event_type", $"rn")
   }
 
   val topEventsPerTypeSql: String =
@@ -179,7 +180,7 @@ object EventQueries {
       .select($"event_type", $"exact_users",
         (abs($"approx_users" - $"exact_users").cast("double") / $"exact_users" <= 0.05)
           .as("hll_within_5pct"))
-      .orderBy($"event_type")
+      .domainOrdered($"event_type")
   }
 
   val approxDistinctUsersSql: String =
@@ -242,7 +243,7 @@ object EventQueries {
         round($"ps"(0), 4).as("p50"),
         round($"ps"(1), 4).as("p95"),
         round($"ps"(2), 4).as("p99"))
-      .orderBy($"event_type")
+      .domainOrdered($"event_type")
   }
 
   val valuePercentilesSql: String =
@@ -277,7 +278,7 @@ object EventQueries {
         round($"e"(1), 4).as("p50"), round($"e"(4), 4).as("p95"),
         sandwiched($"a"(0), $"e"(0), $"e"(2)).as("approx_p50_in_rank_band"),
         sandwiched($"a"(1), $"e"(3), $"e"(5)).as("approx_p95_in_rank_band"))
-      .orderBy($"event_type")
+      .domainOrdered($"event_type")
   }
 
   val approxPercentilesSql: String =
@@ -334,7 +335,7 @@ object EventQueries {
     bounds.join(uncovered, Seq("event_type"), "left")
       .select($"event_type", $"n_events", $"bounds_hold",
         (coalesce($"n_uncovered", lit(0L)) === 0).as("coverage_holds"))
-      .orderBy($"event_type")
+      .domainOrdered($"event_type")
   }
 
   val heavyHittersSql: String =
@@ -362,7 +363,7 @@ object EventQueries {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"event_type", $"rank", $"item", $"est")
-      .orderBy($"event_type", $"rank")
+      .domainOrdered($"event_type", $"rank")
   }
 
   /** q64: z-order layout rewrite under a CORRECTNESS oracle (VERDICT

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.queries.Export._
 import graft.queries.TextQueries
 import graft.functions.LangId
 import graft.operators.Multimodal
@@ -127,7 +128,7 @@ object MediaQueries {
         expr("bool_and(d is not null)").as("all_classified"),
         expr("bool_and(d.lang in ('en','de','es','fr','pt','it','nl','zh','und'))").as("lang_valid"),
         expr("bool_and(d.confidence between 0 and 1)").as("conf_in_range"))
-      .orderBy($"labeled_lang")
+      .domainOrdered($"labeled_lang")
   }
 
   val langIdValidatedSql: String =

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.queries.Export._
 
 /** Relational core: the reference's query surface (SURVEY §2.3–§2.7 —
   * filter/project, group-agg A1–A3, sorts/top-k W1–W3, plus the joins
@@ -44,7 +45,7 @@ object Relational {
         round(avg($"l_extendedprice"), 4).as("avg_price"),
         round(avg($"l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy($"l_returnflag", $"l_linestatus")
+      .domainOrdered($"l_returnflag", $"l_linestatus")
   }
 
   val pricingSummarySql: String =
@@ -111,7 +112,7 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"),
         round(avg($"c_acctbal"), 4).as("avg_bal"),
         round(sum($"c_acctbal"), 2).as("sum_bal"))
-      .orderBy($"r_name", $"n_name")
+      .domainOrdered($"r_name", $"n_name")
   }
 
   val customerByRegionSql: String =
@@ -143,7 +144,7 @@ object Relational {
       .groupBy($"n_name")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_lines"))
-      .orderBy($"n_name")
+      .domainOrdered($"n_name")
   }
 
   val revenueByNationSql: String =
@@ -196,7 +197,7 @@ object Relational {
       .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
         coalesce($"o_orderstatus", lit("ALL")).as("status"),
         $"n_orders", $"sum_price")
-      .orderBy($"priority", $"status")
+      .domainOrdered($"priority", $"status")
   }
 
   val rollupPrioritiesSql: String =
@@ -233,7 +234,7 @@ object Relational {
       .agg(countDistinct($"l_suppkey").as("n_suppliers"),
         countDistinct($"l_partkey").as("n_parts"),
         count(lit(1)).as("n_lines"))
-      .orderBy($"l_returnflag")
+      .domainOrdered($"l_returnflag")
   }
 
   val distinctPartsSql: String =
@@ -248,7 +249,7 @@ object Relational {
       .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_semi")
       .groupBy($"c_nationkey")
       .agg(count(lit(1)).as("n_customers"))
-      .orderBy($"c_nationkey")
+      .domainOrdered($"c_nationkey")
   }
 
   val customersWithOrdersSql: String =
@@ -304,7 +305,7 @@ object Relational {
       .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
         coalesce($"o_orderstatus", lit("ALL")).as("status"),
         $"n_orders", $"avg_price")
-      .orderBy($"priority", $"status")
+      .domainOrdered($"priority", $"status")
   }
 
   val cubeOrdersSql: String =
@@ -326,7 +327,7 @@ object Relational {
       .select(coalesce($"nk_c", $"nk_s").as("nationkey"),
         coalesce($"n_customers", lit(0L)).as("n_customers"),
         coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
-      .orderBy($"nationkey")
+      .domainOrdered($"nationkey")
   }
 
   val customerSupplierBalanceSql: String =
@@ -348,7 +349,7 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0L)
       .select($"o_orderpriority", $"F".as("n_f"), $"O".as("n_o"), $"P".as("n_p"))
-      .orderBy($"o_orderpriority")
+      .domainOrdered($"o_orderpriority")
   }
 
   val pivotOrdersSql: String =

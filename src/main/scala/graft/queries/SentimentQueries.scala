@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.queries.Export._
 import graft.functions.{Ensemble, TextBlobOps, Vader}
 
 /** Sentiment pipeline queries (SURVEY §2.8 C2–C9, §3.2).
@@ -70,7 +71,7 @@ object SentimentQueries {
         round(coalesce(avg($"compound"), lit(0.0)), 4).as("avg_compound"),
         round(coalesce(sum($"n_pos"), lit(0L)).cast("double"), 2).as("total_pos"),
         round(coalesce(sum($"n_neg"), lit(0L)).cast("double"), 2).as("total_neg"))
-      .orderBy($"n_docs".desc, $"sentiment")
+      .domainOrdered($"n_docs".desc, $"sentiment")
   }
 
   val sentimentSummarySql: String =
@@ -109,7 +110,7 @@ object SentimentQueries {
       .groupBy($"final_sentiment")
       .agg(count(lit(1)).as("n_events"),
         round(avg($"confidence_score"), 4).as("avg_confidence"))
-      .orderBy($"n_events".desc, $"final_sentiment")
+      .domainOrdered($"n_events".desc, $"final_sentiment")
   }
 
   val ensembleEventsSql: String =

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.queries.Export._
 import graft.functions.expressions._
 
 /** Similarity search over the `embeddings` fixture (north-star ANN
@@ -38,7 +39,7 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"query_id", $"neighbor_id", $"cosine", $"rank")
-      .orderBy($"query_id", $"rank")
+      .domainOrdered($"query_id", $"rank")
   }
 
   val cosineTopKSql: String =
@@ -109,7 +110,7 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"query_id", $"neighbor_id", $"cosine", $"rank", $"bucket")
-      .orderBy($"query_id", $"rank")
+      .domainOrdered($"query_id", $"rank")
   }
 
   /** The 8×64 bucket computation as DuckDB SQL — bit p of the bucket
@@ -334,7 +335,7 @@ object SimilarityQueries {
         round(min($"v".cast("double")), 6).as("min_v"),
         round(max($"v".cast("double")), 6).as("max_v"),
         count(lit(1)).as("n"))
-      .orderBy($"dim")
+      .domainOrdered($"dim")
   }
 
   val embeddingDimStatsSql: String =

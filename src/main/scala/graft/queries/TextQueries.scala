@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.queries.Export._
 
 /** Text-analysis operators over the `documents` fixture — the
   * reference's text path (C1 clean, F1 filter, SURVEY §2.3/§2.8) plus
@@ -123,7 +124,7 @@ object TextQueries {
         round(avg($"n_chars"), 4).as("avg_chars"),
         round(avg(tokenCount($"text").cast("double")), 4).as("avg_tokens"),
         countDistinct($"source").as("n_sources"))
-      .orderBy($"lang")
+      .domainOrdered($"lang")
   }
 
   val langStatsSql: String =
