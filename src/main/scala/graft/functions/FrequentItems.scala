@@ -50,7 +50,16 @@ case class FrequentItemsSketch(
 
   override def update(buf: Buffer, input: InternalRow): Buffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.toString, 1L, capacity)
+    v match {
+      case null => ()
+      case s: UTF8String =>
+        // transient lookup, clone only when a NEW key is inserted —
+        // repeat hitters (the common case for a heavy-hitters stream)
+        // cost zero allocations; the buffer must clone because `s`
+        // may alias reused row memory
+        buf.add(s, 1L, capacity)
+      case other => buf.add(UTF8String.fromString(other.toString), 1L, capacity)
+    }
     buf
   }
 
@@ -62,8 +71,11 @@ case class FrequentItemsSketch(
   }
 
   override def eval(buf: Buffer): Any = {
-    val items = buf.counters.toArray.sortBy { case (k, c) => (-c, k) }
-      .map { case (k, c) => InternalRow(UTF8String.fromString(k), java.lang.Long.valueOf(c)) }
+    // est desc, then item in UTF8String (byte-lexicographic) order —
+    // deterministic; consumers re-sort on column values anyway
+    val items = buf.counters.toArray
+      .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1.compareTo(b._1) < 0))
+      .map { case (k, c) => InternalRow(k, java.lang.Long.valueOf(c)) }
     InternalRow(new GenericArrayData(items.asInstanceOf[Array[Any]]),
       java.lang.Long.valueOf(buf.maxErr))
   }
@@ -76,7 +88,7 @@ case class FrequentItemsSketch(
     // length-prefixed UTF-8 (writeUTF caps items at 64 KB — too small
     // for a generic Column API that may track long strings)
     buf.counters.foreach { case (k, c) =>
-      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = k.getBytes
       out.writeInt(b.length); out.write(b); out.writeLong(c)
     }
     out.flush(); bos.toByteArray
@@ -92,7 +104,7 @@ case class FrequentItemsSketch(
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      buf.counters(new String(b, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
+      buf.counters(UTF8String.fromBytes(b)) = in.readLong()
       i += 1
     }
     buf
@@ -115,16 +127,20 @@ object FrequentItemsSketch {
     StructField("max_err", LongType, nullable = false)))
 
   final class Buffer {
-    val counters: scala.collection.mutable.HashMap[String, Long] =
+    /** Keyed by UTF8String so the per-row update path needs no String
+      * materialization: lookups use the (possibly memory-aliased)
+      * input value directly, and only a NEW key pays a defensive
+      * `clone()` on insert. */
+    val counters: scala.collection.mutable.HashMap[UTF8String, Long] =
       scala.collection.mutable.HashMap.empty
     var maxErr: Long = 0L
 
     /** Misra–Gries step: count if tracked or free slot, else decrement
       * everyone (amortized O(1): each decrement pays for an increment). */
-    def add(item: String, weight: Long, capacity: Int): Unit = {
+    def add(item: UTF8String, weight: Long, capacity: Int): Unit = {
       counters.get(item) match {
         case Some(c) => counters(item) = c + weight
-        case None if counters.size < capacity => counters(item) = weight
+        case None if counters.size < capacity => counters(item.clone()) = weight
         case None =>
           // decrement-all by min(weight, current minimum) steps; for
           // unit weights this is the classic subtract-1 pass (the new
@@ -139,7 +155,7 @@ object FrequentItemsSketch {
             maxErr += dec
             remaining -= dec
           }
-          if (remaining > 0) counters(item) = counters.getOrElse(item, 0L) + remaining
+          if (remaining > 0) counters(item.clone()) = counters.getOrElse(item, 0L) + remaining
       }
     }
 

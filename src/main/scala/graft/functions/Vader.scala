@@ -269,7 +269,13 @@ object Vader extends Serializable {
         // ALL-CAPS emphasis on the sentiment word itself
         if (capsDiff && isAllCaps(wordsRaw(i)))
           v = if (v > 0) v + CapsBoost else v - CapsBoost
-        // boosters within 3 preceding tokens, scaled by distance
+        // boosters + negations within 3 preceding tokens, scaled by
+        // distance. The zero-valence gate applies ONLY to boosters (a
+        // lexicon word must not double as an intensifier); negation is
+        // checked INDEPENDENTLY of the gate — "no" carries both a
+        // lexicon valence and negation duty, and gating negation on
+        // the absence of a valence made negation-by-"no" unreachable
+        // ("no good" kept +1.9 instead of flipping).
         var d = 1
         while (d <= 3 && i - d >= 0) {
           val prev = wordsLower(i - d)
@@ -285,8 +291,8 @@ object Vader extends Serializable {
               val scale = d match { case 1 => 1.0; case 2 => 0.95; case _ => 0.9 }
               v = v + s0 * scale
             }
-            if (negations.contains(prev)) v = v * NegationFlip
           }
+          if (negations.contains(prev)) v = v * NegationFlip
           d += 1
         }
         // "but" clause re-weighting

@@ -196,12 +196,19 @@ case class MinHashSignature(child: Expression, n: Int, k: Int, seed: Int)
     val arr = input.asInstanceOf[ArrayData]
     val nTok = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
-    // token hashes, one murmur pass per token (null tokens hash as 0)
+    // token hashes, one murmur pass per token; shingles containing a
+    // NULL token are SKIPPED (not hashed with a sentinel — a sentinel
+    // would make any two documents sharing a null-bearing window look
+    // identical in that shingle and deflate their MinHash distance).
+    // Unreachable from split()-derived tokens (containsNull = false);
+    // this preserves the expression's public contract on nullable
+    // arrays.
     val th = new Array[Long](nTok)
+    val nullT = new Array[Boolean](nTok)
     var i = 0
     while (i < nTok) {
       val t = arr.getUTF8String(i)
-      th(i) = if (t == null) 0L else MinHashUtil.tokenHash(t, seed)
+      if (t == null) nullT(i) = true else th(i) = MinHashUtil.tokenHash(t, seed)
       i += 1
     }
     val width = if (nTok < n) nTok else n
@@ -209,17 +216,21 @@ case class MinHashSignature(child: Expression, n: Int, k: Int, seed: Int)
     var s = 0
     while (s < nShingles) {
       var acc = 0L
+      var hasNull = false
       var w = 0
       while (w < width) {
+        if (nullT(s + w)) hasNull = true
         acc = acc * 0x100000001b3L ^ th(s + w)
         w += 1
       }
-      val x = MinHashUtil.fmix64(acc) & 0xffffffffL
-      var j = 0
-      while (j < k) {
-        val v = (coefs(2 * j) * x + coefs(2 * j + 1)) % MinHashUtil.Prime
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!hasNull) {
+        val x = MinHashUtil.fmix64(acc) & 0xffffffffL
+        var j = 0
+        while (j < k) {
+          val v = (coefs(2 * j) * x + coefs(2 * j + 1)) % MinHashUtil.Prime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       s += 1
     }
@@ -240,17 +251,21 @@ case class MinHashSignature(child: Expression, n: Int, k: Int, seed: Int)
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |long[] $th = new long[$nTok];
+         |boolean[] ${th}_null = new boolean[$nTok];
          |for (int $i = 0; $i < $nTok; $i++) {
-         |  $th[$i] = $arr.isNullAt($i) ? 0L
-         |    : graft.functions.MinHashUtil.tokenHash($arr.getUTF8String($i), $seed);
+         |  if ($arr.isNullAt($i)) { ${th}_null[$i] = true; }
+         |  else { $th[$i] = graft.functions.MinHashUtil.tokenHash($arr.getUTF8String($i), $seed); }
          |}
          |int $width = $nTok < $n ? $nTok : $n;
          |int $nSh = $nTok == 0 ? 0 : $nTok - $width + 1;
          |for (int $sIdx = 0; $sIdx < $nSh; $sIdx++) {
          |  long $acc = 0L;
+         |  boolean ${acc}_skip = false;
          |  for (int $w = 0; $w < $width; $w++) {
+         |    if (${th}_null[$sIdx + $w]) ${acc}_skip = true;
          |    $acc = $acc * 0x100000001b3L ^ $th[$sIdx + $w];
          |  }
+         |  if (${acc}_skip) continue;
          |  long $x = graft.functions.MinHashUtil.fmix64($acc) & 0xffffffffL;
          |  for (int $j = 0; $j < $k; $j++) {
          |    long $v = ($coefsRef[2 * $j] * $x + $coefsRef[2 * $j + 1]) % ${MinHashUtil.Prime}L;

@@ -26,7 +26,18 @@ import org.apache.spark.sql.types._
   * the database's native `INSERT … ON CONFLICT DO NOTHING` (one
   * round-trip per batch, no exception control flow); Derby — the
   * embedded database available in this sandbox — has no such clause,
-  * so the portable per-row form is the tested path. */
+  * so the portable per-row form is the tested path.
+  *
+  * Portability of the swallow: engines differ in whether a
+  * transaction stays usable after a statement error — Derby keeps it
+  * usable, PostgreSQL aborts the whole transaction (25P02 on every
+  * later statement until rollback). Each insert therefore runs under
+  * a JDBC SAVEPOINT: on a duplicate key the transaction rolls back
+  * to the savepoint and continues, which is the portable equivalent
+  * of statement-level atomicity and costs one extra round-trip only
+  * on the conflict path. Identifiers are quoted with the driver's
+  * own quote string so mixed-case/reserved-word column names (legal
+  * in a DataFrame schema) cannot break or redirect the statement. */
 object JdbcSink {
 
   private def sqlTypeOf(dt: DataType): Int = dt match {
@@ -50,6 +61,17 @@ object JdbcSink {
   private def isDuplicateKey(e: SQLException): Boolean =
     Option(e.getSQLState).contains("23505")
 
+  /** ANSI/common reserved words that are legal DataFrame column names
+    * but must be quoted in SQL (see `quoted` in [[insertIgnore]]). */
+  private[streaming] val ReservedWords: Set[String] = Set(
+    "all", "alter", "and", "any", "as", "asc", "between", "by", "case",
+    "check", "column", "constraint", "create", "default", "delete",
+    "desc", "distinct", "drop", "else", "end", "exists", "from",
+    "grant", "group", "having", "in", "index", "insert", "is", "join",
+    "key", "like", "not", "null", "on", "or", "order", "primary",
+    "select", "some", "table", "then", "to", "union", "update", "user",
+    "values", "when", "where", "with")
+
   /** Insert every row of `batch` into `table` (columns matched by
     * name), ignoring duplicate-key violations. Executor-side: one
     * JDBC connection per partition. */
@@ -57,13 +79,33 @@ object JdbcSink {
                    commitEvery: Int = 1000): Unit = {
     val cols = batch.columns
     val types = batch.schema.fields.map(f => sqlTypeOf(f.dataType))
-    val insertSql =
-      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     batch.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val conn = DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
+          // Identifier handling: a REGULAR identifier (letter then
+          // letters/digits/underscores) is left unquoted so the
+          // database applies its own case folding and it matches
+          // unquoted DDL (Derby/PG fold opposite directions — blanket
+          // quoting would break every plain lowercase table created
+          // with unquoted DDL). Anything else — spaces, reserved
+          // punctuation, quote chars, a would-be injection payload —
+          // is quoted with the driver's own quote string, with
+          // embedded quotes doubled.
+          val q = Option(conn.getMetaData.getIdentifierQuoteString)
+            .map(_.trim).filter(_.nonEmpty).getOrElse("\"")
+          // Reserved words are always quoted: unquoted DDL cannot have
+          // created such a column, so the stored case is exactly what
+          // the (necessarily quoted) DDL wrote and quoting is safe.
+          def quoted(ident: String) =
+            if (ident.matches("[A-Za-z][A-Za-z0-9_]*") &&
+              !JdbcSink.ReservedWords(ident.toLowerCase))
+              ident
+            else q + ident.replace(q, q + q) + q
+          val insertSql =
+            s"INSERT INTO ${quoted(table)} (${cols.map(quoted).mkString(", ")}) " +
+              s"VALUES (${cols.map(_ => "?").mkString(", ")})"
           val ps = conn.prepareStatement(insertSql)
           var n = 0
           rows.foreach { r =>
@@ -73,8 +115,19 @@ object JdbcSink {
               if (v == null) ps.setNull(i + 1, types(i)) else ps.setObject(i + 1, v)
               i += 1
             }
-            try ps.executeUpdate()
-            catch { case e: SQLException if isDuplicateKey(e) => () } // first writer wins
+            // savepoint-per-insert: on engines that abort the whole
+            // transaction at the first statement error (PostgreSQL),
+            // rolling back to the savepoint keeps the transaction
+            // usable so one duplicate cannot poison the rest of the
+            // commit window; on Derby it is a cheap no-op guard
+            val sp = conn.setSavepoint()
+            try {
+              ps.executeUpdate()
+              conn.releaseSavepoint(sp)
+            } catch {
+              case e: SQLException if isDuplicateKey(e) =>
+                conn.rollback(sp) // first writer wins
+            }
             n += 1
             if (n % commitEvery == 0) conn.commit()
           }

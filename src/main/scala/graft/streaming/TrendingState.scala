@@ -29,7 +29,9 @@ object TrendingState {
 
   private def toBuffer(s: MgState): FrequentItemsSketch.Buffer = {
     val b = new FrequentItemsSketch.Buffer()
-    s.counters.foreach { case (k, v) => b.counters(k) = v }
+    s.counters.foreach { case (k, v) =>
+      b.counters(org.apache.spark.unsafe.types.UTF8String.fromString(k)) = v
+    }
     b.maxErr = s.maxErr
     b
   }
@@ -39,18 +41,28 @@ object TrendingState {
     val prior = state.getOption.getOrElse(MgState(Map.empty, 0L, 0L))
     val buf = toBuffer(prior)
     var n = prior.nEvents
-    events.foreach { e => buf.add(e.user_id.toString, 1L, capacity); n += 1 }
-    state.update(MgState(buf.counters.toMap, buf.maxErr, n))
-    val top = buf.counters.toSeq.sortBy { case (item, c) => (-c, item) }.take(k)
+    events.foreach { e =>
+      buf.add(org.apache.spark.unsafe.types.UTF8String.fromString(e.user_id.toString),
+        1L, capacity)
+      n += 1
+    }
+    val asStrings = buf.counters.map { case (k, c) => k.toString -> c }
+    state.update(MgState(asStrings.toMap, buf.maxErr, n))
+    val top = asStrings.toSeq.sortBy { case (item, c) => (-c, item) }.take(k)
     Trend(key, top.map(_._1), top.map(_._2), buf.maxErr, n, buf.counters.size)
   }
 
   /** events(event_type, user_id) stream → one Trend row per key per
-    * trigger (Update output mode). */
+    * trigger (Update output mode). NULL user_ids are dropped before
+    * the typed decode, mirroring the batch sibling (q57's sketch
+    * skips NULL keys): `In.user_id` is a non-nullable Long, so one
+    * NULL event would otherwise kill the streaming query at the
+    * decoder. */
   def trending(events: DataFrame, capacity: Int = 64, k: Int = 3): Dataset[Trend] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select($"event_type", $"user_id".cast("long")).as[In]
+    events.select($"event_type", $"user_id".cast("long"))
+      .filter($"user_id".isNotNull).as[In]
       .groupByKey(_.event_type)
       .mapGroupsWithState[MgState, Trend](GroupStateTimeout.NoTimeout)(
         updateKey(capacity, k))

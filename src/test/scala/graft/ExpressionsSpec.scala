@@ -46,6 +46,31 @@ class ExpressionsSpec extends SparkSpec {
       e.getMessage.contains("array<string>"), e.getMessage.take(200))
   }
 
+  test("minhash signature skips shingles containing a NULL token") {
+    // ADVICE r02: a sentinel hash for NULL tokens would make any two
+    // docs sharing a null-bearing window agree on that shingle and
+    // deflate their distance; the contract is SKIP. A doc whose every
+    // shingle spans the null contributes nothing (== empty doc), and
+    // the valid shingles of a longer doc are unaffected by the null.
+    val df = Seq(
+      (Seq[String]("a", null, "b"), Seq.empty[String]),
+      (Seq[String]("x", "y", "z", null, "q", "r", "s"), Seq[String]("x", "y", "z"))
+    ).toDF("withNull", "ref")
+    val rows = df.select(
+      minhash_signature(col("withNull"), n = 3, k = 32, seed = 7).as("s1"),
+      minhash_signature(col("ref"), n = 3, k = 32, seed = 7).as("s2")).collect()
+    // row 0: only shingle contains the null → same as empty input
+    assert(rows(0).getSeq[Long](0) == rows(0).getSeq[Long](1),
+      "all-null-window doc must equal the empty doc")
+    // row 1: ("x","y","z") is the single null-free shingle of the long
+    // doc's prefix; its hash must match the standalone 3-token doc's
+    // single shingle — i.e. appear in the long doc's mins
+    val longSig = rows(1).getSeq[Long](0)
+    val refSig = rows(1).getSeq[Long](1)
+    assert(refSig.zip(longSig).forall { case (r, l) => l <= r },
+      "valid shingles must still contribute (mins can only get smaller)")
+  }
+
   test("minhash signature estimates jaccard within tolerance") {
     val a = (1 to 100).map(i => s"tok$i")
     val b = (41 to 140).map(i => s"tok$i") // |∩|=60, |∪|=140 → J≈0.4286

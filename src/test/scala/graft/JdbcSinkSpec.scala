@@ -50,6 +50,25 @@ class JdbcSinkSpec extends SparkSpec {
     assert(first == "hello", "first writer wins — conflicting update must be a no-op")
   }
 
+  test("insertIgnore quotes irregular identifiers (spaces, case) safely") {
+    // DDL with QUOTED identifiers: a column with a space and one with
+    // forced mixed case — legal DataFrame column names that unquoted
+    // SQL would break on or silently fold
+    // a column with a space and a reserved word — legal DataFrame
+    // column names that unquoted SQL would break on
+    withStatement(_.execute(
+      "CREATE TABLE quoted_ii (\"user id\" VARCHAR(8) PRIMARY KEY, \"order\" DOUBLE)"))
+    JdbcSink.insertIgnore(
+      Seq(("u1", 1.0), ("u2", 2.0), ("u1", 9.9)).toDF("user id", "order"),
+      url, "quoted_ii")
+    assert(count("quoted_ii") == 2, "insert through quoted identifiers, dup ignored")
+    val v = withStatement { st =>
+      val rs = st.executeQuery("SELECT \"order\" FROM quoted_ii WHERE \"user id\" = 'u1'")
+      rs.next(); rs.getDouble(1)
+    }
+    assert(v == 1.0, "first writer wins through the quoted path too")
+  }
+
   test("insertIgnore handles NULL values") {
     withStatement(_.execute(
       "CREATE TABLE null_ii (k VARCHAR(8) PRIMARY KEY, v VARCHAR(16), d DOUBLE)"))

@@ -55,6 +55,11 @@ class SentimentSpec extends AnyFunSuite {
     assert(Vader.score("this is good!").compound > base, "exclamation should amplify")
     val but = Vader.score("good but awful")
     assert(but.compound < 0, "'but' clause should dominate")
+    // "no" carries BOTH a lexicon valence and negation duty; negation
+    // must not be gated on the preceding word lacking a valence
+    // (ADVICE r02: "no good" kept +1.9 instead of flipping)
+    assert(Vader.score("no good").compound < 0, "negation by 'no' should flip")
+    assert(Vader.score("there is no hope").compound < 0, "'no hope' should flip")
   }
 
   test("VADER totality: never throws; compound ∈ [-1,1]; proportions sum ≈ 1") {

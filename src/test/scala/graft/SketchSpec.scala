@@ -75,7 +75,7 @@ class SketchSpec extends SparkSpec {
       val agg = FrequentItemsSketch(null, cap)
       val bufs = parts.map { p =>
         val b = new FrequentItemsSketch.Buffer()
-        p.foreach(item => b.add(item, 1L, cap))
+        p.foreach(item => b.add(org.apache.spark.unsafe.types.UTF8String.fromString(item), 1L, cap))
         // serialization round-trip must preserve the sketch exactly
         agg.deserialize(agg.serialize(b))
       }
@@ -84,14 +84,16 @@ class SketchSpec extends SparkSpec {
       val maxErr = merged.maxErr
       assert(maxErr <= n.toLong / (cap + 1) + 1,
         s"trial $trial: maxErr $maxErr exceeds n/(cap+1) = ${n / (cap + 1)}")
-      merged.counters.foreach { case (item, est) =>
+      merged.counters.foreach { case (itemU, est) =>
+        val item = itemU.toString
         val truth = exact.getOrElse(item, 0L)
         assert(est <= truth && truth <= est + maxErr,
           s"trial $trial: item $item est=$est true=$truth err=$maxErr")
       }
       exact.foreach { case (item, truth) =>
         if (truth > maxErr)
-          assert(merged.counters.contains(item),
+          assert(merged.counters.contains(
+            org.apache.spark.unsafe.types.UTF8String.fromString(item)),
             s"trial $trial: heavy item $item (true=$truth > err=$maxErr) not tracked")
       }
     }
