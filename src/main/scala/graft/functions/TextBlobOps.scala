@@ -22,8 +22,10 @@ object TextBlobOps extends Serializable {
   final case class Scores(polarity: Double, subjectivity: Double)
   val Neutral: Scores = Scores(0.0, 0.0)
 
-  // (polarity, subjectivity)
-  private[graft] val lexicon: Map[String, (Double, Double)] = Map(
+  // (polarity, subjectivity) — curated entries, kept VERBATIM and
+  // layered with highest precedence over the [[VaderLexicon]]-derived
+  // expansion (see `lexicon` below).
+  private[graft] val curated: Map[String, (Double, Double)] = Map(
     "love" -> (0.5, 0.6), "loved" -> (0.7, 0.8), "lovely" -> (0.5, 0.75),
     "amazing" -> (0.6, 0.9), "awesome" -> (1.0, 1.0), "excellent" -> (1.0, 1.0),
     "fantastic" -> (0.4, 0.9), "great" -> (0.8, 0.75), "good" -> (0.7, 0.6),
@@ -127,6 +129,24 @@ object TextBlobOps extends Serializable {
     "wide" -> (0.1, 0.4), "wild" -> (-0.2, 0.7), "wise" -> (0.6, 0.8),
     "worried" -> (-0.5, 0.8), "worthy" -> (0.5, 0.7), "young" -> (0.1, 0.3),
   )
+
+  /** Full pattern lexicon: en-sentiment.xml is pip-only (see
+    * [[VaderLexicon]]'s provenance note — the same in-sandbox
+    * impossibility applies), so broad coverage is DERIVED from the
+    * reconstructed VADER vocabulary: polarity = valence/3.3 clamped
+    * to [−1,1] (both scales are human-rated sentiment means; the
+    * linear map preserves sign and relative strength), subjectivity
+    * = 0.4 + 0.6·|polarity| capped at 1.0 (strongly polar words are
+    * rated more subjective in the shipped file). Curated entries win.
+    * Values are rounded to 2 dp to keep the derivation stable. */
+  private[graft] lazy val lexicon: Map[String, (Double, Double)] = {
+    def r2(x: Double) = math.rint(x * 100) / 100
+    val derived = VaderLexicon.full.map { case (w, v) =>
+      val pol = r2(clamp(v / 3.3, -1.0, 1.0))
+      w -> (pol, r2(math.min(1.0, 0.4 + 0.6 * math.abs(pol))))
+    }
+    derived ++ curated
+  }
 
   private val intensifiers: Set[String] = Set(
     "very", "really", "extremely", "so", "absolutely", "completely",

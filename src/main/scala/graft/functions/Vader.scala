@@ -31,8 +31,11 @@ object Vader extends Serializable {
   final case class Scores(compound: Double, positive: Double, negative: Double, neutral: Double)
   val Neutral: Scores = Scores(0.0, 0.0, 0.0, 1.0)
 
-  // Valence lexicon (VADER scale −4..+4).
-  private[graft] val lexicon: Map[String, Double] = Map(
+  // Curated valence entries (VADER scale −4..+4) — kept VERBATIM from
+  // rounds 1–2 and layered with HIGHEST precedence over the large
+  // [[VaderLexicon]] reconstruction so every golden-locked value is
+  // stable. The full lookup map is [[lexicon]] below.
+  private[graft] val legacyLexicon: Map[String, Double] = Map(
     // positive
     "love" -> 3.2, "loved" -> 2.9, "loves" -> 2.7, "lovely" -> 2.8,
     "amazing" -> 2.8, "awesome" -> 3.1, "excellent" -> 2.7, "fantastic" -> 2.6,
@@ -174,6 +177,13 @@ object Vader extends Serializable {
     "vicious" -> -2.4, "victim" -> -1.9, "violence" -> -2.9,
     "violent" -> -2.9, "weak" -> -1.8, "wreck" -> -1.9,
   )
+
+  /** Full valence lexicon: the [[VaderLexicon]] reconstruction
+    * (~6k surface forms; see its Scaladoc for provenance and the
+    * in-sandbox impossibility of a byte-exact copy) under the
+    * curated legacy entries. Rightmost wins: legacy > base > derived. */
+  private[graft] lazy val lexicon: Map[String, Double] =
+    VaderLexicon.full ++ legacyLexicon
 
   // Booster (intensifier) dictionary — B_INCR/B_DECR in the paper.
   private val BoostIncr = 0.293

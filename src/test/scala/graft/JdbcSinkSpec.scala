@@ -59,8 +59,12 @@ class JdbcSinkSpec extends SparkSpec {
     withStatement(_.execute(
       "CREATE TABLE quoted_ii (\"user id\" VARCHAR(8) PRIMARY KEY, \"order\" DOUBLE)"))
     JdbcSink.insertIgnore(
-      Seq(("u1", 1.0), ("u2", 2.0), ("u1", 9.9)).toDF("user id", "order"),
-      url, "quoted_ii")
+      Seq(("u1", 1.0), ("u2", 2.0)).toDF("user id", "order"), url, "quoted_ii")
+    // second batch replays u1 with a conflicting value (separate call:
+    // within ONE batch, partition order would make "first writer"
+    // nondeterministic)
+    JdbcSink.insertIgnore(
+      Seq(("u1", 9.9)).toDF("user id", "order"), url, "quoted_ii")
     assert(count("quoted_ii") == 2, "insert through quoted identifiers, dup ignored")
     val v = withStatement { st =>
       val rs = st.executeQuery("SELECT \"order\" FROM quoted_ii WHERE \"user id\" = 'u1'")
