@@ -85,11 +85,14 @@ object Bench {
       val (cold, coldErr) = run(name, fn)
       val gcCold = gcMillis() - gc0
       // warm = best of two re-runs: min-of-k is robust to a one-off
-      // GC/safepoint stall landing in a single re-run.
+      // GC/safepoint stall landing in a single re-run. Only
+      // SUCCESSFUL runs compete — a failed run's negative sentinel
+      // must not win min() over a valid measurement.
       val (warm, warmErr) = if (coldErr.isEmpty) {
-        val (w1, e1) = run(name, fn)
-        val (w2, e2) = run(name, fn)
-        (math.min(w1, w2), e1.orElse(e2))
+        val runs = Seq(run(name, fn), run(name, fn))
+        val oks = runs.filter(_._2.isEmpty)
+        if (oks.nonEmpty) (oks.map(_._1).min, None)
+        else (runs.head._1, runs.head._2)
       } else (cold, coldErr)
       (name, cold, warm, gcCold, coldErr.orElse(warmErr.map("warm run: " + _)))
     }

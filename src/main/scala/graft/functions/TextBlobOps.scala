@@ -141,10 +141,14 @@ object TextBlobOps extends Serializable {
     * Values are rounded to 2 dp to keep the derivation stable. */
   private[graft] lazy val lexicon: Map[String, (Double, Double)] = {
     def r2(x: Double) = math.rint(x * 100) / 100
-    val derived = VaderLexicon.full.map { case (w, v) =>
-      val pol = r2(clamp(v / 3.3, -1.0, 1.0))
-      w -> (pol, r2(math.min(1.0, 0.4 + 0.6 * math.abs(pol))))
-    }
+    // modifier words must not double as lexicon matches: a polarity
+    // entry for "really"/"not" would dilute the mean AND fire the
+    // modifier, making "really bad" read LESS negative than "bad"
+    val derived = (VaderLexicon.full -- intensifiers -- negators)
+      .map { case (w, v) =>
+        val pol = r2(clamp(v / 3.3, -1.0, 1.0))
+        w -> (pol, r2(math.min(1.0, 0.4 + 0.6 * math.abs(pol))))
+      }
     derived ++ curated
   }
 

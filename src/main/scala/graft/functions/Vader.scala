@@ -181,9 +181,18 @@ object Vader extends Serializable {
   /** Full valence lexicon: the [[VaderLexicon]] reconstruction
     * (~6k surface forms; see its Scaladoc for provenance and the
     * in-sandbox impossibility of a byte-exact copy) under the
-    * curated legacy entries. Rightmost wins: legacy > base > derived. */
+    * curated legacy entries. Rightmost wins: legacy > base > derived.
+    *
+    * Booster and negation words are EXCLUDED from the reconstruction
+    * side (mirroring the published file, which keeps B_INCR/B_DECR
+    * and NEGATE words out of the lexicon): a valence entry for
+    * "really"/"completely"/"hardly" would trip the booster
+    * zero-valence gate — silently disabling intensification — AND
+    * score the adverb as standalone sentiment, so "really bad" would
+    * come out LESS negative than "bad". "no" is the one deliberate
+    * exception (valence + negation duty, as in the published file). */
   private[graft] lazy val lexicon: Map[String, Double] =
-    VaderLexicon.full ++ legacyLexicon
+    (VaderLexicon.full -- boosters.keys -- (negations - "no")) ++ legacyLexicon
 
   // Booster (intensifier) dictionary — B_INCR/B_DECR in the paper.
   private val BoostIncr = 0.293

@@ -262,10 +262,13 @@ object DedupQueries {
   /** q44 self-validation: the LSH banding theorem — 4 bands over 64
     * bits catch EVERY pair within Hamming ≤ 3 (pigeonhole) — checked
     * in-query against an exhaustive all-pairs sweep of a
-    * deterministic 2% id-sample (bounded: the full all-pairs form is
-    * exactly the quadratic this operator exists to avoid), plus the
-    * structural contracts of the pair list (ordered ids, no
-    * duplicates, at least one pair on this self-similar corpus). */
+    * deterministic id-sample that is CAPPED ABSOLUTELY
+    * (doc_id % 50 = 0 AND doc_id < 50000 → ≤ 1,000 docs, ≤ 500k
+    * audit pairs at ANY corpus size — an uncapped fraction sample
+    * would still be O((n/50)²), the quadratic this operator exists
+    * to avoid), plus the structural contracts of the pair list
+    * (ordered ids, no duplicates, at least one pair on this
+    * self-similar corpus). */
   def simhashPairsValidated(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = simhashPairsRaw(s, dir)
@@ -274,7 +277,8 @@ object DedupQueries {
       expr("bool_and(id_a < id_b)").as("all_ordered"),
       (count(lit(1)) === countDistinct($"id_a", $"id_b")).as("no_dup_pairs"),
       expr("bool_and(hamming <= 3)").as("hamming_bound"))
-    val sub = Tables.documents(s, dir).filter($"doc_id" % 50 === 0)
+    val sub = Tables.documents(s, dir)
+      .filter($"doc_id" % 50 === 0 && $"doc_id" < 50000)
       .select($"doc_id", simhash64(tokens($"text")).as("fp"))
     val subPairs = sub.as("x").join(sub.as("y"), $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),

@@ -103,8 +103,13 @@ object JdbcSink {
               !JdbcSink.ReservedWords(ident.toLowerCase))
               ident
             else q + ident.replace(q, q + q) + q
+          // the table parameter may be schema-qualified ("app.tweets"):
+          // quote each dot-separated part, not the whole string as one
+          // identifier (column names are quoted whole — a dot in a
+          // DataFrame column name is part of the name)
+          val quotedTable = table.split('.').map(quoted).mkString(".")
           val insertSql =
-            s"INSERT INTO ${quoted(table)} (${cols.map(quoted).mkString(", ")}) " +
+            s"INSERT INTO $quotedTable (${cols.map(quoted).mkString(", ")}) " +
               s"VALUES (${cols.map(_ => "?").mkString(", ")})"
           val ps = conn.prepareStatement(insertSql)
           var n = 0

@@ -60,6 +60,16 @@ class SentimentSpec extends AnyFunSuite {
     // (ADVICE r02: "no good" kept +1.9 instead of flipping)
     assert(Vader.score("no good").compound < 0, "negation by 'no' should flip")
     assert(Vader.score("there is no hope").compound < 0, "'no hope' should flip")
+    // booster adverbs must NOT carry standalone valence (code-review
+    // r03: derived "really"/"completely" entries both tripped the
+    // booster zero-valence gate and diluted the score, so "really
+    // bad" came out LESS negative than "bad")
+    assert(Vader.score("really bad").compound < Vader.score("bad").compound,
+      "'really' must intensify, not score")
+    assert(Vader.score("completely awful").compound < Vader.score("awful").compound,
+      "'completely' must intensify, not score")
+    assert(TextBlobOps.score("really bad").polarity <= TextBlobOps.score("bad").polarity,
+      "TextBlob 'really' must intensify, not dilute")
   }
 
   test("VADER totality: never throws; compound ∈ [-1,1]; proportions sum ≈ 1") {
