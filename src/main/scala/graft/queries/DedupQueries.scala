@@ -353,7 +353,90 @@ object DedupQueries {
       |  FROM b a JOIN b c ON a.bucket = c.bucket AND c.vec_id > a.vec_id)
       |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  /** q66: dedup CLUSTER assignment — connected components over the
+    * near-dup pair graph (the step a production dedup pipeline runs
+    * after candidate generation: transitive closure turns pairs into
+    * keep-groups; keeping one doc per component is what actually
+    * deduplicates, since near-duplication is not transitive
+    * pairwise). Edges are [[ngramJaccardPairs]] (q42 — already
+    * hash-verified against DuckDB, so both engines agree on the
+    * graph); each doc's cluster_id is the MINIMUM doc_id reachable
+    * from it.
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING
+    * — each round every node takes the min of its own label, its
+    * neighbors' labels, and its label's label (path halving). The
+    * jump makes convergence O(log diameter) rounds instead of
+    * O(diameter): the fixture's window-blocked pairs chain across
+    * the whole id range (diameter ≈ n/50), which plain propagation
+    * would need ~100 rounds to cross at sf0.1. This driver-
+    * coordinated loop over checkpointed DataFrames is the standard
+    * Spark shape for connected components (GraphX/GraphFrames run
+    * the same alternating-star rounds); each round is two equi-joins
+    * + one min-aggregate, all on the doc_id key. The loop stops at
+    * fixpoint (no label changed), capped at 30 rounds.
+    *
+    * Oracle: DuckDB computes the same components by recursive-CTE
+    * transitive closure + min per node — a completely different
+    * algorithm arriving at the same fixpoint, which is exactly what
+    * makes the hash comparison meaningful. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = ngramJaccardPairs(s, dir).select($"id_a", $"id_b")
+      .localCheckpoint() // the pair join runs once, not once per round
+    val und = edges.unionByName(
+      edges.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
+    // labels are monotonically non-increasing, so the label SUM
+    // strictly decreases on any change — fixpoint detection is one
+    // tiny aggregate over the checkpointed frame, no compare join
+    var prevSum = labels.agg(sum($"cluster_id")).head().getLong(0)
+    var changed = true
+    var round0 = 0
+    while (changed && round0 < 30) {
+      val viaEdges = und
+        .join(labels.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+        .select($"id_b".as("doc_id"), $"cluster_id")
+      val viaJump = labels
+        .join(labels.select($"doc_id".as("cluster_id"), $"cluster_id".as("jump")),
+          Seq("cluster_id"))
+        .select($"doc_id", $"jump".as("cluster_id"))
+      val next = labels.unionByName(viaEdges).unionByName(viaJump)
+        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum($"cluster_id")).head().getLong(0)
+      changed = nextSum != prevSum
+      prevSum = nextSum
+      labels = next
+      round0 += 1
+    }
+    labels.orderBy($"doc_id")
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |            / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+      |    FROM (SELECT doc_id, source, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |          FROM documents) a
+      |    JOIN (SELECT doc_id, source, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |          FROM documents) b
+      |      ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50)
+      |  WHERE jaccard >= 0.5),
+      |und AS (SELECT id_a AS a, id_b AS b FROM edges
+      |        UNION ALL SELECT id_b, id_a FROM edges),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id)
+      |SELECT id AS doc_id, min(lbl) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_dedup_clusters" -> (dedupClusters _),
     "q40_exact_dedup" -> (exactDedup _),
     "q41_fingerprint_dedup" -> (exactDedupByFingerprint _),
     "q42_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
@@ -367,6 +450,7 @@ object DedupQueries {
     "q40_exact_dedup" -> exactDedupSql,
     "q41_fingerprint_dedup" -> exactDedupByFingerprintSql,
     "q42_ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "q66_dedup_clusters" -> dedupClustersSql,
     "q43_minhash_dedup" -> minhashDedupValidatedSql,
     "q44_simhash_pairs" -> simhashPairsValidatedSql,
     "q45_embedding_neardups" -> embeddingNearDupsSql,

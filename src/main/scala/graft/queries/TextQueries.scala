@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.queries.Export._
 
@@ -178,6 +179,53 @@ object TextQueries {
       |WHERE n_tokens BETWEEN 10 AND 120 AND distinct_ratio >= 0.35
       |ORDER BY doc_id""".stripMargin
 
+  /** q65: TF-IDF top terms per document — the classic training-data
+    * relevance/keyword primitive. Plan shape: one explode → (doc,
+    * term) map-side-combined count → term-keyed document-frequency
+    * aggregate → tf⋈df equi-join on term (AQE broadcasts the df side
+    * when the vocabulary is small; at 100 TB vocabulary it
+    * shuffle-joins on term, which is the right plan) → per-doc top-3
+    * window (WindowGroupLimit bounds the sort).
+    *
+    * The idf is the BM25-style RATIONAL form
+    * `(N − df + 0.5)/(df + 0.5)` rather than the logarithmic one:
+    * +,−,×,÷ are IEEE-exact so both engines compute bit-identical
+    * doubles, while `ln` is not correctly-rounded and could flip a
+    * 4 dp rounding at a boundary — the same determinism rule as the
+    * round-2 sqrt-based scorer (sqrt IS correctly-rounded). */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round($"tf" * ($"n" - $"df" + 0.5) / ($"df" + 0.5), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, rank, term, tfidf FROM (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(tf.tf * (n.n - df.df + 0.5) / (df.df + 0.5), 4) AS tfidf,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY round(tf.tf * (n.n - df.df + 0.5) / (df.df + 0.5), 4) DESC,
+      |               tf.term) AS rank
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_quality_filter" -> (qualityFilter _),
     "q20_clean_filter" -> (cleanFilter _),
@@ -185,6 +233,7 @@ object TextQueries {
     "q22_quality_score" -> (qualityScore _),
     "q23_lang_stats" -> (langStats _),
     "q24_doc_fingerprint" -> (docFingerprint _),
+    "q65_tfidf_top_terms" -> (tfidfTopTerms _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -194,5 +243,6 @@ object TextQueries {
     "q22_quality_score" -> qualityScoreSql,
     "q23_lang_stats" -> langStatsSql,
     "q24_doc_fingerprint" -> docFingerprintSql,
+    "q65_tfidf_top_terms" -> tfidfTopTermsSql,
   )
 }

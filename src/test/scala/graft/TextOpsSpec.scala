@@ -46,4 +46,40 @@ class TextOpsSpec extends SparkSpec {
     // 500 distinct texts at sf0.001 → expect no collisions at this scale
     assert(nFp == n, s"unexpected fingerprint collisions: $nFp of $n")
   }
+
+  test("tfidf: every doc gets exactly its top-3, rank-1 is the max, ties break by term") {
+    val out = graft.queries.TextQueries.tfidfTopTerms(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.size == nDocs, "every doc must appear")
+    out.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length),
+        "ranks must be 1..k dense")
+      assert(byRank.length <= 3)
+      // scores non-increasing with rank; equal scores ordered by term
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getDouble(3), b.getDouble(3))
+          assert(sa > sb || (sa == sb && a.getString(2) < b.getString(2)))
+        case _ => ()
+      }
+    }
+  }
+
+  test("dedup clusters: q42 edge endpoints share a cluster; representatives are fixpoints") {
+    val labels = graft.queries.DedupQueries.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == Tables.documents(spark, sf).count())
+    // cluster id is the component minimum → never above the member
+    labels.foreach { case (d, c) => assert(c <= d, s"cluster $c > doc $d") }
+    // fixpoint: a representative labels itself
+    labels.values.foreach { c => assert(labels(c) == c, s"rep $c -> ${labels(c)}") }
+    // homomorphism: every q42 edge joins two docs of the same cluster
+    graft.queries.DedupQueries.queries("q42_ngram_jaccard_pairs")(spark, sf)
+      .select("id_a", "id_b").collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+      }
+  }
 }
