@@ -91,7 +91,10 @@ object Bench {
       val (warm, warmErr) = if (coldErr.isEmpty) {
         val runs = Seq(run(name, fn), run(name, fn))
         val oks = runs.filter(_._2.isEmpty)
-        if (oks.nonEmpty) (oks.map(_._1).min, None)
+        // min over successes for the time, but ANY re-run failure
+        // still surfaces in errors/n_failed — intermittent
+        // re-execution flakiness must not vanish from the artifact
+        if (oks.nonEmpty) (oks.map(_._1).min, runs.flatMap(_._2).headOption)
         else (runs.head._1, runs.head._2)
       } else (cold, coldErr)
       (name, cold, warm, gcCold, coldErr.orElse(warmErr.map("warm run: " + _)))

@@ -87,7 +87,10 @@ object DedupQueries {
     * the naive cross-product-then-filter form — but each join bucket
     * holds ≤ 2·50 rows regardless of corpus size, so candidate
     * enumeration is O(n·w), never O(n²) within a source group. */
-  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsRaw(s, dir).orderBy(col("id_a"), col("id_b"))
+
+  private def ngramJaccardPairsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val blockW = 50
     val docs = Tables.documents(s, dir)
@@ -104,7 +107,6 @@ object DedupQueries {
           size(array_union($"toks_a", $"toks_b")), 4))
       .filter($"jaccard" >= 0.5)
       .select($"id_a", $"id_b", $"jaccard")
-      .orderBy($"id_a", $"id_b")
   }
 
   val ngramJaccardPairsSql: String =
@@ -382,7 +384,10 @@ object DedupQueries {
     * makes the hash comparison meaningful. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = ngramJaccardPairs(s, dir).select($"id_a", $"id_b")
+    // RAW (unsorted) pairs: the public q42 form ends in a global sort
+    // whose RangePartitioner sampling pass would re-execute the pair
+    // join — a total order the edge set immediately discards
+    val edges = ngramJaccardPairsRaw(s, dir).select($"id_a", $"id_b")
       .localCheckpoint() // the pair join runs once, not once per round
     val und = edges.unionByName(
       edges.select($"id_b".as("id_a"), $"id_a".as("id_b")))
@@ -391,7 +396,7 @@ object DedupQueries {
     // labels are monotonically non-increasing, so the label SUM
     // strictly decreases on any change — fixpoint detection is one
     // tiny aggregate over the checkpointed frame, no compare join
-    var prevSum = labels.agg(sum($"cluster_id")).head().getLong(0)
+    var prevSum = labels.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
     var changed = true
     var round0 = 0
     while (changed && round0 < 30) {
@@ -405,7 +410,7 @@ object DedupQueries {
       val next = labels.unionByName(viaEdges).unionByName(viaJump)
         .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
         .localCheckpoint()
-      val nextSum = next.agg(sum($"cluster_id")).head().getLong(0)
+      val nextSum = next.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
       changed = nextSum != prevSum
       prevSum = nextSum
       labels = next
@@ -414,18 +419,11 @@ object DedupQueries {
     labels.orderBy($"doc_id")
   }
 
+  /** Edges COMPOSE q42's oracle SQL — one definition of the pair
+    * graph; a change to q42's blocking/threshold updates both. */
   val dedupClustersSql: String =
-    """WITH RECURSIVE edges AS (
-      |  SELECT id_a, id_b FROM (
-      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      |            / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-      |    FROM (SELECT doc_id, source, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
-      |          FROM documents) a
-      |    JOIN (SELECT doc_id, source, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
-      |          FROM documents) b
-      |      ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50)
-      |  WHERE jaccard >= 0.5),
+    s"""WITH RECURSIVE edges AS (
+      |  SELECT id_a, id_b FROM ($ngramJaccardPairsSql)),
       |und AS (SELECT id_a AS a, id_b AS b FROM edges
       |        UNION ALL SELECT id_b, id_a FROM edges),
       |reach(id, lbl) AS (

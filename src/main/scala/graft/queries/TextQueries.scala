@@ -198,7 +198,10 @@ object TextQueries {
     val toks = Tables.documents(s, dir)
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
     val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    // df from the tf relation (exactly one row per (doc, term)) — a
+    // plain count over the aggregate instead of a second corpus scan
+    // + two-phase countDistinct expand
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
     tf.join(df, Seq("term")).crossJoin(broadcast(n))
@@ -215,7 +218,7 @@ object TextQueries {
       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |n AS (SELECT count(*) AS n FROM documents)
       |SELECT doc_id, rank, term, tfidf FROM (
       |  SELECT tf.doc_id, tf.term,
