@@ -396,6 +396,45 @@ object EventQueries {
       |WHERE user_id BETWEEN 100 AND 130 AND value BETWEEN 40.0 AND 70.0
       |ORDER BY event_id""".stripMargin
 
+  /** q67: the analytic window-function family (SURVEY §2.6
+    * completeness — ranking covered by q02/q06/q17, this adds the
+    * DISTRIBUTION and OFFSET functions): quartile via ntile,
+    * percent_rank, cume_dist, and lag/lead deltas, all over ONE
+    * window spec (event_type; value, event_id) so Spark evaluates a
+    * single WindowExec pass after one shuffle. Output bounded to a
+    * deterministic user sample purely to keep the export small — the
+    * window computation runs over the full table (the frame needs
+    * every row for correct distributions). */
+  def valueWindowStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("prev_delta",
+        round($"value" - coalesce(lag($"value", 1).over(w), $"value"), 4))
+      .withColumn("next_delta",
+        round(coalesce(lead($"value", 1).over(w), $"value") - $"value", 4))
+      .filter($"user_id" % 100 === 0)
+      .select($"event_id", $"event_type", round($"value", 2).as("value"),
+        $"quartile", $"pct_rank", $"cume", $"prev_delta", $"next_delta")
+      .orderBy($"event_id")
+  }
+
+  val valueWindowStatsSql: String =
+    """SELECT event_id, event_type, round(value, 2) AS value,
+      |  quartile, pct_rank, cume, prev_delta, next_delta FROM (
+      |  SELECT event_id, event_type, value, user_id,
+      |    ntile(4) OVER w AS quartile,
+      |    round(percent_rank() OVER w, 6) AS pct_rank,
+      |    round(cume_dist() OVER w, 6) AS cume,
+      |    round(value - coalesce(lag(value, 1) OVER w, value), 4) AS prev_delta,
+      |    round(coalesce(lead(value, 1) OVER w, value) - value, 4) AS next_delta
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+      |WHERE user_id % 100 = 0 ORDER BY event_id""".stripMargin
+
   /** AS-OF join (the time-series operator Spark lacks natively): for
     * every click event, the latest purchase of the same user at or
     * before the click's timestamp. Implemented WITHOUT a join — the
@@ -500,6 +539,7 @@ object EventQueries {
     "q57_heavy_hitters" -> (heavyHitters _),
     "q63_heavy_hitters_top" -> (heavyHittersTop _),
     "q64_zorder_scan" -> (zorderScan _),
+    "q67_value_window_stats" -> (valueWindowStats _),
     "q59_asof_join" -> (asofJoin _),
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
@@ -518,6 +558,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q57_heavy_hitters" -> heavyHittersSql,
     "q64_zorder_scan" -> zorderScanSql,
+    "q67_value_window_stats" -> valueWindowStatsSql,
     "q59_asof_join" -> asofJoinSql,
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,

@@ -75,4 +75,14 @@ class PlanSpec extends SparkSpec {
     assert(keyedJoin.findFirstIn(p).isDefined,
       s"expected an equi-join keyed on the blk column:\n$p")
   }
+
+  test("q67: all five analytic window functions evaluate in ONE Window pass") {
+    val p = planOf("q67_value_window_stats")
+    val nWindow = "\\bWindow\\b".r.findAllIn(p).length
+    assert(nWindow == 1,
+      s"ntile/percent_rank/cume_dist/lag/lead share one window spec and " +
+        s"must plan as a single WindowExec, found $nWindow:\n$p")
+    assert("Exchange hashpartitioning\\(event_type".r.findFirstIn(p).isDefined,
+      s"expected one hash exchange on event_type:\n$p")
+  }
 }
