@@ -359,7 +359,41 @@ object Relational {
       |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q68: UNPIVOT/melt (the wide→long reshape every feature pipeline
+    * needs; Dataset.unpivot is the Spark 3.4+ native op — ids stay,
+    * value columns become (metric, value) rows) followed by a
+    * per-metric profile. Map-side reshape (no shuffle until the
+    * 3-group aggregate); the unpivot multiplies rows 3× but narrows
+    * them to one double each, so the exchange carries less than the
+    * source scan. */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .unpivot(
+        ids = Array($"l_orderkey"),
+        values = Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        variableColumnName = "metric",
+        valueColumnName = "v")
+      .groupBy($"metric")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"v"), 4).as("avg_v"),
+        round(min($"v"), 2).as("min_v"),
+        round(max($"v"), 2).as("max_v"))
+      .domainOrdered($"metric")
+  }
+
+  val unpivotMetricsSql: String =
+    """SELECT metric, count(*) AS n, round(avg(v), 4) AS avg_v,
+      |  round(min(v), 2) AS min_v, round(max(v), 2) AS max_v
+      |FROM (
+      |  UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount FROM lineitem)
+      |  ON l_quantity, l_extendedprice, l_discount
+      |  INTO NAME metric VALUE v)
+      |GROUP BY metric ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_unpivot_metrics" -> (unpivotMetrics _),
     "q25_above_nation_avg" -> (aboveNationAverage _),
     "q26_cube_orders" -> (cubeOrders _),
     "q60_full_outer_balance" -> (customerSupplierBalance _),
@@ -382,6 +416,7 @@ object Relational {
     "q26_cube_orders" -> cubeOrdersSql,
     "q60_full_outer_balance" -> customerSupplierBalanceSql,
     "q61_pivot_orders" -> pivotOrdersSql,
+    "q68_unpivot_metrics" -> unpivotMetricsSql,
     "q01_pricing_summary" -> pricingSummarySql,
     "q02_recent_orders" -> recentOrdersSql,
     "q03_filter_project" -> filterProjectSql,
