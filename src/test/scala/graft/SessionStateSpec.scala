@@ -104,18 +104,22 @@ class SessionStateSpec extends SparkSpec {
 
   test("streaming trending: MG state accumulates across batches with valid bounds") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(String, Long)]
+    // Option[Long] → nullable user_id: NULL events must be dropped by
+    // the guard, not kill the query at the typed decode (ADVICE r02)
+    val mem = MemoryStream[(String, Option[Long])]
     val trends = graft.streaming.TrendingState.trending(
       mem.toDF().toDF("event_type", "user_id"), capacity = 4, k = 2)
     val q = trends.writeStream.format("memory").queryName("trending_test")
       .outputMode("update").start()
     try {
-      // batch 1: user 7 dominates clicks
-      mem.addData(("click", 7L), ("click", 7L), ("click", 7L), ("click", 1L), ("click", 2L))
+      // batch 1: user 7 dominates clicks; one NULL user must be ignored
+      mem.addData(("click", Some(7L)), ("click", Some(7L)), ("click", Some(7L)),
+        ("click", Some(1L)), ("click", Some(2L)), ("click", None))
       q.processAllAvailable()
       // batch 2: more of user 7 plus churn that forces decrements (cap 4)
-      mem.addData(("click", 7L), ("click", 7L), ("click", 3L), ("click", 4L),
-        ("click", 5L), ("click", 6L), ("click", 8L))
+      mem.addData(("click", Some(7L)), ("click", Some(7L)), ("click", Some(3L)),
+        ("click", Some(4L)), ("click", Some(5L)), ("click", Some(6L)),
+        ("click", Some(8L)))
       q.processAllAvailable()
       import org.apache.spark.sql.functions.col
       val last = spark.table("trending_test").filter(col("event_type") === "click")
