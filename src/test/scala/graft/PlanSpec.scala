@@ -76,6 +76,16 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join keyed on the blk column:\n$p")
   }
 
+  test("q01: domain-bounded ordered export plans as TakeOrderedAndProject") {
+    // Export.domainOrdered (ORDER BY ... LIMIT cap) must eliminate the
+    // RangePartitioner sampling job: one pass, per-partition top-k
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the bounded summary export:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no range exchange (sampling pass) for a domain-bounded export:\n$p")
+  }
+
   test("q67: all five analytic window functions evaluate in ONE Window pass") {
     val p = planOf("q67_value_window_stats")
     val nWindow = "\\bWindow\\b".r.findAllIn(p).length
