@@ -83,19 +83,36 @@ object EventQueries {
     * graft.streaming.Pipeline shares the same groupBy(window(...)). */
   def hourlySummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ORDER-INDEPENDENT, TIE-PROOF aggregation. Two cross-engine
+    // hazards surfaced at sf0.1 (fine-grained hourly groups make
+    // boundary cases likely): (1) double sums accumulate in
+    // partition order, so a last-ulp difference flips a 4 dp
+    // rounding; (2) when the EXACT average lands on a 4 dp midpoint
+    // (1512.12/32 = 47.25375), Spark's round(double) rounds the
+    // shortest decimal repr half-up while DuckDB rounds the binary
+    // value — opposite answers on an exact tie. The fixture's
+    // `value` is 2-decimal data (verified: no value deviates from
+    // cents), so both hazards vanish in INTEGER-CENTS arithmetic:
+    // sum exact integer cents, then half-up-round the average at
+    // 4 dp via integer division ((2a+n) div 2n) — every step is
+    // exact and engine-independent at any scale and parallelism.
+    val cents = "sum(CAST(round(value * 100, 0) AS BIGINT))"
     Tables.events(s, dir)
       .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("date_hour"),
         $"event_type")
       .agg(count(lit(1)).as("n_events"),
-        round(avg($"value"), 4).as("avg_value"),
-        round(sum($"value"), 2).as("sum_value"))
+        expr(s"CAST((2 * $cents * 100 + count(1)) div (2 * count(1)) AS DOUBLE) / 10000.0")
+          .as("avg_value"),
+        expr(s"CAST($cents AS DOUBLE) / 100.0").as("sum_value"))
       .domainOrdered($"date_hour", $"event_type")
   }
 
   val hourlySummarySql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS date_hour,
       |  event_type, count(*) AS n_events,
-      |  round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value
+      |  CAST((2 * sum(CAST(round(value * 100, 0) AS BIGINT)) * 100 + count(*))
+      |       // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_value,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY date_hour, event_type""".stripMargin
 
   /** C10 parity: JSON payload field extraction (the Kafka-envelope
