@@ -23,19 +23,30 @@ object EventQueries {
     * coalescing + W3 sort. Cite: sentiment_analysis.py:450-519. */
   def eventSummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // integer-cents aggregation (same tie-proof rationale as
+    // [[hourlySummary]] — this is the flagship `entry` query, so it
+    // gets the scale-proof formulation too). Denominator is
+    // count(value) to preserve avg()'s NULL-skipping semantics; the
+    // CASE guards an all-NULL group (ANSI mode makes div-by-zero
+    // throw rather than return NULL).
+    val cents = "sum(CAST(round(value * 100, 0) AS BIGINT))"
     Tables.events(s, dir)
       .filter($"ts" >= lit("2024-01-15 00:00:00").cast("timestamp"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
-        round(coalesce(avg($"value"), lit(0.0)), 4).as("avg_value"),
-        round(coalesce(sum($"value"), lit(0.0)), 2).as("sum_value"))
+        expr(s"CASE WHEN count(value) = 0 THEN 0.0 ELSE " +
+          s"CAST((2 * $cents * 100 + count(value)) div (2 * count(value)) AS DOUBLE) / 10000.0 END")
+          .as("avg_value"),
+        expr(s"CAST(coalesce($cents, 0) AS DOUBLE) / 100.0").as("sum_value"))
       .domainOrdered($"n_events".desc, $"event_type")
   }
 
   val eventSummarySql: String =
     """SELECT event_type, count(*) AS n_events,
-      |  round(coalesce(avg(value), 0.0), 4) AS avg_value,
-      |  round(coalesce(sum(value), 0.0), 2) AS sum_value
+      |  CASE WHEN count(value) = 0 THEN 0.0 ELSE
+      |    CAST((2 * sum(CAST(round(value * 100, 0) AS BIGINT)) * 100 + count(value))
+      |         // (2 * count(value)) AS DOUBLE) / 10000.0 END AS avg_value,
+      |  CAST(coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0) AS DOUBLE) / 100.0 AS sum_value
       |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
       |GROUP BY event_type ORDER BY n_events DESC, event_type""".stripMargin
 
