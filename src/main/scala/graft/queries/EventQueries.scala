@@ -107,6 +107,9 @@ object EventQueries {
     // sum exact integer cents, then half-up-round the average at
     // 4 dp via integer division ((2a+n) div 2n) — every step is
     // exact and engine-independent at any scale and parallelism.
+    // Domain note: the half-up formula and the div/`//` equivalence
+    // (Spark truncates, DuckDB floors) both assume NON-NEGATIVE
+    // sums, which holds for this metric by construction.
     val cents = "sum(CAST(round(value * 100, 0) AS BIGINT))"
     Tables.events(s, dir)
       .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("date_hour"),
