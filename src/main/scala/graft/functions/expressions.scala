@@ -470,6 +470,50 @@ object expressions {
 
   def codepoint_rolling_hash(c: Column): Column =
     GraftColumnBridge.column(CodepointRollingHash(GraftColumnBridge.expression(c)))
+
+  /** Bucket id = count of `cuts` entries ≤ value (cuts ascending,
+    * distinct). Used by [[graft.operators.Scale.zorderWrite]] to turn
+    * quantile cutpoints into grid coordinates without the interpreted
+    * higher-order `aggregate` lambda (measured ~0.5 s/pass at sf0.1;
+    * the binary search codegens to O(log b) per row). */
+  def quantile_bucket(c: Column, cuts: Array[Double]): Column =
+    GraftColumnBridge.column(QuantileBucket(
+      GraftColumnBridge.expression(c.cast("double")), cuts))
+}
+
+/** Monotone bucket assignment against a small ascending DISTINCT
+  * cutpoint array: result = #cuts ≤ v ∈ [0, cuts.length], via
+  * `Arrays.binarySearch` (exact-match index + 1 equals the ≤-count
+  * because the cuts are distinct). Null in → null out. */
+case class QuantileBucket(child: Expression, cuts: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantile_bucket requires a double argument, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      QuantileBucket.bucket(cuts, input.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cuts", cuts, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.QuantileBucket.bucket($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object QuantileBucket {
+  /** JVM-static (callable from codegen). */
+  def bucket(cuts: Array[Double], v: Double): Long = {
+    val idx = java.util.Arrays.binarySearch(cuts, v)
+    (if (idx >= 0) idx + 1 else -idx - 1).toLong
+  }
 }
 
 /** Codepoint-level polynomial rolling hash:

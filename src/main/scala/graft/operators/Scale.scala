@@ -98,35 +98,57 @@ object Scale {
   }
 
   /** Z-ORDER layout rewrite: writes `df` clustered by the Morton
-    * order of (c1, c2) RANGE-BUCKET ids across `files` output files.
-    * A linear sort on one column makes every file span the FULL
-    * domain of the other; the z-curve makes each file cover a compact
-    * rectangle in BOTH dimensions, so min/max file skipping prunes
-    * selective filters on EITHER column — the standard
+    * order of (c1, c2) QUANTILE-BUCKET ids across `files` output
+    * files. A linear sort on one column makes every file span the
+    * FULL domain of the other; the z-curve makes each file cover a
+    * compact rectangle in BOTH dimensions, so min/max file skipping
+    * prunes selective filters on EITHER column — the standard
     * multi-dimensional data-skipping layout at 100 TB (each parquet
     * footer's column min/max is the skipping index; ScaleSpec
     * measures the span shrink on both columns vs a linear sort).
     *
-    * Per-column ranks come from `repartitionByRange` +
-    * `spark_partition_id` — the sample-based RangePartitioner is the
-    * distributed rank approximation real OPTIMIZE ZORDER
-    * implementations use; no single-partition window, no collect. */
+    * Plan shape (round 4 — replaced three chained repartitionByRange
+    * shuffles, each of whose RangePartitioner sampling pass
+    * re-executed the upstream shuffle): ONE `percentile_approx`
+    * aggregation computes `gridBuckets−1` cutpoints per column (a
+    * mergeable GK sketch — map-side partials, one tiny driver-side
+    * result, the same bounded-collect pattern as the IVF centroids);
+    * bucket ids are then a pure projection against the cutpoint
+    * LITERALS (count of cutpoints ≤ v — monotone, so Morton order is
+    * preserved), and the only shuffle is the final
+    * `repartitionByRange(files, z)`. Quantile buckets also equalize
+    * per-bucket row counts by construction, which partition-id
+    * bucketing only approximated. */
   def zorderWrite(df: DataFrame, c1: String, c2: String, path: String,
-                  files: Int = 16, gridBuckets: Int = 256): Unit = {
+                  files: Int = 16, gridBuckets: Int = 64): Unit = {
     // internal column names that cannot shadow (and then silently
     // drop) a user column of the same name
     def fresh(base: String): String =
       Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
         .find(n => !df.columns.contains(n)).get
-    val (cb1, cb2, cz) = (fresh("_zorder_b1"), fresh("_zorder_b2"), fresh("_zorder_z"))
-    val b1 = df.repartitionByRange(gridBuckets, col(c1))
-      .withColumn(cb1, spark_partition_id().cast("long"))
-    val b2 = b1.repartitionByRange(gridBuckets, col(c2))
-      .withColumn(cb2, spark_partition_id().cast("long"))
-    b2.withColumn(cz, interleaveBits(col(cb1), col(cb2)))
+    val cz = fresh("_zorder_z")
+    val fracs = (1 until gridBuckets).map(i => i.toDouble / gridBuckets)
+    val fracsSql = fracs.mkString("array(", ", ", ")")
+    // accuracy 1000 ⇒ rank error ≤ 0.1% — far below the 1/gridBuckets
+    // bucket width the layout resolves; the sketch update is ~3×
+    // cheaper than the 10000-accuracy default
+    val cutsRow = df.agg(
+      expr(s"percentile_approx(cast($c1 as double), $fracsSql, 1000)").as("c1"),
+      expr(s"percentile_approx(cast($c2 as double), $fracsSql, 1000)").as("c2")
+    ).head()
+    // null cutpoint array = all-null column → single bucket 0
+    def cuts(i: Int): Array[Double] =
+      if (cutsRow.isNullAt(i)) Array.empty
+      else cutsRow.getSeq[Double](i).distinct.toArray
+    // bucket id = #cutpoints ≤ v (monotone in v, codegen'd binary
+    // search); NULL values get a null z and sort first — still written
+    def bucketOf(c: String, cut: Array[Double]): Column =
+      if (cut.isEmpty) lit(0L)
+      else graft.functions.expressions.quantile_bucket(col(c), cut)
+    df.withColumn(cz, interleaveBits(bucketOf(c1, cuts(0)), bucketOf(c2, cuts(1))))
       .repartitionByRange(files, col(cz))
       .sortWithinPartitions(cz)
-      .drop(cb1, cb2, cz)
+      .drop(cz)
       .write.mode("overwrite").parquet(path)
   }
 }
