@@ -20,6 +20,7 @@ object SparkEntry {
       (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
       (graft.queries.SentimentQueries.queries, graft.queries.SentimentQueries.oracles),
       (graft.queries.MediaQueries.queries, graft.queries.MediaQueries.oracles),
+      (graft.queries.TrainQueries.queries, graft.queries.TrainQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.queries.Export._
+
+/** Training-data pipeline ASSEMBLY operators — the steps between a
+  * cleaned/deduped corpus and a training run: rebalanced sampling,
+  * sequence packing, repetition filtering, PII scrubbing. These sit
+  * alongside the dedup (q40-q45, q54, q66), quality (q22/q27) and
+  * text-analysis (q20-q24) families; everything here is
+  * map-side-dominant (the only shuffle in the family is q70's
+  * per-source window), so the family scales linearly with corpus
+  * size.
+  */
+object TrainQueries {
+
+  /** Deterministic per-row sampling key in [0, 1000): a Knuth
+    * multiplicative hash of the primary key, reduced mod a prime then
+    * mod 1000. Pure integer arithmetic — reproducible in any engine,
+    * stable under task retries / AQE re-planning (unlike `rand()` or
+    * `df.sample`, whose draws depend on partition layout), and
+    * monotone in rate: raising a stratum's rate strictly grows its
+    * sample (hash-threshold sampling), so refreshes are incremental.
+    * doc_id ≤ ~2^33 keeps the product within Long range. */
+  private[graft] def sampleKey(pk: Column): Column =
+    pmod(pmod(pk * lit(2654435761L), lit(1000000007L)), lit(1000L))
+
+  /** q69: stratified REBALANCING sample — the language-mixture
+    * operator of a training-data pipeline: downsample the dominant
+    * stratum (en, 44% of the corpus) toward parity with the rest.
+    * Per-stratum keep-rates (permille) ride in on a broadcast literal
+    * dim; the filter itself is a stateless map-side predicate — no
+    * shuffle, no rand(), nothing driver-side. At 100 TB this is a
+    * single scan that emits the rebalanced corpus. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", 250L), ("de", 700L), ("es", 700L), ("fr", 700L), ("zh", 700L))
+      .toDF("lang", "rate_permille")
+    Tables.documents(s, dir)
+      .join(broadcast(rates), Seq("lang"))
+      .filter(sampleKey($"doc_id") < $"rate_permille")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |JOIN (VALUES ('en', 250), ('de', 700), ('es', 700), ('fr', 700), ('zh', 700))
+      |  AS rates(lang, rate_permille) USING (lang)
+      |WHERE (doc_id * 2654435761) % 1000000007 % 1000 < rate_permille
+      |ORDER BY doc_id""".stripMargin
+
+  /** q70: token-budget sequence PACKING (concat-and-chunk): within
+    * each source, documents are laid end-to-end in doc_id order and
+    * the token stream is cut into fixed 2048-token packs; a document
+    * belongs to the pack where it STARTS (long documents simply span
+    * into the following packs, which stay counted by their own
+    * starters). One shuffle on source for the running-sum window;
+    * the per-pack rollup reuses the same partitioning. All-integer
+    * arithmetic — exact in both engines. */
+  def tokenPack(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", TextQueries.bpeishTokenCount($"text").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"pack_id")
+  }
+
+  val tokenPackSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM toks)
+      |SELECT source, (cum - n_tokens) // 2048 AS pack_id,
+      |  count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
+  /** q71: REPETITION scoring (the Gopher-class duplicate-n-gram
+    * filter signal): fraction of word 2-grams that are repeats of an
+    * earlier 2-gram in the same document. Pure per-row array math
+    * over the tokenizer output — stateless, map-side, no shuffle.
+    * The `if` guards Spark's `sequence(1, 0)`, which would generate a
+    * DESCENDING range (not an empty one) for single-token documents. */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigrams = expr(
+      """CASE WHEN size(_toks) < 2 THEN array()
+        |ELSE transform(sequence(1, size(_toks) - 1),
+        |       i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))
+        |END""".stripMargin)
+    Tables.documents(s, dir)
+      .withColumn("_toks", split(trim($"text"), "\\s+"))
+      .withColumn("_bi", bigrams)
+      .select($"doc_id",
+        size($"_bi").cast("long").as("n_bigrams"),
+        (size($"_bi") - size(array_distinct($"_bi"))).cast("long").as("n_dup"),
+        when(size($"_bi") === 0, lit(0.0d))
+          .otherwise(round((size($"_bi") - size(array_distinct($"_bi")))
+            .cast("double") / size($"_bi"), 4)).as("dup_frac"))
+      .withColumn("keep", $"dup_frac" <= 0.2)
+      .orderBy($"doc_id")
+  }
+
+  val repetitionScoreSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bi
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |        FROM documents))
+      |SELECT doc_id,
+      |  len(bi) AS n_bigrams,
+      |  len(bi) - len(list_distinct(bi)) AS n_dup,
+      |  CASE WHEN len(bi) = 0 THEN 0.0
+      |       ELSE round(CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi), 4)
+      |  END AS dup_frac,
+      |  (CASE WHEN len(bi) = 0 THEN 0.0
+      |        ELSE round(CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi), 4)
+      |   END) <= 0.2 AS keep
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** PII scrub patterns — RE2-safe (no backreferences/lookaround) so
+    * the same pattern strings run in Java regex and DuckDB. Order
+    * matters: emails first (an address may contain digits), then IPs
+    * (dotted octets), then phones — which REQUIRE a separator after
+    * the leading digit group, so a bare digit run is never
+    * phone-matched — and finally bare ≥9-digit runs as generic IDs. */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\(?\\d{1,4}[) -][\\d() -]{5,}\\d" -> "<PHONE>",
+    "\\b\\d{9,}\\b" -> "<ID>")
+
+  /** q73: PII REDACTION — the compliance scrub every shipped training
+    * corpus runs: emails, IPv4s, phone-shaped digit runs and long ID
+    * numbers replaced by typed placeholder tokens, with a per-doc
+    * redaction count. Chained codegen'd regexp_replace — stateless
+    * map-side, no shuffle. The fixture corpus is word-salad with NO
+    * PII-shaped substrings (verified; every count is 0 and the
+    * fingerprint equals the original's), so the cross-engine oracle
+    * here proves the PIPELINE (regex dialect parity + fingerprint of
+    * the output); the redaction behavior itself is pinned on
+    * synthetic strings in TrainOpsSpec. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val redacted = piiPatterns.foldLeft($"text": Column) {
+      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    val nPii = piiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long")
+    }.reduce(_ + _)
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        nPii.as("n_pii"),
+        TextQueries.fingerprint(redacted).as("redacted_fp"))
+      .orderBy($"doc_id")
+  }
+
+  val piiRedactSql: String = {
+    // DuckDB single-quoted strings take backslashes literally, so the
+    // Java pattern strings embed unchanged (none contains a quote)
+    val redacted = piiPatterns.foldLeft("text") {
+      case (c, (pat, tag)) => s"regexp_replace($c, '$pat', '$tag', 'g')"
+    }
+    val nPii = piiPatterns
+      .map { case (pat, _) => s"len(regexp_extract_all(text, '$pat'))" }
+      .mkString(" + ")
+    s"""SELECT doc_id,
+       |  $nPii AS n_pii,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($redacted, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS redacted_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_stratified_sample" -> (stratifiedSample _),
+    "q70_token_pack" -> ((s: SparkSession, dir: String) => tokenPack(s, dir)),
+    "q71_repetition_score" -> (repetitionScore _),
+    "q73_pii_redact" -> (piiRedact _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q69_stratified_sample" -> stratifiedSampleSql,
+    "q70_token_pack" -> tokenPackSql,
+    "q71_repetition_score" -> repetitionScoreSql,
+    "q73_pii_redact" -> piiRedactSql,
+  )
+}

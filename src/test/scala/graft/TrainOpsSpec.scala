@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{TrainQueries, TextQueries}
+
+/** Training-data assembly ops: stratified sampling, token packing,
+  * repetition scoring, PII redaction (q69–q71, q73). The fixture
+  * corpus carries no PII-shaped strings, so redaction BEHAVIOR is
+  * pinned here on synthetic strings; the registered query's oracle
+  * covers the cross-engine pipeline. */
+class TrainOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q69 stratified sampling ----
+
+  test("stratified sample is deterministic and a subset of the input") {
+    val a = TrainQueries.stratifiedSample(spark, sf).collect()
+    val b = TrainQueries.stratifiedSample(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    val ids = Tables.documents(spark, sf).select("doc_id").as[Long].collect().toSet
+    assert(a.map(_.getLong(0)).forall(ids.contains))
+  }
+
+  test("per-stratum sample rates land near the configured permille") {
+    val docs = Tables.documents(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = TrainQueries.stratifiedSample(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val rates = Map("en" -> 0.25, "de" -> 0.7, "es" -> 0.7, "fr" -> 0.7, "zh" -> 0.7)
+    rates.foreach { case (lang, r) =>
+      val frac = sampled.getOrElse(lang, 0L).toDouble / docs(lang)
+      // binomial noise at n≈70–220 per stratum: allow ±0.12 absolute
+      assert(math.abs(frac - r) < 0.12, s"$lang: got $frac want ~$r")
+    }
+  }
+
+  test("hash-threshold sampling is monotone: raising the rate grows a superset") {
+    val lo = Tables.documents(spark, sf)
+      .filter(TrainQueries.sampleKey($"doc_id") < 200)
+      .select("doc_id").as[Long].collect().toSet
+    val hi = Tables.documents(spark, sf)
+      .filter(TrainQueries.sampleKey($"doc_id") < 500)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+    assert(hi.size > lo.size)
+  }
+
+  // ---- q70 token packing ----
+
+  test("token packing conserves tokens and starts each source at pack 0") {
+    val packs = TrainQueries.tokenPack(spark, sf).collect()
+    val bySource = packs.groupBy(_.getString(0))
+    val direct = Tables.documents(spark, sf)
+      .select($"source", TextQueries.bpeishTokenCount($"text").as("n"))
+      .groupBy("source").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(3)).sum == direct(src), s"token loss in $src")
+      assert(rows.map(_.getLong(1)).min == 0L, s"$src first pack not 0")
+    }
+  }
+
+  test("pack ids are non-decreasing in doc order and packs hold ~budget tokens") {
+    val budget = 128L // small budget => many packs on the small fixture
+    val packs = TrainQueries.tokenPack(spark, sf, budget)
+      .filter($"source" === "src0").collect()
+    val ids = packs.map(_.getLong(1))
+    assert(ids.sameElements(ids.sorted))
+    // every pack except the last must have been closed by overflow:
+    // its docs' tokens + the next doc's start offset cross the budget.
+    // Weaker invariant that is exact under concat-and-chunk: the
+    // FIRST doc of pack p starts strictly before (p+1)*budget, i.e.
+    // cumulative tokens before it are < (p+1)*budget and >= p*budget.
+    val docs = Tables.documents(spark, sf)
+      .filter($"source" === "src0")
+      .select($"doc_id", TextQueries.bpeishTokenCount($"text").as("n"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    var cum = 0L
+    val packOfDoc = docs.map { case (id, n) => val p = cum / budget; cum += n; (id, p) }.toMap
+    packs.foreach { row =>
+      val (p, first, last) = (row.getLong(1), row.getLong(4), row.getLong(5))
+      assert(packOfDoc(first) == p && packOfDoc(last) == p)
+    }
+  }
+
+  // ---- q71 repetition scoring ----
+
+  private def rep(text: String): (Long, Long, Double, Boolean) = {
+    // rebuild the query's column logic on a one-row frame
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = df.withColumn("_toks", split(trim($"text"), "\\s+"))
+      .withColumn("_bi", expr(
+        """CASE WHEN size(_toks) < 2 THEN array()
+          |ELSE transform(sequence(1, size(_toks) - 1),
+          |       i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))
+          |END""".stripMargin))
+      .select(size($"_bi").cast("long"),
+        (size($"_bi") - size(array_distinct($"_bi"))).cast("long"),
+        when(size($"_bi") === 0, lit(0.0d))
+          .otherwise(round((size($"_bi") - size(array_distinct($"_bi")))
+            .cast("double") / size($"_bi"), 4)))
+      .as[(Long, Long, Double)].head()
+    (out._1, out._2, out._3, out._3 <= 0.2)
+  }
+
+  test("repetition score on hand-checked examples") {
+    assert(rep("a b a b a") == (4L, 2L, 0.5, false)) // ab,ba,ab,ba
+    assert(rep("all words here are unique") == (4L, 0L, 0.0, true))
+    assert(rep("single") == (0L, 0L, 0.0, true))
+    assert(rep("x x x x") == (3L, 2L, 0.6667, false)) // xx,xx,xx
+  }
+
+  test("q71 registered query agrees with a brute-force recount on the fixture") {
+    val got = TrainQueries.repetitionScore(spark, sf)
+      .select("doc_id", "n_dup").as[(Long, Long)].collect().toMap
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    texts.foreach { case (id, t) =>
+      val toks = t.trim.split("\\s+").toSeq
+      val bi = if (toks.length < 2) Seq.empty
+               else toks.sliding(2).map(_.mkString(" ")).toSeq
+      assert(got(id) == (bi.length - bi.distinct.length).toLong, s"doc $id")
+    }
+  }
+
+  // ---- q73 PII redaction ----
+
+  private def redact(text: String): String = {
+    val c = TrainQueries.piiPatterns.foldLeft(col("t")) {
+      case (acc, (pat, tag)) => regexp_replace(acc, pat, tag)
+    }
+    Seq(text).toDF("t").select(c).as[String].head()
+  }
+
+  test("PII redaction replaces emails, IPs, phones and long ids with typed tags") {
+    assert(redact("mail me at jane.doe+x@example.co.uk today")
+      == "mail me at <EMAIL> today")
+    assert(redact("server at 192.168.0.1 rebooted") == "server at <IP> rebooted")
+    assert(redact("call +1 415 555 0132 now") == "call <PHONE> now")
+    assert(redact("ssn-ish 123456789 and card 4111111111111111")
+      == "ssn-ish <ID> and card <ID>")
+  }
+
+  test("PII pattern ordering: emails keep their digits, IPs are not eaten by phone") {
+    // digits inside an email must be redacted as EMAIL, not ID/PHONE
+    assert(redact("x123456789@mail.com") == "<EMAIL>")
+    // an IPv4 with separators must become IP, not PHONE (dots are not
+    // in the phone charset) and not ID (octets are short)
+    assert(redact("10.0.0.255") == "<IP>")
+  }
+
+  test("fixture corpus carries no PII-shaped strings (documented zero-match)") {
+    val n = TrainQueries.piiRedact(spark, sf)
+      .agg(sum("n_pii")).as[Long].head()
+    assert(n == 0L)
+    // and therefore the redacted fingerprint equals the original's
+    val fp = TrainQueries.piiRedact(spark, sf).select("doc_id", "redacted_fp")
+      .as[(Long, Long)].collect().toMap
+    val orig = Tables.documents(spark, sf)
+      .select($"doc_id", TextQueries.fingerprint($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp == orig)
+  }
+}
