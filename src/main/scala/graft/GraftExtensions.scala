@@ -65,5 +65,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, p) => HllDistinct(c, intArg(p, "precision"))
         case _ => throw new IllegalArgumentException("hll_distinct(col[, precision])")
       }).toAggregateExpression()))
+
+    // bloom_contains is Scala-API-only: its filter argument is a
+    // built sketch carried as an expression literal, which SQL has no
+    // ergonomic syntax for (a 128 KB X'…' literal).
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[graft.functions.BloomBuild].getName, "bloom_build"),
+      (args: Seq[Expression]) => (args match {
+        case Seq(c) => graft.functions.BloomBuild(c)
+        case Seq(c, bits) => graft.functions.BloomBuild(c, intArg(bits, "numBits"))
+        case Seq(c, bits, k) =>
+          graft.functions.BloomBuild(c, intArg(bits, "numBits"), intArg(k, "numHashes"))
+        case _ => throw new IllegalArgumentException("bloom_build(col[, numBits[, numHashes]])")
+      }).toAggregateExpression()))
   }
 }

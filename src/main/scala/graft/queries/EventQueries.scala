@@ -566,7 +566,58 @@ object EventQueries {
       |  GROUP BY e2.event_id) c ON c.event_id = e.event_id
       |ORDER BY e.event_id""".stripMargin
 
+  /** q72: BLOOM-FILTER BLOCKLIST SEMI-JOIN — the pre-shuffle
+    * membership filter of a 100 TB pipeline (filter a petabyte fact
+    * stream against a membership list without shuffling the fact
+    * side or broadcasting an oversized list). Build: ONE aggregation
+    * over the filtered scan into a fixed 128 KB sketch (map-side
+    * partial ORs; duplicate inserts idempotent, so no distinct pass).
+    * Probe: a codegen'd map-side predicate carrying the sketch as an
+    * expression literal.
+    *
+    * Self-validating like q57: the exact-membership left join is the
+    * VALIDATION HARNESS (at scale you would run the bloom filter
+    * alone, or follow it with the exact join over the surviving
+    * ~1%). Theorems pinned true by the oracle: a Bloom filter has NO
+    * false negatives (holds for any input), and the false-positive
+    * rate stays under 5% (deterministic given the fixture; sizing
+    * puts the expectation near 1e-13). `n_member_events` is the
+    * exact semi-join count DuckDB reproduces. */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def blockCond = $"event_type" === "purchase" && $"value" > 180.0
+    val bloomBytes = ev.filter(blockCond)
+      .agg(graft.functions.BloomFilter.bloom_build($"user_id"))
+      .head().getAs[Array[Byte]](0)
+    val block = ev.filter(blockCond).select($"user_id").distinct()
+    val marked = ev
+      .join(block.withColumn("_in", lit(true)), Seq("user_id"), "left")
+      .withColumn("member", coalesce($"_in", lit(false)))
+      .withColumn("bloom_pass",
+        graft.functions.BloomFilter.bloom_contains($"user_id", bloomBytes))
+    val nonmem = sum(when(!$"member", 1L).otherwise(0L))
+    val fp = sum(when($"bloom_pass" && !$"member", 1L).otherwise(0L))
+    marked.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"member", 1L).otherwise(0L)).as("n_member_events"),
+        bool_and(!$"member" || $"bloom_pass").as("no_false_negatives"),
+        when(nonmem === 0, lit(true))
+          .otherwise(fp.cast("double") / nonmem <= 0.05).as("fp_rate_ok"))
+      .domainOrdered($"event_type")
+  }
+
+  val bloomSemiJoinSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(*) FILTER (user_id IN (
+      |    SELECT user_id FROM events
+      |    WHERE event_type = 'purchase' AND value > 180)) AS n_member_events,
+      |  true AS no_false_negatives,
+      |  true AS fp_rate_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_bloom_semijoin" -> (bloomSemiJoin _),
     "q57_heavy_hitters" -> (heavyHitters _),
     "q63_heavy_hitters_top" -> (heavyHittersTop _),
     "q64_zorder_scan" -> (zorderScan _),
@@ -587,6 +638,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q72_bloom_semijoin" -> bloomSemiJoinSql,
     "q57_heavy_hitters" -> heavyHittersSql,
     "q64_zorder_scan" -> zorderScanSql,
     "q67_value_window_stats" -> valueWindowStatsSql,

@@ -128,6 +128,50 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  // ---- Bloom filter (q72) ----
+
+  test("bloom: zero false negatives, exhaustively") {
+    import graft.functions.BloomFilter._
+    val keys = (0L until 10000L).map(i => i * 7919L + 3L)
+    val bloom = keys.toDF("k").agg(bloom_build($"k"))
+      .head().getAs[Array[Byte]](0)
+    val misses = keys.toDF("k")
+      .filter(!bloom_contains($"k", bloom)).count()
+    assert(misses == 0L)
+  }
+
+  test("bloom: false-positive rate tracks the sizing formula on an undersized filter") {
+    import graft.functions.BloomFilter._
+    // deliberately tight: m/n ≈ 4.1 bits/key, k=6 → expected fpp ≈ 0.2
+    val n = 1000
+    val keys = (0L until n.toLong).map(i => i * 104729L + 11L)
+    val bloom = keys.toDF("k").agg(bloom_build($"k", numBits = 4096, numHashes = 6))
+      .head().getAs[Array[Byte]](0)
+    val probes = (1L to 50000L).map(i => -i) // disjoint from keys
+    val fps = probes.toDF("k")
+      .filter(bloom_contains($"k", bloom, numHashes = 6)).count()
+    val rate = fps.toDouble / probes.size
+    assert(rate > 0.02 && rate < 0.6, s"fp rate $rate outside plausible band")
+  }
+
+  test("bloom: build is partitioning-invariant (merge = word-wise OR)") {
+    import graft.functions.BloomFilter._
+    val df = (0L until 5000L).toDF("k")
+    val one = df.coalesce(1).agg(bloom_build($"k")).head().getAs[Array[Byte]](0)
+    val many = df.repartition(8).agg(bloom_build($"k")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(one, many))
+  }
+
+  test("bloom: null inputs are skipped on build and propagate null on probe") {
+    import graft.functions.BloomFilter._
+    val bloom = Seq[Option[Long]](Some(1L), None, Some(2L)).toDF("k")
+      .agg(bloom_build($"k")).head().getAs[Array[Byte]](0)
+    val out = Seq[Option[Long]](Some(1L), None).toDF("k")
+      .select(bloom_contains($"k", bloom)).collect()
+    assert(out(0).getBoolean(0))
+    assert(out(1).isNullAt(0))
+  }
+
   test("custom functions callable from SQL via GraftExtensions") {
     // force a NEW session (same SparkContext) so withExtensions
     // applies — getOrCreate would return the suite session; and never
