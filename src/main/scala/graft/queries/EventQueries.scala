@@ -450,6 +450,12 @@ object EventQueries {
       .filter($"user_id" % 100 === 0)
       .select($"event_id", $"event_type", round($"value", 2).as("value"),
         $"quartile", $"pct_rank", $"cume", $"prev_delta", $"next_delta")
+      // the export keeps only the 1% user slice, so materializing it
+      // before the sort is far cheaper than the sampling pass
+      // re-executing the full-table WindowExec (A/B at sf0.1:
+      // 0.54 → 0.39 s warm; contrast q28, where the slice is the
+      // whole output and the checkpoint measured slower)
+      .localCheckpoint(true)
       .orderBy($"event_id")
   }
 
