@@ -436,7 +436,10 @@ object EventQueries {
     * deterministic user sample purely to keep the export small — the
     * window computation runs over the full table (the frame needs
     * every row for correct distributions). */
-  def valueWindowStats(s: SparkSession, dir: String): DataFrame = {
+  /** Un-materialized q67 stack — the single-WindowExec shape PlanSpec
+    * asserts (the registered query's eager checkpoint would otherwise
+    * hide the Window behind a checkpoint-RDD scan). */
+  private[graft] def valueWindowStatsCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
     Tables.events(s, dir)
@@ -450,6 +453,11 @@ object EventQueries {
       .filter($"user_id" % 100 === 0)
       .select($"event_id", $"event_type", round($"value", 2).as("value"),
         $"quartile", $"pct_rank", $"cume", $"prev_delta", $"next_delta")
+  }
+
+  def valueWindowStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    valueWindowStatsCore(s, dir)
       // the export keeps only the 1% user slice, so materializing it
       // before the sort is far cheaper than the sampling pass
       // re-executing the full-table WindowExec (A/B at sf0.1:

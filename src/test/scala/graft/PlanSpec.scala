@@ -87,7 +87,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q67: all five analytic window functions evaluate in ONE Window pass") {
-    val p = planOf("q67_value_window_stats")
+    // assert on the un-checkpointed core: the registered query eagerly
+    // materializes the export slice, which hides the Window behind a
+    // checkpoint-RDD scan in the executed plan
+    val df = graft.queries.EventQueries.valueWindowStatsCore(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
     val nWindow = "\\bWindow\\b".r.findAllIn(p).length
     assert(nWindow == 1,
       s"ntile/percent_rank/cume_dist/lag/lead share one window spec and " +
