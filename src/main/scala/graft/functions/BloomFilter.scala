@@ -83,13 +83,47 @@ object BloomUtil {
   def testValue(words: Array[Long], numBits: Int, numHashes: Int, v: Long): Boolean =
     test(words, numBits, numHashes, hashOf(java.lang.Long.valueOf(v)))
 
-  def toBytes(words: Array[Long]): Array[Byte] = {
+  /** Header word tagging a SERIALIZED filter: magic in the high
+    * bytes, numHashes in the low byte — so a probe can never run
+    * with a k different from the build's (a silent k mismatch would
+    * produce false negatives, violating the structure's core
+    * contract). */
+  private val Magic = 0x424C4F4F4D5F00L
+  private val MagicMask = 0xFFFFFFFFFFFFFF00L
+
+  /** Serialize a BUILT filter: header + words. */
+  def toBytes(words: Array[Long], numHashes: Int): Array[Byte] = {
+    require(numHashes > 0 && numHashes < 256, s"numHashes out of range: $numHashes")
+    val bb = java.nio.ByteBuffer.allocate((words.length + 1) * 8)
+    val lb = bb.asLongBuffer()
+    lb.put(Magic | numHashes.toLong)
+    lb.put(words)
+    bb.array()
+  }
+
+  /** Parse a serialized filter back to (words, numHashes). */
+  def fromBytes(bytes: Array[Byte]): (Array[Long], Int) = {
+    require(bytes.length >= 16 && bytes.length % 8 == 0,
+      s"not a serialized bloom filter (${bytes.length} bytes)")
+    val lb = java.nio.ByteBuffer.wrap(bytes).asLongBuffer()
+    val header = lb.get()
+    require((header & MagicMask) == Magic,
+      f"not a serialized bloom filter (header 0x$header%016x)")
+    val words = new Array[Long](bytes.length / 8 - 1)
+    lb.get(words)
+    (words, (header & 0xFFL).toInt)
+  }
+
+  /** Raw word-array codec for the aggregation BUFFER (internal
+    * shuffle format — headerless; the header is only stamped on the
+    * final eval output). */
+  def bufferToBytes(words: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(words.length * 8)
     bb.asLongBuffer().put(words)
     bb.array()
   }
 
-  def fromBytes(bytes: Array[Byte]): Array[Long] = {
+  def bufferFromBytes(bytes: Array[Byte]): Array[Long] = {
     val words = new Array[Long](bytes.length / 8)
     java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(words)
     words
@@ -128,10 +162,10 @@ case class BloomBuild(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = BloomUtil.toBytes(buf)
+  override def eval(buf: Array[Long]): Any = BloomUtil.toBytes(buf, numHashes)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = BloomUtil.toBytes(buf)
-  override def deserialize(bytes: Array[Byte]): Array[Long] = BloomUtil.fromBytes(bytes)
+  override def serialize(buf: Array[Long]): Array[Byte] = BloomUtil.bufferToBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = BloomUtil.bufferFromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): BloomBuild = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): BloomBuild = copy(inputAggBufferOffset = o)
@@ -145,12 +179,15 @@ case class BloomBuild(
   * Spark's own runtime bloom filters and the IVF centroid literals).
   * A parameter, not a column: a per-row BinaryType column would copy
   * the 128 KB array per probe; here the words deserialize once per
-  * task. Codegen'd via a static helper; null in → null out. */
-case class BloomContains(child: Expression, bloomBytes: Array[Byte], numHashes: Int = 6)
+  * task. numHashes comes from the serialized header, so a probe can
+  * never disagree with its build. Codegen'd via a static helper;
+  * null in → null out. */
+case class BloomContains(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression {
 
-  @transient private lazy val words: Array[Long] = BloomUtil.fromBytes(bloomBytes)
-  private def numBits: Int = bloomBytes.length * 8
+  @transient private lazy val (words: Array[Long], numHashes: Int) =
+    BloomUtil.fromBytes(bloomBytes)
+  private def numBits: Int = (bloomBytes.length - 8) * 8
 
   override def dataType: DataType = BooleanType
 
@@ -183,7 +220,7 @@ object BloomFilter {
     GraftColumnBridge.column(
       BloomBuild(GraftColumnBridge.expression(c), numBits, numHashes).toAggregateExpression())
 
-  def bloom_contains(c: Column, bloom: Array[Byte], numHashes: Int = 6): Column =
+  def bloom_contains(c: Column, bloom: Array[Byte]): Column =
     GraftColumnBridge.column(
-      BloomContains(GraftColumnBridge.expression(c), bloom, numHashes))
+      BloomContains(GraftColumnBridge.expression(c), bloom))
 }

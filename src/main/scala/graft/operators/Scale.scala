@@ -79,8 +79,8 @@ object Scale {
     * must be in [0, 2^31): the spread keeps 32 bits per input, so
     * larger values collide, and a b-value ≥ 2^31 would reach the Long
     * sign bit and break z monotonicity under signed comparison.
-    * [[zorderWrite]] feeds partition ids (< gridBuckets), which
-    * always satisfy the contract. */
+    * [[zorderWrite]] feeds quantile-bucket ids in [0, gridBuckets],
+    * which always satisfy the contract. */
   private[graft] def interleaveBits(a: Column, b: Column): Column = {
     // spread the low 32 bits of x so bit i lands at position 2i —
     // classic Morton spreading via shift-or-mask rounds, expressed as
@@ -121,6 +121,17 @@ object Scale {
     * bucketing only approximated. */
   def zorderWrite(df: DataFrame, c1: String, c2: String, path: String,
                   files: Int = 16, gridBuckets: Int = 64): Unit = {
+    // quantile cutpoints need NUMERIC cluster columns (the previous
+    // partition-id implementation accepted any orderable type; this
+    // narrower contract fails loudly instead of silently writing a
+    // single-bucket layout on a non-numeric column)
+    Seq(c1, c2).foreach { n =>
+      require(df.schema(n).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zorderWrite clusters on numeric columns; '$n' is ${df.schema(n).dataType.sql}")
+    }
+    // backtick-quote interpolated identifiers (names with dots/spaces/
+    // reserved words would otherwise fail to parse inside expr())
+    def bq(n: String): String = "`" + n.replace("`", "``") + "`"
     // internal column names that cannot shadow (and then silently
     // drop) a user column of the same name
     def fresh(base: String): String =
@@ -133,8 +144,8 @@ object Scale {
     // bucket width the layout resolves; the sketch update is ~3×
     // cheaper than the 10000-accuracy default
     val cutsRow = df.agg(
-      expr(s"percentile_approx(cast($c1 as double), $fracsSql, 1000)").as("c1"),
-      expr(s"percentile_approx(cast($c2 as double), $fracsSql, 1000)").as("c2")
+      expr(s"percentile_approx(cast(${bq(c1)} as double), $fracsSql, 1000)").as("c1"),
+      expr(s"percentile_approx(cast(${bq(c2)} as double), $fracsSql, 1000)").as("c2")
     ).head()
     // null cutpoint array = all-null column → single bucket 0
     def cuts(i: Int): Array[Double] =
@@ -144,7 +155,7 @@ object Scale {
     // search); NULL values get a null z and sort first — still written
     def bucketOf(c: String, cut: Array[Double]): Column =
       if (cut.isEmpty) lit(0L)
-      else graft.functions.expressions.quantile_bucket(col(c), cut)
+      else graft.functions.expressions.quantile_bucket(col(bq(c)), cut)
     df.withColumn(cz, interleaveBits(bucketOf(c1, cuts(0)), bucketOf(c2, cuts(1))))
       .repartitionByRange(files, col(cz))
       .sortWithinPartitions(cz)

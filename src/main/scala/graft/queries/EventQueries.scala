@@ -427,15 +427,6 @@ object EventQueries {
       |WHERE user_id BETWEEN 100 AND 130 AND value BETWEEN 40.0 AND 70.0
       |ORDER BY event_id""".stripMargin
 
-  /** q67: the analytic window-function family (SURVEY §2.6
-    * completeness — ranking covered by q02/q06/q17, this adds the
-    * DISTRIBUTION and OFFSET functions): quartile via ntile,
-    * percent_rank, cume_dist, and lag/lead deltas, all over ONE
-    * window spec (event_type; value, event_id) so Spark evaluates a
-    * single WindowExec pass after one shuffle. Output bounded to a
-    * deterministic user sample purely to keep the export small — the
-    * window computation runs over the full table (the frame needs
-    * every row for correct distributions). */
   /** Un-materialized q67 stack — the single-WindowExec shape PlanSpec
     * asserts (the registered query's eager checkpoint would otherwise
     * hide the Window behind a checkpoint-RDD scan). */
@@ -455,6 +446,15 @@ object EventQueries {
         $"quartile", $"pct_rank", $"cume", $"prev_delta", $"next_delta")
   }
 
+  /** q67: the analytic window-function family (SURVEY §2.6
+    * completeness — ranking covered by q02/q06/q17, this adds the
+    * DISTRIBUTION and OFFSET functions): quartile via ntile,
+    * percent_rank, cume_dist, and lag/lead deltas, all over ONE
+    * window spec (event_type; value, event_id) so Spark evaluates a
+    * single WindowExec pass after one shuffle. Output bounded to a
+    * deterministic user sample purely to keep the export small — the
+    * window computation runs over the full table (the frame needs
+    * every row for correct distributions). */
   def valueWindowStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     valueWindowStatsCore(s, dir)

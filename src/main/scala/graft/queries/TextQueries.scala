@@ -181,11 +181,10 @@ object TextQueries {
 
   /** q65: TF-IDF top terms per document — the classic training-data
     * relevance/keyword primitive. Plan shape: one explode → (doc,
-    * term) map-side-combined count → term-keyed document-frequency
-    * aggregate → tf⋈df equi-join on term (AQE broadcasts the df side
-    * when the vocabulary is small; at 100 TB vocabulary it
-    * shuffle-joins on term, which is the right plan) → per-doc top-3
-    * window (WindowGroupLimit bounds the sort).
+    * term) map-side-combined count → df as an unordered count window
+    * over the tf relation (one shuffle on term, no df aggregate or
+    * join) → per-doc top-3 window (WindowGroupLimit bounds the sort)
+    * → checkpointed export sort.
     *
     * The idf is the BM25-style RATIONAL form
     * `(N − df + 0.5)/(df + 0.5)` rather than the logarithmic one:

@@ -24,9 +24,12 @@ object TrainQueries {
     * `df.sample`, whose draws depend on partition layout), and
     * monotone in rate: raising a stratum's rate strictly grows its
     * sample (hash-threshold sampling), so refreshes are incremental.
-    * doc_id ≤ ~2^33 keeps the product within Long range. */
+    * The key is reduced mod p BEFORE the multiply — (pk·a) mod p ≡
+    * ((pk mod p)·a) mod p — so the product stays ≤ p·a ≈ 2.7e18 <
+    * Long.MaxValue for ANY non-negative key (a bare pk·a would
+    * overflow — and under ANSI mode throw — past pk ≈ 3.5e9). */
   private[graft] def sampleKey(pk: Column): Column =
-    pmod(pmod(pk * lit(2654435761L), lit(1000000007L)), lit(1000L))
+    pmod(pmod(pk, lit(1000000007L)) * lit(2654435761L), lit(1000000007L)) % 1000L
 
   /** q69: stratified REBALANCING sample — the language-mixture
     * operator of a training-data pipeline: downsample the dominant
@@ -51,7 +54,7 @@ object TrainQueries {
       |FROM documents
       |JOIN (VALUES ('en', 250), ('de', 700), ('es', 700), ('fr', 700), ('zh', 700))
       |  AS rates(lang, rate_permille) USING (lang)
-      |WHERE (doc_id * 2654435761) % 1000000007 % 1000 < rate_permille
+      |WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < rate_permille
       |ORDER BY doc_id""".stripMargin
 
   /** q70: token-budget sequence PACKING (concat-and-chunk): within
@@ -111,11 +114,16 @@ object TrainQueries {
       .withColumn("_bi", bigrams)
       .select($"doc_id",
         size($"_bi").cast("long").as("n_bigrams"),
-        (size($"_bi") - size(array_distinct($"_bi"))).cast("long").as("n_dup"),
-        when(size($"_bi") === 0, lit(0.0d))
-          .otherwise(round((size($"_bi") - size(array_distinct($"_bi")))
-            .cast("double") / size($"_bi"), 4)).as("dup_frac"))
-      .withColumn("keep", $"dup_frac" <= 0.2)
+        (size($"_bi") - size(array_distinct($"_bi"))).cast("long").as("n_dup"))
+      // 4 dp ratio in INTEGER arithmetic (the round-3 rounding-tie
+      // rule): floor((20000·d + b)/(2b)) is half-up rounding of
+      // 10000·d/b, identical in both engines at any scale — a double
+      // round(d/b, 4) diverges on true 4 dp midpoints (e.g. 7/160).
+      // `keep` compares the UNROUNDED ratio: 5·d ≤ b ⟺ d/b ≤ 0.2.
+      .withColumn("dup_frac",
+        when($"n_bigrams" === 0, lit(0.0d))
+          .otherwise(expr("(20000 * n_dup + n_bigrams) div (2 * n_bigrams)") / 10000.0d))
+      .withColumn("keep", $"n_dup" * 5 <= $"n_bigrams")
       .orderBy($"doc_id")
   }
 
@@ -124,17 +132,17 @@ object TrainQueries {
       |  SELECT doc_id,
       |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bi
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      |        FROM documents))
-      |SELECT doc_id,
-      |  len(bi) AS n_bigrams,
-      |  len(bi) - len(list_distinct(bi)) AS n_dup,
-      |  CASE WHEN len(bi) = 0 THEN 0.0
-      |       ELSE round(CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi), 4)
+      |        FROM documents)),
+      |c AS (
+      |  SELECT doc_id, len(bi) AS n_bigrams,
+      |    len(bi) - len(list_distinct(bi)) AS n_dup
+      |  FROM b)
+      |SELECT doc_id, n_bigrams, n_dup,
+      |  CASE WHEN n_bigrams = 0 THEN 0.0
+      |       ELSE ((20000 * n_dup + n_bigrams) // (2 * n_bigrams)) / 10000.0
       |  END AS dup_frac,
-      |  (CASE WHEN len(bi) = 0 THEN 0.0
-      |        ELSE round(CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi), 4)
-      |   END) <= 0.2 AS keep
-      |FROM b ORDER BY doc_id""".stripMargin
+      |  n_dup * 5 <= n_bigrams AS keep
+      |FROM c ORDER BY doc_id""".stripMargin
 
   /** PII scrub patterns — RE2-safe (no backreferences/lookaround) so
     * the same pattern strings run in Java regex and DuckDB. Order
@@ -160,28 +168,38 @@ object TrainQueries {
     * synthetic strings in TrainOpsSpec. */
   def piiRedact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val redacted = piiPatterns.foldLeft($"text": Column) {
-      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
-    }
-    val nPii = piiPatterns.map { case (pat, _) =>
-      size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long")
-    }.reduce(_ + _)
+    // each pattern is COUNTED on the text as it stands after the
+    // previous redactions (not on the original), so n_pii equals the
+    // number of replacements actually performed — counting all
+    // patterns against the original would double-count overlaps
+    // (e.g. an IP embedded in an email's domain). The placeholders
+    // contain no digits/@, so they can never re-match.
+    val (redacted, counts) = piiPatterns
+      .foldLeft(($"text": Column, List.empty[Column])) {
+        case ((c, cs), (pat, tag)) =>
+          (regexp_replace(c, pat, tag),
+            size(regexp_extract_all(c, lit(pat), lit(0))).cast("long") :: cs)
+      }
     Tables.documents(s, dir)
       .select($"doc_id",
-        nPii.as("n_pii"),
+        counts.reduce(_ + _).as("n_pii"),
         TextQueries.fingerprint(redacted).as("redacted_fp"))
       .orderBy($"doc_id")
   }
 
   val piiRedactSql: String = {
     // DuckDB single-quoted strings take backslashes literally, so the
-    // Java pattern strings embed unchanged (none contains a quote)
-    val redacted = piiPatterns.foldLeft("text") {
-      case (c, (pat, tag)) => s"regexp_replace($c, '$pat', '$tag', 'g')"
+    // Java pattern strings embed unchanged (none contains a quote).
+    // Counts mirror the Spark side: pattern i is counted on the text
+    // AFTER patterns 1..i−1 were applied.
+    var cur = "text"
+    val countExprs = List.newBuilder[String]
+    for ((pat, tag) <- piiPatterns) {
+      countExprs += s"len(regexp_extract_all($cur, '$pat'))"
+      cur = s"regexp_replace($cur, '$pat', '$tag', 'g')"
     }
-    val nPii = piiPatterns
-      .map { case (pat, _) => s"len(regexp_extract_all(text, '$pat'))" }
-      .mkString(" + ")
+    val redacted = cur
+    val nPii = countExprs.result().mkString(" + ")
     s"""SELECT doc_id,
        |  $nPii AS n_pii,
        |  list_reduce(

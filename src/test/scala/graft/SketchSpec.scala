@@ -149,7 +149,7 @@ class SketchSpec extends SparkSpec {
       .head().getAs[Array[Byte]](0)
     val probes = (1L to 50000L).map(i => -i) // disjoint from keys
     val fps = probes.toDF("k")
-      .filter(bloom_contains($"k", bloom, numHashes = 6)).count()
+      .filter(bloom_contains($"k", bloom)).count()
     val rate = fps.toDouble / probes.size
     assert(rate > 0.02 && rate < 0.6, s"fp rate $rate outside plausible band")
   }

@@ -94,13 +94,14 @@ class TrainOpsSpec extends SparkSpec {
           |ELSE transform(sequence(1, size(_toks) - 1),
           |       i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))
           |END""".stripMargin))
-      .select(size($"_bi").cast("long"),
-        (size($"_bi") - size(array_distinct($"_bi"))).cast("long"),
-        when(size($"_bi") === 0, lit(0.0d))
-          .otherwise(round((size($"_bi") - size(array_distinct($"_bi")))
-            .cast("double") / size($"_bi"), 4)))
-      .as[(Long, Long, Double)].head()
-    (out._1, out._2, out._3, out._3 <= 0.2)
+      .select(size($"_bi").cast("long").as("n_bigrams"),
+        (size($"_bi") - size(array_distinct($"_bi"))).cast("long").as("n_dup"))
+      .withColumn("dup_frac",
+        when($"n_bigrams" === 0, lit(0.0d))
+          .otherwise(expr("(20000 * n_dup + n_bigrams) div (2 * n_bigrams)") / 10000.0d))
+      .withColumn("keep", $"n_dup" * 5 <= $"n_bigrams")
+      .as[(Long, Long, Double, Boolean)].head()
+    out
   }
 
   test("repetition score on hand-checked examples") {
