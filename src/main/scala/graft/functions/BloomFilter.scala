@@ -148,6 +148,17 @@ case class BloomBuild(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
+  // mirror BloomContains: a filter BUILT over a non-integral type
+  // (double, decimal) would hash through a different path than the
+  // integral-only probe and silently produce false negatives — make
+  // the type mismatch loud at analysis time instead
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_build requires an integral key (the probe side hashes " +
+        s"through the integral path only), got ${other.sql}")
+  }
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {

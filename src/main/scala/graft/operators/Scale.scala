@@ -121,31 +121,34 @@ object Scale {
     * bucketing only approximated. */
   def zorderWrite(df: DataFrame, c1: String, c2: String, path: String,
                   files: Int = 16, gridBuckets: Int = 64): Unit = {
-    // quantile cutpoints need NUMERIC cluster columns (the previous
-    // partition-id implementation accepted any orderable type; this
-    // narrower contract fails loudly instead of silently writing a
-    // single-bucket layout on a non-numeric column)
-    Seq(c1, c2).foreach { n =>
-      require(df.schema(n).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"zorderWrite clusters on numeric columns; '$n' is ${df.schema(n).dataType.sql}")
-    }
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
     // backtick-quote interpolated identifiers (names with dots/spaces/
-    // reserved words would otherwise fail to parse inside expr())
+    // reserved words would otherwise fail to resolve)
     def bq(n: String): String = "`" + n.replace("`", "``") + "`"
+    // monotone numeric view of a cluster column: numerics and
+    // timestamps cast to double directly; dates go through timestamp.
+    // Anything else (string, binary …) fails loudly — the quantile
+    // path cannot bucket it, and silently writing a single-bucket
+    // layout would be worse than the error.
+    def toD(n: String): Column = df.schema(n).dataType match {
+      case _: NumericType | TimestampType => col(bq(n)).cast("double")
+      case DateType => col(bq(n)).cast("timestamp").cast("double")
+      case other => throw new IllegalArgumentException(
+        s"zorderWrite clusters on numeric/timestamp/date columns; '$n' is ${other.sql}")
+    }
     // internal column names that cannot shadow (and then silently
     // drop) a user column of the same name
     def fresh(base: String): String =
       Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
         .find(n => !df.columns.contains(n)).get
     val cz = fresh("_zorder_z")
-    val fracs = (1 until gridBuckets).map(i => i.toDouble / gridBuckets)
-    val fracsSql = fracs.mkString("array(", ", ", ")")
+    val fracs = (1 until gridBuckets).map(i => i.toDouble / gridBuckets).toArray
     // accuracy 1000 ⇒ rank error ≤ 0.1% — far below the 1/gridBuckets
     // bucket width the layout resolves; the sketch update is ~3×
     // cheaper than the 10000-accuracy default
     val cutsRow = df.agg(
-      expr(s"percentile_approx(cast(${bq(c1)} as double), $fracsSql, 1000)").as("c1"),
-      expr(s"percentile_approx(cast(${bq(c2)} as double), $fracsSql, 1000)").as("c2")
+      percentile_approx(toD(c1), lit(fracs), lit(1000)).as("c1"),
+      percentile_approx(toD(c2), lit(fracs), lit(1000)).as("c2")
     ).head()
     // null cutpoint array = all-null column → single bucket 0
     def cuts(i: Int): Array[Double] =
@@ -155,7 +158,7 @@ object Scale {
     // search); NULL values get a null z and sort first — still written
     def bucketOf(c: String, cut: Array[Double]): Column =
       if (cut.isEmpty) lit(0L)
-      else graft.functions.expressions.quantile_bucket(col(bq(c)), cut)
+      else graft.functions.expressions.quantile_bucket(toD(c), cut)
     df.withColumn(cz, interleaveBits(bucketOf(c1, cuts(0)), bucketOf(c2, cuts(1))))
       .repartitionByRange(files, col(cz))
       .sortWithinPartitions(cz)

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.queries.Export._
 
 /** Training-data pipeline ASSEMBLY operators — the steps between a
   * cleaned/deduped corpus and a training run: rebalanced sampling,
@@ -102,30 +101,35 @@ object TrainQueries {
     * over the tokenizer output — stateless, map-side, no shuffle.
     * The `if` guards Spark's `sequence(1, 0)`, which would generate a
     * DESCENDING range (not an empty one) for single-token documents. */
-  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The q71 scoring stack over any (doc_id, text) frame — shared by
+    * the registered query and TrainOpsSpec's hand-checked one-row
+    * probes, so the tests exercise the query's own columns rather
+    * than a drift-prone copy. */
+  private[graft] def repetitionScored(docs: DataFrame): DataFrame = {
     val bigrams = expr(
       """CASE WHEN size(_toks) < 2 THEN array()
         |ELSE transform(sequence(1, size(_toks) - 1),
         |       i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))
         |END""".stripMargin)
-    Tables.documents(s, dir)
-      .withColumn("_toks", split(trim($"text"), "\\s+"))
+    docs
+      .withColumn("_toks", split(trim(col("text")), "\\s+"))
       .withColumn("_bi", bigrams)
-      .select($"doc_id",
-        size($"_bi").cast("long").as("n_bigrams"),
-        (size($"_bi") - size(array_distinct($"_bi"))).cast("long").as("n_dup"))
+      .select(col("doc_id"),
+        size(col("_bi")).cast("long").as("n_bigrams"),
+        (size(col("_bi")) - size(array_distinct(col("_bi")))).cast("long").as("n_dup"))
       // 4 dp ratio in INTEGER arithmetic (the round-3 rounding-tie
       // rule): floor((20000·d + b)/(2b)) is half-up rounding of
       // 10000·d/b, identical in both engines at any scale — a double
       // round(d/b, 4) diverges on true 4 dp midpoints (e.g. 7/160).
       // `keep` compares the UNROUNDED ratio: 5·d ≤ b ⟺ d/b ≤ 0.2.
       .withColumn("dup_frac",
-        when($"n_bigrams" === 0, lit(0.0d))
+        when(col("n_bigrams") === 0, lit(0.0d))
           .otherwise(expr("(20000 * n_dup + n_bigrams) div (2 * n_bigrams)") / 10000.0d))
-      .withColumn("keep", $"n_dup" * 5 <= $"n_bigrams")
-      .orderBy($"doc_id")
+      .withColumn("keep", col("n_dup") * 5 <= col("n_bigrams"))
   }
+
+  def repetitionScore(s: SparkSession, dir: String): DataFrame =
+    repetitionScored(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
   val repetitionScoreSql: String =
     """WITH b AS (
@@ -147,13 +151,18 @@ object TrainQueries {
   /** PII scrub patterns — RE2-safe (no backreferences/lookaround) so
     * the same pattern strings run in Java regex and DuckDB. Order
     * matters: emails first (an address may contain digits), then IPs
-    * (dotted octets), then phones — which REQUIRE a separator after
-    * the leading digit group, so a bare digit run is never
-    * phone-matched — and finally bare ≥9-digit runs as generic IDs. */
+    * (dotted octets), then phones — which REQUIRE a word-boundary
+    * start, a ≤3-digit leading group and a separator after it, so a
+    * bare digit run is never phone-matched and an ISO datetime's
+    * 4-digit year can't lead a match — and finally bare ≥9-digit
+    * runs as generic IDs. Known residual ambiguity (documented, not
+    * fixable with RE2-safe syntax alone): dashed numeric SPANS like
+    * '01-01 - 2020' are syntactically phone-shaped and will redact;
+    * a production scrubber adds contextual validation on top. */
   private[graft] val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
-    "\\+?\\(?\\d{1,4}[) -][\\d() -]{5,}\\d" -> "<PHONE>",
+    "\\+?\\b\\d{1,3}[) -][\\d() -]{5,}\\d" -> "<PHONE>",
     "\\b\\d{9,}\\b" -> "<ID>")
 
   /** q73: PII REDACTION — the compliance scrub every shipped training

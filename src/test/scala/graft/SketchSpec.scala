@@ -195,6 +195,13 @@ class SketchSpec extends SparkSpec {
       val sim = s2.sql(
         "SELECT simhash64(array('a','b','c')) = simhash64(array('a','b','c')) eq").head().getBoolean(0)
       assert(sim)
+      // bloom_build(col, numBits, numHashes): the serialized filter is
+      // header (8 B) + numBits/8 payload, and the header carries k —
+      // a positional numBits/numHashes swap would fail both asserts
+      val bl = s2.sql(
+        "SELECT bloom_build(id, 4096, 4) b FROM range(10)").head().getAs[Array[Byte]](0)
+      assert(bl.length == 8 + 4096 / 8)
+      assert(graft.functions.BloomUtil.fromBytes(bl)._2 == 4)
       // SQL arg order mirrors the Scala API: (tokens, shingle_n, k, seed)
       val mh = s2.sql(
         "SELECT size(minhash_signature(array('x','y'), 1, 32)) n").head().getInt(0)

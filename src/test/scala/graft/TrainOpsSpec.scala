@@ -85,24 +85,11 @@ class TrainOpsSpec extends SparkSpec {
 
   // ---- q71 repetition scoring ----
 
-  private def rep(text: String): (Long, Long, Double, Boolean) = {
-    // rebuild the query's column logic on a one-row frame
-    val df = Seq((1L, text)).toDF("doc_id", "text")
-    val out = df.withColumn("_toks", split(trim($"text"), "\\s+"))
-      .withColumn("_bi", expr(
-        """CASE WHEN size(_toks) < 2 THEN array()
-          |ELSE transform(sequence(1, size(_toks) - 1),
-          |       i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))
-          |END""".stripMargin))
-      .select(size($"_bi").cast("long").as("n_bigrams"),
-        (size($"_bi") - size(array_distinct($"_bi"))).cast("long").as("n_dup"))
-      .withColumn("dup_frac",
-        when($"n_bigrams" === 0, lit(0.0d))
-          .otherwise(expr("(20000 * n_dup + n_bigrams) div (2 * n_bigrams)") / 10000.0d))
-      .withColumn("keep", $"n_dup" * 5 <= $"n_bigrams")
+  private def rep(text: String): (Long, Long, Double, Boolean) =
+    // the query's OWN scoring stack on a one-row frame (no copy)
+    TrainQueries.repetitionScored(Seq((1L, text)).toDF("doc_id", "text"))
+      .select($"n_bigrams", $"n_dup", $"dup_frac", $"keep")
       .as[(Long, Long, Double, Boolean)].head()
-    out
-  }
 
   test("repetition score on hand-checked examples") {
     assert(rep("a b a b a") == (4L, 2L, 0.5, false)) // ab,ba,ab,ba
@@ -148,6 +135,15 @@ class TrainOpsSpec extends SparkSpec {
     // an IPv4 with separators must become IP, not PHONE (dots are not
     // in the phone charset) and not ID (octets are short)
     assert(redact("10.0.0.255") == "<IP>")
+  }
+
+  test("PII phone pattern rejects ISO datetimes (4-digit year cannot lead a match)") {
+    assert(redact("logged at 2026-08-12 12:34:56 ok")
+      == "logged at 2026-08-12 12:34:56 ok")
+    assert(redact("deployed 2020-01-07") == "deployed 2020-01-07")
+    // while separator-bearing phones still redact
+    assert(redact("call +1 415 555 0132 now") == "call <PHONE> now")
+    assert(redact("fax 415-555-0132.") == "fax <PHONE>.")
   }
 
   test("fixture corpus carries no PII-shaped strings (documented zero-match)") {
