@@ -372,7 +372,57 @@ object SimilarityQueries {
       |FROM embeddings, range(1, 65) t(i)
       |GROUP BY i ORDER BY dim""".stripMargin
 
+  /** q76: INT8 embedding QUANTIZATION — the storage-compression step
+    * of an embedding pipeline (4× smaller vectors; ANN candidate
+    * generation then runs over int8 with exact re-rank on the fp32
+    * originals). Per-vector max-abs scaling, symmetric round-half-up
+    * (`floor(x·127/m + 0.5)` — floor is exact in both engines, unlike
+    * round() on .5 midpoints), and an in-query reconstruction-error
+    * bound |x − q·m/127| ≤ (m/127)/2 + ε that both engines compute
+    * from identical IEEE doubles (floats widen exactly). The int
+    * vector itself is emitted as a rolling-hash fingerprint — scalar
+    * output hashes cross-engine; a list column would not. Stateless
+    * map-side op: no shuffle at any scale. */
+  def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .withColumn("e", transform($"embedding", x => x.cast("double")))
+      .withColumn("m", array_max(transform($"e", x => abs(x))))
+      .withColumn("qv",
+        when($"m" === 0, transform($"e", _ => lit(0L)))
+          .otherwise(transform($"e", x => floor(x * 127 / $"m" + 0.5).cast("long"))))
+      .select($"vec_id", $"label",
+        size($"qv").cast("long").as("n_dims"),
+        aggregate($"qv", lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L).as("qfp"),
+        when($"m" === 0, lit(true))
+          .otherwise(
+            array_max(zip_with($"e", $"qv", (x, q) => abs(x - q * $"m" / 127)))
+              <= $"m" / 127 * 0.5 + 1e-9).as("recon_ok"))
+      .orderBy($"vec_id")
+  }
+
+  val quantizeEmbeddingsSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, label, e, m,
+      |    CASE WHEN m = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(e, x -> CAST(floor(x * 127 / m + 0.5) AS BIGINT))
+      |    END AS qv
+      |  FROM base)
+      |SELECT vec_id, label, len(qv) AS n_dims,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS qfp,
+      |  CASE WHEN m = 0 THEN true
+      |       ELSE list_max(list_transform(range(1, len(e) + 1),
+      |              i -> abs(e[i] - qv[i] * m / 127))) <= m / 127 * 0.5 + 1e-9
+      |  END AS recon_ok
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_quantize_embeddings" -> (quantizeEmbeddings _),
     "q49_embedding_dim_stats" -> (embeddingDimStats _),
     "q46_cosine_topk" -> (cosineTopK _),
     "q47_nn_within_label" -> (nnWithinLabel _),
@@ -389,5 +439,6 @@ object SimilarityQueries {
     "q49_embedding_dim_stats" -> embeddingDimStatsSql,
     "q55_nn_lsh" -> nnLshSql,
     "q58_ivf_nn" -> ivfNnValidatedSql,
+    "q76_quantize_embeddings" -> quantizeEmbeddingsSql,
   )
 }

@@ -218,7 +218,48 @@ object TrainQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q75: WEIGHTED SOURCE MIXING — the "data mixture" operator: build
+    * a training order in which each source appears in proportion to
+    * its weight (the standard per-source rank/weight interleave —
+    * deterministic, no rand()). A source with weight 3 contributes 3×
+    * the docs of a weight-1 source to ANY prefix of the mixture, so a
+    * training run that stops early still sees the configured mix.
+    * Plan: one window shuffle on source for the per-source rank, then
+    * a global top-k on the mix key, which Catalyst plans as
+    * TakeOrderedAndProject (per-partition top-k + bounded merge — no
+    * range-sampling pass, the plan that survives 100 TB). */
+  def sourceMix(s: SparkSession, dir: String, take: Int = 1000): DataFrame = {
+    import s.implicits._
+    // heavier weights for the low-numbered sources; literal dim like q69
+    val weights = (0 until 20).map(i => (s"src$i", if (i < 5) 3L else 1L))
+      .toDF("source", "weight")
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("rn", row_number().over(w))
+      // rank/weight interleave: position of a doc in the mixture is
+      // its per-source rank scaled by 1/weight; double division is
+      // deterministic IEEE — identical in both engines for hashing
+      .withColumn("mix_key", $"rn".cast("double") / $"weight")
+      .select($"doc_id", $"source", $"weight", $"rn", $"mix_key")
+      .orderBy($"mix_key", $"source", $"doc_id")
+      .limit(take)
+  }
+
+  val sourceMixSql: String =
+    """SELECT doc_id, source, weight, rn, mix_key FROM (
+      |  SELECT doc_id, source, weight,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE)
+      |      / weight AS mix_key
+      |  FROM documents
+      |  JOIN (SELECT 'src' || CAST(range AS VARCHAR) AS source,
+      |               CASE WHEN range < 5 THEN 3 ELSE 1 END AS weight
+      |        FROM range(20)) w USING (source))
+      |ORDER BY mix_key, source, doc_id LIMIT 1000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
     "q69_stratified_sample" -> (stratifiedSample _),
     "q70_token_pack" -> ((s: SparkSession, dir: String) => tokenPack(s, dir)),
     "q71_repetition_score" -> (repetitionScore _),
@@ -226,6 +267,7 @@ object TrainQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q75_source_mix" -> sourceMixSql,
     "q69_stratified_sample" -> stratifiedSampleSql,
     "q70_token_pack" -> tokenPackSql,
     "q71_repetition_score" -> repetitionScoreSql,
