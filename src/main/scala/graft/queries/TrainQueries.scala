@@ -61,16 +61,40 @@ object TrainQueries {
     * the token stream is cut into fixed 2048-token packs; a document
     * belongs to the pack where it STARTS (long documents simply span
     * into the following packs, which stay counted by their own
-    * starters). One shuffle on source for the running-sum window;
-    * the per-pack rollup reuses the same partitioning. All-integer
-    * arithmetic — exact in both engines. */
-  def tokenPack(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    * starters). All-integer arithmetic — exact in both engines.
+    *
+    * The running sum is a TWO-LEVEL exact prefix sum, not one window
+    * per source: a `Window.partitionBy(source)` caps parallelism at
+    * the number of sources (20 here — and a 100 TB corpus with a
+    * handful of sources would serialize entirely). Instead: (1)
+    * cumsum within deterministic doc_id-range SHARDS of a source
+    * (sources × shards parallel window partitions), (2) per-shard
+    * token totals — a tiny aggregate, one row per shard — turned
+    * into running shard offsets by a window over that aggregate, (3)
+    * broadcast-join the offsets back and add. Identical cum values
+    * to the single-window formulation (shards are doc_id-ordered
+    * ranges), which is exactly what the unchanged single-window
+    * oracle SQL verifies. */
+  def tokenPack(s: SparkSession, dir: String, budget: Long = 2048L,
+                shardSize: Long = 1000L): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .select($"source", $"doc_id", TextQueries.bpeishTokenCount($"text").as("n_tokens"))
-      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+    val wLocal = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wShard = Window.partitionBy($"source").orderBy($"shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one row per (source, shard): the window below runs over the
+    // tiny aggregate, never the corpus
+    val offsets = base.groupBy($"source", $"shard")
+      .agg(sum($"n_tokens").as("shard_sum"))
+      .withColumn("offset", sum($"shard_sum").over(wShard) - $"shard_sum")
+      .select($"source", $"shard", $"offset")
+    base
+      .withColumn("local_cum", sum($"n_tokens").over(wLocal))
+      .join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("cum", $"local_cum" + $"offset")
       .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
       .groupBy($"source", $"pack_id")
       .agg(count(lit(1)).as("n_docs"),

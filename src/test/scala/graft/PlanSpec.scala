@@ -86,6 +86,27 @@ class PlanSpec extends SparkSpec {
       s"no range exchange (sampling pass) for a domain-bounded export:\n$p")
   }
 
+  test("q69: the sampling predicate is a map-side filter over a broadcast rates dim") {
+    val p = planOf("q69_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rates dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must not shuffle for the join:\n$p")
+  }
+
+  test("q70: the prefix-sum window partitions on (source, shard), not source alone") {
+    val p = planOf("q70_token_pack")
+    assert("Window .*partition.*source.*shard".r.findFirstIn(p).isDefined ||
+      p.contains("windowspecdefinition(source"), // plan string form varies
+      s"expected the two-level shard window:\n$p")
+    assert("hashpartitioning\\(source[#0-9L]*, shard".r.findFirstIn(p).isDefined,
+      s"corpus window exchange must key on (source, shard):\n$p")
+  }
+
+  test("q75: the mixture take plans as TakeOrderedAndProject") {
+    val p = planOf("q75_source_mix")
+    assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$p")
+  }
+
   test("q67: all five analytic window functions evaluate in ONE Window pass") {
     // assert on the un-checkpointed core: the registered query eagerly
     // materializes the export slice, which hides the Window behind a
