@@ -10,6 +10,15 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def kind(df: pd.DataFrame):
+    """int-vs-float per column. The driver's hash is repr-sensitive, so a
+    DuckDB HUGEINT (pandas float64, e.g. an uncast sum() over BIGINT)
+    against a Spark int64 mismatches there (1435.0 vs 1435) even when the
+    values are equal — flag it here instead of silently normalizing."""
+    return ["i" if pd.api.types.is_integer_dtype(df[c])
+            else "f" if pd.api.types.is_float_dtype(df[c]) else "o"
+            for c in df.columns]
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes: ints → int64, floats → float64
@@ -47,6 +56,9 @@ def main(sf_dir, out_dir):
         a, b = norm(spark_df), norm(duck_df)
         if list(a.columns) != list(b.columns):
             results[name] = f"SCHEMA_MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+        elif kind(a) != kind(b):
+            bad = [c for c, x, y in zip(a.columns, kind(a), kind(b)) if x != y]
+            results[name] = f"DTYPE_MISMATCH (driver hash is repr-sensitive) cols={bad}"
         elif len(a) != len(b):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(a)} duck={len(b)}"
         else:

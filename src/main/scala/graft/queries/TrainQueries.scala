@@ -104,6 +104,11 @@ object TrainQueries {
       .orderBy($"source", $"pack_id")
   }
 
+  // DuckDB sum() over BIGINT yields HUGEINT, which pandas/pyarrow read
+  // as float64 — the driver's repr-sensitive hash then sees `1435.0` vs
+  // Spark's `1435` and mismatches even though every value is equal (the
+  // exact failure CORRECTNESS_r04/r05 recorded). Both the window cum and
+  // the output sum are therefore CAST back to BIGINT.
   val tokenPackSql: String =
     """WITH toks AS (
       |  SELECT source, doc_id,
@@ -111,11 +116,11 @@ object TrainQueries {
       |  FROM documents),
       |cum AS (
       |  SELECT source, doc_id, n_tokens,
-      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       |  FROM toks)
       |SELECT source, (cum - n_tokens) // 2048 AS pack_id,
-      |  count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
