@@ -479,6 +479,10 @@ object expressions {
   def quantile_bucket(c: Column, cuts: Array[Double]): Column =
     GraftColumnBridge.column(QuantileBucket(
       GraftColumnBridge.expression(c.cast("double")), cuts))
+
+  /** Sequential multi-pattern scrub-with-count; see [[RegexScrub]]. */
+  def regex_scrub(c: Column, patterns: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(RegexScrub(GraftColumnBridge.expression(c), patterns))
 }
 
 /** Monotone bucket assignment against a small ascending DISTINCT
@@ -542,6 +546,84 @@ case class CodepointRollingHash(child: Expression) extends UnaryExpression {
       s"graft.functions.CodepointRollingHash.hash($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fused sequential scrub: applies each (pattern → replacement) in
+  * order to the evolving string — pattern i both COUNTED and REPLACED
+  * on the text as it stands after patterns 1..i−1, exactly the
+  * semantics of the chained `regexp_replace`/`regexp_extract_all`
+  * pair — but in ONE matcher pass per pattern instead of two, and
+  * with no per-row match-array allocation (`regexp_extract_all`
+  * materializes every match just to take its length; measured, the
+  * counting passes cost as much as the replacing passes on the q73
+  * shape). Returns struct(redacted string, n_matches long). Patterns
+  * are compiled once per task via a reference object, not per row.
+  * Replacements are appended literally (no `$`-group expansion), so
+  * a replacement token can never inject group references. */
+case class RegexScrub(child: Expression, patterns: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("redacted", StringType, nullable = true),
+    StructField("n_matches", LongType, nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"regex_scrub requires a string argument, got ${other.sql}")
+  }
+
+  @transient private lazy val compiled: RegexScrub.Compiled =
+    RegexScrub.compile(patterns)
+
+  override def nullSafeEval(input: Any): Any =
+    RegexScrub.scrub(compiled, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scrubPatterns", compiled,
+      classOf[RegexScrub.Compiled].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.RegexScrub.scrub($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RegexScrub {
+  /** Task-lifetime compiled patterns (serializable via the pattern
+    * strings; java.util.regex.Pattern is itself Serializable). */
+  final class Compiled(val pats: Array[java.util.regex.Pattern],
+                       val tags: Array[String]) extends Serializable
+
+  def compile(patterns: Seq[(String, String)]): Compiled =
+    new Compiled(
+      patterns.map(p => java.util.regex.Pattern.compile(p._1)).toArray,
+      patterns.map(_._2).toArray)
+
+  /** JVM-static (callable from codegen): one find-loop per pattern on
+    * the evolving string; counts are replacements actually performed. */
+  def scrub(c: Compiled, input: UTF8String): InternalRow = {
+    var cur = input.toString
+    var n = 0L
+    var i = 0
+    while (i < c.pats.length) {
+      val m = c.pats(i).matcher(cur)
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder(cur.length)
+        var last = 0
+        do {
+          n += 1
+          sb.append(cur, last, m.start()).append(c.tags(i))
+          last = m.end()
+        } while (m.find())
+        sb.append(cur, last, cur.length)
+        cur = sb.toString
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(cur), n))
+  }
 }
 
 object CodepointRollingHash {

@@ -18,7 +18,9 @@ object MediaQueries {
     * multimodal plumbing (payload sizing/slicing is pure arithmetic). */
   def binaryMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Multimodal.withBinaryContent(Tables.documents(s, dir))
+    // sort-before-project: see TextQueries.tokenStats
+    Multimodal.withBinaryContent(
+        Tables.documents(s, dir).select($"doc_id", $"text").orderBy($"doc_id"))
       .select($"doc_id",
         octet_length($"content").cast("long").as("n_bytes"),
         // codepoint of the first char (rolling hash of a 1-char string
@@ -26,7 +28,6 @@ object MediaQueries {
         when(length($"text") === 0, lit(-1L))
           .otherwise(TextQueries.fingerprint(substring($"text", 1, 1))).as("first_cp"),
         substring($"text", 1, 8).as("head"))
-      .orderBy($"doc_id")
   }
 
   val binaryMetaSql: String =
@@ -40,13 +41,15 @@ object MediaQueries {
     * frame size are arithmetic → oracle-checkable. */
   def frameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // sort-before-project: see TextQueries.tokenStats
     Multimodal.sampleFrames(
-      Multimodal.withBinaryContent(Tables.documents(s, dir)), frameBytes = 64, stride = 4)
+      Multimodal.withBinaryContent(
+        Tables.documents(s, dir).select($"doc_id", $"text").orderBy($"doc_id")),
+      frameBytes = 64, stride = 4)
       .select($"doc_id",
         size($"frames").cast("long").as("n_frames"),
         coalesce(octet_length(try_element_at($"frames", lit(1))).cast("long"), lit(0L))
           .as("first_frame_bytes"))
-      .orderBy($"doc_id")
   }
 
   val frameSampleSql: String =

@@ -37,12 +37,14 @@ object SentimentQueries {
     val neg = size(regexp_extract_all($"text", lit(NegPat), lit(0))).cast("long")
     val diff = (pos - neg).cast("double")
     val compound = round(diff / sqrt(diff * diff + lit(15.0)), 4)
+    // sort-before-project (see TextQueries.tokenStats): the range
+    // sampler must not re-run the lexicon regexes
     Tables.documents(s, dir)
+      .select($"doc_id", $"text").orderBy($"doc_id")
       .select($"doc_id",
         pos.as("n_pos"), neg.as("n_neg"),
         compound.as("compound"),
         Ensemble.vaderLabel(compound).as("sentiment"))
-      .orderBy($"doc_id")
   }
 
   val lexiconSentimentSql: String =

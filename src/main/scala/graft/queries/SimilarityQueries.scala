@@ -151,13 +151,18 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding", hyperplane_bucket($"embedding", 8, 0).as("bucket"))
     val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("emb_a"))
     val b = e.select($"vec_id".as("id_b"), $"bucket", $"embedding".as("emb_b"))
-    val w = Window.partitionBy($"id_a").orderBy($"cosine".desc, $"id_b")
+    // per-vector argmax as a partial-aggregating struct max, not a
+    // row_number window — the exchange carries one row per id_a, not
+    // every bucket pair, and nothing sorts (same rewrite as the IVF
+    // core; tie order cosine DESC, id_b ASC preserved via -id_b)
     a.join(b, Seq("bucket"))
       .filter($"id_a" =!= $"id_b")
       .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"id_a", $"id_b".as("nearest_id"), $"cosine", $"bucket")
+      .groupBy($"id_a")
+      .agg(max(struct($"cosine", (-$"id_b").as("neg_id"),
+        $"id_b".as("id"), $"bucket")).as("best"))
+      .select($"id_a", $"best.id".as("nearest_id"),
+        $"best.cosine".as("cosine"), $"best.bucket".as("bucket"))
       .orderBy($"id_a")
   }
 
@@ -246,29 +251,63 @@ object SimilarityQueries {
     (cell, probeCells)
   }
 
-  private def ivfNnFrom(s: SparkSession, dir: String, cent: Array[Array[Double]]): DataFrame = {
+  /** Profiling accessor: trained (cell, probeCells) columns. */
+  private[graft] def debugCells(s: SparkSession, dir: String): (Column, Column) =
+    ivfCells(s, trainCentroids(s, dir))
+
+  /** The materialized INDEX: every vector with its home cell and its
+    * top-nprobe probe list, computed in ONE pass over the corpus and
+    * localCheckpoint'ed. Both join sides of the NN query (and the
+    * audit joins in the validated form) read these blocks instead of
+    * re-running the 16-cosine assignment per consumer — measured, the
+    * assignment projection (higher-order array_sort is interpreted,
+    * so the 16 literal-centroid cosines evaluate outside codegen
+    * CSE) cost more than the candidate join itself when recomputed
+    * on each side. At 100 TB this materialization step IS the index
+    * build every IVF system performs once and stores; the checkpoint
+    * is the local-mode stand-in for that stored assignment. */
+  private def ivfAssigned(s: SparkSession, dir: String,
+      cent: Array[Array[Double]]): DataFrame = {
     import s.implicits._
     val (cell, probeCells) = ivfCells(s, cent)
-    val e = Tables.embeddings(s, dir)
-    val a = e.select($"vec_id".as("id_a"), $"embedding".as("emb_a"),
-        explode(probeCells).as("cell"))
-    val b = e.select($"vec_id".as("id_b"), $"embedding".as("emb_b"), cell.as("cell"))
-    val w = Window.partitionBy($"id_a").orderBy($"cosine".desc, $"id_b")
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", cell.as("cell"),
+        probeCells.as("probe_cells"))
+      .localCheckpoint()
+  }
+
+  private def ivfNnFrom(assigned: DataFrame): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    val a = assigned.select($"vec_id".as("id_a"), $"embedding".as("emb_a"),
+        explode($"probe_cells").as("cell"))
+    val b = assigned.select($"vec_id".as("id_b"), $"embedding".as("emb_b"), $"cell")
     // shuffle-hash on the cell key: at 100 TB neither the corpus nor
     // the probe set broadcasts, and measured locally the default
     // broadcast of the exploded probe side cost 8× more per match
-    // (12 µs vs 1.5 µs) than co-partitioning both sides on cell
+    // (12 µs vs 1.5 µs) than co-partitioning both sides on cell.
+    // The per-vector argmax is a hash AGGREGATE, not a row_number
+    // window: partial aggregation collapses each map task's pairs to
+    // one row per id_a BEFORE the exchange, so the second shuffle
+    // carries O(#vectors) rows instead of every candidate pair, and
+    // no sort runs anywhere (the window plan shuffled all pairs and
+    // sorted each id_a group just to take row 1). Ordering matches
+    // the old window (cosine DESC, id_b ASC) via the (cosine, -id_b)
+    // lexicographic struct max; `best` is never null because the
+    // aggregate only sees joined (= candidate-bearing) rows.
     a.hint("shuffle_hash").join(b, Seq("cell"))
       .filter($"id_a" =!= $"id_b")
       .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"id_a", $"id_b".as("nearest_id"), $"cosine", $"cell")
+      .groupBy($"id_a")
+      .agg(max(struct($"cosine", (-$"id_b").as("neg_id"),
+        $"id_b".as("id"), $"cell")).as("best"))
+      .select($"id_a", $"best.id".as("nearest_id"),
+        $"best.cosine".as("cosine"), $"best.cell".as("cell"))
   }
 
   def ivfNn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ivfNnFrom(s, dir, trainCentroids(s, dir)).orderBy($"id_a")
+    ivfNnFrom(ivfAssigned(s, dir, trainCentroids(s, dir))).orderBy($"id_a")
   }
 
   /** q74: the PRODUCTION-shaped IVF query (q63-for-q57 precedent):
@@ -281,7 +320,7 @@ object SimilarityQueries {
     * k-means iterations are not SQL-reproducible; their quality
     * bounds are exactly what q58 pins against DuckDB. */
   def ivfTopk(s: SparkSession, dir: String): DataFrame =
-    ivfNnFrom(s, dir, trainCentroids(s, dir))
+    ivfNnFrom(ivfAssigned(s, dir, trainCentroids(s, dir)))
 
   /** q58 as a SELF-VALIDATING query (centroids are data-dependent, so
     * the oracle pins the index's THEOREMS, the q19/q56/q57 pattern):
@@ -308,31 +347,44 @@ object SimilarityQueries {
   def ivfNnValidated(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cent = trainCentroids(s, dir)
-    val (cell, probeCells) = ivfCells(s, cent)
     val sampled = (c: Column) => c % 5 === 0 && c < 2500
-    val ivf = ivfNnFrom(s, dir, cent)
+    // ONE materialized index feeds everything: the NN query's two join
+    // sides AND both audit sides read the checkpointed assignment
+    // blocks (the 16-cosine cell/probe projection runs once per
+    // vector, not once per consumer); the IVF ANSWER is checkpointed
+    // too because the n_points count and the audit join both consume
+    // it
+    val assigned = ivfAssigned(s, dir, cent)
+    val ivf = ivfNnFrom(assigned).localCheckpoint()
     val nPoints = ivf.agg(count(lit(1)).as("n_points"))
-    val e = Tables.embeddings(s, dir)
-    val nSample = e.filter(sampled($"vec_id"))
+    val nSample = assigned.filter(sampled($"vec_id"))
       .agg(count(lit(1)).as("n_sample"))
-    val a = e.select($"vec_id".as("id_a"), $"embedding".as("emb_a"),
-        probeCells.as("probe_cells"))
+    val a = assigned.select($"vec_id".as("id_a"), $"embedding".as("emb_a"),
+        $"probe_cells")
       .filter(sampled($"id_a"))
-    val b = e.select($"vec_id".as("id_b"), $"embedding".as("emb_b"), cell.as("cell_b"))
-    val allPairs = a.join(b, $"id_a" =!= $"id_b")
+    val b = assigned.select($"vec_id".as("id_b"), $"embedding".as("emb_b"),
+      $"cell".as("cell_b"))
+    // ONE pass over the audit pairs computes both brute-force answers:
+    // unrestricted (`bf`) and probed-cells-restricted (`r`) argmaxes as
+    // conditional lexicographic struct maxes (Max skips the null the
+    // `when` yields off-cell) — the old two-window formulation executed
+    // the 500×n pair join twice and sorted it twice. Tie order matches
+    // the q58 contract (cosine DESC, id_b ASC) via the -id_b field;
+    // `r` is null iff no candidate lies in the probed cells.
+    val pairStats = a.join(b, $"id_a" =!= $"id_b")
       .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
-    val w = Window.partitionBy($"id_a").orderBy($"cosine".desc, $"id_b")
-    val bf = allPairs
-      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"id_a", $"id_b".as("bf_nearest"), $"cosine".as("bf_cosine"))
-    val restricted = allPairs.filter(array_contains($"probe_cells", $"cell_b"))
-      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"id_a", $"id_b".as("r_nearest"), $"cosine".as("r_cosine"))
+      .groupBy($"id_a")
+      .agg(
+        max(struct($"cosine", (-$"id_b").as("neg_id"), $"id_b".as("id"))).as("bf"),
+        max(when(array_contains($"probe_cells", $"cell_b"),
+          struct($"cosine", (-$"id_b").as("neg_id"), $"id_b".as("id")))).as("r"))
     val checks = ivf.filter(sampled($"id_a"))
-      .join(restricted, Seq("id_a")).join(bf, Seq("id_a"))
-      .agg(count(lit(1)).as("n_answered"),
-        min($"nearest_id" === $"r_nearest" && $"cosine" === $"r_cosine").as("rerank_exact"),
-        (avg(when($"nearest_id" === $"bf_nearest" || $"cosine" === $"bf_cosine", 1.0)
+      .join(pairStats, Seq("id_a"))
+      .agg(
+        count(when($"r".isNotNull, lit(1))).as("n_answered"),
+        min(coalesce($"nearest_id" === $"r.id" && $"cosine" === $"r.cosine",
+          lit(false))).as("rerank_exact"),
+        (avg(when($"nearest_id" === $"bf.id" || $"cosine" === $"bf.cosine", 1.0)
           .otherwise(0.0)) >= 0.5).as("recall_ok"))
     nPoints.crossJoin(nSample).crossJoin(checks)
       .select($"n_points", $"n_sample",
@@ -386,6 +438,8 @@ object SimilarityQueries {
   def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", $"embedding")
+      .orderBy($"vec_id") // sort-before-project: see TextQueries.tokenStats
       .withColumn("e", transform($"embedding", x => x.cast("double")))
       .withColumn("m", array_max(transform($"e", x => abs(x))))
       .withColumn("qv",

@@ -66,16 +66,20 @@ object TextQueries {
       |  AND length(trim(regexp_replace(replace(text, 'RT @', ''), '\s+', ' ', 'g'))) > 0
       |ORDER BY doc_id""".stripMargin
 
-  /** Per-document token statistics. */
+  /** Per-document token statistics. The narrow (doc_id, text) input
+    * sorts BEFORE the tokenizing projection: a global orderBy plans a
+    * RangePartitioner sampling job that re-executes its child, so a
+    * sort above the projection would run every tokenizer pass twice
+    * (the q33/q73 lesson); projections preserve the sorted order. */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
+      .select($"doc_id", $"text").orderBy($"doc_id")
       .select($"doc_id",
         tokenCount($"text").as("n_tokens"),
         bpeishTokenCount($"text").as("n_bpeish_tokens"),
         length($"text").cast("long").as("len_chars"),
         round(length($"text").cast("double") / tokenCount($"text"), 4).as("chars_per_token"))
-      .orderBy($"doc_id")
   }
 
   val tokenStatsSql: String =
@@ -93,7 +97,9 @@ object TextQueries {
     import s.implicits._
     val toks = tokenCount($"text")
     val stops = size(regexp_extract_all($"text", lit("\\b(the|a|and|of|to|in|is)\\b"), lit(0))).cast("long")
+    // sort-before-project: see tokenStats
     Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"text").orderBy($"doc_id")
       .select($"doc_id", $"lang",
         toks.as("n_tokens"),
         stops.as("n_stopwords"),
@@ -101,7 +107,6 @@ object TextQueries {
         size(array_distinct(split(trim($"text"), "\\s+"))).cast("long").as("n_distinct_tokens"),
         round(size(array_distinct(split(trim($"text"), "\\s+"))).cast("double") / toks, 4)
           .as("distinct_ratio"))
-      .orderBy($"doc_id")
   }
 
   val qualityScoreSql: String =
@@ -139,8 +144,8 @@ object TextQueries {
   def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
+      .select($"doc_id", $"text").orderBy($"doc_id") // sort-before-project: see tokenStats
       .select($"doc_id", fingerprint($"text").as("fp"))
-      .orderBy($"doc_id")
   }
 
   val docFingerprintSql: String =

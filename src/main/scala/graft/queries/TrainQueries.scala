@@ -157,8 +157,13 @@ object TrainQueries {
       .withColumn("keep", col("n_dup") * 5 <= col("n_bigrams"))
   }
 
-  def repetitionScore(s: SparkSession, dir: String): DataFrame =
-    repetitionScored(Tables.documents(s, dir)).orderBy(col("doc_id"))
+  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    // sort-before-project (see TextQueries.tokenStats): the bigram
+    // build must not run a second time under the range sampler
+    val s0 = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+    repetitionScored(s0)
+  }
 
   val repetitionScoreSql: String =
     """WITH b AS (
@@ -211,18 +216,21 @@ object TrainQueries {
     // number of replacements actually performed — counting all
     // patterns against the original would double-count overlaps
     // (e.g. an IP embedded in an email's domain). The placeholders
-    // contain no digits/@, so they can never re-match.
-    val (redacted, counts) = piiPatterns
-      .foldLeft(($"text": Column, List.empty[Column])) {
-        case ((c, cs), (pat, tag)) =>
-          (regexp_replace(c, pat, tag),
-            size(regexp_extract_all(c, lit(pat), lit(0))).cast("long") :: cs)
-      }
+    // contain no digits/@, so they can never re-match. The whole
+    // chain runs as ONE fused RegexScrub pass (one matcher traversal
+    // per pattern; the old regexp_extract_all counting pass
+    // duplicated the regex work and allocated a match array per
+    // doc-pattern just to take its length). The sort runs on the
+    // NARROW (doc_id, text) relation before the scrub projection:
+    // global orderBy plans a RangePartitioner sampling pass that
+    // re-executes its child, so sorting after the projection would
+    // run every regex twice (the q33 lesson, round 2).
+    val scrub = graft.functions.expressions.regex_scrub($"text", piiPatterns)
     Tables.documents(s, dir)
+      .select($"doc_id", $"text").orderBy($"doc_id")
       .select($"doc_id",
-        counts.reduce(_ + _).as("n_pii"),
-        TextQueries.fingerprint(redacted).as("redacted_fp"))
-      .orderBy($"doc_id")
+        scrub.getField("n_matches").as("n_pii"),
+        TextQueries.fingerprint(scrub.getField("redacted")).as("redacted_fp"))
   }
 
   val piiRedactSql: String = {
