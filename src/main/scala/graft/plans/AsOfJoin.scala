@@ -1,0 +1,213 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Native AS-OF join — the whole-operator tier (c) of the build
+  * rules: a custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`
+  * registered through `spark.experimental.extraStrategies` (and
+  * usable from [[graft.GraftExtensions]]).
+  *
+  * Semantics (backward as-of, the DuckDB/Pandas default): for every
+  * left row, the single right row with equal join keys and the
+  * LARGEST right time ≤ the left time; left rows with no such match
+  * get nulls (left-outer flavor — callers filter if they want inner).
+  * Among right rows tied on (keys, time) the last in sort order wins
+  * (same caveat as q59: the oracle's ASOF picks an arbitrary tied
+  * row, so hash-checked queries must run on tie-free slices).
+  *
+  * The PHYSICAL plan is the one that survives 100 TB: both sides
+  * hash-partitioned on the join keys and sorted by (keys, time) —
+  * Catalyst's EnsureRequirements inserts the exchanges/sorts from
+  * the declared requirements, so AQE still replans them — then ONE
+  * streaming merge pass per partition with O(1) state (the single
+  * best-so-far right row). Nothing buffers a key group, so a
+  * mega-key costs O(rows), not O(rows²); contrast the q59
+  * formulation, which realizes the same semantics via
+  * union + last(ignoreNulls) window but carries every left row
+  * through the window sort. */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] as [[AsOfJoinExec]]. Stateless; register once
+  * per session via [[AsOfJoin.register]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  /** Both children clustered on the equi-keys: EnsureRequirements
+    * co-partitions them exactly as it does for a sort-merge join. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** (keys..., time) ascending on both sides — the merge invariant. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      if (lIter.isEmpty) Iterator.empty
+      else {
+        // (keys, time) projected together so one natural-ordering
+        // comparison answers both "same key?" (prefix) and the merge
+        // advance test (whole row ≤)
+        val lKtProj = UnsafeProjection.create(lKeys :+ lTime, lOut)
+        val rKtProj = UnsafeProjection.create(rKeys :+ rTime, rOut)
+        val keyTypes = lKeys.map(_.dataType)
+        val ktOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(keyTypes :+ lTime.dataType)
+        val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(keyTypes)
+        val keyOnlyFromL = UnsafeProjection.create(lKeys, lOut)
+        val keyOnlyFromR = UnsafeProjection.create(rKeys, rOut)
+        val nullRight = new GenericInternalRow(rOut.length)
+        val joined = new JoinedRow
+        // bind against the NULLABLE-marked right attributes (this
+        // node's output), not right.output — an unmatched left row
+        // fills the right side with nulls, and a projection bound to
+        // a non-nullable double would read them as 0.0
+        val outAttrs = lOut ++ rOut.map(_.withNullability(true))
+        val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+        new Iterator[InternalRow] {
+          // best-so-far right row for the key currently being merged —
+          // the operator's ENTIRE cross-row state
+          private var matched: UnsafeRow = _
+          private var matchedKey: UnsafeRow = _
+          private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+
+          override def hasNext: Boolean = lIter.hasNext
+
+          override def next(): InternalRow = {
+            val l = lIter.next()
+            val lKt = lKtProj(l)
+            val lKeyRow = keyOnlyFromL(l)
+            // a buffered match from an earlier key is stale
+            if (matched != null && keyOrd.compare(matchedKey, lKeyRow) != 0) {
+              matched = null
+              matchedKey = null
+            }
+            // consume right rows that are ≤ (lKeys, lTime); the last
+            // one with an exactly-equal key is the as-of match
+            var advancing = rRow != null
+            while (advancing) {
+              val rKt = rKtProj(rRow)
+              if (ktOrd.compare(rKt, lKt) <= 0) {
+                if (keyOrd.compare(keyOnlyFromR(rRow), lKeyRow) == 0) {
+                  matched = rRow.asInstanceOf[UnsafeRow].copy()
+                  matchedKey = lKeyRow.copy()
+                }
+                rRow = if (rIter.hasNext) rIter.next() else null
+                advancing = rRow != null
+              } else {
+                advancing = false
+              }
+            }
+            numOutputRows += 1
+            if (matched != null) {
+              numMatched += 1
+              resultProj(joined(l, matched))
+            } else {
+              resultProj(joined(l, nullRight))
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+object AsOfJoin {
+  /** Idempotently register the planning strategy on this session. */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    }
+  }
+
+  /** Backward as-of join (left-outer): for each `left` row, the
+    * `right` row whose `rightKeys` equal the row's `leftKeys` with
+    * the largest `rightTimeCol` ≤ `leftTimeCol`. The output carries
+    * every column of both inputs, so all names must be distinct
+    * across the two sides (alias the right side's key/payload
+    * columns before calling — always possible, never ambiguous). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    require(leftKeys.length == rightKeys.length,
+      s"asofJoin key arity mismatch: $leftKeys vs $rightKeys")
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = GraftColumnBridge.analyzed(left)
+    val rPlan = GraftColumnBridge.analyzed(right)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
+    val lNames = lPlan.output.map(_.name).toSet
+    val dups = rPlan.output.map(_.name).filter(lNames.contains)
+    require(dups.isEmpty,
+      s"asofJoin output would carry ambiguous columns: ${dups.mkString(", ")} — alias one side")
+    GraftColumnBridge.ofRows(spark,
+      AsOfJoin(lPlan, rPlan,
+        leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
+        attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+  }
+}

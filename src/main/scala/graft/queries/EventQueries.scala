@@ -525,6 +525,66 @@ object EventQueries {
       .orderBy($"event_id")
   }
 
+  /** q80: SCD2 INTERVAL ASSEMBLY — turn a change log into
+    * slowly-changing-dimension validity windows: each event becomes a
+    * record valid from its own timestamp until the user's next event
+    * (null valid_to = the current record). One lead() window per
+    * user; the user-slice filter runs BEFORE the window — the window
+    * partitions by user_id, so dropping whole users is
+    * semantics-preserving and the predicate reaches the scan instead
+    * of post-filtering a full-corpus window (at 100 TB that is the
+    * difference between shuffling 5% and 100% of the log). */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .filter($"user_id" % 20 === 0)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("next_ts", lead($"ts", 1).over(w))
+      .select($"user_id", $"event_id", $"event_type",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format($"next_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        $"next_ts".isNull.as("is_current"))
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  val scd2IntervalsSql: String =
+    """SELECT user_id, event_id, event_type,
+      |  strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |  strftime(lead(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM events WHERE user_id % 20 = 0
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  /** q77: the SAME as-of query as q59, executed by the NATIVE
+    * [[graft.plans.AsOfJoinExec]] operator (custom LogicalPlan +
+    * Strategy + physical merge scan) instead of the union+window
+    * formulation — both are hash-checked against DuckDB's native
+    * ASOF JOIN, so the custom operator's correctness rides the same
+    * oracle as the compositional form. The merge scan keeps O(1)
+    * state per partition (one buffered right row), where the q59
+    * window must sort clicks+purchases together and carry the
+    * carry-forward struct through WindowExec. */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"event_id".as("b_event"), $"value".as("b_value"))
+    graft.plans.AsOfJoin.asofJoin(clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user"),
+        leftTimeCol = "ts", rightTimeCol = "p_ts")
+      .filter($"b_event".isNotNull) // inner as-of, matching q59/the oracle
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        $"b_event".as("asof_event"),
+        round($"b_value", 2).as("asof_value"))
+      .orderBy($"event_id")
+  }
+
   val asofJoinSql: String =
     """SELECT a.event_id, a.user_id,
       |  strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
@@ -637,6 +697,8 @@ object EventQueries {
     "q64_zorder_scan" -> (zorderScan _),
     "q67_value_window_stats" -> (valueWindowStats _),
     "q59_asof_join" -> (asofJoin _),
+    "q77_asof_native" -> (asofJoinNative _),
+    "q80_scd2_intervals" -> (scd2Intervals _),
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
     "q28_sessionize" -> (sessionize _),
@@ -657,6 +719,8 @@ object EventQueries {
     "q64_zorder_scan" -> zorderScanSql,
     "q67_value_window_stats" -> valueWindowStatsSql,
     "q59_asof_join" -> asofJoinSql,
+    "q77_asof_native" -> asofJoinSql,
+    "q80_scd2_intervals" -> scd2IntervalsSql,
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,
     "q28_sessionize" -> sessionizeSql,

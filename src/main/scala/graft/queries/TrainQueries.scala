@@ -295,8 +295,141 @@ object TrainQueries {
       |        FROM range(20)) w USING (source))
       |ORDER BY mix_key, source, doc_id LIMIT 1000""".stripMargin
 
+  /** q78: DOCUMENT CHUNKING with overlap — the context-window
+    * splitter every RAG/pretraining pipeline runs: fixed 32-token
+    * chunks on a 24-token stride (8-token overlap), one output row
+    * per chunk with its token count and a cross-engine rolling-hash
+    * fingerprint of the chunk text. Stateless map-side explode — a
+    * doc's chunks never leave its input partition, so the operator
+    * has NO shuffle at any scale (the export sort is the only
+    * exchange, and it runs on the narrow sorted input: chunk rows
+    * inherit the doc sort because posexplode preserves row order).
+    * Chunk count for an n-token doc is ((n−1) div stride) + 1 —
+    * tokenizing "" yields [""] in BOTH engines (len 1), so n ≥ 1
+    * always and the formula never degenerates. */
+  def docChunks(s: SparkSession, dir: String, chunk: Int = 32,
+      stride: Int = 24): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text").orderBy($"doc_id") // sort-before-project
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .select($"doc_id", $"toks",
+        posexplode(sequence(lit(0), floor((size($"toks") - 1) / stride).cast("int"))))
+      .withColumn("start", $"col" * stride)
+      .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+        size(slice($"toks", $"start" + 1, lit(chunk))).cast("long").as("n_chunk_tokens"),
+        TextQueries.fingerprint(concat_ws(" ", slice($"toks", $"start" + 1, lit(chunk))))
+          .as("chunk_fp"))
+  }
+
+  val docChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |i AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, (len(toks)-1) // 24 + 1)) AS chunk_idx
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, chunk_idx,
+      |    toks[chunk_idx*24+1 : chunk_idx*24+32] AS ctoks
+      |  FROM i)
+      |SELECT doc_id, chunk_idx, CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(array_to_string(ctoks, ' '), ''),
+      |        ch -> CAST(unicode(ch) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q79: TRAIN/TEST CONTAMINATION — the eval-integrity check run
+    * before every training job: which held-out documents share long
+    * n-grams with the training corpus. Test set = src0, train = the
+    * rest; an 8-gram is the standard contamination unit. Grams are
+    * joined as 64-bit rolling-hash FINGERPRINTS, not strings — the
+    * fingerprint is the scale representation (8 bytes through the
+    * exchange instead of ~50-char grams) and it is the SAME
+    * cross-engine hash the oracle computes, so the equi-join is
+    * hash-checked end to end. Plan: both sides explode to distinct
+    * (doc, fp) / (fp) rows, one shuffle each into a semi-join-shaped
+    * aggregate; at 100 TB the train side is the big one and the join
+    * key is already its densest form (a bloom prefilter — q72's
+    * operator — slots in front of the exchange unchanged). Docs
+    * shorter than 8 tokens have no grams and are reported with
+    * n_grams = 0 via the left join + coalesce. */
+  def contamination(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import s.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    def gramFps(src: DataFrame): DataFrame = src
+      .withColumn("toks", toks)
+      .select($"doc_id",
+        explode(when(size($"toks") >= n,
+            array_distinct(transform(sequence(lit(1), size($"toks") - (n - 1)),
+              i => TextQueries.fingerprint(
+                concat_ws(" ", slice($"toks", i, lit(n)))))))
+          .otherwise(array().cast("array<long>"))).as("fp"))
+    val docs = Tables.documents(s, dir)
+    val test = docs.filter($"source" === "src0").select($"doc_id", $"text")
+    val train = docs.filter($"source" =!= "src0").select($"doc_id", $"text")
+    val trainFps = gramFps(train).select($"fp").distinct()
+    val hits = gramFps(test)
+      .join(trainFps, Seq("fp"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    val grams = gramFps(test).groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    test.select($"doc_id").join(grams, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        // integer-cents half-up division (the round-3 rounding rule);
+        // coalesce INSIDE the arithmetic — n_hit is null (not 0) for
+        // uncontaminated docs at this point in the plan
+        when(coalesce($"n_grams", lit(0L)) === 0, lit(0.0))
+          .otherwise(
+            expr("(20000 * coalesce(n_hit, 0) + n_grams) div (2 * n_grams)") / 10000.0)
+          .as("contamination_frac"),
+        (coalesce($"n_hit", lit(0L)) > 0).as("is_contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val contaminationSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, fp FROM (
+      |    SELECT doc_id, source,
+      |      unnest(list_distinct(list_transform(
+      |        range(1, greatest(len(toks) - 6, 1)),
+      |        i -> list_reduce(
+      |          list_prepend(CAST(0 AS BIGINT),
+      |            list_transform(
+      |              string_split(array_to_string(toks[i : i+7], ' '), ''),
+      |              ch -> CAST(unicode(ch) AS BIGINT))),
+      |          (acc, x) -> (acc * 31 + x) % 1000000007)))) AS fp
+      |    FROM t WHERE len(toks) >= 8)),
+      |test_g AS (SELECT doc_id, fp FROM g WHERE source = 'src0'),
+      |train_g AS (SELECT DISTINCT fp FROM g WHERE source <> 'src0'),
+      |grams AS (SELECT doc_id, count(*) AS n_grams FROM test_g GROUP BY 1),
+      |hits AS (
+      |  SELECT doc_id, count(*) AS n_hit FROM test_g
+      |  WHERE fp IN (SELECT fp FROM train_g) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(grams.n_grams, 0) AS n_grams,
+      |  coalesce(hits.n_hit, 0) AS n_hit,
+      |  CASE WHEN coalesce(grams.n_grams, 0) = 0 THEN 0.0
+      |       ELSE ((20000 * coalesce(hits.n_hit, 0) + grams.n_grams)
+      |             // (2 * grams.n_grams)) / 10000.0 END AS contamination_frac,
+      |  coalesce(hits.n_hit, 0) > 0 AS is_contaminated
+      |FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+      |LEFT JOIN grams USING (doc_id)
+      |LEFT JOIN hits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
+    "q78_doc_chunks" -> ((s: SparkSession, dir: String) => docChunks(s, dir)),
+    "q79_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)),
     "q69_stratified_sample" -> (stratifiedSample _),
     "q70_token_pack" -> ((s: SparkSession, dir: String) => tokenPack(s, dir)),
     "q71_repetition_score" -> (repetitionScore _),
@@ -305,6 +438,8 @@ object TrainQueries {
 
   val oracles: Map[String, String] = Map(
     "q75_source_mix" -> sourceMixSql,
+    "q78_doc_chunks" -> docChunksSql,
+    "q79_contamination" -> contaminationSql,
     "q69_stratified_sample" -> stratifiedSampleSql,
     "q70_token_pack" -> tokenPackSql,
     "q71_repetition_score" -> repetitionScoreSql,

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.plans.{AsOfJoin, AsOfJoinExec}
+
+/** The native AS-OF join operator (custom LogicalPlan + Strategy +
+  * merge-scan SparkPlan): semantics on synthetic edges the fixture
+  * can't produce, parity with the q59 window formulation, and the
+  * physical plan shape (our exec node, fed by key exchanges). */
+class AsOfJoinPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:00"), 10.0),
+    (2L, "A", ts("2024-01-01 10:05:00"), 11.0),
+    (3L, "B", ts("2024-01-01 10:01:00"), 20.0),
+    (4L, "C", ts("2024-01-01 09:00:00"), 30.0) // before every quote
+  ).toDF("trade_id", "sym", "t_ts", "px")
+
+  private def quotes = Seq(
+    ("A", ts("2024-01-01 09:59:00"), 9.8),
+    ("A", ts("2024-01-01 10:05:00"), 10.9), // tied with trade 2 → inclusive
+    ("A", ts("2024-01-01 10:30:00"), 12.0), // after every trade
+    ("B", ts("2024-01-01 10:00:30"), 19.9),
+    ("D", ts("2024-01-01 08:00:00"), 1.0)   // key with no trades
+  ).toDF("q_sym", "q_ts", "bid")
+
+  private def joined = AsOfJoin.asofJoin(trades, quotes,
+    leftKeys = Seq("sym"), rightKeys = Seq("q_sym"),
+    leftTimeCol = "t_ts", rightTimeCol = "q_ts")
+
+  test("backward as-of picks the latest right row at-or-before each left time") {
+    val got = joined.select($"trade_id", $"bid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(
+      1L -> Some(9.8),   // 09:59 quote, not the 10:05 one
+      2L -> Some(10.9),  // equal timestamps match (inclusive ≤)
+      3L -> Some(19.9),
+      4L -> None))       // C has no quote at or before 09:00 → left outer null
+  }
+
+  test("every left row survives; unmatched right columns are null") {
+    assert(joined.count() == 4)
+    assert(joined.filter($"q_ts".isNull && $"bid".isNull && $"q_sym".isNull).count() == 1)
+  }
+
+  test("multi-row keys advance the buffered match monotonically") {
+    // ten left rows at increasing times over one key; right rows every
+    // other tick — each left row must match the closest earlier tick
+    val l = (1 to 10).map(i => (i.toLong, "K", ts(f"2024-01-01 10:$i%02d:00")))
+      .toDF("id", "k", "lt")
+    val r = (1 to 10 by 2).map(i => (s"K", ts(f"2024-01-01 10:$i%02d:00"), i.toLong))
+      .toDF("rk", "rt", "rv")
+    val got = AsOfJoin.asofJoin(l, r, Seq("k"), Seq("rk"), "lt", "rt")
+      .select($"id", $"rv").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L,
+      6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 9L, 10L -> 9L))
+  }
+
+  test("parity with the q59 union+window formulation on the fixture") {
+    val viaWindow = graft.queries.EventQueries.asofJoin(spark, sf).collect().toSeq
+    val viaNative = graft.queries.EventQueries.asofJoinNative(spark, sf).collect().toSeq
+    assert(viaNative == viaWindow)
+  }
+
+  test("plans as AsOfJoinExec over key-clustered exchanges") {
+    def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)
+      case other => other +: other.children.flatMap(collectPlan)
+    }
+    val df = joined
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val nodes = collectPlan(df.queryExecution.executedPlan)
+    val execs = nodes.collect { case e: AsOfJoinExec => e }
+    assert(execs.size == 1, s"expected one AsOfJoinExec, plan:\n${df.queryExecution.executedPlan}")
+    // EnsureRequirements must have inserted a hash exchange per side
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size >= 2, s"expected both sides exchanged, got ${shuffles.size}")
+    // and the merge invariant: both children sorted by (key, time)
+    execs.head.children.foreach { child =>
+      assert(child.outputOrdering.size == 2,
+        s"child must be sorted by (key, time), got ${child.outputOrdering}")
+    }
+  }
+
+  test("ambiguous output names are refused") {
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(trades, trades, Seq("sym"), Seq("sym"), "t_ts", "t_ts")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-7 pipeline operators: chunking (q78),
+  * contamination (q79), SCD2 intervals (q80). The oracle gate checks
+  * cross-engine equality; these pin the SEMANTIC contracts on edges
+  * and on the fixture. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("docChunks: chunk counts and sizes follow the stride formula") {
+    assert(graft.queries.TrainQueries.docChunks(spark, sf).columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_fp"))
+
+    // fixture-wide: chunk counts follow ((n-1) div 24) + 1 and every
+    // chunk's size is exactly min(32, n - 24*idx)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long").as("n"))
+    val chunks = graft.queries.TrainQueries.docChunks(spark, sf)
+    val counts = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+    assert(counts.join(docs, "doc_id")
+      .filter($"n_chunks" =!= expr("(n - 1) div 24") + 1).count() == 0)
+    assert(chunks.join(docs, "doc_id")
+      .filter($"n_chunk_tokens" =!=
+        least(lit(32L), $"n" - $"chunk_idx" * 24)).count() == 0)
+  }
+
+  test("docChunks: overlapping chunks re-cover the stride-overlap tokens") {
+    // every token index 0..n-1 is covered by at least one chunk:
+    // total chunk tokens = n + overlap-double-counts >= n
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long").as("n"))
+    val per = graft.queries.TrainQueries.docChunks(spark, sf)
+      .groupBy($"doc_id").agg(sum($"n_chunk_tokens").as("covered"))
+    assert(per.join(docs, "doc_id").filter($"covered" < $"n").count() == 0)
+  }
+
+  test("contamination: hit counts bounded, flags consistent, gram counts exact") {
+    val c = graft.queries.TrainQueries.contamination(spark, sf)
+    val docs = Tables.documents(spark, sf).filter($"source" === "src0")
+      .select($"doc_id",
+        size(array_distinct(transform(
+          sequence(lit(1), greatest(size(split(trim($"text"), "\\s+")) - 7, lit(1))),
+          i => concat_ws(" ", slice(split(trim($"text"), "\\s+"), i, lit(8))))))
+          .cast("long").as("n_expect"),
+        (size(split(trim($"text"), "\\s+")) >= 8).as("long_enough"))
+    val joined = c.join(docs, "doc_id")
+    assert(joined.filter($"n_hit" > $"n_grams").count() == 0)
+    assert(joined.filter($"is_contaminated" =!= ($"n_hit" > 0)).count() == 0)
+    assert(joined.filter($"contamination_frac" < 0 || $"contamination_frac" > 1).count() == 0)
+    assert(joined.filter($"long_enough" && $"n_grams" =!= $"n_expect").count() == 0)
+    assert(joined.filter(!$"long_enough" && $"n_grams" =!= 0).count() == 0)
+    // the fixture's near-dup corpus MUST show real contamination
+    assert(c.filter($"is_contaminated").count() > 0)
+  }
+
+  test("scd2Intervals: per-user timeline partitions cleanly") {
+    val iv = graft.queries.EventQueries.scd2Intervals(spark, sf)
+    val n = iv.count()
+    assert(n > 0)
+    // exactly one open (current) record per user
+    val open = iv.groupBy($"user_id")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("n_open"))
+    assert(open.filter($"n_open" =!= 1).count() == 0)
+    // closed intervals end at-or-after they start, and is_current
+    // mirrors valid_to IS NULL (string compare works: the format is
+    // lexicographically chronological)
+    assert(iv.filter($"is_current" =!= $"valid_to".isNull).count() == 0)
+    assert(iv.filter(!$"is_current" && $"valid_to" < $"valid_from").count() == 0)
+    // row count preserved vs the filtered source
+    val src = Tables.events(spark, sf).filter($"user_id" % 20 === 0).count()
+    assert(n == src)
+  }
+}
