@@ -173,12 +173,69 @@ case class AsOfJoinExec(
   }
 }
 
+/** Custom optimizer rule: a bare custom logical node is a PUSHDOWN
+  * BARRIER — Catalyst's PushDownPredicates only knows built-in nodes,
+  * so any Filter above an [[AsOfJoin]] would otherwise pin every
+  * predicate above the join and the scans would read everything.
+  * Two sound moves restore pushdown (and with it partition pruning /
+  * parquet PushedFilters at 100 TB):
+  *
+  *  - a deterministic predicate referencing only LEFT columns pushes
+  *    into the left child: the join is left-preserving (exactly one
+  *    output row per left row, right columns untouched by left
+  *    membership), so filtering left rows before or after the join
+  *    is the same set;
+  *  - a predicate referencing only the left JOIN KEYS additionally
+  *    mirrors to the right child under the key equivalence (right
+  *    rows whose keys cannot survive the left filter can never be
+  *    matched — dropping them early changes no output).
+  *
+  * Predicates touching right columns stay above the join: the right
+  * side is null-producing (left-outer flavor), so pushing them would
+  * drop unmatched left rows — the same reason Catalyst never pushes
+  * filters into the null side of an outer join. */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.AttributeMap
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoin) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val leftKeyAttrs = aj.leftKeys.collect { case a: Attribute => a }
+        val keyMap = AttributeMap(leftKeyAttrs.zip(
+          aj.rightKeys.collect { case a: Attribute => a }))
+        val mirrored = leftOnly
+          .filter(_.references.subsetOf(org.apache.spark.sql.catalyst.expressions
+            .AttributeSet(leftKeyAttrs)))
+          .map(_.transform { case a: Attribute if keyMap.contains(a) => keyMap(a) })
+        val newLeft = Filter(leftOnly.reduce(org.apache.spark.sql.catalyst
+          .expressions.And), aj.left)
+        val newRight = if (mirrored.isEmpty) aj.right
+          else Filter(mirrored.reduce(org.apache.spark.sql.catalyst
+            .expressions.And), aj.right)
+        val pushed = aj.copy(left = newLeft, right = newRight)
+        if (rest.isEmpty) pushed
+        else Filter(rest.reduce(org.apache.spark.sql.catalyst.expressions.And), pushed)
+      }
+  }
+}
+
 object AsOfJoin {
-  /** Idempotently register the planning strategy on this session. */
+  /** Idempotently register the planning strategy + pushdown rule on
+    * this session. */
   def register(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    }
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsOfJoin
     }
   }
 

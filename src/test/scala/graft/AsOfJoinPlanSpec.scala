@@ -91,6 +91,41 @@ class AsOfJoinPlanSpec extends SparkSpec {
     }
   }
 
+  test("filters above the custom node push into BOTH children (key mirror)") {
+    // key predicate above the join: without PushFilterThroughAsOfJoin
+    // the custom node is a pushdown barrier and both inputs scan fully
+    val filtered = joined.filter($"sym" === "A" && $"px" > 10.0)
+    val optimized = filtered.queryExecution.optimizedPlan
+    // no Filter may remain above the AsOfJoin node…
+    assert(!optimized.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter],
+      s"filter not pushed:\n$optimized")
+    // …and both children must now carry one
+    val aj = optimized.collectFirst { case a: graft.plans.AsOfJoin => a }.get
+    def hasFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.nonEmpty
+    assert(hasFilter(aj.left), s"left child unfiltered:\n${aj.left}")
+    assert(hasFilter(aj.right), s"right child (key mirror) unfiltered:\n${aj.right}")
+    // px > 10.0 is not a key predicate: it pushes left only, so the
+    // right filter must reference only the mirrored key
+    val rightFilter = aj.right.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }.get
+    assert(rightFilter.references.map(_.name).toSet == Set("q_sym"))
+    // semantics unchanged
+    assert(filtered.select($"trade_id", $"bid").collect().map(r =>
+      r.getLong(0) -> r.getDouble(1)).toMap == Map(2L -> 10.9))
+  }
+
+  test("right-column predicates stay above the join (null-producing side)") {
+    val filtered = joined.filter($"bid" > 10.0)
+    val optimized = filtered.queryExecution.optimizedPlan
+    // the Filter must NOT descend into the right child
+    val aj = optimized.collectFirst { case a: graft.plans.AsOfJoin => a }.get
+    assert(aj.right.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.isEmpty,
+      s"right-side filter wrongly pushed:\n$optimized")
+    assert(filtered.select($"trade_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("ambiguous output names are refused") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asofJoin(trades, trades, Seq("sym"), Seq("sym"), "t_ts", "t_ts")
