@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the per-session equivalent for sessions built without extensions)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PruneColumnsThroughAsOfJoin)
 
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),

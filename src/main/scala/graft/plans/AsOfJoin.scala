@@ -137,34 +137,48 @@ case class AsOfJoinExec(
           override def next(): InternalRow = {
             val l = lIter.next()
             val lKt = lKtProj(l)
-            val lKeyRow = keyOnlyFromL(l)
-            // a buffered match from an earlier key is stale
-            if (matched != null && keyOrd.compare(matchedKey, lKeyRow) != 0) {
-              matched = null
-              matchedKey = null
-            }
-            // consume right rows that are ≤ (lKeys, lTime); the last
-            // one with an exactly-equal key is the as-of match
-            var advancing = rRow != null
-            while (advancing) {
-              val rKt = rKtProj(rRow)
-              if (ktOrd.compare(rKt, lKt) <= 0) {
-                if (keyOrd.compare(keyOnlyFromR(rRow), lKeyRow) == 0) {
-                  matched = rRow.asInstanceOf[UnsafeRow].copy()
-                  matchedKey = lKeyRow.copy()
-                }
-                rRow = if (rIter.hasNext) rIter.next() else null
-                advancing = rRow != null
-              } else {
-                advancing = false
-              }
-            }
             numOutputRows += 1
-            if (matched != null) {
-              numMatched += 1
-              resultProj(joined(l, matched))
-            } else {
+            // SQL semantics for NULL: an equality never holds on a
+            // null key and r.time <= l.time never holds on a null
+            // time — a left row with any null key/time field can
+            // match nothing (the natural ordering would otherwise
+            // treat null==null as equal and match them)
+            if (lKt.anyNull) {
               resultProj(joined(l, nullRight))
+            } else {
+              val lKeyRow = keyOnlyFromL(l)
+              // a buffered match from an earlier key is stale
+              if (matched != null && keyOrd.compare(matchedKey, lKeyRow) != 0) {
+                matched = null
+                matchedKey = null
+              }
+              // consume right rows that are ≤ (lKeys, lTime); the last
+              // one with an exactly-equal key is the as-of match.
+              // Null-bearing right rows sort FIRST under the natural
+              // ordering, so they are consumed (and discarded — they
+              // can never equal a non-null key or satisfy the time
+              // bound) before any real candidate.
+              var advancing = rRow != null
+              while (advancing) {
+                val rKt = rKtProj(rRow)
+                if (ktOrd.compare(rKt, lKt) <= 0) {
+                  if (!rKt.anyNull &&
+                      keyOrd.compare(keyOnlyFromR(rRow), lKeyRow) == 0) {
+                    matched = rRow.asInstanceOf[UnsafeRow].copy()
+                    matchedKey = lKeyRow.copy()
+                  }
+                  rRow = if (rIter.hasNext) rIter.next() else null
+                  advancing = rRow != null
+                } else {
+                  advancing = false
+                }
+              }
+              if (matched != null) {
+                numMatched += 1
+                resultProj(joined(l, matched))
+              } else {
+                resultProj(joined(l, nullRight))
+              }
             }
           }
         }
@@ -202,16 +216,29 @@ object PushFilterThroughAsOfJoin
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, aj: AsOfJoin) =>
-      val (leftOnly, rest) = splitConjunctivePredicates(cond)
-        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      // Catalyst's convention (PushDownPredicates): only the
+      // DETERMINISTIC PREFIX of the conjunction may move — pushing a
+      // deterministic conjunct written after a non-deterministic one
+      // would change the row stream the non-deterministic predicate
+      // evaluates over
+      val (candidates, stayUp) = splitConjunctivePredicates(cond)
+        .span(_.deterministic)
+      val (leftOnly, rest0) =
+        candidates.partition(_.references.subsetOf(aj.left.outputSet))
+      val rest = rest0 ++ stayUp
       if (leftOnly.isEmpty) f
       else {
-        val leftKeyAttrs = aj.leftKeys.collect { case a: Attribute => a }
-        val keyMap = AttributeMap(leftKeyAttrs.zip(
-          aj.rightKeys.collect { case a: Attribute => a }))
+        // mirror map built from POSITIONAL key pairs, kept only where
+        // both sides are bare attributes (collect-then-zip would
+        // misalign the pairs if any key were a computed expression)
+        val keyPairs = aj.leftKeys.zip(aj.rightKeys).collect {
+          case (a: Attribute, b: Attribute) => a -> b
+        }
+        val keyMap = AttributeMap(keyPairs)
+        val mirrorable = org.apache.spark.sql.catalyst.expressions
+          .AttributeSet(keyPairs.map(_._1))
         val mirrored = leftOnly
-          .filter(_.references.subsetOf(org.apache.spark.sql.catalyst.expressions
-            .AttributeSet(leftKeyAttrs)))
+          .filter(_.references.subsetOf(mirrorable))
           .map(_.transform { case a: Attribute if keyMap.contains(a) => keyMap(a) })
         val newLeft = Filter(leftOnly.reduce(org.apache.spark.sql.catalyst
           .expressions.And), aj.left)
@@ -225,8 +252,38 @@ object PushFilterThroughAsOfJoin
   }
 }
 
+/** The pruning twin of [[PushFilterThroughAsOfJoin]]: ColumnPruning
+  * cannot see into an unknown binary node either, so a projection
+  * above [[AsOfJoin]] would otherwise read EVERY column of both
+  * children through the scans, exchanges and sorts. A Project over
+  * the node narrows each child to the columns the projection (plus
+  * the join keys and times) actually references; Catalyst's own
+  * ColumnPruning then carries those Projects down to the scans
+  * (ReadSchema). Fixpoint-safe: once children are narrowed the
+  * widths match and the rule no longer fires. */
+object PruneColumnsThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, aj: AsOfJoin) =>
+      val needed = p.references ++
+        AttributeSet(aj.leftKeys.flatMap(_.references)) ++
+        AttributeSet(aj.rightKeys.flatMap(_.references)) ++
+        aj.leftTime.references ++ aj.rightTime.references
+      val lKeep = aj.left.output.filter(needed.contains)
+      val rKeep = aj.right.output.filter(needed.contains)
+      if (lKeep.length == aj.left.output.length &&
+          rKeep.length == aj.right.output.length) p
+      else p.copy(child = aj.copy(
+        left = Project(lKeep, aj.left),
+        right = Project(rKeep, aj.right)))
+  }
+}
+
 object AsOfJoin {
-  /** Idempotently register the planning strategy + pushdown rule on
+  /** Idempotently register the planning strategy + pushdown rules on
     * this session. */
   def register(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
@@ -234,8 +291,10 @@ object AsOfJoin {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
     }
     val opts = spark.experimental.extraOptimizations
-    if (!opts.contains(PushFilterThroughAsOfJoin)) {
-      spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsOfJoin
+    val missing = Seq(PushFilterThroughAsOfJoin, PruneColumnsThroughAsOfJoin)
+      .filterNot(opts.contains)
+    if (missing.nonEmpty) {
+      spark.experimental.extraOptimizations = opts ++ missing
     }
   }
 
@@ -262,9 +321,19 @@ object AsOfJoin {
     val dups = rPlan.output.map(_.name).filter(lNames.contains)
     require(dups.isEmpty,
       s"asofJoin output would carry ambiguous columns: ${dups.mkString(", ")} — alias one side")
-    GraftColumnBridge.ofRows(spark,
-      AsOfJoin(lPlan, rPlan,
-        leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-        attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+    val lk = leftKeys.map(attr(lPlan, _))
+    val rk = rightKeys.map(attr(rPlan, _))
+    val lt = attr(lPlan, leftTimeCol)
+    val rt = attr(rPlan, rightTimeCol)
+    // the merge scan compares the RIGHT side's rows under orderings
+    // built from the LEFT side's types — mismatched types would
+    // reinterpret bytes silently, so refuse them here
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"asofJoin key type mismatch: ${a.name}: ${a.dataType.sql} vs ${b.name}: ${b.dataType.sql}")
+    }
+    require(lt.dataType == rt.dataType,
+      s"asofJoin time type mismatch: ${lt.name}: ${lt.dataType.sql} vs ${rt.name}: ${rt.dataType.sql}")
+    GraftColumnBridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

@@ -452,7 +452,6 @@ object SimilarityQueries {
           .otherwise(
             array_max(zip_with($"e", $"qv", (x, q) => abs(x - q * $"m" / 127)))
               <= $"m" / 127 * 0.5 + 1e-9).as("recon_ok"))
-      .orderBy($"vec_id")
   }
 
   val quantizeEmbeddingsSql: String =

@@ -372,18 +372,22 @@ object TrainQueries {
     val test = docs.filter($"source" === "src0").select($"doc_id", $"text")
     val train = docs.filter($"source" =!= "src0").select($"doc_id", $"text")
     val trainFps = gramFps(train).select($"fp").distinct()
-    val hits = gramFps(test)
-      .join(trainFps, Seq("fp"), "left_semi")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
-    val grams = gramFps(test).groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-    test.select($"doc_id").join(grams, Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
+    // ONE gram build for the test side: the left join against the
+    // (distinct) train set marks each gram hit-or-miss, and a single
+    // aggregate produces both counts — building `hits` and `grams`
+    // from separate gramFps(test) calls would tokenize, fingerprint
+    // and shuffle the test corpus twice
+    val perDoc = gramFps(test)
+      .join(trainFps.withColumn("hit", lit(1)), Seq("fp"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), count($"hit").as("n_hit"))
+    test.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_grams", lit(0L)).as("n_grams"),
         coalesce($"n_hit", lit(0L)).as("n_hit"),
         // integer-cents half-up division (the round-3 rounding rule);
-        // coalesce INSIDE the arithmetic — n_hit is null (not 0) for
-        // uncontaminated docs at this point in the plan
+        // coalesce INSIDE the arithmetic — n_grams/n_hit are null (not
+        // 0) for short docs at this point in the plan
         when(coalesce($"n_grams", lit(0L)) === 0, lit(0.0))
           .otherwise(
             expr("(20000 * coalesce(n_hit, 0) + n_grams) div (2 * n_grams)") / 10000.0)

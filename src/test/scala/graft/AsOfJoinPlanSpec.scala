@@ -132,4 +132,45 @@ class AsOfJoinPlanSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ambiguous"))
   }
+
+  test("mismatched key/time types are refused (merge compares raw bytes)") {
+    val r2 = quotes.select($"q_sym", unix_micros($"q_ts").as("q_ts"), $"bid")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(trades, r2, Seq("sym"), Seq("q_sym"), "t_ts", "q_ts")
+    }
+    assert(e.getMessage.contains("time type mismatch"))
+  }
+
+  test("NULL keys and NULL times never match (SQL equality semantics)") {
+    val l = Seq(
+      (1L, Option("A"), Option(ts("2024-01-01 10:00:00"))),
+      (2L, None, Option(ts("2024-01-01 10:00:00"))),       // null key
+      (3L, Option("A"), None)                              // null time
+    ).toDF("id", "k", "lt")
+    val r = Seq(
+      (Option("A"), Option(ts("2024-01-01 09:00:00")), 1L),
+      (None, Option(ts("2024-01-01 09:00:00")), 2L),       // null key
+      (Option("A"), None, 3L)                              // null time
+    ).toDF("rk", "rt", "rv")
+    val got = AsOfJoin.asofJoin(l, r, Seq("k"), Seq("rk"), "lt", "rt")
+      .select($"id", $"rv").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+      .toMap
+    // only the fully-non-null pair matches; null-key/null-time rows
+    // on either side never pair with anything
+    assert(got == Map(1L -> Some(1L), 2L -> None, 3L -> None))
+  }
+
+  test("projections above the custom node prune both children to used columns") {
+    val narrow = joined.select($"trade_id", $"bid")
+    val optimized = narrow.queryExecution.optimizedPlan
+    val aj = optimized.collectFirst { case a: graft.plans.AsOfJoin => a }.get
+    // left: trade_id + key + time; right: bid + key + time — px, head
+    // payloads and unreferenced columns must be gone below the node
+    assert(aj.left.output.map(_.name).toSet == Set("trade_id", "sym", "t_ts"),
+      s"left not pruned: ${aj.left.output.map(_.name)}")
+    assert(aj.right.output.map(_.name).toSet == Set("bid", "q_sym", "q_ts"),
+      s"right not pruned: ${aj.right.output.map(_.name)}")
+    assert(narrow.collect().length == 4)
+  }
 }
