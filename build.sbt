@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from sbt's stdout. sbt's
+// default LoggedOutput prefixes every forked-process line with
+// "[info] ", which breaks a `line.startswith('{"metric"')` scan —
+// every BENCH_r*.json so far carries `parsed: null` for exactly this
+// reason. StdoutOutput lets the forked JVM inherit stdout so the JSON
+// line lands raw and machine-parseable. (Test output keeps the
+// default logger framing.)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -108,11 +108,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // 0.1 ms resolution: sub-tenth-of-a-millisecond digits are noise
+    // at local[32] and roughly halve the line length, which matters
+    // because the driver stores only the tail of the process output.
+    def jnum(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(f: ((String, Double, Double, Long, Option[String])) => (String, Double)): String =
-      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val qs = jmap { case (k, cold, _, _, _) => (k, cold) }
     val qsWarm = jmap { case (k, _, warm, _, _) => (k, warm) }
-    val qsGc = results.map { case (k, _, _, gc, _) => "\"" + k + "\":" + gc }
+    // only nonzero GC entries carry signal (the map exists to make a
+    // one-off GC stall self-diagnosing); zeros just pad the line.
+    val qsGc = results.collect { case (k, _, _, gc, _) if gc > 0 => "\"" + k + "\":" + gc }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, _, Some(m)) =>
       "\"" + k + "\":" + jstr(m.take(160))
@@ -123,7 +129,7 @@ object Bench {
     val nFailed = results.count(_._5.isDefined)
     val total = results.map { case (_, v, _, _, _) => math.max(v, 0.0) }.sum
     val totalWarm = results.map { case (_, _, v, _, _) => math.max(v, 0.0) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_warm":$totalWarm,""" +
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","value_warm":${jnum(totalWarm)},""" +
       s""""n_failed":$nFailed,"queries":$qs,"queries_warm":$qsWarm,"queries_gc_ms":$qsGc,""" +
       s""""errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
