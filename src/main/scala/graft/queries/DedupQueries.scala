@@ -384,6 +384,14 @@ object DedupQueries {
     * makes the hash comparison meaningful. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    clusterLabels(s, dir).orderBy($"doc_id")
+  }
+
+  /** The unsorted (doc_id, cluster_id) labels behind q66 — shared
+    * with q82's impact report, which aggregates them and must not pay
+    * (or re-trigger, via the range sampler) a global sort it discards. */
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // RAW (unsorted) pairs: the public q42 form ends in a global sort
     // whose RangePartitioner sampling pass would re-execute the pair
     // join — a total order the edge set immediately discards
@@ -428,8 +436,58 @@ object DedupQueries {
       labels = next
       round0 += 1
     }
-    labels.orderBy($"doc_id")
+    labels
   }
+
+  /** q82: DEDUP IMPACT REPORT — the artifact a dedup run actually
+    * ships to its operators: per source, how many documents and
+    * tokens survive near-dup removal. Composes the q42 candidate
+    * pairs → q66 connected components → keeper policy end to end.
+    * The keeper rule falls out of min-label propagation for free:
+    * labels initialize to doc_id and only ever decrease to the
+    * component minimum, so cluster_id IS the component's min doc_id
+    * and `doc_id = cluster_id` selects exactly one keeper per
+    * cluster — no extra window or join to pick winners.
+    *
+    * Scale shape: everything downstream of the (already-iterative)
+    * labels frame is one broadcast-sized join against the narrow
+    * (doc_id, source, n_tokens) projection plus a 20-group aggregate
+    * — the report adds no data-sized work to the clustering itself. */
+  def dedupImpact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", graft.queries.TextQueries.tokenCount($"text").as("n_toks"))
+    docs.join(clusterLabels(s, dir), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("docs_total"),
+        sum(when($"doc_id" === $"cluster_id", 1L).otherwise(0L)).as("docs_kept"),
+        sum($"n_toks").as("tokens_total"),
+        sum(when($"doc_id" === $"cluster_id", $"n_toks").otherwise(0L)).as("tokens_kept"))
+      .withColumn("dup_frac",
+        expr("(20000 * (docs_total - docs_kept) + docs_total) div (2 * docs_total)") / 10000.0)
+      .orderBy($"source")
+  }
+
+  /** Labels COMPOSE q66's oracle (itself composing q42's) — one
+    * definition of the cluster graph across all three queries. Lazy:
+    * `dedupClustersSql` is declared LATER in the object, so a strict
+    * val here would interpolate null at object init. */
+  lazy val dedupImpactSql: String =
+    s"""WITH labels AS (SELECT * FROM ($dedupClustersSql)),
+      |d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |r AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS docs_total,
+      |    CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+      |    CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+      |    CAST(sum(CASE WHEN doc_id = cluster_id THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
+      |  FROM d JOIN labels USING (doc_id) GROUP BY 1)
+      |SELECT source, docs_total, docs_kept, tokens_total, tokens_kept,
+      |  ((20000 * (docs_total - docs_kept) + docs_total) // (2 * docs_total)) / 10000.0 AS dup_frac
+      |FROM r ORDER BY source""".stripMargin
 
   /** Edges COMPOSE q42's oracle SQL — one definition of the pair
     * graph; a change to q42's blocking/threshold updates both. */
@@ -447,6 +505,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_dedup_clusters" -> (dedupClusters _),
+    "q82_dedup_impact" -> (dedupImpact _),
     "q40_exact_dedup" -> (exactDedup _),
     "q41_fingerprint_dedup" -> (exactDedupByFingerprint _),
     "q42_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
@@ -461,6 +520,7 @@ object DedupQueries {
     "q41_fingerprint_dedup" -> exactDedupByFingerprintSql,
     "q42_ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "q66_dedup_clusters" -> dedupClustersSql,
+    "q82_dedup_impact" -> dedupImpactSql,
     "q43_minhash_dedup" -> minhashDedupValidatedSql,
     "q44_simhash_pairs" -> simhashPairsValidatedSql,
     "q45_embedding_neardups" -> embeddingNearDupsSql,

@@ -430,6 +430,130 @@ object TrainQueries {
       |LEFT JOIN hits USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q81: CORPUS-FREQUENCY quality signal — the unigram-LM proxy
+    * behind Gopher/FineWeb-style "rare token" filters: per document,
+    * how many of its tokens are corpus-rare (total corpus frequency ≤
+    * `rareMax`) plus the min/max corpus frequency seen in the doc.
+    * All-integer arithmetic (counts + the half-up 4 dp ratio) — exact
+    * cross-engine at any scale; no logs, no doubles until the final
+    * display ratio.
+    *
+    * Plan, narrated for 100 TB: tokens pre-aggregate to (doc_id, fp,
+    * count) map-side BEFORE any exchange — the per-doc duplicate
+    * compaction is free partial aggregation; corpus frequency is then
+    * a window SUM over the fp partitions of that compacted frame (one
+    * shuffle carries (doc, fp, c) triples, 8-byte keys); the per-doc
+    * rollup is the second and final shuffle, pre-aggregated map-side
+    * again. Nothing driver-side, no joins, both exchanges carry the
+    * compacted relation, never raw tokens. */
+  def rareTokenStats(s: SparkSession, dir: String, rareMax: Long = 2L): DataFrame = {
+    import s.implicits._
+    val perDocTok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"doc_id", TextQueries.fingerprint($"tok").as("fp"))
+      .agg(count(lit(1)).as("c"))
+    val withFreq = perDocTok
+      .withColumn("freq", sum($"c").over(Window.partitionBy($"fp")))
+    withFreq
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        sum(when($"freq" <= rareMax, $"c").otherwise(lit(0L))).as("n_rare"),
+        min($"freq").as("min_freq"),
+        max($"freq").as("max_freq"))
+      .withColumn("rare_frac",
+        expr("(20000 * n_rare + n_tokens) div (2 * n_tokens)") / 10000.0)
+      .orderBy($"doc_id")
+  }
+
+  val rareTokenStatsSql: String =
+    """WITH pt AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(tok, ''),
+      |          ch -> CAST(unicode(ch) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT doc_id, c,
+      |    CAST(sum(c) OVER (PARTITION BY fp) AS BIGINT) AS freq
+      |  FROM pt),
+      |d AS (
+      |  SELECT doc_id,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN freq <= 2 THEN c ELSE 0 END) AS BIGINT) AS n_rare,
+      |    min(freq) AS min_freq, max(freq) AS max_freq
+      |  FROM f GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_rare, min_freq, max_freq,
+      |  ((20000 * n_rare + n_tokens) // (2 * n_tokens)) / 10000.0 AS rare_frac
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** q83: CROSS-SOURCE VOCABULARY OVERLAP — the mixture diagnostic
+    * run before blending corpora: pairwise Jaccard similarity of the
+    * distinct-token vocabularies of every source pair (near-identical
+    * vocabularies ⇒ the sources are probably the same crawl twice;
+    * disjoint ⇒ a domain gap the mixture weights should know about).
+    *
+    * Plan: distinct (source, token-fp) is one exchange over 8-byte
+    * fingerprints with map-side partial dedup; the pair build is a
+    * self-equi-join on fp whose per-key fan-out is bounded by the
+    * SOURCE COUNT (≤ 20² pairs per fingerprint regardless of corpus
+    * size — never a data-sized cross product); per-pair counts and
+    * the 20-row size dim are tiny aggregates, the dim rides in on a
+    * broadcast twice. The vocab frame is localCheckpointed: both the
+    * join's two sides and the size dim read the materialized distinct
+    * set instead of re-tokenizing the corpus three times (the q43
+    * lesson). Only pairs sharing ≥1 token appear — Jaccard 0 pairs
+    * carry no signal and would make the output quadratic in sources. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, dir)
+      .select($"source", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .select($"source", TextQueries.fingerprint($"tok").as("fp"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("n"))
+    vocab.as("a")
+      .join(vocab.as("b"), $"a.fp" === $"b.fp" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes).withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_a"), Seq("source_a"))
+      .join(broadcast(sizes).withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_b"), Seq("source_b"))
+      .select($"source_a", $"source_b", $"n_common", $"n_a", $"n_b",
+        (expr("(20000 * n_common + (n_a + n_b - n_common)) div (2 * (n_a + n_b - n_common))")
+          / 10000.0).as("jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH v AS (
+      |  SELECT DISTINCT source,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(tok, ''),
+      |          ch -> CAST(unicode(ch) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |        FROM documents)),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM v a JOIN v b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+      |  ((20000 * n_common + (sa.n + sb.n - n_common))
+      |   // (2 * (sa.n + sb.n - n_common))) / 10000.0 AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.source = pairs.source_a
+      |JOIN sizes sb ON sb.source = pairs.source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
     "q78_doc_chunks" -> ((s: SparkSession, dir: String) => docChunks(s, dir)),
@@ -438,6 +562,8 @@ object TrainQueries {
     "q70_token_pack" -> ((s: SparkSession, dir: String) => tokenPack(s, dir)),
     "q71_repetition_score" -> (repetitionScore _),
     "q73_pii_redact" -> (piiRedact _),
+    "q81_rare_token_stats" -> ((s: SparkSession, dir: String) => rareTokenStats(s, dir)),
+    "q83_source_overlap" -> (sourceOverlap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +574,7 @@ object TrainQueries {
     "q70_token_pack" -> tokenPackSql,
     "q71_repetition_score" -> repetitionScoreSql,
     "q73_pii_redact" -> piiRedactSql,
+    "q81_rare_token_stats" -> rareTokenStatsSql,
+    "q83_source_overlap" -> sourceOverlapSql,
   )
 }

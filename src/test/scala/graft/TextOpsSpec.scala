@@ -82,4 +82,29 @@ class TextOpsSpec extends SparkSpec {
         assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
       }
   }
+
+  test("dedup impact report reconciles with the cluster labels and the corpus") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.queries.DedupQueries.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val report = graft.queries.DedupQueries.dedupImpact(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.queries.TextQueries.tokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._2)
+    assert(report.map(_.getString(0)).toSet == bySource.keySet)
+    report.foreach { r =>
+      val (src, total, kept, tokTotal, tokKept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val rows = bySource(src)
+      assert(total == rows.length)
+      assert(kept == rows.count { case (d, _, _) => labels(d) == d })
+      assert(tokTotal == rows.map(_._3).sum)
+      assert(tokKept == rows.collect { case (d, _, n) if labels(d) == d => n }.sum)
+      assert(kept >= 1 && kept <= total && tokKept <= tokTotal)
+    }
+    // keepers across sources = number of distinct clusters
+    assert(report.map(_.getLong(2)).sum == labels.values.toSet.size)
+  }
 }

@@ -201,6 +201,45 @@ class TrainOpsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  // ---- q81 corpus-frequency quality signal ----
+
+  test("rare-token stats equal a Scala-computed corpus-frequency model") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val freq = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = toks.map { case (id, ts) =>
+      val fs = ts.map(freq)
+      val nRare = fs.count(_ <= 2L).toLong
+      (id, ts.size.toLong, nRare, fs.min, fs.max,
+        ((20000L * nRare + ts.size) / (2L * ts.size)) / 10000.0)
+    }.sortBy(_._1).toSeq
+    val got = TrainQueries.rareTokenStats(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  // ---- q83 source vocabulary overlap ----
+
+  test("source overlap equals a Scala-computed Jaccard over distinct vocabularies") {
+    val vocab = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.trim.split("\\s+")).toSet).toMap
+    val expected = (for {
+      a <- vocab.keys; b <- vocab.keys if a < b
+      common = (vocab(a) & vocab(b)).size.toLong if common > 0
+    } yield {
+      val union = vocab(a).size + vocab(b).size - common
+      (a, b, common, vocab(a).size.toLong, vocab(b).size.toLong,
+        ((20000L * common + union) / (2L * union)) / 10000.0)
+    }).toSeq.sortBy(r => (r._1, r._2))
+    val got = TrainQueries.sourceOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.forall(r => r._3 <= math.min(r._4, r._5)))
+  }
+
   test("fixture corpus carries no PII-shaped strings (documented zero-match)") {
     val n = TrainQueries.piiRedact(spark, sf)
       .agg(sum("n_pii")).as[Long].head()
