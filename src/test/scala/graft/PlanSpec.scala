@@ -121,4 +121,38 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(event_type".r.findFirstIn(p).isDefined,
       s"expected one hash exchange on event_type:\n$p")
   }
+
+  test("q81: tokens compact to (doc, fp, count) map-side before any exchange; no join") {
+    val p = planOf("q81_rare_token_stats")
+    // partial aggregation below the first exchange is the scale story:
+    // the exploded token stream never crosses the wire raw
+    assert(p.contains("partial_count"), s"expected map-side partial count:\n$p")
+    assert(!p.contains("Join"), s"corpus frequency must come from the window, not a join:\n$p")
+    val nExchange = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nExchange == 3, // (doc,fp) compaction, fp window, doc_id rollup
+      s"expected exactly 3 hash exchanges, found $nExchange:\n$p")
+  }
+
+  test("q83: the vocabulary self-join keys on the token fingerprint") {
+    val p = planOf("q83_source_overlap")
+    // equi-join on fp (per-key fan-out bounded by source count) — the
+    // source inequality must be a post-join condition, not a cross product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair build must not cross-product:\n$p")
+    // the pair join's equi-key is fp on BOTH sides — strategy may be
+    // broadcast (test SF: the distinct vocab is tiny) or shuffle (at
+    // scale, via AQE), but the key must be the fingerprint either way
+    assert("Join \\[fp[#0-9L]*\\], \\[fp[#0-9L]*\\]".r.findFirstIn(p).isDefined ||
+      "hashpartitioning\\(fp".r.findFirstIn(p).isDefined,
+      s"expected the self-join keyed on fp:\n$p")
+    // size dims ride in broadcast
+    assert(p.contains("BroadcastHashJoin"), s"the 20-row size dim must broadcast:\n$p")
+  }
+
+  test("q82: the impact report is a broadcast join over the labels, then one rollup") {
+    val p = planOf("q82_dedup_impact")
+    assert(p.contains("BroadcastHashJoin"), s"narrow docs side must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side partial aggregation for the per-source rollup:\n$p")
+  }
 }
