@@ -63,13 +63,10 @@ object DedupQueries {
   }
 
   val exactDedupByFingerprintSql: String =
-    """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, fp
+    s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, fp
       |FROM (
       |  SELECT doc_id,
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
-      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |    ${graft.queries.TextQueries.fingerprintSql("text")} AS fp
       |  FROM documents)
       |GROUP BY fp ORDER BY keeper_id""".stripMargin
 
@@ -250,15 +247,12 @@ object DedupQueries {
   }
 
   val minhashDedupValidatedSql: String =
-    """SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_text_groups,
+    s"""SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_text_groups,
       |  true AS exact_copies_share_keeper, true AS keeper_is_min,
       |  true AS dup_flag_consistent, true AS est_jaccard_in_range
       |FROM (
       |  SELECT doc_id,
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
-      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |    ${graft.queries.TextQueries.fingerprintSql("text")} AS fp
       |  FROM documents)""".stripMargin
 
   /** q44 self-validation: the LSH banding theorem — 4 bands over 64

@@ -46,6 +46,17 @@ object TextQueries {
   def fingerprint(c: Column): Column =
     graft.functions.expressions.codepoint_rolling_hash(c)
 
+  /** The DuckDB rendering of [[fingerprint]] over an arbitrary SQL
+    * string expression — the ONE definition of the cross-engine hash
+    * on the oracle side (eight oracles embed it). Any change to
+    * [[graft.functions.CodepointRollingHash]] must change this in
+    * lockstep, and nowhere else. */
+  def fingerprintSql(input: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($input, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
   /** C1 + F1: clean then keep non-empty English docs.
     * Cite: twitter_streamer.py:86-96 (clean), 159-161 (filter). */
   def cleanFilter(s: SparkSession, dir: String): DataFrame = {
@@ -149,11 +160,8 @@ object TextQueries {
   }
 
   val docFingerprintSql: String =
-    """SELECT doc_id,
-      |  list_reduce(
-      |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))),
-      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+    s"""SELECT doc_id,
+      |  ${fingerprintSql("text")} AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** The training-data quality GATE (filter form of q22 — the op a

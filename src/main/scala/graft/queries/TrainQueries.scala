@@ -248,10 +248,7 @@ object TrainQueries {
     val nPii = countExprs.result().mkString(" + ")
     s"""SELECT doc_id,
        |  $nPii AS n_pii,
-       |  list_reduce(
-       |    list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(string_split($redacted, ''), ch -> CAST(unicode(ch) AS BIGINT))),
-       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS redacted_fp
+       |  ${TextQueries.fingerprintSql(redacted)} AS redacted_fp
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -323,8 +320,8 @@ object TrainQueries {
   }
 
   val docChunksSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       |  FROM documents),
       |i AS (
       |  SELECT doc_id, toks,
@@ -335,11 +332,7 @@ object TrainQueries {
       |    toks[chunk_idx*24+1 : chunk_idx*24+32] AS ctoks
       |  FROM i)
       |SELECT doc_id, chunk_idx, CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
-      |  list_reduce(
-      |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(string_split(array_to_string(ctoks, ' '), ''),
-      |        ch -> CAST(unicode(ch) AS BIGINT))),
-      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp
+      |  ${TextQueries.fingerprintSql("array_to_string(ctoks, ' ')")} AS chunk_fp
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** q79: TRAIN/TEST CONTAMINATION — the eval-integrity check run
@@ -397,20 +390,15 @@ object TrainQueries {
   }
 
   val contaminationSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+    s"""WITH t AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, source, fp FROM (
       |    SELECT doc_id, source,
       |      unnest(list_distinct(list_transform(
       |        range(1, greatest(len(toks) - 6, 1)),
-      |        i -> list_reduce(
-      |          list_prepend(CAST(0 AS BIGINT),
-      |            list_transform(
-      |              string_split(array_to_string(toks[i : i+7], ' '), ''),
-      |              ch -> CAST(unicode(ch) AS BIGINT))),
-      |          (acc, x) -> (acc * 31 + x) % 1000000007)))) AS fp
+      |        i -> ${TextQueries.fingerprintSql("array_to_string(toks[i : i+7], ' ')")}))) AS fp
       |    FROM t WHERE len(toks) >= 8)),
       |test_g AS (SELECT doc_id, fp FROM g WHERE source = 'src0'),
       |train_g AS (SELECT DISTINCT fp FROM g WHERE source <> 'src0'),
@@ -441,11 +429,17 @@ object TrainQueries {
     * Plan, narrated for 100 TB: tokens pre-aggregate to (doc_id, fp,
     * count) map-side BEFORE any exchange — the per-doc duplicate
     * compaction is free partial aggregation; corpus frequency is then
-    * a window SUM over the fp partitions of that compacted frame (one
-    * shuffle carries (doc, fp, c) triples, 8-byte keys); the per-doc
-    * rollup is the second and final shuffle, pre-aggregated map-side
-    * again. Nothing driver-side, no joins, both exchanges carry the
-    * compacted relation, never raw tokens. */
+    * a window SUM over the fp partitions of the compacted frame; the
+    * per-doc rollup is the last exchange, pre-aggregated map-side
+    * again. THREE exchanges total — (doc, fp) compaction, fp window,
+    * doc_id rollup (PlanSpec pins the count) — nothing driver-side,
+    * no joins, and every exchange carries the compacted (doc, fp, c)
+    * relation, never raw tokens. Tokens are identified by their
+    * rolling-hash fingerprint (the same 8-byte scale representation
+    * as q41/q79): two distinct tokens that collide merge their
+    * frequencies — the standard, deliberate fingerprint-dedup
+    * tradeoff, identical in the oracle because DuckDB computes the
+    * same hash. */
   def rareTokenStats(s: SparkSession, dir: String, rareMax: Long = 2L): DataFrame = {
     import s.implicits._
     val perDocTok = Tables.documents(s, dir)
@@ -465,16 +459,14 @@ object TrainQueries {
       .orderBy($"doc_id")
   }
 
-  val rareTokenStatsSql: String =
-    """WITH pt AS (
+  /** Parameterized like the Spark side — a non-default `rareMax` must
+    * flow to BOTH or the oracle answers a different question. */
+  def rareTokenStatsSql(rareMax: Long = 2L): String =
+    s"""WITH pt AS (
       |  SELECT doc_id,
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(string_split(tok, ''),
-      |          ch -> CAST(unicode(ch) AS BIGINT))),
-      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+      |    ${TextQueries.fingerprintSql("tok")} AS fp,
       |    CAST(count(*) AS BIGINT) AS c
-      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
       |        FROM documents)
       |  GROUP BY 1, 2),
       |f AS (
@@ -484,7 +476,7 @@ object TrainQueries {
       |d AS (
       |  SELECT doc_id,
       |    CAST(sum(c) AS BIGINT) AS n_tokens,
-      |    CAST(sum(CASE WHEN freq <= 2 THEN c ELSE 0 END) AS BIGINT) AS n_rare,
+      |    CAST(sum(CASE WHEN freq <= $rareMax THEN c ELSE 0 END) AS BIGINT) AS n_rare,
       |    min(freq) AS min_freq, max(freq) AS max_freq
       |  FROM f GROUP BY 1)
       |SELECT doc_id, n_tokens, n_rare, min_freq, max_freq,
@@ -507,7 +499,9 @@ object TrainQueries {
     * join's two sides and the size dim read the materialized distinct
     * set instead of re-tokenizing the corpus three times (the q43
     * lesson). Only pairs sharing ≥1 token appear — Jaccard 0 pairs
-    * carry no signal and would make the output quadratic in sources. */
+    * carry no signal and would make the output quadratic in sources.
+    * Vocabularies are sets of token FINGERPRINTS (q81's documented
+    * tradeoff): colliding tokens merge, identically in the oracle. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vocab = Tables.documents(s, dir)
@@ -531,14 +525,10 @@ object TrainQueries {
   }
 
   val sourceOverlapSql: String =
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT DISTINCT source,
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(string_split(tok, ''),
-      |          ch -> CAST(unicode(ch) AS BIGINT))),
-      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |    ${TextQueries.fingerprintSql("tok")} AS fp
+      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
       |        FROM documents)),
       |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
       |pairs AS (
@@ -574,7 +564,7 @@ object TrainQueries {
     "q70_token_pack" -> tokenPackSql,
     "q71_repetition_score" -> repetitionScoreSql,
     "q73_pii_redact" -> piiRedactSql,
-    "q81_rare_token_stats" -> rareTokenStatsSql,
+    "q81_rare_token_stats" -> rareTokenStatsSql(),
     "q83_source_overlap" -> sourceOverlapSql,
   )
 }

@@ -145,8 +145,12 @@ class PlanSpec extends SparkSpec {
     assert("Join \\[fp[#0-9L]*\\], \\[fp[#0-9L]*\\]".r.findFirstIn(p).isDefined ||
       "hashpartitioning\\(fp".r.findFirstIn(p).isDefined,
       s"expected the self-join keyed on fp:\n$p")
-    // size dims ride in broadcast
-    assert(p.contains("BroadcastHashJoin"), s"the 20-row size dim must broadcast:\n$p")
+    // size dims ride in broadcast — keyed on source_a/source_b
+    // specifically (the fp self-join may ALSO broadcast at test SF, so
+    // a bare contains(BroadcastHashJoin) would be vacuous)
+    assert("BroadcastHashJoin \\[source_a".r.findFirstIn(p).isDefined &&
+      "BroadcastHashJoin \\[source_b".r.findFirstIn(p).isDefined,
+      s"both 20-row size dims must broadcast-join on their source key:\n$p")
   }
 
   test("q82: the impact report is a broadcast join over the labels, then one rollup") {

@@ -102,7 +102,9 @@ class TextOpsSpec extends SparkSpec {
       assert(kept == rows.count { case (d, _, _) => labels(d) == d })
       assert(tokTotal == rows.map(_._3).sum)
       assert(tokKept == rows.collect { case (d, _, n) if labels(d) == d => n }.sum)
-      assert(kept >= 1 && kept <= total && tokKept <= tokTotal)
+      // NOT asserting kept >= 1: a source whose every doc duplicates a
+      // lower-id doc from ANOTHER source legitimately keeps nothing
+      assert(kept <= total && tokKept <= tokTotal)
     }
     // keepers across sources = number of distinct clusters
     assert(report.map(_.getLong(2)).sum == labels.values.toSet.size)

@@ -207,6 +207,17 @@ class TrainOpsSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
     val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    // PRECONDITION for comparing against a token-identity model: the
+    // operator keys on the rolling-hash fingerprint (its documented
+    // collision-merging contract, same as q41/q79), so this model is
+    // only equivalent while the fixture vocabulary is collision-free.
+    // Assert that explicitly — a regenerated fixture with a colliding
+    // pair should fail HERE, not in the stats comparison below.
+    val vocabArr = toks.flatMap(_._2).distinct
+    def fpOf(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    assert(vocabArr.map(fpOf).distinct.length == vocabArr.length,
+      "fixture vocabulary has fingerprint collisions; token-identity model invalid")
     val freq = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
     val expected = toks.map { case (id, ts) =>
       val fs = ts.map(freq)
