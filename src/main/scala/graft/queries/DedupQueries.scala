@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.expressions._
 
@@ -49,6 +50,63 @@ object DedupQueries {
       |FROM documents
       |GROUP BY lower(trim(regexp_replace(replace(text, 'RT @', ''), '\s+', ' ', 'g')))
       |ORDER BY keeper_id""".stripMargin
+
+  /** q84: INCREMENTAL INGEST dedup — the nightly-batch op: admit a
+    * new batch (here: source src19, the freshest slice) only where
+    * its text fingerprint does not already exist in the standing
+    * corpus (every other source) AND is not an intra-batch duplicate
+    * of an earlier batch doc. Per-lang admission report.
+    *
+    * Scale shape: the standing index is the distinct-fp relation a
+    * production pipeline keeps bucketed on fp (q41's output); the
+    * batch LEFT-joins it on the 8-byte key — map-side against the
+    * bucketed index, never a text comparison — and the intra-batch
+    * check is a min(doc_id) window over the batch's own (tiny) fp
+    * groups. Everything after the probe is a 5-group rollup. The
+    * fingerprint's collision-merging contract applies (a colliding
+    * new doc is dropped as a dup) — identical in the oracle. */
+  def incrementalIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val history = docs.filter($"source" =!= "src19")
+      .select(TextQueries.fingerprint($"text").as("fp")).distinct()
+    val batch = docs.filter($"source" === "src19")
+      .select($"doc_id", $"lang", TextQueries.fingerprint($"text").as("fp"))
+    val firstInBatch = Window.partitionBy($"fp")
+    batch
+      .withColumn("first_id", min($"doc_id").over(firstInBatch))
+      .join(history.withColumn("seen", lit(1)), Seq("fp"), "left")
+      .withColumn("admitted", $"seen".isNull && ($"doc_id" === $"first_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("batch_docs"),
+        sum(when($"admitted", 1L).otherwise(0L)).as("admitted_docs"),
+        sum(when($"seen".isNotNull, 1L).otherwise(0L)).as("already_known"))
+      .withColumn("dropped_docs", $"batch_docs" - $"admitted_docs")
+      .orderBy($"lang")
+  }
+
+  lazy val incrementalIngestSql: String = {
+    val fp = graft.queries.TextQueries.fingerprintSql("text")
+    s"""WITH history AS (
+      |  SELECT DISTINCT $fp AS fp FROM documents WHERE source <> 'src19'),
+      |batch AS (
+      |  SELECT doc_id, lang, $fp AS fp FROM documents WHERE source = 'src19'),
+      |b AS (
+      |  SELECT doc_id, lang, fp,
+      |    min(doc_id) OVER (PARTITION BY fp) AS first_id
+      |  FROM batch),
+      |m AS (
+      |  SELECT b.doc_id, b.lang,
+      |    (h.fp IS NULL AND b.doc_id = b.first_id) AS admitted,
+      |    (h.fp IS NOT NULL) AS seen
+      |  FROM b LEFT JOIN history h ON b.fp = h.fp)
+      |SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS batch_docs,
+      |  CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS admitted_docs,
+      |  CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS already_known,
+      |  CAST(count(*) - sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   /** Exact dedup shuffling only a 64-bit rolling-hash fingerprint
     * (the scale path: the exchange carries 8 bytes/doc, not the
@@ -500,6 +558,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_dedup_clusters" -> (dedupClusters _),
     "q82_dedup_impact" -> (dedupImpact _),
+    "q84_incremental_ingest" -> (incrementalIngest _),
     "q40_exact_dedup" -> (exactDedup _),
     "q41_fingerprint_dedup" -> (exactDedupByFingerprint _),
     "q42_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
@@ -515,6 +574,7 @@ object DedupQueries {
     "q42_ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "q66_dedup_clusters" -> dedupClustersSql,
     "q82_dedup_impact" -> dedupImpactSql,
+    "q84_incremental_ingest" -> incrementalIngestSql,
     "q43_minhash_dedup" -> minhashDedupValidatedSql,
     "q44_simhash_pairs" -> simhashPairsValidatedSql,
     "q45_embedding_neardups" -> embeddingNearDupsSql,

@@ -109,4 +109,27 @@ class TextOpsSpec extends SparkSpec {
     // keepers across sources = number of distinct clusters
     assert(report.map(_.getLong(2)).sum == labels.values.toSet.size)
   }
+
+  test("incremental ingest admits exactly the batch docs unseen in history") {
+    import org.apache.spark.sql.functions._
+    def fpOf(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), fpOf(r.getString(3))))
+    val history = docs.collect { case (_, _, src, fp) if src != "src19" => fp }.toSet
+    val batch = docs.filter(_._3 == "src19")
+    val firstOfFp = batch.groupBy(_._4).view.mapValues(_.map(_._1).min).toMap
+    val model = batch.groupBy(_._2).map { case (lang, rows) =>
+      val admitted = rows.count { case (id, _, _, fp) =>
+        !history.contains(fp) && firstOfFp(fp) == id }
+      val known = rows.count { case (_, _, _, fp) => history.contains(fp) }
+      (lang, rows.length.toLong, admitted.toLong, known.toLong,
+        (rows.length - admitted).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.DedupQueries.incrementalIngest(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == model)
+    assert(batch.nonEmpty, "fixture must have a src19 batch slice")
+  }
 }
