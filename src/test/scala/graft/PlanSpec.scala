@@ -153,6 +153,17 @@ class PlanSpec extends SparkSpec {
       s"both 20-row size dims must broadcast-join on their source key:\n$p")
   }
 
+  test("q84: batch and history probe meet on the 8-byte fingerprint key") {
+    val p = planOf("q84_incremental_ingest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the history probe must be an equi-join on fp:\n$p")
+    // the intra-batch window shuffles on fp — the same key the history
+    // probe uses, which is what lets a bucketed standing index kill
+    // the history-side shuffle at scale
+    assert("hashpartitioning\\(fp".r.findFirstIn(p).isDefined,
+      s"expected the batch window keyed on fp:\n$p")
+  }
+
   test("q82: the impact report is a broadcast join over the labels, then one rollup") {
     val p = planOf("q82_dedup_impact")
     assert(p.contains("BroadcastHashJoin"), s"narrow docs side must broadcast:\n$p")
