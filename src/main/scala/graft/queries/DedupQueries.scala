@@ -65,24 +65,31 @@ object DedupQueries {
     * groups. Everything after the probe is a 5-group rollup. The
     * fingerprint's collision-merging contract applies (a colliding
     * new doc is dropped as a dup) — identical in the oracle. */
-  def incrementalIngest(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val history = docs.filter($"source" =!= "src19")
-      .select(TextQueries.fingerprint($"text").as("fp")).distinct()
-    val batch = docs.filter($"source" === "src19")
-      .select($"doc_id", $"lang", TextQueries.fingerprint($"text").as("fp"))
-    val firstInBatch = Window.partitionBy($"fp")
+  def incrementalIngest(s: SparkSession, dir: String): DataFrame =
+    incrementalIngestOver(Tables.documents(s, dir), batchSource = "src19")
+
+  /** The q84 admission pipeline over any (doc_id, lang, source, text)
+    * frame — shared with TextOpsSpec's synthetic-duplicate probes (the
+    * fixture corpus has no duplicate texts at the gate SFs, so the
+    * already_known and intra-batch branches MUST be exercised on a
+    * constructed frame or they are vacuously green). */
+  private[graft] def incrementalIngestOver(docs: DataFrame,
+      batchSource: String): DataFrame = {
+    val history = docs.filter(col("source") =!= batchSource)
+      .select(TextQueries.fingerprint(col("text")).as("fp")).distinct()
+    val batch = docs.filter(col("source") === batchSource)
+      .select(col("doc_id"), col("lang"), TextQueries.fingerprint(col("text")).as("fp"))
+    val firstInBatch = Window.partitionBy(col("fp"))
     batch
-      .withColumn("first_id", min($"doc_id").over(firstInBatch))
+      .withColumn("first_id", min(col("doc_id")).over(firstInBatch))
       .join(history.withColumn("seen", lit(1)), Seq("fp"), "left")
-      .withColumn("admitted", $"seen".isNull && ($"doc_id" === $"first_id"))
-      .groupBy($"lang")
+      .withColumn("admitted", col("seen").isNull && (col("doc_id") === col("first_id")))
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("batch_docs"),
-        sum(when($"admitted", 1L).otherwise(0L)).as("admitted_docs"),
-        sum(when($"seen".isNotNull, 1L).otherwise(0L)).as("already_known"))
-      .withColumn("dropped_docs", $"batch_docs" - $"admitted_docs")
-      .orderBy($"lang")
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("admitted_docs"),
+        sum(when(col("seen").isNotNull, 1L).otherwise(0L)).as("already_known"))
+      .withColumn("dropped_docs", col("batch_docs") - col("admitted_docs"))
+      .orderBy(col("lang"))
   }
 
   lazy val incrementalIngestSql: String = {

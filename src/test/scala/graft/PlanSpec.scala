@@ -157,11 +157,13 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q84_incremental_ingest")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the history probe must be an equi-join on fp:\n$p")
-    // the intra-batch window shuffles on fp — the same key the history
-    // probe uses, which is what lets a bucketed standing index kill
-    // the history-side shuffle at scale
-    assert("hashpartitioning\\(fp".r.findFirstIn(p).isDefined,
-      s"expected the batch window keyed on fp:\n$p")
+    // the intra-batch window partitions on fp — the same key the
+    // history probe uses, which is what lets a bucketed standing index
+    // kill the history-side shuffle at scale. Anchor on the Window's
+    // OWN partition spec: a bare hashpartitioning(fp would also match
+    // the history side's distinct-aggregate exchange and guard nothing.
+    assert("windowspecdefinition\\(fp".r.findFirstIn(p).isDefined,
+      s"expected the intra-batch window partitioned on fp:\n$p")
   }
 
   test("q82: the impact report is a broadcast join over the labels, then one rollup") {

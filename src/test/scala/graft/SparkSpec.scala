@@ -24,4 +24,11 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSpark.spark
   def sf: String = TestSpark.sf
+
+  /** Reference model of the codepoint rolling hash — the ONE
+    * test-side copy (suites must not each re-implement it; the main
+    * side has exactly two: CodepointRollingHash and
+    * TextQueries.fingerprintSql). */
+  def refFingerprint(s: String): Long =
+    s.codePoints.toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
 }

@@ -112,11 +112,9 @@ class TextOpsSpec extends SparkSpec {
 
   test("incremental ingest admits exactly the batch docs unseen in history") {
     import org.apache.spark.sql.functions._
-    def fpOf(s: String): Long =
-      s.codePoints.toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), fpOf(r.getString(3))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), refFingerprint(r.getString(3))))
     val history = docs.collect { case (_, _, src, fp) if src != "src19" => fp }.toSet
     val batch = docs.filter(_._3 == "src19")
     val firstOfFp = batch.groupBy(_._4).view.mapValues(_.map(_._1).min).toMap
@@ -131,5 +129,31 @@ class TextOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(got == model)
     assert(batch.nonEmpty, "fixture must have a src19 batch slice")
+  }
+
+  test("incremental ingest: dedup branches on a synthetic corpus with real duplicates") {
+    // The fixture has NO duplicate texts at the gate SFs, so the
+    // already_known and intra-batch first-id branches are vacuous
+    // there — this constructed corpus exercises every branch:
+    //   doc 10: batch text seen in history        → known, dropped
+    //   doc 11: first of an intra-batch dup pair  → admitted
+    //   doc 12: second of the pair (same text)    → dropped (not known)
+    //   doc 13: unique                            → admitted
+    //   doc 14: seen in history AND intra-batch-dup of 10 → known, dropped
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "hist", "alpha beta"),
+      (2L, "en", "hist", "gamma delta"),
+      (10L, "en", "new", "alpha beta"),
+      (11L, "en", "new", "fresh pair"),
+      (12L, "en", "new", "fresh pair"),
+      (13L, "de", "new", "einzigartig"),
+      (14L, "en", "new", "alpha beta")
+    ).toDF("doc_id", "lang", "source", "text")
+    val got = graft.queries.DedupQueries
+      .incrementalIngestOver(docs, batchSource = "new")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // lang, batch_docs, admitted, already_known, dropped
+    assert(got == Seq(("de", 1L, 1L, 0L, 0L), ("en", 4L, 1L, 2L, 3L)), got.toString)
   }
 }

@@ -214,9 +214,7 @@ class TrainOpsSpec extends SparkSpec {
     // Assert that explicitly — a regenerated fixture with a colliding
     // pair should fail HERE, not in the stats comparison below.
     val vocabArr = toks.flatMap(_._2).distinct
-    def fpOf(s: String): Long =
-      s.codePoints.toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
-    assert(vocabArr.map(fpOf).distinct.length == vocabArr.length,
+    assert(vocabArr.map(refFingerprint).distinct.length == vocabArr.length,
       "fixture vocabulary has fingerprint collisions; token-identity model invalid")
     val freq = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
     val expected = toks.map { case (id, ts) =>
