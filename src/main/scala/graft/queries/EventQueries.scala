@@ -690,6 +690,35 @@ object EventQueries {
       |  true AS fp_rate_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q86: VALUE HISTOGRAM — fixed-width distribution profile of the
+    * value metric per event type (the monitoring/drift primitive: 20
+    * five-unit buckets over [0, 100], top bucket open). Bucketing in
+    * INTEGER CENTS ((cents div 500), the q15 rule) because a double
+    * value/5.0 boundary could round differently across engines,
+    * while the cents representation of this 2-decimal metric is
+    * exact. One partial-aggregating shuffle on (type, bucket) — ≤
+    * types×20 rows out regardless of input size. */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        least(expr("CAST(round(value * 100, 0) AS BIGINT) div 500"), lit(19L))
+          .as("bucket"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", $"bucket" * 5)
+      .select($"event_type", $"bucket", $"lo", $"n")
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val valueHistogramSql: String =
+    """SELECT event_type,
+      |  least(CAST(round(value * 100, 0) AS BIGINT) // 500, 19) AS bucket,
+      |  least(CAST(round(value * 100, 0) AS BIGINT) // 500, 19) * 5 AS lo,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2, 3 ORDER BY event_type, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_bloom_semijoin" -> (bloomSemiJoin _),
     "q57_heavy_hitters" -> (heavyHitters _),
@@ -708,12 +737,14 @@ object EventQueries {
     "q13_recent_events" -> (recentEvents _),
     "q14_export_events" -> (exportEvents _),
     "q15_hourly_summary" -> (hourlySummary _),
+    "q86_value_histogram" -> (valueHistogram _),
     "q16_json_extract" -> (jsonExtract _),
     "q17_top_events_per_type" -> (topEventsPerType _),
     "q18_first_event_per_user" -> (firstEventPerUser _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q86_value_histogram" -> valueHistogramSql,
     "q72_bloom_semijoin" -> bloomSemiJoinSql,
     "q57_heavy_hitters" -> heavyHittersSql,
     "q64_zorder_scan" -> zorderScanSql,

@@ -251,6 +251,39 @@ object TextQueries {
       |  FROM tf JOIN df USING (term) CROSS JOIN n)
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** q87: CORPUS TOP BIGRAMS — the vocabulary/phrase-table builder:
+    * global top-50 word bigrams by frequency (count desc, bigram asc
+    * as the deterministic tiebreak). Bigrams pre-aggregate map-side
+    * (partial count) before the one shuffle; the global top-k plans
+    * as TakeOrderedAndProject — per-partition top-50 + a bounded
+    * merge, no total sort, no range-sampling pass. The exchange
+    * carries one row per DISTINCT bigram, and the driver sees 50
+    * rows: the shape that survives any corpus size. */
+  def topBigrams(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import s.implicits._
+    val bigrams = expr(
+      """CASE WHEN size(_toks) < 2 THEN array()
+        |ELSE transform(sequence(1, size(_toks) - 1),
+        |       i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))
+        |END""".stripMargin)
+    Tables.documents(s, dir)
+      .withColumn("_toks", split(trim($"text"), "\\s+"))
+      .select(explode(bigrams).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(k)
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def topBigramsSql(k: Int = 50): String =
+    s"""WITH b AS (
+      |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+      |  WHERE len(t) >= 2)
+      |SELECT bigram, count(*) AS n FROM b
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_quality_filter" -> (qualityFilter _),
     "q20_clean_filter" -> (cleanFilter _),
@@ -259,6 +292,7 @@ object TextQueries {
     "q23_lang_stats" -> (langStats _),
     "q24_doc_fingerprint" -> (docFingerprint _),
     "q65_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q87_top_bigrams" -> ((s: SparkSession, dir: String) => topBigrams(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -269,5 +303,6 @@ object TextQueries {
     "q23_lang_stats" -> langStatsSql,
     "q24_doc_fingerprint" -> docFingerprintSql,
     "q65_tfidf_top_terms" -> tfidfTopTermsSql,
+    "q87_top_bigrams" -> topBigramsSql(),
   )
 }

@@ -544,6 +544,64 @@ object TrainQueries {
       |JOIN sizes sb ON sb.source = pairs.source_b
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** q85: QUALITY-RANKED BUDGET SELECTION — the data-selection
+    * operator: per source, admit documents in quality order (distinct
+    * token count desc, doc_id asc as the deterministic tiebreak)
+    * until a token budget is spent; a doc is kept iff its cumulative
+    * token count stays within budget. All-integer — exact
+    * cross-engine.
+    *
+    * The running sum uses q70's TWO-LEVEL prefix-sum construction,
+    * with the quality value itself as the shard key: (1) cumsum
+    * within each (source, quality) band ordered by doc_id, (2) band
+    * totals → running offsets via a window over the tiny per-band
+    * aggregate ordered by quality desc, (3) broadcast the offsets
+    * back. A naive Window.partitionBy(source) caps parallelism at
+    * the source count; this form keeps sources × bands partitions
+    * while computing the identical cumulative sum, which is exactly
+    * what the single-window oracle SQL verifies. */
+  def budgetSelect(s: SparkSession, dir: String, budget: Long = 800L): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"source", $"doc_id",
+        TextQueries.tokenCount($"text").as("n_tokens"),
+        size(array_distinct(split(trim($"text"), "\\s+"))).cast("long").as("quality"))
+    val wLocal = Window.partitionBy($"source", $"quality").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBand = Window.partitionBy($"source").orderBy($"quality".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy($"source", $"quality")
+      .agg(sum($"n_tokens").as("band_sum"))
+      .withColumn("offset", sum($"band_sum").over(wBand) - $"band_sum")
+      .select($"source", $"quality", $"offset")
+    base
+      .withColumn("local_cum", sum($"n_tokens").over(wLocal))
+      .join(broadcast(offsets), Seq("source", "quality"))
+      .withColumn("cum_tokens", $"local_cum" + $"offset")
+      .filter($"cum_tokens" <= budget)
+      .select($"source", $"doc_id", $"quality", $"n_tokens", $"cum_tokens")
+      .orderBy($"source", $"doc_id")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule): a non-default
+    * budget must flow to BOTH sides. */
+  def budgetSelectSql(budget: Long = 800L): String =
+    s"""WITH q AS (
+      |  SELECT source, doc_id,
+      |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+      |    len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS quality
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, quality, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY quality DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM q)
+      |SELECT source, doc_id, CAST(quality AS BIGINT) AS quality,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= $budget
+      |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
     "q78_doc_chunks" -> ((s: SparkSession, dir: String) => docChunks(s, dir)),
@@ -554,6 +612,7 @@ object TrainQueries {
     "q73_pii_redact" -> (piiRedact _),
     "q81_rare_token_stats" -> ((s: SparkSession, dir: String) => rareTokenStats(s, dir)),
     "q83_source_overlap" -> (sourceOverlap _),
+    "q85_budget_select" -> ((s: SparkSession, dir: String) => budgetSelect(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -566,5 +625,6 @@ object TrainQueries {
     "q73_pii_redact" -> piiRedactSql,
     "q81_rare_token_stats" -> rareTokenStatsSql(),
     "q83_source_overlap" -> sourceOverlapSql,
+    "q85_budget_select" -> budgetSelectSql(),
   )
 }

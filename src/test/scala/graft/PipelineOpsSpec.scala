@@ -72,4 +72,19 @@ class PipelineOpsSpec extends SparkSpec {
     val src = Tables.events(spark, sf).filter($"user_id" % 20 === 0).count()
     assert(n == src)
   }
+
+  test("valueHistogram equals a Scala-computed integer-cents bucketing") {
+    val events = Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val model = events
+      .map { case (t, v) => (t, math.min(math.round(v * 100) / 500, 19L)) }
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((t, b), n) => (t, b, b * 5, n) }
+      .sortBy(r => (r._1, r._2))
+    val got = graft.queries.EventQueries.valueHistogram(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == model)
+    // every event lands in exactly one bucket
+    assert(got.map(_._4).sum == events.length)
+  }
 }

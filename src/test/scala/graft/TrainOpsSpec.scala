@@ -249,6 +249,45 @@ class TrainOpsSpec extends SparkSpec {
     assert(got.forall(r => r._3 <= math.min(r._4, r._5)))
   }
 
+  // ---- q85 budget selection ----
+
+  test("budget selection equals a single-pass Scala model of the quality-ordered prefix") {
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)].collect()
+    val scored = docs.map { case (src, id, t) =>
+      val toks = t.trim.split("\\s+")
+      (src, id, toks.distinct.length.toLong, toks.length.toLong)
+    }
+    val model = scored.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (-r._3, r._2)).flatMap { case (src, id, q, n) =>
+        cum += n
+        if (cum <= 800L) Some((src, id, q, n, cum)) else None
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = graft.queries.TrainQueries.budgetSelect(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == model)
+    assert(got.nonEmpty && got.size < docs.length,
+      "budget must bind: some docs selected, some dropped")
+  }
+
+  // ---- q87 corpus top bigrams ----
+
+  test("top bigrams equal a Scala-computed frequency table with deterministic ties") {
+    val texts = Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+    val counts = texts.flatMap { t =>
+      val toks = t.trim.split("\\s+")
+      if (toks.length < 2) Seq.empty[String]
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val model = counts.sortBy { case (bg, n) => (-n, bg) }.take(50)
+    val got = graft.queries.TextQueries.topBigrams(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(got == model)
+  }
+
   test("fixture corpus carries no PII-shaped strings (documented zero-match)") {
     val n = TrainQueries.piiRedact(spark, sf)
       .agg(sum("n_pii")).as[Long].head()
