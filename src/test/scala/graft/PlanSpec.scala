@@ -153,6 +153,21 @@ class PlanSpec extends SparkSpec {
       s"both 20-row size dims must broadcast-join on their source key:\n$p")
   }
 
+  test("q87: the global bigram top-k plans as TakeOrderedAndProject over a partial agg") {
+    val p = planOf("q87_top_bigrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected bounded top-k, not a global sort:\n$p")
+    assert(p.contains("partial_count"),
+      s"bigram counts must pre-aggregate map-side:\n$p")
+  }
+
+  test("q85: the prefix-sum window partitions on (source, quality), not source alone") {
+    val p = planOf("q85_budget_select")
+    assert("hashpartitioning\\(source[#0-9L]*, quality".r.findFirstIn(p).isDefined,
+      s"corpus window exchange must key on (source, quality):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"band offsets must broadcast:\n$p")
+  }
+
   test("q84: batch and history probe meet on the 8-byte fingerprint key") {
     val p = planOf("q84_incremental_ingest")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
