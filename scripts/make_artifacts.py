@@ -43,28 +43,35 @@ def duck_baseline(oracle_path):
 
 
 def spark_bench():
+    # Since round 9 Bench prints only a compact totals line on stdout
+    # (the driver's retained output tail is small) and writes the full
+    # per-query map to the file named by SPARK_GRAFT_BENCH_FULL.
     cp = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
     runs = {}
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}")
+        full_path = f"/tmp/bench_full_{sf}.json"
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}",
+                   SPARK_GRAFT_BENCH_FULL=full_path)
         cmd = (f"java {OPENS} -Xmx16g -Dspark.ui.enabled=false "
                f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' graft.Bench")
         res = subprocess.run(cmd, shell=True, env=env, capture_output=True, text=True)
-        lines = [l for l in res.stdout.splitlines() if l.startswith('{"metric"')]
-        if res.returncode != 0 or not lines:
+        if res.returncode != 0 or not os.path.exists(full_path):
             sys.stderr.write(f"bench failed for {sf} (rc={res.returncode}); stderr tail:\n"
                              + "\n".join(res.stderr.splitlines()[-20:]) + "\n")
             raise SystemExit(1)
-        runs[sf] = json.loads(lines[0])
+        runs[sf] = json.load(open(full_path))
     art = {"_meta": {
-        "harness": "graft.Bench — noop-sink full materialization; per-query cold (first run, incl. Catalyst planning + Janino codegen compile) and warm (immediate re-run, codegen cache hot) seconds; local[32], AQE on, shuffle.partitions=32",
+        "harness": "graft.Bench — noop-sink full materialization; per-query cold (first run, incl. Catalyst planning + Janino codegen compile) and warm (median of 3 re-runs, codegen cache hot) seconds; local[32], AQE on, shuffle.partitions=32",
         "duckdb_baseline": "BASELINE_DUCK.json — best-of-2 seconds per oracle statement on the same parquet",
         "n_queries_bench": len(runs["sf0.1"]["queries"])}}
     for sf, d in runs.items():
         art[sf] = {"total_cold": round(d["value"], 2), "total_warm": round(d["value_warm"], 2),
                    "n_failed": d["n_failed"],
-                   "cold": {k: round(v, 3) for k, v in d["queries"].items()},
-                   "warm": {k: round(v, 3) for k, v in d["queries_warm"].items()}}
+                   "cold": {k: round(v["cold"], 3) for k, v in d["queries"].items()},
+                   "warm": {k: round(v["warm"], 3) for k, v in d["queries"].items()}}
+        # the sf0.1 run doubles as the committed BENCH_FULL.json of record
+        if sf == "sf0.1":
+            json.dump(d, open(os.path.join(REPO, "BENCH_FULL.json"), "w"), indent=1)
     json.dump(art, open(os.path.join(REPO, "BENCH_SCALING.json"), "w"), indent=1)
     return art
 

@@ -16,26 +16,30 @@ import org.apache.spark.sql.SparkSession
   * time and an `"errors"` entry so the driver can distinguish a
   * failure from a fast query.
   *
-  * Every query runs three times: the primary `value`/`queries`
-  * figures are the COLD runs (first execution, including Catalyst
-  * planning and Janino whole-stage-codegen compilation — the
-  * conservative number), and `value_warm`/`queries_warm` are the BEST
-  * of two immediate re-runs (the standard min-of-k steady-state
-  * estimator; a single transient stall — GC pause, safepoint, noisy
-  * neighbor — cannot pollute the steady-state figure, while the cold
-  * figure stays an honest first-execution measurement). Profiling
-  * showed compile cost is ~0.3–0.5 s per query at tiny SF — a fixed
-  * per-query-SHAPE cost that amortizes to noise on a cluster running
-  * a query over 100 TB, which is why both numbers are reported: cold
-  * bounds the worst case, warm approximates the steady-state marginal
-  * cost that actually scales.
+  * Every query runs four times: the primary `value` figure is the
+  * COLD run (first execution, including Catalyst planning and Janino
+  * whole-stage-codegen compilation — the conservative number), and
+  * `value_warm` is the MEDIAN of three immediate re-runs. Median-of-3
+  * replaced round-7's min-of-2 because the r7↔r8 no-change diff
+  * showed ±20–50% per-query run-to-run noise at the 0.1–0.5 s scale:
+  * the median is robust to a one-off GC/safepoint stall in either
+  * direction, and the recorded min/max spread makes any future
+  * round-over-round regression claim checkable against the noise
+  * band. Profiling showed compile cost is ~0.3–0.5 s per query at
+  * tiny SF — a fixed per-query-SHAPE cost that amortizes to noise on
+  * a cluster running a query over 100 TB, which is why both numbers
+  * are reported: cold bounds the worst case, warm approximates the
+  * steady-state marginal cost that actually scales.
   *
-  * `queries_gc_ms` records the JVM GC time attributed to each COLD
-  * run. Round 2's driver artifact carried a 5.07 s cold entry for
-  * q16_json_extract that no re-run reproduces (0.68–0.76 s across
-  * repeated identical invocations; the query scans a 0.1 MB parquet
-  * column — IO cannot explain it). The per-query GC delta makes any
-  * future one-off stall self-diagnosing in the artifact itself. */
+  * OUTPUT CONTRACT (changed in round 9 after eight rounds of
+  * `parsed: null` driver artifacts): the driver retains only a few KB
+  * of process-output tail, and at 83 queries the full per-query map
+  * on one line overflowed it — the captured tail started mid-object.
+  * So the stdout line now carries ONLY compact totals plus the five
+  * slowest queries (≈400 bytes — fits any plausible tail), and the
+  * complete per-query detail (cold, warm median, warm min/max spread,
+  * GC ms, errors) is written to `BENCH_FULL.json` in the working
+  * directory, committed to the repo per round. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,24 +84,29 @@ object Bench {
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
 
+    /** Per-query record: cold, warm median, warm min/max (noise
+      * band), cold-run GC ms, first error if any run failed. */
+    case class QRes(name: String, cold: Double, warm: Double, warmMin: Double,
+                    warmMax: Double, gcMs: Long, err: Option[String])
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val gc0 = gcMillis()
       val (cold, coldErr) = run(name, fn)
       val gcCold = gcMillis() - gc0
-      // warm = best of two re-runs: min-of-k is robust to a one-off
-      // GC/safepoint stall landing in a single re-run. Only
-      // SUCCESSFUL runs compete — a failed run's negative sentinel
-      // must not win min() over a valid measurement.
-      val (warm, warmErr) = if (coldErr.isEmpty) {
-        val runs = Seq(run(name, fn), run(name, fn))
-        val oks = runs.filter(_._2.isEmpty)
-        // min over successes for the time, but ANY re-run failure
-        // still surfaces in errors/n_failed — intermittent
-        // re-execution flakiness must not vanish from the artifact
-        if (oks.nonEmpty) (oks.map(_._1).min, runs.flatMap(_._2).headOption)
-        else (runs.head._1, runs.head._2)
-      } else (cold, coldErr)
-      (name, cold, warm, gcCold, coldErr.orElse(warmErr.map("warm run: " + _)))
+      if (coldErr.isEmpty) {
+        // warm = median of three re-runs; only SUCCESSFUL runs
+        // compete (a failed run's negative sentinel must not enter
+        // the median), but ANY re-run failure still surfaces in
+        // errors/n_failed — intermittent re-execution flakiness must
+        // not vanish from the artifact.
+        val runs = Seq(run(name, fn), run(name, fn), run(name, fn))
+        val oks = runs.filter(_._2.isEmpty).map(_._1).sorted
+        if (oks.nonEmpty)
+          QRes(name, cold, oks(oks.size / 2), oks.head, oks.last, gcCold,
+            runs.flatMap(_._2).headOption.map("warm run: " + _))
+        else QRes(name, cold, runs.head._1, runs.head._1, runs.head._1, gcCold,
+          runs.head._2.map("warm run: " + _))
+      } else QRes(name, cold, cold, cold, cold, gcCold, coldErr)
     }
     // full JSON string escape (backslash, quote, ALL control chars) —
     // Spark exception messages can carry arbitrary bytes, and one bad
@@ -108,30 +117,40 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // 0.1 ms resolution: sub-tenth-of-a-millisecond digits are noise
-    // at local[32] and roughly halve the line length, which matters
-    // because the driver stores only the tail of the process output.
     def jnum(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    def jmap(f: ((String, Double, Double, Long, Option[String])) => (String, Double)): String =
-      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    val qs = jmap { case (k, cold, _, _, _) => (k, cold) }
-    val qsWarm = jmap { case (k, _, warm, _, _) => (k, warm) }
-    // only nonzero GC entries carry signal (the map exists to make a
-    // one-off GC stall self-diagnosing); zeros just pad the line.
-    val qsGc = results.collect { case (k, _, _, gc, _) if gc > 0 => "\"" + k + "\":" + gc }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(m)) =>
-      "\"" + k + "\":" + jstr(m.take(160))
-    }.mkString("{", ",", "}")
     // totals sum successful queries only; a failed query cannot fabricate
     // a time, so failure is surfaced loudly instead: n_failed at top
     // level, a negative per-query entry, and an errors message.
-    val nFailed = results.count(_._5.isDefined)
-    val total = results.map { case (_, v, _, _, _) => math.max(v, 0.0) }.sum
-    val totalWarm = results.map { case (_, _, v, _, _) => math.max(v, 0.0) }.sum
+    val nFailed = results.count(_.err.isDefined)
+    val total = results.map(r => math.max(r.cold, 0.0)).sum
+    val totalWarm = results.map(r => math.max(r.warm, 0.0)).sum
+
+    // Full per-query detail → BENCH_FULL.json (committed per round);
+    // the stdout line stays tiny so the driver's retained output tail
+    // always contains it whole.
+    val full = results.map { r =>
+      "  " + jstr(r.name) + ":{\"cold\":" + jnum(r.cold) +
+        ",\"warm\":" + jnum(r.warm) +
+        ",\"warm_min\":" + jnum(r.warmMin) +
+        ",\"warm_max\":" + jnum(r.warmMax) +
+        (if (r.gcMs > 0) ",\"gc_ms\":" + r.gcMs else "") +
+        r.err.map(m => ",\"error\":" + jstr(m.take(300))).getOrElse("") + "}"
+    }.mkString(
+      "{\n\"metric\":\"total\",\"value\":" + jnum(total) +
+        ",\"unit\":\"sec\",\"value_warm\":" + jnum(totalWarm) +
+        ",\"n_failed\":" + nFailed + ",\"sf\":" + jstr(sfDir) +
+        ",\"warm_estimator\":\"median-of-3\",\"queries\":{\n",
+      ",\n", "\n}\n}\n")
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
+    java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
+
+    // stdout: totals + the five slowest (warm) queries only — ≈400
+    // bytes, parseable even from a small retained tail.
+    val slowest = results.filter(_.err.isEmpty).sortBy(-_.warm).take(5)
+      .map(r => jstr(r.name) + ":" + jnum(r.warm)).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","value_warm":${jnum(totalWarm)},""" +
-      s""""n_failed":$nFailed,"queries":$qs,"queries_warm":$qsWarm,"queries_gc_ms":$qsGc,""" +
-      s""""errors":$errs,"sf":"$sfDir"}""")
+      s""""n_failed":$nFailed,"queries":$slowest,"sf":${jstr(sfDir)},"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -205,7 +205,19 @@ object DedupQueries {
     * ExpressionsSpec pins exact-copy recall + keeper mapping; the
     * registered q43 form is [[minhashDedupValidated]], which folds
     * those theorems into oracle-pinned booleans. */
-  def minhashDedup(s: SparkSession, dir: String): DataFrame = {
+  def minhashDedup(s: SparkSession, dir: String): DataFrame =
+    minhashDedupCore(s, dir, withFingerprint = false)
+
+  /** Core of [[minhashDedup]]. `withFingerprint = true` additionally
+    * carries the rolling-hash text fingerprint through the signature
+    * checkpoint and out the final assembly — [[minhashDedupValidated]]
+    * needs (keeper decision × fingerprint) per doc, and computing fp
+    * in the SAME scan that computes signatures removes the second
+    * `documents` scan plus a 5k×5k re-join the round-8 profile showed
+    * costing ~0.3 s of q43's warm time (at 100 TB it removes an
+    * entire table scan, which matters far more). */
+  private def minhashDedupCore(s: SparkSession, dir: String,
+      withFingerprint: Boolean): DataFrame = {
     import s.implicits._
     val bands = 16
     val rowsPerBand = 8
@@ -221,9 +233,11 @@ object DedupQueries {
     // entries pin the CacheManager until an explicit unpersist that
     // no caller could safely issue), and each invocation
     // re-materializes instead of aliasing a prior call's cache.
+    val sigCols =
+      Seq($"doc_id", minhash_signature(tokens($"text"), n = 3, k = k, seed = 42).as("sig")) ++
+        (if (withFingerprint) Seq(TextQueries.fingerprint($"text").as("fp")) else Nil)
     val docs = Tables.documents(s, dir)
-      .select($"doc_id",
-        minhash_signature(tokens($"text"), n = 3, k = k, seed = 42).as("sig"))
+      .select(sigCols: _*)
       .localCheckpoint()
     // band rows carry only (doc_id, band, band_sig) — 24 bytes/row
     // through the band shuffle, not the 1 KB signature (signatures
@@ -249,11 +263,14 @@ object DedupQueries {
         round(min_by($"est_j", $"min_id"), 4).as("est_jaccard")) // similarity OF the kept pair
     // no global sort: per-doc decisions need no total order, and the
     // range-sampler would re-execute the assembly join for sampling
-    docs.join(dropped, Seq("doc_id"), "left")
-      .select($"doc_id",
+    val outCols =
+      Seq($"doc_id",
         coalesce($"dup_of", $"doc_id").as("keeper_id"),
         $"dup_of".isNotNull.as("is_dup"),
-        coalesce($"est_jaccard", lit(1.0)).as("est_jaccard"))
+        coalesce($"est_jaccard", lit(1.0)).as("est_jaccard")) ++
+        (if (withFingerprint) Seq($"fp") else Nil)
+    docs.join(dropped, Seq("doc_id"), "left")
+      .select(outCols: _*)
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint, candidates via 4×16
@@ -295,9 +312,9 @@ object DedupQueries {
     * folds its per-doc output into pinned booleans. */
   def minhashDedupValidated(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fp = Tables.documents(s, dir)
-      .select($"doc_id", TextQueries.fingerprint($"text").as("fp"))
-    minhashDedup(s, dir).join(fp, Seq("doc_id"))
+    // fp rides the signature checkpoint (one documents scan total) —
+    // see minhashDedupCore's Scaladoc for the profile numbers.
+    minhashDedupCore(s, dir, withFingerprint = true)
       .groupBy($"fp")
       .agg(count(lit(1)).as("n"),
         (countDistinct($"keeper_id") === 1).as("grp_same_keeper"),

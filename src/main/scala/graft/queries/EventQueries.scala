@@ -610,18 +610,26 @@ object EventQueries {
     val ev = Tables.events(s, dir)
     val errs = ev.filter($"event_type" === "error")
       .select($"event_id", $"user_id", $"ts", unix_micros($"ts").as("t_err"))
-    val probes = errs.select($"event_id", $"user_id", $"t_err",
+    val probes = errs.select($"event_id", $"user_id", $"ts", $"t_err",
       explode(array(expr(s"t_err div $winUs"), expr(s"t_err div $winUs") - 1)).as("bkt"))
     val clicks = ev.filter($"event_type" === "click")
       .select($"user_id", unix_micros($"ts").as("t_clk"))
       .withColumn("bkt", expr(s"t_clk div $winUs"))
-    val counts = probes.join(clicks, Seq("user_id", "bkt"))
-      .filter($"t_clk" >= $"t_err" - winUs && $"t_clk" < $"t_err")
-      .groupBy($"event_id").agg(count(lit(1)).as("n"))
-    errs.join(counts, Seq("event_id"), "left")
+    // LEFT bucket join + conditional count: zero-click errors survive
+    // the probe join (their two probe rows aggregate to 0), so no
+    // second join back to the error relation is needed — one shuffle
+    // fewer than the inner-join + left-join-back form (round 9; the
+    // range predicate moves from a join filter into the count
+    // condition, which is equivalent because each in-range click
+    // falls in exactly one of the two probed buckets).
+    probes.select($"event_id", $"user_id", $"ts", $"t_err", $"bkt")
+      .join(clicks, Seq("user_id", "bkt"), "left")
+      .groupBy($"event_id", $"user_id", $"ts")
+      .agg(count(when($"t_clk" >= $"t_err" - winUs && $"t_clk" < $"t_err", 1))
+        .as("n_recent_clicks"))
       .select($"event_id", $"user_id",
         date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
-        coalesce($"n", lit(0L)).as("n_recent_clicks"))
+        $"n_recent_clicks")
       .orderBy($"event_id")
   }
 
