@@ -47,6 +47,43 @@ object Scale {
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Materialization point for ITERATIVE / multiply-consumed
+    * relations (the q43 signature table, the q66/q82 label-propagation
+    * loop state, the q58/q74 IVF assignments): truncates lineage so a
+    * plan consumed by several branches — or grown across loop
+    * iterations — is computed once and never re-derived from its full
+    * ancestry.
+    *
+    * Reliability switch (`spark.graft.checkpoint.dir`): unset (the
+    * local[*] default), this is `localCheckpoint()` — executor-local
+    * blocks, no filesystem round-trip, blocks freed by the
+    * ContextCleaner when the plan is GC'd. That is the right local
+    * tool but is LINEAGE-UNSAFE under executor loss on a real
+    * cluster: the truncated plan cannot recompute a lost block, and
+    * with dynamic allocation an idle executor decommission kills the
+    * job. On a cluster, set `spark.graft.checkpoint.dir` to a
+    * durable path (HDFS/object store) and the same call sites become
+    * reliable `checkpoint()`s — files survive executor loss and the
+    * driver can re-read them. One conf, no call-site changes; the
+    * checkpoint dir is applied to the SparkContext on first use.
+    * Eagerness matches the sites' prior semantics (all eager). */
+  def checkpointed(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpoint.dir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
+  /** Chain syntax for [[checkpointed]]:
+    * `df.transform(...).reliableCheckpoint()`. */
+  implicit class CheckpointOps(private val df: DataFrame) {
+    def reliableCheckpoint(): DataFrame = checkpointed(df)
+  }
+
   /** Gate for intentionally-quadratic ORACLE-TIER operators (q45/q47:
     * exhaustive within-block pair enumeration kept as the small-sf
     * ground truth for their LSH scale siblings q54/q55). Counting the

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.operators.Scale.CheckpointOps
 import graft.functions.expressions._
 
 /** Deduplication operators over `documents` — the training-data-
@@ -238,7 +239,7 @@ object DedupQueries {
         (if (withFingerprint) Seq(TextQueries.fingerprint($"text").as("fp")) else Nil)
     val docs = Tables.documents(s, dir)
       .select(sigCols: _*)
-      .localCheckpoint()
+      .reliableCheckpoint()
     // band rows carry only (doc_id, band, band_sig) — 24 bytes/row
     // through the band shuffle, not the 1 KB signature (signatures
     // re-join once per distinct candidate pair below)
@@ -472,11 +473,11 @@ object DedupQueries {
     // whose RangePartitioner sampling pass would re-execute the pair
     // join — a total order the edge set immediately discards
     val edges = ngramJaccardPairsRaw(s, dir).select($"id_a", $"id_b")
-      .localCheckpoint() // the pair join runs once, not once per round
+      .reliableCheckpoint() // the pair join runs once, not once per round
     val und = edges.unionByName(
       edges.select($"id_b".as("id_a"), $"id_a".as("id_b")))
     var labels = Tables.documents(s, dir)
-      .select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
+      .select($"doc_id", $"doc_id".as("cluster_id")).reliableCheckpoint()
     // labels are monotonically non-increasing, so the label SUM
     // strictly decreases on any change — fixpoint detection is one
     // tiny aggregate over the checkpointed frame, no compare join
@@ -505,7 +506,7 @@ object DedupQueries {
         .join(hop.select($"doc_id".as("cluster_id"), $"cluster_id".as("jump2")),
           Seq("cluster_id"), "left")
         .select($"doc_id", coalesce($"jump2", $"cluster_id").as("cluster_id"))
-        .localCheckpoint()
+        .reliableCheckpoint()
       val nextSum = next.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
       changed = nextSum != prevSum
       prevSum = nextSum

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.operators.Scale.CheckpointOps
 import graft.queries.Export._
 
 /** Tweet-pipeline parity queries (SURVEY §3.2–§3.3) over the `events`
@@ -341,7 +342,7 @@ object EventQueries {
     val sk = ev.groupBy($"event_type")
       .agg(graft.functions.FrequentItemsSketch.freq_items($"user_id", 64).as("fi"),
         count(lit(1)).as("n_events"))
-      .localCheckpoint()
+      .reliableCheckpoint()
     val tracked = sk.select($"event_type", $"n_events", $"fi.max_err".as("max_err"),
         explode($"fi.items").as("it"))
       .select($"event_type", $"n_events", $"max_err",
@@ -463,7 +464,7 @@ object EventQueries {
       // re-executing the full-table WindowExec (A/B at sf0.1:
       // 0.54 → 0.39 s warm; contrast q28, where the slice is the
       // whole output and the checkpoint measured slower)
-      .localCheckpoint(true)
+      .reliableCheckpoint()
       .orderBy($"event_id")
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.operators.Scale.CheckpointOps
 import graft.queries.Export._
 import graft.functions.expressions._
 
@@ -273,7 +274,7 @@ object SimilarityQueries {
     Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding", cell.as("cell"),
         probeCells.as("probe_cells"))
-      .localCheckpoint()
+      .reliableCheckpoint()
   }
 
   private def ivfNnFrom(assigned: DataFrame): DataFrame = {
@@ -355,7 +356,7 @@ object SimilarityQueries {
     // too because the n_points count and the audit join both consume
     // it
     val assigned = ivfAssigned(s, dir, cent)
-    val ivf = ivfNnFrom(assigned).localCheckpoint()
+    val ivf = ivfNnFrom(assigned).reliableCheckpoint()
     val nPoints = ivf.agg(count(lit(1)).as("n_points"))
     val nSample = assigned.filter(sampled($"vec_id"))
       .agg(count(lit(1)).as("n_sample"))

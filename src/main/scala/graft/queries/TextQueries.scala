@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.operators.Scale.CheckpointOps
 import graft.queries.Export._
 
 /** Text-analysis operators over the `documents` fixture — the
@@ -231,7 +232,7 @@ object TextQueries {
       // explode→agg→window stack a second time (same rationale as
       // q43's signature checkpoint; the checkpointed slice is 3 rows
       // per doc, far smaller than the work above it)
-      .localCheckpoint(true)
+      .reliableCheckpoint()
       .orderBy($"doc_id", $"rank")
   }
 

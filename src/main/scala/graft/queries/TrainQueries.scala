@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.operators.Scale.CheckpointOps
 
 /** Training-data pipeline ASSEMBLY operators — the steps between a
   * cleaned/deduped corpus and a training run: rebalanced sampling,
@@ -508,7 +509,7 @@ object TrainQueries {
       .select($"source", explode(split(trim($"text"), "\\s+")).as("tok"))
       .select($"source", TextQueries.fingerprint($"tok").as("fp"))
       .distinct()
-      .localCheckpoint()
+      .reliableCheckpoint()
     val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("n"))
     vocab.as("a")
       .join(vocab.as("b"), $"a.fp" === $"b.fp" && $"a.source" < $"b.source")

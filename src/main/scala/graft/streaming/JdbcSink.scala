@@ -21,12 +21,13 @@ import org.apache.spark.sql.types._
   *
   * Scale notes: one connection per partition (no driver funnel),
   * periodic commits bound transaction size, and the row-at-a-time
-  * conflict handling mirrors the reference's executemany loop. At
-  * real scale against PostgreSQL you would switch the statement to
-  * the database's native `INSERT … ON CONFLICT DO NOTHING` (one
-  * round-trip per batch, no exception control flow); Derby — the
-  * embedded database available in this sandbox — has no such clause,
-  * so the portable per-row form is the tested path.
+  * conflict handling mirrors the reference's executemany loop.
+  * Dialects: a `jdbc:postgresql:` URL switches the statement to the
+  * database's native `INSERT … ON CONFLICT (keys) DO NOTHING` — the
+  * reference's own PG statement — with no exception control flow and
+  * no savepoints (see [[onConflictSuffix]]); Derby — the embedded
+  * database available in this sandbox — has no such clause, so the
+  * portable per-row savepoint form is the integration-tested path.
   *
   * Portability of the swallow: engines differ in whether a
   * transaction stays usable after a statement error — Derby keeps it
@@ -61,6 +62,28 @@ object JdbcSink {
   private def isDuplicateKey(e: SQLException): Boolean =
     Option(e.getSQLState).contains("23505")
 
+  /** PostgreSQL dialect detection: on PG the insert uses the engine-
+    * native `ON CONFLICT … DO NOTHING` clause (the exact statement the
+    * reference issues, sentiment_analysis.py:382-393) instead of the
+    * portable savepoint-per-row exception dance — one round-trip per
+    * row with NO exception control flow and no savepoint overhead on
+    * the conflict path. */
+  private[graft] def isPostgres(url: String): Boolean =
+    url.startsWith("jdbc:postgresql:")
+
+  /** The dialect-specific suffix of the insert statement. Pure — unit
+    * tested without a live server. `conflictKeys` names the unique/PK
+    * columns (e.g. `tweet_id`): with keys the clause targets exactly
+    * that constraint (`ON CONFLICT (tweet_id) DO NOTHING`, the
+    * reference's form); without, it covers any unique violation —
+    * both match the 23505-swallow semantics of the portable path.
+    * Non-PG dialects return "" and keep the savepoint path. */
+  private[graft] def onConflictSuffix(url: String, conflictKeys: Seq[String],
+      quoted: String => String): String =
+    if (!isPostgres(url)) ""
+    else if (conflictKeys.isEmpty) " ON CONFLICT DO NOTHING"
+    else conflictKeys.map(quoted).mkString(" ON CONFLICT (", ", ", ") DO NOTHING")
+
   /** ANSI/common reserved words that are legal DataFrame column names
     * but must be quoted in SQL (see `quoted` in [[insertIgnore]]). */
   private[streaming] val ReservedWords: Set[String] = Set(
@@ -76,7 +99,7 @@ object JdbcSink {
     * name), ignoring duplicate-key violations. Executor-side: one
     * JDBC connection per partition. */
   def insertIgnore(batch: DataFrame, url: String, table: String,
-                   commitEvery: Int = 1000): Unit = {
+                   commitEvery: Int = 1000, conflictKeys: Seq[String] = Nil): Unit = {
     val cols = batch.columns
     val types = batch.schema.fields.map(f => sqlTypeOf(f.dataType))
     batch.foreachPartition { (rows: Iterator[Row]) =>
@@ -108,9 +131,13 @@ object JdbcSink {
           // identifier (column names are quoted whole — a dot in a
           // DataFrame column name is part of the name)
           val quotedTable = table.split('.').map(quoted).mkString(".")
+          val suffix = onConflictSuffix(url, conflictKeys, quoted)
           val insertSql =
             s"INSERT INTO $quotedTable (${cols.map(quoted).mkString(", ")}) " +
-              s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+              s"VALUES (${cols.map(_ => "?").mkString(", ")})" + suffix
+          // native conflict clause → a duplicate inserts 0 rows, no
+          // exception is raised, and no savepoint bracketing is needed
+          val nativeIgnore = suffix.nonEmpty
           val ps = conn.prepareStatement(insertSql)
           var n = 0
           rows.foreach { r =>
@@ -120,18 +147,22 @@ object JdbcSink {
               if (v == null) ps.setNull(i + 1, types(i)) else ps.setObject(i + 1, v)
               i += 1
             }
-            // savepoint-per-insert: on engines that abort the whole
-            // transaction at the first statement error (PostgreSQL),
-            // rolling back to the savepoint keeps the transaction
-            // usable so one duplicate cannot poison the rest of the
-            // commit window; on Derby it is a cheap no-op guard
-            val sp = conn.setSavepoint()
-            try {
-              ps.executeUpdate()
-              conn.releaseSavepoint(sp)
-            } catch {
-              case e: SQLException if isDuplicateKey(e) =>
-                conn.rollback(sp) // first writer wins
+            if (nativeIgnore) {
+              ps.executeUpdate() // ON CONFLICT DO NOTHING: 0 rows on dup
+            } else {
+              // savepoint-per-insert: on engines that abort the whole
+              // transaction at the first statement error, rolling back
+              // to the savepoint keeps the transaction usable so one
+              // duplicate cannot poison the rest of the commit window;
+              // on Derby it is a cheap no-op guard
+              val sp = conn.setSavepoint()
+              try {
+                ps.executeUpdate()
+                conn.releaseSavepoint(sp)
+              } catch {
+                case e: SQLException if isDuplicateKey(e) =>
+                  conn.rollback(sp) // first writer wins
+              }
             }
             n += 1
             if (n % commitEvery == 0) conn.commit()
@@ -147,13 +178,15 @@ object JdbcSink {
     * Batches are deduped first so a single batch carrying conflicting
     * rows for one key inserts its deterministic representative. */
   def writer(enriched: DataFrame, url: String, table: String, checkpoint: String,
-             trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+             trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+             conflictKeys: Seq[String] = Seq("tweet_id"))
   : DataStreamWriter[Row] =
     enriched.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        insertIgnore(Pipeline.dedupBatch(batch), url, table)
+        insertIgnore(Pipeline.dedupBatch(batch), url, table,
+          conflictKeys = conflictKeys)
       }
 }

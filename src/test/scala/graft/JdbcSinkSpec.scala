@@ -103,4 +103,30 @@ class JdbcSinkSpec extends SparkSpec {
     q2.awaitTermination()
     assert(count("stream_ii") == 3, "replayed key ignored, new key inserted")
   }
+  test("PG dialect: insert statement carries ON CONFLICT (keys) DO NOTHING") {
+    // pure statement-shape checks, no live PostgreSQL needed
+    val q = (s: String) => if (s.matches("[A-Za-z][A-Za-z0-9_]*")) s else "\"" + s + "\""
+    val pg = "jdbc:postgresql://db:5432/tweets"
+    assert(JdbcSink.isPostgres(pg))
+    assert(!JdbcSink.isPostgres(url), "Derby URL must not trigger the PG dialect")
+    // the reference's exact clause (sentiment_analysis.py:382-393)
+    assert(JdbcSink.onConflictSuffix(pg, Seq("tweet_id"), q)
+      === " ON CONFLICT (tweet_id) DO NOTHING")
+    // no declared keys -> any-unique-constraint form
+    assert(JdbcSink.onConflictSuffix(pg, Nil, q) === " ON CONFLICT DO NOTHING")
+    // composite keys + identifier quoting flow through the quoter
+    assert(JdbcSink.onConflictSuffix(pg, Seq("tweet id", "lang"), q)
+      === " ON CONFLICT (\"tweet id\", lang) DO NOTHING")
+    // non-PG dialects keep the portable savepoint path
+    assert(JdbcSink.onConflictSuffix(url, Seq("tweet_id"), q) === "")
+    assert(JdbcSink.onConflictSuffix("jdbc:sqlite:/tmp/x.db", Seq("k"), q) === "")
+  }
+
+  test("Derby path ignores conflictKeys (still savepoint-based, still idempotent)") {
+    withStatement(_.execute(
+      "CREATE TABLE pgkeys_ii (tweet_id VARCHAR(40) PRIMARY KEY, txt VARCHAR(200))"))
+    val batch = Seq(("a", "one"), ("a", "dup-in-batch"), ("b", "two")).toDF("tweet_id", "txt")
+    JdbcSink.insertIgnore(batch, url, "pgkeys_ii", conflictKeys = Seq("tweet_id"))
+    assert(count("pgkeys_ii") == 2, "conflictKeys on a non-PG URL must not change semantics")
+  }
 }

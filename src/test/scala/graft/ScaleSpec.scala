@@ -144,4 +144,41 @@ class ScaleSpec extends SparkSpec {
     assert(zorderBoth <= zorderYOnly,
       s"adding the x side must not read MORE files: $zorderBoth vs $zorderYOnly")
   }
+  test("reliableCheckpoint: default (no conf) truncates lineage via localCheckpoint") {
+    val df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+      .groupBy("k").count()
+    val ck = Scale.checkpointed(df)
+    // lineage truncated: the checkpointed frame's optimized plan is a
+    // bare RDD scan, no aggregate/exchange ancestry left to replay
+    val plan = ck.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected lineage-truncating scan, got:\n$plan")
+    assert(!plan.contains("Aggregate"), s"ancestry survived the checkpoint:\n$plan")
+    assert(ck.count() === 7)
+  }
+
+  test("reliableCheckpoint: spark.graft.checkpoint.dir switches to reliable checkpoint files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val df = spark.range(500).selectExpr("id", "id % 3 AS k").groupBy("k").count()
+      val ck = Scale.checkpointed(df)
+      val plan = ck.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LogicalRDD") || plan.contains("Scan ExistingRDD"),
+        s"expected lineage-truncating scan, got:\n$plan")
+      assert(ck.count() === 3)
+      // RELIABLE semantics: blocks live as files under the conf'd dir
+      // (this is what survives executor loss — localCheckpoint leaves
+      // nothing here)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files written under $dir")
+      // identical results through either materialization
+      val local = df.localCheckpoint()
+      assert(ck.orderBy("k").collect().toSeq === local.orderBy("k").collect().toSeq)
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
