@@ -182,8 +182,9 @@ object SimilarityQueries {
     * stand-in): spherical k-means (k=16, 5 Lloyd iterations) trained
     * on a DETERMINISTIC bounded sample (vec_id < 256, seeded by data
     * order, driver-side — index TRAINING is the one legitimately
-    * driver-bounded step; at 100 TB you'd swap in MLlib KMeans over a
-    * sample and keep everything downstream identical). Every vector
+    * driver-bounded step; `spark.graft.ivf.trainer = mllib` swaps in
+    * distributed MLlib KMeans over the corpus with everything
+    * downstream identical — see [[trainCentroids]]). Every vector
     * is assigned to its max-cosine centroid via composed
     * [[graft.functions.CosineSimilarity]] calls against literal
     * centroid arrays — no broadcast state, fully codegen'd — queries
@@ -198,7 +199,41 @@ object SimilarityQueries {
     * This block documents the whole IVF family below: centroid
     * training, cell/probe assignment, the NN query, and the
     * validated form. */
-  private def trainCentroids(s: SparkSession, dir: String): Array[Array[Double]] = {
+  /** Trainer dispatch: `spark.graft.ivf.trainer = mllib` swaps the
+    * driver-side bounded-sample Lloyd loop for DISTRIBUTED MLlib
+    * KMeans over the whole corpus — the swap the Scaladoc above
+    * promises for real scale, now an actual code path. Inputs are
+    * L2-normalized first (Euclidean k-means on the unit sphere is
+    * spherical k-means: argmin ‖x−c‖ == argmax cos on unit vectors),
+    * seed fixed, and everything downstream (cell assignment, probe
+    * list, re-rank, validation theorems) is identical — only where
+    * the centroids come from changes. Default stays the deterministic
+    * sample trainer so the q58 oracle pins don't depend on MLlib
+    * implementation details. */
+  private def trainCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    if (s.conf.getOption("spark.graft.ivf.trainer").contains("mllib"))
+      trainCentroidsMllib(s, dir)
+    else trainCentroidsSample(s, dir)
+
+  private def trainCentroidsMllib(s: SparkSession, dir: String): Array[Array[Double]] = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val unit = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("features").setOutputCol("unit").setP(2.0)
+    val data = unit.transform(
+      Tables.embeddings(s, dir)
+        .select(array_to_vector(transform($"embedding", _.cast("double"))).as("features")))
+    val model = new KMeans().setK(16).setMaxIter(5).setSeed(42)
+      .setFeaturesCol("unit").fit(data)
+    model.clusterCenters.map { c =>
+      val v = c.toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+  }
+
+  private def trainCentroidsSample(s: SparkSession, dir: String): Array[Array[Double]] = {
     import s.implicits._
     val k = 16
     val iters = 5

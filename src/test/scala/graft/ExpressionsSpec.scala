@@ -171,4 +171,20 @@ class ExpressionsSpec extends SparkSpec {
       assert(cosines.sameElements(cosines.sortBy(-(_: Double))), "ranks must follow cosine desc")
     }
   }
+  test("IVF mllib trainer (spark.graft.ivf.trainer=mllib) keeps every index theorem green") {
+    // the distributed-KMeans swap promised for 100 TB: identical
+    // downstream pipeline, only the centroid source changes. The q58
+    // validated form folds the theorems (all points answered, rerank
+    // exactness within probed cells, recall floor vs brute force)
+    // into booleans — they must hold for EITHER trainer.
+    spark.conf.set("spark.graft.ivf.trainer", "mllib")
+    try {
+      val r = SimilarityQueries.ivfNnValidated(spark, sf).head()
+      val names = r.schema.fieldNames.zipWithIndex.toMap
+      assert(r.getLong(names("n_points")) > 0)
+      Seq("all_answered", "rerank_exact", "recall_ok").foreach { f =>
+        assert(r.getBoolean(names(f)), s"$f must hold under the mllib trainer")
+      }
+    } finally spark.conf.unset("spark.graft.ivf.trainer")
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.{RateLimit, TokenBucket}
+
+/** Feeder-side rate control (SURVEY §2.1 S1: the reference producer's
+  * poll cadence + 429 backoff, twitter_producer.py:95-111). All tests
+  * run on a virtual clock — no sleeping. */
+class RateLimitSpec extends SparkSpec {
+
+  private def virtualClock(startMs: Long = 0L): (() => Long, Long => Unit) = {
+    var now = startMs
+    (() => now, (ms: Long) => now += ms)
+  }
+
+  test("token bucket: burst up to capacity, then refill-rate bound") {
+    val (clock, advance) = virtualClock()
+    val b = new TokenBucket(capacity = 3, refillPerSec = 2, clock)
+    // burst drains the full capacity instantly
+    assert(b.tryAcquire() && b.tryAcquire() && b.tryAcquire())
+    assert(!b.tryAcquire(), "bucket must be empty after the burst")
+    // at 2 tokens/sec the next token is 500 ms away
+    assert(b.delayMs() === 500L)
+    advance(499); assert(!b.tryAcquire())
+    advance(1); assert(b.tryAcquire())
+    // tokens cap at capacity: a long idle period doesn't overfill
+    advance(60000)
+    assert(b.delayMs(4) > 0, "capacity 3 bucket can never admit a 4-token burst")
+    assert(b.tryAcquire(3) && !b.tryAcquire())
+  }
+
+  test("429 backoff math matches the reference (reset - now + 60s, never negative)") {
+    // twitter_producer.py:98-106: wait_time = reset - now + 60
+    assert(RateLimit.backoffMs(resetEpochSec = 1000, nowSec = 940) === 120000L)
+    assert(RateLimit.backoffMs(resetEpochSec = 1000, nowSec = 1000) === 60000L)
+    // a reset far in the past (stale header) still never goes negative
+    assert(RateLimit.backoffMs(resetEpochSec = 100, nowSec = 1000) === 0L)
+    assert(RateLimit.backoffMs(resetEpochSec = 100, nowSec = 1000, padSec = 0) === 0L)
+  }
+
+  test("throttledFeed paces batches by the bucket and spools atomically-named files") {
+    val (clock, advance) = virtualClock()
+    val bucket = new TokenBucket(capacity = 1, refillPerSec = 1, clock)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spool")
+    var throttledMs = 0L
+    val batches = Iterator(
+      Seq("""{"data":{"id":"1","text":"a"}}"""),
+      Seq("""{"data":{"id":"2","text":"b"}}"""),
+      Seq("""{"data":{"id":"3","text":"c"}}"""))
+    val files = RateLimit.throttledFeed(batches, dir, bucket,
+      onThrottle = ms => { throttledMs += ms; advance(ms) })
+    // batch 1 rides the initial burst token; 2 and 3 each wait ~1s
+    assert(files.size === 3)
+    assert(throttledMs >= 2000L && throttledMs <= 2100L,
+      s"expected ~2s of throttling for 3 batches at 1/s, got $throttledMs ms")
+    assert(files.forall(f => f.getFileName.toString.matches("batch\\d{5}\\.jsonl")))
+    // no temp files left behind; spool dir is clean for the tailer
+    val leftovers = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"temp files visible to the file source: ${leftovers.mkString}")
+
+    // and the spool is exactly what jsonFileSource tails: batch-read it back
+    val read = spark.read.text(dir.toString).count()
+    assert(read === 3)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+}
