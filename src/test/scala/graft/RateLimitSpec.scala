@@ -63,4 +63,28 @@ class RateLimitSpec extends SparkSpec {
     assert(read === 3)
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
+  test("end-to-end: throttled spool files stream through jsonFileSource in bounded triggers") {
+    val (clock, advance) = virtualClock()
+    val bucket = new TokenBucket(capacity = 1, refillPerSec = 10, clock)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spool-e2e")
+    val batches = (1 to 3).map(i => Seq(s"""{"data":{"id":"$i","text":"t$i"}}""")).iterator
+    RateLimit.throttledFeed(batches, dir, bucket, onThrottle = advance)
+
+    // the streaming half of S1: tail the spool with per-trigger intake
+    // bounded to one file (the file-source backpressure knob)
+    val src = graft.streaming.Pipeline.jsonFileSource(spark, dir.toString,
+      maxFilesPerTrigger = Some(1))
+    val q = src.writeStream.format("memory").queryName("rate_e2e")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-spool-ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT * FROM rate_e2e").collect()
+    assert(rows.length === 3, s"all three spooled batches must arrive, got ${rows.length}")
+    // maxFilesPerTrigger=1 over 3 files => at least 3 micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected >=3 non-empty micro-batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }
