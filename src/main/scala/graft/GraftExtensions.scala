@@ -73,6 +73,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("hll_distinct(col[, precision])")
       }).toAggregateExpression()))
 
+    ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[graft.functions.CountMinSketchAgg].getName, "cms_sketch"),
+      (args: Seq[Expression]) => (args match {
+        case Seq(c) => graft.functions.CountMinSketchAgg(c)
+        case Seq(c, w) => graft.functions.CountMinSketchAgg(c, intArg(w, "width"))
+        case _ => throw new IllegalArgumentException("cms_sketch(col[, width])")
+      }).toAggregateExpression()))
+
+    ext.injectFunction((
+      new FunctionIdentifier("cms_query"),
+      new ExpressionInfo(classOf[graft.functions.CountMinQuery].getName, "cms_query"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, item) => graft.functions.CountMinQuery(t, item, 1024)
+        case Seq(t, item, w) => graft.functions.CountMinQuery(t, item, intArg(w, "width"))
+        case _ => throw new IllegalArgumentException("cms_query(table, item[, width])")
+      }))
+
     // bloom_contains is Scala-API-only: its filter argument is a
     // built sketch carried as an expression literal, which SQL has no
     // ergonomic syntax for (a 128 KB X'…' literal).

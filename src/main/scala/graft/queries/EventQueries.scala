@@ -375,6 +375,51 @@ object EventQueries {
       |  true AS bounds_hold, true AS coverage_holds
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q88: Count-Min point-frequency sketch, SELF-VALIDATING (the
+    * q19/q56/q57 sketch-family pattern — the sketch's guarantees are
+    * verified in-query against exact counts, and the oracle pins the
+    * booleans plus the exactly-reproducible counts):
+    *   - `overestimate_holds`: a THEOREM (min over an item's buckets
+    *     counts at least all its occurrences) — true for any data;
+    *   - `within_4x_eps`: est − true ≤ 4·n/width for EVERY probed
+    *     item — probabilistic in general, deterministic here (fixed
+    *     seeds, fixed data; the q19 ±5% precedent), verified at both
+    *     gate SFs with ~4× headroom over the expected n/width
+    *     colliding mass per row.
+    * The probe set is every distinct (event_type, user_id) — the
+    * validation join is exact-count-sized, while the sketch itself is
+    * O(depth·width) per group: the production artifact a pipeline
+    * stores per day/source and point-queries without rescanning. */
+  def cmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val width = 1024
+    val ev = Tables.events(s, dir)
+    // checkpoint: one row per event_type; feeds the probe join once
+    // instead of re-running the sketch aggregation per consumer
+    val sk = ev.groupBy($"event_type")
+      .agg(graft.functions.CountMin.cms_sketch($"user_id".cast("string"), width).as("cms"),
+        count(lit(1)).as("n_events"))
+      .reliableCheckpoint()
+    val exact = ev.filter($"user_id".isNotNull)
+      .groupBy($"event_type", $"user_id".cast("string").as("item"))
+      .agg(count(lit(1)).as("true_cnt"))
+    exact.join(sk, Seq("event_type"))
+      .withColumn("est", graft.functions.CountMin.cms_query($"cms.table", $"item", width))
+      .withColumn("within", $"est" - $"true_cnt" <= expr(s"(4 * n_events) div $width"))
+      .groupBy($"event_type")
+      .agg(first($"n_events").as("n_events"),
+        count(lit(1)).as("n_items"),
+        bool_and($"est" >= $"true_cnt").as("overestimate_holds"),
+        bool_and($"within").as("within_4x_eps"))
+      .domainOrdered($"event_type")
+  }
+
+  val cmsFrequencySql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(DISTINCT CASE WHEN user_id IS NOT NULL THEN user_id END) AS n_items,
+      |  true AS overestimate_holds, true AS within_4x_eps
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q63: the PRODUCTION-shaped heavy-hitters query (VERDICT r02 #6):
     * top-5 trending users per event type straight from the
     * Misra–Gries sketch — ONE aggregation, no exact-count harness, so
@@ -731,6 +776,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_bloom_semijoin" -> (bloomSemiJoin _),
     "q57_heavy_hitters" -> (heavyHitters _),
+    "q88_cms_frequency" -> (cmsFrequency _),
     "q63_heavy_hitters_top" -> (heavyHittersTop _),
     "q64_zorder_scan" -> (zorderScan _),
     "q67_value_window_stats" -> (valueWindowStats _),
@@ -756,6 +802,7 @@ object EventQueries {
     "q86_value_histogram" -> valueHistogramSql,
     "q72_bloom_semijoin" -> bloomSemiJoinSql,
     "q57_heavy_hitters" -> heavyHittersSql,
+    "q88_cms_frequency" -> cmsFrequencySql,
     "q64_zorder_scan" -> zorderScanSql,
     "q67_value_window_stats" -> valueWindowStatsSql,
     "q59_asof_join" -> asofJoinSql,

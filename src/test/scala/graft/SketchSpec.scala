@@ -206,9 +206,50 @@ class SketchSpec extends SparkSpec {
       val mh = s2.sql(
         "SELECT size(minhash_signature(array('x','y'), 1, 32)) n").head().getInt(0)
       assert(mh == 32)
+      // CMS: build in SQL, point-query in SQL — 10 distinct ids in a
+      // 512-wide depth-4 table are collision-free, so est is exact
+      val cms = s2.sql(
+        """SELECT cms_query(s.cms.table, '7', 512) est
+          |FROM (SELECT cms_sketch(CAST(id % 10 AS STRING), 512) cms
+          |      FROM range(1000)) s""".stripMargin).head().getLong(0)
+      assert(cms == 100, s"expected exact 100, got $cms")
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
     }
+  }
+  test("cms: overestimate theorem, exactness without collisions, mergeability") {
+    import graft.functions.CountMin.{cms_sketch, cms_query}
+    // 12 distinct items in a width-512 table: collision probability is
+    // negligible BY CONSTRUCTION at depth 4, so every estimate must be
+    // EXACT — and repartition(8) forces the merge (pointwise-add) path
+    val df = spark.range(0, 7800)
+      .select(($"id" % 12).cast("string").as("item"))
+      .repartition(8)
+    val sk = df.agg(cms_sketch($"item", 512).as("cms")).select($"cms.n", $"cms.table")
+      .head()
+    assert(sk.getLong(0) === 7800, "sketch n must count every non-null update")
+    val est = df.distinct()
+      .crossJoin(df.agg(cms_sketch($"item", 512).as("cms")))
+      .select($"item", cms_query($"cms.table", $"item", 512).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy($"item").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"CMS must never underestimate: $k est=${est(k)} true=$c")
+      assert(est(k) === c, s"12 items in 512*4 buckets must be collision-free: $k")
+    }
+    // a never-seen item estimates 0 on an otherwise-sparse table
+    val unseen = df.agg(cms_sketch($"item", 512).as("cms"))
+      .select(cms_query($"cms.table", lit("never-seen"), 512)).head().getLong(0)
+    assert(unseen <= 7800 / 512 * 4 + 1, s"unseen item est $unseen beyond collision mass")
+    // NULL keys are skipped (n excludes them), NULL probe -> NULL
+    val withNulls = spark.range(0, 100)
+      .select(when($"id" % 2 === 0, ($"id" % 5).cast("string")).as("item"))
+    val n2 = withNulls.agg(cms_sketch($"item", 512).as("cms")).select($"cms.n").head().getLong(0)
+    assert(n2 === 50, "null keys must not count")
+    val nullProbe = withNulls.agg(cms_sketch($"item", 512).as("cms"))
+      .select(cms_query($"cms.table", lit(null).cast("string"), 512)).head()
+    assert(nullProbe.isNullAt(0), "null probe must estimate NULL")
   }
 }
