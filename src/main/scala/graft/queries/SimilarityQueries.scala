@@ -510,7 +510,87 @@ object SimilarityQueries {
       |  END AS recon_ok
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** q89: distributed PCA over the embedding corpus — the dimension-
+    * reduction step an embedding pipeline runs before storage/ANN
+    * (project d=64 → k=8 principal directions). The heavy part —
+    * covariance accumulation — is MLlib's distributed Gramian
+    * (one pass, tree-aggregated, O(d²) state per task, never O(n));
+    * the d×d eigendecomposition happens on the driver (64×64 — a
+    * constant-size step at ANY corpus scale, like the IVF trainer),
+    * and the projection back over the corpus is a pure column
+    * expression against the literal component matrix (codegen'd, no
+    * broadcast state).
+    *
+    * SELF-VALIDATING (the q58 pattern — components are data-derived
+    * floating-point, so the oracle pins THEOREMS + reproducible
+    * counts):
+    *  - `components_orthonormal`: WᵀW = I within 1e-6 (exact property
+    *    of any correct PCA basis; checked driver-side on the 8×8
+    *    Gram of the returned components);
+    *  - `var_bounded`: projected variance ≤ total variance + ulp
+    *    slack (projections onto an orthonormal basis can never
+    *    create variance);
+    *  - `explained_frac_ok`: top-8-of-64 directions explain ≥ 10% of
+    *    total variance (8/64 = 12.5% is the uniform floor — any
+    *    correct PCA meets it since it takes the LARGEST directions;
+    *    margin covers fp jitter). */
+  def pcaValidated(s: SparkSession, dir: String): DataFrame =
+    pcaValidatedOver(Tables.embeddings(s, dir).select(col("embedding")))
+
+  /** The q89 pipeline over any single-column `embedding: array<float>`
+    * frame — injectable for the planted-subspace spec (the fixture's
+    * near-isotropic embeddings exercise the theorems but not the
+    * "PCA actually concentrates variance" behavior; a spec plants a
+    * low-rank corpus and asserts explained variance ≈ 1). */
+  private[graft] def pcaValidatedOver(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val k = 8
+    // distributed: mean + covariance via MLlib RowMatrix (one pass)
+    val rows = emb.rdd.map { r =>
+      org.apache.spark.mllib.linalg.Vectors.dense(
+        r.getSeq[Float](0).map(_.toDouble).toArray)
+    }
+    val mat = new org.apache.spark.mllib.linalg.distributed.RowMatrix(rows)
+    val dim = mat.numCols().toInt
+    val pc = mat.computePrincipalComponents(k) // dim × k, driver-side eig of d×d
+    val comps: Array[Array[Double]] =
+      Array.tabulate(k)(j => Array.tabulate(dim)(i => pc(i, j)))
+    // driver-side theorem: the basis is orthonormal (8×8 Gram ≈ I)
+    val orthonormal = (0 until k).forall { a =>
+      (a until k).forall { b =>
+        val d0 = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+        math.abs(d0 - (if (a == b) 1.0 else 0.0)) < 1e-6
+      }
+    }
+    val mean = mat.computeColumnSummaryStatistics().mean.toArray
+    // corpus-side: variance totals under the centered projection
+    val centered = transform($"embedding",
+      (x, i) => x.cast("double") - element_at(typedlit(mean.toSeq), i + 1))
+    val totalSq = aggregate(centered, lit(0.0), (acc, x) => acc + x * x)
+    val projSq = comps.map { w =>
+      val p = aggregate(zip_with(centered, typedlit(w.toSeq), (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+      p * p
+    }.reduce(_ + _)
+    emb.agg(count(lit(1)).as("n_vectors"),
+        sum(totalSq).as("tot"), sum(projSq).as("proj"))
+      .select($"n_vectors", lit(dim).cast("long").as("dim"), lit(k).cast("long").as("k"),
+        lit(orthonormal).as("components_orthonormal"),
+        ($"proj" <= $"tot" * 1.000001).as("var_bounded"),
+        ($"proj" >= $"tot" * 0.10).as("explained_frac_ok"))
+  }
+
+  val pcaValidatedSql: String =
+    """SELECT count(*) AS n_vectors,
+      |  (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS dim,
+      |  CAST(8 AS BIGINT) AS k,
+      |  true AS components_orthonormal, true AS var_bounded,
+      |  true AS explained_frac_ok
+      |FROM embeddings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_pca_validated" -> (pcaValidated _),
     "q76_quantize_embeddings" -> (quantizeEmbeddings _),
     "q49_embedding_dim_stats" -> (embeddingDimStats _),
     "q46_cosine_topk" -> (cosineTopK _),
@@ -522,6 +602,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_pca_validated" -> pcaValidatedSql,
     "q46_cosine_topk" -> cosineTopKSql,
     "q47_nn_within_label" -> nnWithinLabelSql,
     "q48_ann_lsh" -> annLshSql,

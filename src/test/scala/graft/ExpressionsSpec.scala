@@ -187,4 +187,21 @@ class ExpressionsSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.graft.ivf.trainer")
   }
+  test("PCA (q89): planted low-rank corpus -> top components capture it; theorems hold") {
+    // 500 vectors in a 2-D subspace of R^16 (+ tiny per-dim ramp so no
+    // column is constant): top-8 PCA must explain essentially ALL
+    // variance, and the validation booleans must hold
+    val df = spark.range(500).selectExpr(
+      """transform(sequence(0, 15), i ->
+         CAST(CASE WHEN i % 2 = 0 THEN sin(id / 7.0) * (i + 1)
+                   ELSE cos(id / 11.0) * (i + 1) END AS FLOAT)) AS embedding""")
+    val r = SimilarityQueries.pcaValidatedOver(df).head()
+    val names = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getLong(names("n_vectors")) === 500)
+    assert(r.getLong(names("dim")) === 16)
+    assert(r.getBoolean(names("components_orthonormal")), "basis must be orthonormal")
+    assert(r.getBoolean(names("var_bounded")), "projection cannot create variance")
+    assert(r.getBoolean(names("explained_frac_ok")),
+      "a rank-2 corpus must clear the explained-variance floor")
+  }
 }
