@@ -125,6 +125,12 @@ case class CountMinQuery(left: Expression, right: Expression, width: Int)
 
   override def nullSafeEval(table: Any, item: Any): Any = {
     val arr = table.asInstanceOf[ArrayData]
+    // a probe against a table built at a different width would read
+    // the wrong buckets (or out of bounds) and silently estimate
+    // garbage — fail loudly instead
+    require(arr.numElements() == CountMin.Depth * width,
+      s"cms_query width=$width does not match the sketch table " +
+        s"(${arr.numElements()} cells != ${CountMin.Depth} * $width)")
     val s = item match {
       case u: UTF8String => u
       case other => UTF8String.fromString(other.toString)

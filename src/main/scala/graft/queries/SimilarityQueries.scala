@@ -542,10 +542,13 @@ object SimilarityQueries {
     * near-isotropic embeddings exercise the theorems but not the
     * "PCA actually concentrates variance" behavior; a spec plants a
     * low-rank corpus and asserts explained variance ≈ 1). */
-  private[graft] def pcaValidatedOver(emb: DataFrame): DataFrame = {
-    val s = emb.sparkSession
+  private[graft] def pcaValidatedOver(embIn: DataFrame): DataFrame = {
+    val s = embIn.sparkSession
     import s.implicits._
     val k = 8
+    // a NULL embedding would NPE the RowMatrix conversion and has no
+    // place in either the covariance or the variance totals
+    val emb = embIn.na.drop()
     // distributed: mean + covariance via MLlib RowMatrix (one pass)
     val rows = emb.rdd.map { r =>
       org.apache.spark.mllib.linalg.Vectors.dense(
