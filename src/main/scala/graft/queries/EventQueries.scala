@@ -390,10 +390,17 @@ object EventQueries {
     * validation join is exact-count-sized, while the sketch itself is
     * O(depth·width) per group: the production artifact a pipeline
     * stores per day/source and point-queries without rescanning. */
-  def cmsFrequency(s: SparkSession, dir: String): DataFrame = {
+  def cmsFrequency(s: SparkSession, dir: String): DataFrame =
+    cmsFrequencyOver(Tables.events(s, dir))
+
+  /** The q88 pipeline over any (event_type, user_id) frame —
+    * injectable so the all-NULL-user-ids branch (anchor join +
+    * vacuous-truth booleans), unreachable on the fixture, has a real
+    * spec (the round-7 vacuous-test rule). */
+  private[graft] def cmsFrequencyOver(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
     val width = 1024
-    val ev = Tables.events(s, dir)
     // checkpoint: one row per event_type; feeds the probe join once
     // instead of re-running the sketch aggregation per consumer
     val sk = ev.groupBy($"event_type")
@@ -403,14 +410,24 @@ object EventQueries {
     val exact = ev.filter($"user_id".isNotNull)
       .groupBy($"event_type", $"user_id".cast("string").as("item"))
       .agg(count(lit(1)).as("true_cnt"))
-    exact.join(sk, Seq("event_type"))
+    val probeAgg = exact.join(sk, Seq("event_type"))
       .withColumn("est", graft.functions.CountMin.cms_query($"cms.table", $"item", width))
       .withColumn("within", $"est" - $"true_cnt" <= expr(s"(4 * n_events) div $width"))
       .groupBy($"event_type")
-      .agg(first($"n_events").as("n_events"),
-        count(lit(1)).as("n_items"),
+      .agg(count(lit(1)).as("n_items"),
         bool_and($"est" >= $"true_cnt").as("overestimate_holds"),
         bool_and($"within").as("within_4x_eps"))
+    // anchor on the sketch side: an event_type whose user_ids are ALL
+    // NULL has no probes, but it still owns a sketch row and must
+    // appear in the report (n_items 0, vacuously-true booleans) — an
+    // inner probe join would silently drop it while the oracle keeps
+    // it. Not reachable on the fixture; reachable on real data.
+    sk.select($"event_type", $"n_events")
+      .join(probeAgg, Seq("event_type"), "left")
+      .select($"event_type", $"n_events",
+        coalesce($"n_items", lit(0L)).as("n_items"),
+        coalesce($"overestimate_holds", lit(true)).as("overestimate_holds"),
+        coalesce($"within_4x_eps", lit(true)).as("within_4x_eps"))
       .domainOrdered($"event_type")
   }
 

@@ -252,4 +252,21 @@ class SketchSpec extends SparkSpec {
       .select(cms_query($"cms.table", lit(null).cast("string"), 512)).head()
     assert(nullProbe.isNullAt(0), "null probe must estimate NULL")
   }
+  test("cms q88 report keeps an all-NULL-user group (vacuous-truth row, not a drop)") {
+    // unreachable on the fixture (every type has non-null users):
+    // a type whose user_ids are ALL NULL has no probes but still owns
+    // a sketch row — the report must keep it with n_items = 0
+    import org.apache.spark.sql.functions._
+    val ev = spark.range(100).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'probed' ELSE 'ghost' END AS event_type",
+      "CASE WHEN id % 2 = 0 THEN id % 7 ELSE NULL END AS user_id")
+    val out = graft.queries.EventQueries.cmsFrequencyOver(ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(out.keySet === Set("probed", "ghost"))
+    assert(out("ghost") === ((50L, 0L, true, true)),
+      s"all-null group must survive with vacuous-truth booleans: ${out("ghost")}")
+    val (n, items, over, within) = out("probed")
+    assert(n === 50L && items === 7L && over && within)
+  }
 }
