@@ -269,4 +269,45 @@ class SketchSpec extends SparkSpec {
     val (n, items, over, within) = out("probed")
     assert(n === 50L && items === 7L && over && within)
   }
+  test("cms theorems hold under seeded fuzz (40 random streams, random merges)") {
+    // q88's oracle pins overestimate_holds to literal true, so the
+    // gate is only sound if the theorem holds for ANY stream and ANY
+    // partitioning; the 4x(n/width) bound pin additionally needs the
+    // estimates to be partition-invariant (pointwise-add merge).
+    import graft.functions.{CountMin, CountMinSketchAgg}
+    val rnd = new scala.util.Random(11)
+    (1 to 40).foreach { trial =>
+      val width = 64 << rnd.nextInt(3) // 64/128/256
+      val n = 100 + rnd.nextInt(4000)
+      val stream = Seq.fill(n)(
+        math.floor(math.pow(rnd.nextDouble(), 2) * 80).toInt.toString)
+      val agg = CountMinSketchAgg(null, width)
+      def sketchOf(items: Seq[String]): Array[Long] = {
+        val b = agg.createAggregationBuffer()
+        items.foreach { it =>
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(it)
+          var r = 0
+          while (r < CountMin.Depth) {
+            b(r * width + CountMin.bucket(u, r, width)) += 1L; r += 1
+          }
+          b(CountMin.Depth * width) += 1L
+        }
+        agg.deserialize(agg.serialize(b)) // round-trip must be exact
+      }
+      val nParts = 1 + rnd.nextInt(6)
+      val merged = stream.grouped(math.max(1, n / nParts)).toSeq
+        .map(sketchOf).reduce { (a, b) => agg.merge(a, b) }
+      val whole = sketchOf(stream)
+      assert(merged.sameElements(whole),
+        s"trial $trial: merge must equal the single-stream sketch")
+      val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      exact.foreach { case (item, truth) =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(item)
+        val est = (0 until CountMin.Depth)
+          .map(r => merged(r * width + CountMin.bucket(u, r, width))).min
+        assert(est >= truth, s"trial $trial: underestimate $item est=$est true=$truth")
+        assert(est <= n, s"trial $trial: estimate beyond stream length")
+      }
+    }
+  }
 }
