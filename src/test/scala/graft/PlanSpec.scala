@@ -66,6 +66,10 @@ class PlanSpec extends SparkSpec {
     assert(keyedJoin.findFirstIn(p).isDefined,
       s"expected an equi-join keyed on the bkt column:\n$p")
     assert(!p.contains("NestedLoop"), s"range join must not plan a nested loop:\n$p")
+    // round 9: the LEFT bucket join + conditional count made the old
+    // join-back-to-errors disappear — the whole query is ONE join
+    assert("Join".r.findAllIn(p).size == 1,
+      s"q62 must plan exactly one join (probe join only, no assembly join):\n$p")
   }
 
   test("q42: id-window blocking is a join KEY (bounded buckets), not a post-join filter") {
