@@ -245,6 +245,99 @@ object EventQueries {
       .orderBy($"user_id", $"session_idx")
   }
 
+  /** q90: SESSIONIZED FUNNEL — per 30-minute-gap session (q28's
+    * session arithmetic verbatim), did the user progress
+    * view → click → purchase in STRICT time order? The step times are
+    * session-scoped window minima, each conditioned on the previous
+    * step's time (`min(t WHERE type='click' AND t > t_view)`), so a
+    * click before the first view does not count and the whole match
+    * is one pass of window functions — no joins, no self-products,
+    * the standard funnel shape at any scale (two exchanges: user_id
+    * for sessionization, (user_id, session_idx) for the step
+    * windows; then a one-row global rollup).
+    *
+    * Strictness is on integer MICROS (`t > t_view`) — deterministic
+    * and identical cross-engine (the q28 precedent); conversion
+    * fractions use the round-3 half-up integer division. */
+  def sessionFunnel(s: SparkSession, dir: String): DataFrame =
+    sessionFunnelOver(Tables.events(s, dir))
+
+  /** The q90 pipeline over any (user_id, event_id, event_type, ts)
+    * frame — injectable so ordering edge cases the fixture can't
+    * guarantee (a click BEFORE the session's first view, a purchase
+    * before the click, step chains split across a session gap) have
+    * a constructed-data spec (the round-7 vacuous-test rule). */
+  private[graft] def sessionFunnelOver(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapFlag = when(
+      unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 1800000000L, 1)
+      .otherwise(0)
+    val w = Window.partitionBy($"user_id", $"session_idx")
+    val per = ev
+      .withColumn("new_session", gapFlag)
+      .withColumn("session_idx", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", unix_micros($"ts"))
+      .withColumn("t_view", min(when($"event_type" === "view", $"t")).over(w))
+      .withColumn("t_click",
+        min(when($"event_type" === "click" && $"t" > $"t_view", $"t")).over(w))
+      .withColumn("t_purchase",
+        min(when($"event_type" === "purchase" && $"t" > $"t_click", $"t")).over(w))
+      .groupBy($"user_id", $"session_idx")
+      .agg(max($"t_view").as("t_view"), max($"t_click").as("t_click"),
+        max($"t_purchase").as("t_purchase"))
+    per.agg(count(lit(1)).as("n_sessions"),
+        count($"t_view").as("n_view"),
+        count($"t_click").as("n_view_click"),
+        count($"t_purchase").as("n_view_click_purchase"))
+      .select($"n_sessions", $"n_view", $"n_view_click", $"n_view_click_purchase",
+        when($"n_view" === 0, 0.0).otherwise(
+          expr("CAST((20000 * n_view_click + n_view) div (2 * n_view) AS DOUBLE) / 10000.0"))
+          .as("frac_click"),
+        when($"n_view_click" === 0, 0.0).otherwise(
+          expr("CAST((20000 * n_view_click_purchase + n_view_click) div (2 * n_view_click) AS DOUBLE) / 10000.0"))
+          .as("frac_purchase"))
+  }
+
+  val sessionFunnelSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS t,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM g),
+      |w1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+      |    OVER (PARTITION BY user_id, session_idx) AS t_view FROM s),
+      |w2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND t > t_view THEN t END)
+      |    OVER (PARTITION BY user_id, session_idx) AS t_click FROM w1),
+      |w3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t_click THEN t END)
+      |    OVER (PARTITION BY user_id, session_idx) AS t_purchase FROM w2),
+      |per AS (
+      |  SELECT user_id, session_idx, max(t_view) AS t_view,
+      |    max(t_click) AS t_click, max(t_purchase) AS t_purchase
+      |  FROM w3 GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(count(t_view) AS BIGINT) AS n_view,
+      |  CAST(count(t_click) AS BIGINT) AS n_view_click,
+      |  CAST(count(t_purchase) AS BIGINT) AS n_view_click_purchase,
+      |  CASE WHEN count(t_view) = 0 THEN 0.0 ELSE
+      |    ((20000 * count(t_click) + count(t_view)) // (2 * count(t_view))) / 10000.0 END
+      |    AS frac_click,
+      |  CASE WHEN count(t_click) = 0 THEN 0.0 ELSE
+      |    ((20000 * count(t_purchase) + count(t_click)) // (2 * count(t_click))) / 10000.0 END
+      |    AS frac_purchase
+      |FROM per""".stripMargin
+
   val sessionizeSql: String =
     """SELECT user_id, session_idx, count(*) AS n_events,
       |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s,
@@ -803,6 +896,7 @@ object EventQueries {
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
     "q28_sessionize" -> (sessionize _),
+    "q90_session_funnel" -> (sessionFunnel _),
     "q29_value_percentiles" -> (valuePercentiles _),
     "q56_approx_percentiles" -> (approxPercentiles _),
     "q12_event_summary" -> (eventSummary _),
@@ -828,6 +922,7 @@ object EventQueries {
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,
     "q28_sessionize" -> sessionizeSql,
+    "q90_session_funnel" -> sessionFunnelSql,
     "q29_value_percentiles" -> valuePercentilesSql,
     "q56_approx_percentiles" -> approxPercentilesSql,
     "q12_event_summary" -> eventSummarySql,

@@ -87,4 +87,34 @@ class PipelineOpsSpec extends SparkSpec {
     // every event lands in exactly one bucket
     assert(got.map(_._4).sum == events.length)
   }
+  test("q90 funnel: strict step ordering and session boundaries (constructed data)") {
+    import org.apache.spark.sql.functions._
+    // four users, one scenario each:
+    //  u1: view -> click -> purchase in order, same session  => full conversion
+    //  u2: click BEFORE the view, purchase after nothing     => view only
+    //  u3: view -> click, then purchase AFTER a 31-min gap   => new session, no purchase credit
+    //  u4: purchase -> click -> view (fully reversed)        => view only
+    val rows = Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00"), (1L, 2L, "click", "2024-01-01 10:01:00"),
+      (1L, 3L, "purchase", "2024-01-01 10:02:00"),
+      (2L, 4L, "click", "2024-01-01 10:00:00"), (2L, 5L, "view", "2024-01-01 10:01:00"),
+      (3L, 6L, "view", "2024-01-01 11:00:00"), (3L, 7L, "click", "2024-01-01 11:01:00"),
+      (3L, 8L, "purchase", "2024-01-01 11:33:00"),
+      (4L, 9L, "purchase", "2024-01-01 12:00:00"), (4L, 10L, "click", "2024-01-01 12:01:00"),
+      (4L, 11L, "view", "2024-01-01 12:02:00"))
+    val ev = rows.toDF("user_id", "event_id", "event_type", "ts_s")
+      .select($"user_id", $"event_id", $"event_type", to_timestamp($"ts_s").as("ts"))
+    val r = graft.queries.EventQueries.sessionFunnelOver(ev).head()
+    // sessions: u1 x1, u2 x1, u3 x2 (31-min gap), u4 x1 = 5
+    assert(r.getLong(0) === 5L, s"n_sessions: $r")
+    // sessions containing a view: u1, u2, u3-first, u4 = 4
+    assert(r.getLong(1) === 4L, s"n_view: $r")
+    // click strictly after the first view: u1, u3-first = 2
+    assert(r.getLong(2) === 2L, s"n_view_click: $r")
+    // purchase strictly after that click, same session: u1 only
+    // (u3's purchase fell into the next session; u4 is reversed)
+    assert(r.getLong(3) === 1L, s"n_view_click_purchase: $r")
+    assert(r.getDouble(4) === 0.5, s"frac_click: $r")
+    assert(r.getDouble(5) === 0.5, s"frac_purchase: $r")
+  }
 }
