@@ -91,6 +91,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("cms_query(table, item[, width])")
       }))
 
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[graft.functions.TopKBy].getName, "top_k_by"),
+      (args: Seq[Expression]) => (args match {
+        case Seq(ord, tie, k) => graft.functions.TopKBy(
+          Cast(ord, org.apache.spark.sql.types.DoubleType),
+          Cast(tie, org.apache.spark.sql.types.LongType), intArg(k, "k"))
+        case _ => throw new IllegalArgumentException("top_k_by(ord, tie, k)")
+      }).toAggregateExpression()))
+
     // bloom_contains is Scala-API-only: its filter argument is a
     // built sketch carried as an expression literal, which SQL has no
     // ergonomic syntax for (a 128 KB X'…' literal).

@@ -149,14 +149,29 @@ object EventQueries {
       |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
 
   /** Top-k per group (W1 generalized per SURVEY §2.6): 5 highest-value
-    * events per type via row_number window. */
+    * events per type.
+    *
+    * Round 10 reshape: the round-1 form was `Window.partitionBy(
+    * event_type) + row_number <= 5` — a rank window on a
+    * LOW-CARDINALITY key, which at scale funnels every event of a
+    * type into one task for a full sort (and even the WindowGroupLimit
+    * rewrite still sorts each map partition wholesale first). Now a
+    * single groupBy with the bounded [[graft.functions.TopKBy]]
+    * aggregate: each task keeps an O(k) buffer per type (map-side
+    * combine), only ≤ 5 rows per (type, task) cross the one exchange,
+    * and nothing is ever sorted but the final ≤ 5·types survivors —
+    * parallelism stays at the task count regardless of how few types
+    * exist. PlanSpec pins "no WindowExec, two-phase
+    * ObjectHashAggregate"; the low-cardinality-window lint keeps the
+    * anti-pattern from coming back anywhere in the suite. */
   def topEventsPerType(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id")
     Tables.events(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 5)
-      .select($"event_type", $"event_id", round($"value", 2).as("value"), $"rn")
+      .groupBy($"event_type")
+      .agg(graft.functions.TopKBy.top_k_by($"value", $"event_id", 5).as("top"))
+      .select($"event_type", posexplode($"top"))
+      .select($"event_type", $"col.tie".as("event_id"),
+        round($"col.ord", 2).as("value"), ($"pos" + 1).as("rn"))
       .domainOrdered($"event_type", $"rn")
   }
 

@@ -259,19 +259,41 @@ object TrainQueries {
     * deterministic, no rand()). A source with weight 3 contributes 3×
     * the docs of a weight-1 source to ANY prefix of the mixture, so a
     * training run that stops early still sees the configured mix.
-    * Plan: one window shuffle on source for the per-source rank, then
-    * a global top-k on the mix key, which Catalyst plans as
-    * TakeOrderedAndProject (per-partition top-k + bounded merge — no
-    * range-sampling pass, the plan that survives 100 TB). */
+    *
+    * The per-source rank uses q70's TWO-LEVEL construction (round 10:
+    * the round-5 form was `row_number() OVER (PARTITION BY source)`
+    * directly on the corpus — the low-cardinality-window anti-pattern
+    * the PlanSpec lint now rejects; a rank is just a prefix COUNT, so
+    * the same shard/offset split applies): (1) row_number within each
+    * (source, doc_id div 1000) shard, (2) shard row-counts → running
+    * offsets via a window over the tiny per-shard aggregate, (3)
+    * broadcast the offsets back; rank = local rank + offset. Shard
+    * order is doc_id order by construction, so the rank is exactly
+    * the single-window oracle's. Then a global top-k on the mix key,
+    * which Catalyst plans as TakeOrderedAndProject (per-partition
+    * top-k + bounded merge — no range-sampling pass, the plan that
+    * survives 100 TB). */
   def sourceMix(s: SparkSession, dir: String, take: Int = 1000): DataFrame = {
     import s.implicits._
     // heavier weights for the low-numbered sources; literal dim like q69
     val weights = (0 until 20).map(i => (s"src$i", if (i < 5) 3L else 1L))
       .toDF("source", "weight")
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-    Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .join(broadcast(weights), Seq("source"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("shard", expr("doc_id div 1000"))
+    val wLocal = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+    val wShard = Window.partitionBy($"source").orderBy($"shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one row per (source, shard): the offset window runs over the
+    // tiny aggregate, never the corpus
+    val offsets = base.groupBy($"source", $"shard")
+      .agg(count(lit(1)).as("shard_n"))
+      .withColumn("offset", sum($"shard_n").over(wShard) - $"shard_n")
+      .select($"source", $"shard", $"offset")
+    base
+      .withColumn("local_rn", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("rn", ($"local_rn" + $"offset").cast("int"))
       // rank/weight interleave: position of a doc in the mixture is
       // its per-source rank scaled by 1/weight; double division is
       // deterministic IEEE — identical in both engines for hashing

@@ -27,9 +27,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"dims must not sort-merge:\n$p")
   }
 
-  test("q17: rank<=k filter plans as WindowGroupLimit (bounded top-k, no full sort-all)") {
+  test("q17: per-type top-k is a bounded two-phase aggregate — no window, no data sort") {
     val p = planOf("q17_top_events_per_type")
-    assert(p.contains("WindowGroupLimit"), s"expected group-limit pushdown:\n$p")
+    // round 10: the rank-window form (even as WindowGroupLimit) sorts
+    // every map partition and funnels each type into one reducer; the
+    // TopKBy aggregate must plan as partial+final ObjectHashAggregate
+    // with nothing but the ≤ 5·types survivors ever sorted
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected 2-phase bounded top-k agg:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window "),
+      s"per-type top-k must not plan a rank window:\n$p")
   }
 
   test("q02: global top-k plans as TakeOrderedAndProject (no full sort)") {
@@ -190,5 +197,75 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"narrow docs side must broadcast:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"expected map-side partial aggregation for the per-source rollup:\n$p")
+  }
+
+  // ------------------------------------------------------------------
+  // Low-cardinality-window lint (round 10): a rank/agg window whose
+  // ENTIRE partition spec is low-cardinality caps parallelism at the
+  // key count — every row of a key funnels into one task (the q17
+  // round-1 bug). The sweep walks the optimized logical plan of every
+  // registered query; a partition spec passes if ANY of its
+  // expressions is not a known low-card column (a salt, shard, id, or
+  // fingerprint restores parallelism).
+  // ------------------------------------------------------------------
+
+  /** Columns the fixture (and any plausible 100 TB corpus) keeps to a
+    * handful of values — a window partitioned ONLY on these cannot
+    * scale out. */
+  private val lowCardCols =
+    Set("event_type", "final_sentiment", "language", "source", "label", "lang")
+
+  /** Names of Window nodes in `df`'s optimized logical plan whose
+    * partition spec consists solely of low-cardinality attributes AND
+    * that run over raw rows. A window is exempt when an Aggregate
+    * below it groups by a superset of the window's partition columns:
+    * that is the second level of the sanctioned two-level pattern
+    * (q70/q85 shard offsets, q63's ranking of sketch output) — its
+    * input is already compacted to one row per (key, band), so the
+    * single-task-per-key stage sees bounded data, not the corpus. */
+  private def lowCardWindows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+          if w.partitionSpec.nonEmpty && w.partitionSpec.forall {
+            case a: AttributeReference => lowCardCols.contains(a.name)
+            case _ => false
+          } =>
+        val partNames = w.partitionSpec.collect {
+          case a: AttributeReference => a.name
+        }.toSet
+        val compactedBelow = w.child.collect {
+          case a: Aggregate =>
+            partNames.subsetOf(a.groupingExpressions.collect {
+              case ar: AttributeReference => ar.name
+            }.toSet)
+        }.contains(true)
+        if (compactedBelow) None
+        else Some(w.partitionSpec.map(_.sql)
+          .mkString("Window partitioned on (", ", ", ")"))
+    }.flatten
+  }
+
+  test("lint: no registered query plans a window partitioned solely on a low-card key") {
+    val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      lowCardWindows(fn(spark, sf)).map(w => s"$name: $w")
+    }
+    assert(hits.isEmpty,
+      s"low-cardinality window partition spec(s) found — use a salted two-level " +
+        s"window (TrainQueries.budgetSelect) or a bounded TopKBy aggregate " +
+        s"(EventQueries.topEventsPerType):\n${hits.mkString("\n")}")
+  }
+
+  test("lint regression case: the old q17 rank-window shape IS flagged") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val old = ev.withColumn("rn",
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rn") <= 5)
+    assert(lowCardWindows(old).nonEmpty,
+      "the lint must catch the round-1 q17 anti-pattern")
   }
 }

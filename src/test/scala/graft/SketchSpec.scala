@@ -213,6 +213,12 @@ class SketchSpec extends SparkSpec {
           |FROM (SELECT cms_sketch(CAST(id % 10 AS STRING), 512) cms
           |      FROM range(1000)) s""".stripMargin).head().getLong(0)
       assert(cms == 100, s"expected exact 100, got $cms")
+      // top_k_by(ord, tie, k): best-first (ord DESC, tie ASC)
+      val tk = s2.sql(
+        """SELECT top_k_by(CAST(id % 7 AS DOUBLE), id, 3) t
+          |FROM range(100)""".stripMargin)
+        .selectExpr("transform(t, x -> x.tie) ties").head().getSeq[Long](0)
+      assert(tk == Seq(6L, 13L, 20L), s"expected ties (6,13,20), got $tk")
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
@@ -309,5 +315,47 @@ class SketchSpec extends SparkSpec {
         assert(est <= n, s"trial $trial: estimate beyond stream length")
       }
     }
+  }
+
+  test("top_k_by equals the exact rank-window result and is partition-invariant") {
+    import graft.functions.TopKBy.top_k_by
+    // events fixture: cross-check the bounded aggregate against the
+    // exact window ranking it replaced (the q17 reshape), under both
+    // a single partition (no merge) and 16 (merge-heavy)
+    val ev = Tables.events(spark, sf).select($"event_type", $"event_id", $"value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+    val exact = ev.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"event_type", $"event_id", $"value", $"rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    Seq(1, 16).foreach { parts =>
+      val got = ev.repartition(parts)
+        .groupBy($"event_type").agg(top_k_by($"value", $"event_id", 5).as("top"))
+        .select($"event_type", posexplode($"top"))
+        .select($"event_type", $"col.tie", $"col.ord", ($"pos" + 1))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got == exact, s"parts=$parts: bounded top-k must equal the window ranking")
+    }
+  }
+
+  test("top_k_by: deterministic tie-break, short groups, null skip") {
+    import graft.functions.TopKBy.top_k_by
+    // all ords equal -> ranking is purely the ASC tie-break
+    val ties = spark.range(0, 20).select(lit(1.0).as("v"), $"id")
+      .repartition(4)
+      .agg(top_k_by($"v", $"id", 3).as("t"))
+      .selectExpr("transform(t, x -> x.tie) ties").head().getSeq[Long](0)
+    assert(ties == Seq(0L, 1L, 2L), s"equal ords must rank by smallest tie: $ties")
+    // group smaller than k -> all rows, still best-first
+    val short = spark.range(0, 2).select($"id".cast("double").as("v"), $"id")
+      .agg(top_k_by($"v", $"id", 5).as("t"))
+      .selectExpr("transform(t, x -> x.tie) ties").head().getSeq[Long](0)
+    assert(short == Seq(1L, 0L), s"short group keeps every row, ord-desc: $short")
+    // null ord rows are skipped entirely
+    val withNull = spark.range(0, 10)
+      .select(when($"id" < 8, $"id".cast("double")).as("v"), $"id")
+      .agg(top_k_by($"v", $"id", 3).as("t"))
+      .selectExpr("transform(t, x -> x.tie) ties").head().getSeq[Long](0)
+    assert(withNull == Seq(7L, 6L, 5L), s"null ords must not rank: $withNull")
   }
 }
