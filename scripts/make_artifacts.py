@@ -50,6 +50,12 @@ def spark_bench():
     runs = {}
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         full_path = f"/tmp/bench_full_{sf}.json"
+        # a Bench binary that fails to WRITE the file (stale classes)
+        # must not silently reuse a previous run's numbers — the
+        # exists() check below only detects a missing write if the
+        # stale copy is gone first
+        if os.path.exists(full_path):
+            os.remove(full_path)
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}",
                    SPARK_GRAFT_BENCH_FULL=full_path)
         cmd = (f"java {OPENS} -Xmx16g -Dspark.ui.enabled=false "

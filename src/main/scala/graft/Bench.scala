@@ -150,7 +150,7 @@ object Bench {
     val slowest = results.filter(_.err.isEmpty).sortBy(-_.warm).take(5)
       .map(r => jstr(r.name) + ":" + jnum(r.warm)).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","value_warm":${jnum(totalWarm)},""" +
-      s""""n_failed":$nFailed,"queries":$slowest,"sf":${jstr(sfDir)},"full":"BENCH_FULL.json"}""")
+      s""""n_failed":$nFailed,"queries":$slowest,"sf":${jstr(sfDir)},"full":${jstr(outPath.toString)}}""")
     spark.stop()
   }
 }

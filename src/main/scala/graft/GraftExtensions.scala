@@ -79,7 +79,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => (args match {
         case Seq(c) => graft.functions.CountMinSketchAgg(c)
         case Seq(c, w) => graft.functions.CountMinSketchAgg(c, intArg(w, "width"))
-        case _ => throw new IllegalArgumentException("cms_sketch(col[, width])")
+        case Seq(c, w, d) => graft.functions.CountMinSketchAgg(
+          c, intArg(w, "width"), intArg(d, "depth"))
+        case _ => throw new IllegalArgumentException("cms_sketch(col[, width[, depth]])")
       }).toAggregateExpression()))
 
     ext.injectFunction((
@@ -88,7 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(t, item) => graft.functions.CountMinQuery(t, item, 1024)
         case Seq(t, item, w) => graft.functions.CountMinQuery(t, item, intArg(w, "width"))
-        case _ => throw new IllegalArgumentException("cms_query(table, item[, width])")
+        case Seq(t, item, w, d) => graft.functions.CountMinQuery(
+          t, item, intArg(w, "width"), intArg(d, "depth"))
+        case _ => throw new IllegalArgumentException("cms_query(table, item[, width[, depth]])")
       }))
 
     ext.injectFunction((

@@ -45,20 +45,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * drift. Output struct: (n long, table array<long> row-major). */
 case class CountMinSketchAgg(
     child: Expression,
-    width: Int = 1024,
+    width: Int = CountMin.DefaultWidth,
+    depth: Int = CountMin.DefaultDepth,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with CodegenFallback {
   require(width >= 2, "width must be at least 2")
-
-  import CountMin.Depth
+  require(depth >= 1, "depth must be at least 1")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = CountMin.schema
 
-  /** Flat buffer: Depth*width counters, then one slot for n. */
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](Depth * width + 1)
+  /** Flat buffer: depth*width counters, then one slot for n. */
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width + 1)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -68,11 +68,11 @@ case class CountMinSketchAgg(
         case other => UTF8String.fromString(other.toString)
       }
       var r = 0
-      while (r < Depth) {
+      while (r < depth) {
         buf(r * width + CountMin.bucket(s, r, width)) += 1L
         r += 1
       }
-      buf(Depth * width) += 1L
+      buf(depth * width) += 1L
     }
     buf
   }
@@ -84,10 +84,10 @@ case class CountMinSketchAgg(
   }
 
   override def eval(buf: Array[Long]): Any = {
-    val table = new Array[Any](Depth * width)
+    val table = new Array[Any](depth * width)
     var i = 0
-    while (i < Depth * width) { table(i) = java.lang.Long.valueOf(buf(i)); i += 1 }
-    InternalRow(java.lang.Long.valueOf(buf(Depth * width)), new GenericArrayData(table))
+    while (i < depth * width) { table(i) = java.lang.Long.valueOf(buf(i)); i += 1 }
+    InternalRow(java.lang.Long.valueOf(buf(depth * width)), new GenericArrayData(table))
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
@@ -117,7 +117,8 @@ case class CountMinSketchAgg(
 /** Point query over a CMS table column: min over the item's Depth
   * buckets. NULL item or NULL table → NULL (a sketch never saw a NULL
   * key — update skips them — so there is nothing to estimate). */
-case class CountMinQuery(left: Expression, right: Expression, width: Int)
+case class CountMinQuery(left: Expression, right: Expression, width: Int,
+    depth: Int = CountMin.DefaultDepth)
   extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -125,19 +126,19 @@ case class CountMinQuery(left: Expression, right: Expression, width: Int)
 
   override def nullSafeEval(table: Any, item: Any): Any = {
     val arr = table.asInstanceOf[ArrayData]
-    // a probe against a table built at a different width would read
+    // a probe against a table built at different dimensions would read
     // the wrong buckets (or out of bounds) and silently estimate
     // garbage — fail loudly instead
-    require(arr.numElements() == CountMin.Depth * width,
-      s"cms_query width=$width does not match the sketch table " +
-        s"(${arr.numElements()} cells != ${CountMin.Depth} * $width)")
+    require(arr.numElements() == depth * width,
+      s"cms_query width=$width depth=$depth does not match the sketch table " +
+        s"(${arr.numElements()} cells != $depth * $width)")
     val s = item match {
       case u: UTF8String => u
       case other => UTF8String.fromString(other.toString)
     }
     var best = Long.MaxValue
     var r = 0
-    while (r < CountMin.Depth) {
+    while (r < depth) {
       val c = arr.getLong(r * width + CountMin.bucket(s, r, width))
       if (c < best) best = c
       r += 1
@@ -150,8 +151,25 @@ case class CountMinQuery(left: Expression, right: Expression, width: Int)
 }
 
 object CountMin {
-  val Depth = 4
+  /** ε ≈ e/1024 ≈ 0.27% of stream length per estimate. */
+  val DefaultWidth = 1024
+  /** δ ≈ e^-4 ≈ 1.8% failure probability per estimate. */
+  val DefaultDepth = 4
   private val Seed = 0x5eed
+
+  /** The ε knob (error per estimate ~ e·n/width): more width, less
+    * colliding mass. Read at query-construction time by q88 and any
+    * caller that wants cluster-tuned sketches without code changes. */
+  def confWidth(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.graft.cms.width").map(_.toInt).getOrElse(DefaultWidth)
+
+  /** The δ knob (failure probability ~ e^-depth): more rows, more
+    * independent chances for a collision-free bucket. Rows are seeded
+    * by index, so a depth-d table's rows are a PREFIX of a depth-d′>d
+    * table's — estimates are monotone nonincreasing in depth
+    * (SketchSpec pins this as a theorem). */
+  def confDepth(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.graft.cms.depth").map(_.toInt).getOrElse(DefaultDepth)
 
   val schema: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),
@@ -163,13 +181,14 @@ object CountMin {
     (h % width).toInt
   }
 
-  /** Column API: cms_sketch(col, width) → struct(n, table). */
-  def cms_sketch(c: Column, width: Int = 1024): Column =
+  /** Column API: cms_sketch(col, width, depth) → struct(n, table). */
+  def cms_sketch(c: Column, width: Int = DefaultWidth, depth: Int = DefaultDepth): Column =
     GraftColumnBridge.column(
-      CountMinSketchAgg(GraftColumnBridge.expression(c), width).toAggregateExpression())
+      CountMinSketchAgg(GraftColumnBridge.expression(c), width, depth).toAggregateExpression())
 
-  /** Column API: cms_query(tableCol, itemCol, width) → est count. */
-  def cms_query(table: Column, item: Column, width: Int = 1024): Column =
+  /** Column API: cms_query(tableCol, itemCol, width, depth) → est count. */
+  def cms_query(table: Column, item: Column, width: Int = DefaultWidth,
+                depth: Int = DefaultDepth): Column =
     GraftColumnBridge.column(CountMinQuery(
-      GraftColumnBridge.expression(table), GraftColumnBridge.expression(item), width))
+      GraftColumnBridge.expression(table), GraftColumnBridge.expression(item), width, depth))
 }

@@ -71,12 +71,36 @@ object Scale {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpoint.dir").filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+        val sc = spark.sparkContext
+        // setCheckpointDir stores a fresh UUID SUBDIRECTORY of the
+        // given path, so compare by prefix — and re-apply when the
+        // conf changed mid-session instead of silently keeping the
+        // old target (first-wins would checkpoint into a directory
+        // the operator believes is no longer in use)
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+        // Reliable checkpoint files are NEVER deleted by default:
+        // each q66/q82 label-propagation iteration writes one, so a
+        // long cluster job accumulates durable files without bound.
+        // cleanCheckpoints makes the ContextCleaner remove a
+        // checkpoint's files when its RDD is GC'd (the same lifecycle
+        // localCheckpoint blocks get); it is a context-startup conf,
+        // so we can only warn here — see MIGRATION.md cluster confs.
+        if (!warnedCheckpointGrowth.getAndSet(true) &&
+          !sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints",
+            defaultValue = false)) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "spark.graft.checkpoint.dir is set but " +
+              "spark.cleaner.referenceTracking.cleanCheckpoints is false: " +
+              "iterative operators (dedup clustering) will accumulate " +
+              s"checkpoint files under $dir without bound. Set the cleaner " +
+              "conf at context startup, or clean the directory between jobs.")
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }
   }
+
+  private val warnedCheckpointGrowth = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Chain syntax for [[checkpointed]]:
     * `df.transform(...).reliableCheckpoint()`. */

@@ -508,18 +508,25 @@ object EventQueries {
   private[graft] def cmsFrequencyOver(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
-    val width = 1024
+    // spark.graft.cms.{width,depth}: the ε/δ knobs an operator tunes
+    // at cluster scale (defaults 1024/4 keep the q88 gate row
+    // byte-identical); build and probe share the values by
+    // construction so the q88 width-mismatch failure mode can't occur
+    val width = graft.functions.CountMin.confWidth(s)
+    val depth = graft.functions.CountMin.confDepth(s)
     // checkpoint: one row per event_type; feeds the probe join once
     // instead of re-running the sketch aggregation per consumer
     val sk = ev.groupBy($"event_type")
-      .agg(graft.functions.CountMin.cms_sketch($"user_id".cast("string"), width).as("cms"),
+      .agg(graft.functions.CountMin.cms_sketch($"user_id".cast("string"), width, depth)
+        .as("cms"),
         count(lit(1)).as("n_events"))
       .reliableCheckpoint()
     val exact = ev.filter($"user_id".isNotNull)
       .groupBy($"event_type", $"user_id".cast("string").as("item"))
       .agg(count(lit(1)).as("true_cnt"))
     val probeAgg = exact.join(sk, Seq("event_type"))
-      .withColumn("est", graft.functions.CountMin.cms_query($"cms.table", $"item", width))
+      .withColumn("est",
+        graft.functions.CountMin.cms_query($"cms.table", $"item", width, depth))
       .withColumn("within", $"est" - $"true_cnt" <= expr(s"(4 * n_events) div $width"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_items"),

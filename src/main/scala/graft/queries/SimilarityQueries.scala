@@ -215,6 +215,29 @@ object SimilarityQueries {
       trainCentroidsMllib(s, dir)
     else trainCentroidsSample(s, dir)
 
+  /** `spark.graft.ivf.k` (default 16): cell count — the knob that
+    * trades index selectivity (candidates per probe ~ n/k) against
+    * training cost and per-row assignment work (k literal cosines).
+    * At 100 TB an operator raises this into the thousands; the
+    * assignment projection and both trainers read it here so one conf
+    * retunes the whole family (q58 validation theorems re-assert at a
+    * second setting in ExpressionsSpec). */
+  private[graft] def ivfK(s: SparkSession): Int = {
+    val k = s.conf.getOption("spark.graft.ivf.k").map(_.toInt).getOrElse(16)
+    require(k >= 2, s"spark.graft.ivf.k must be >= 2, got $k")
+    k
+  }
+
+  /** `spark.graft.ivf.nprobe` (default 4): probed cells per query —
+    * THE recall/cost dial (recall rises and candidate count rises
+    * ~linearly with nprobe; nprobe = k degenerates to brute force). */
+  private[graft] def ivfNprobe(s: SparkSession): Int = {
+    val np = s.conf.getOption("spark.graft.ivf.nprobe").map(_.toInt).getOrElse(4)
+    require(np >= 1 && np <= ivfK(s),
+      s"spark.graft.ivf.nprobe must be in [1, k=${ivfK(s)}], got $np")
+    np
+  }
+
   private def trainCentroidsMllib(s: SparkSession, dir: String): Array[Array[Double]] = {
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
@@ -224,7 +247,7 @@ object SimilarityQueries {
     val data = unit.transform(
       Tables.embeddings(s, dir)
         .select(array_to_vector(transform($"embedding", _.cast("double"))).as("features")))
-    val model = new KMeans().setK(16).setMaxIter(5).setSeed(42)
+    val model = new KMeans().setK(ivfK(s)).setMaxIter(5).setSeed(42)
       .setFeaturesCol("unit").fit(data)
     model.clusterCenters.map { c =>
       val v = c.toArray
@@ -235,12 +258,14 @@ object SimilarityQueries {
 
   private def trainCentroidsSample(s: SparkSession, dir: String): Array[Array[Double]] = {
     import s.implicits._
-    val k = 16
+    val k = ivfK(s)
     val iters = 5
     val sample: Array[Array[Float]] = Tables.embeddings(s, dir)
       .filter($"vec_id" < 256).orderBy($"vec_id")
       .select($"embedding").as[Array[Float]].collect()
-    require(sample.nonEmpty, "ivfNn needs sample vectors (vec_id < 256)")
+    require(sample.length >= k,
+      s"ivfNn's bounded sample (vec_id < 256) has ${sample.length} vectors < k=$k; " +
+        "use spark.graft.ivf.trainer=mllib for large k")
     val dim = sample.head.length
     def norm(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -269,8 +294,6 @@ object SimilarityQueries {
     cent
   }
 
-  private val IvfNprobe = 4
-
   /** Codegen'd literal-centroid cell assignment (`cell`) and top-nprobe
     * probe list (`probeCells`) for a vector column named `embedding`. */
   private def ivfCells(s: SparkSession, cent: Array[Array[Double]]): (Column, Column) = {
@@ -282,7 +305,7 @@ object SimilarityQueries {
     val probeCells = transform(
       slice(array_sort(scored, (l, r) =>
         when(l("c") > r("c"), -1).otherwise(when(l("c") < r("c"), 1).otherwise(0))),
-        1, IvfNprobe),
+        1, ivfNprobe(s)),
       x => x("i").cast("int"))
     (cell, probeCells)
   }

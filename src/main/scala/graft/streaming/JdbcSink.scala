@@ -176,10 +176,19 @@ object JdbcSink {
   /** Streaming K3: enriched tweets → JDBC table, effectively-once via
     * checkpoint (at-least-once replay) × idempotent insert-ignore.
     * Batches are deduped first so a single batch carrying conflicting
-    * rows for one key inserts its deterministic representative. */
+    * rows for one key inserts its deterministic representative.
+    *
+    * `conflictKeys` defaults to Nil — on PG that emits the bare
+    * `ON CONFLICT DO NOTHING`, which matches the portable path's
+    * swallow-any-23505 semantics against ANY schema; a keyed default
+    * (`Seq("tweet_id")`) would raise 'no matching constraint' on a
+    * table without a unique constraint on that exact column where the
+    * savepoint path used to work. Callers writing the reference's
+    * tweets table pass `Seq("tweet_id")` explicitly to get its exact
+    * `ON CONFLICT (tweet_id) DO NOTHING` statement. */
   def writer(enriched: DataFrame, url: String, table: String, checkpoint: String,
              trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-             conflictKeys: Seq[String] = Seq("tweet_id"))
+             conflictKeys: Seq[String] = Nil)
   : DataStreamWriter[Row] =
     enriched.writeStream
       .outputMode(OutputMode.Append)

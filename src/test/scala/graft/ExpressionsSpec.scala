@@ -187,6 +187,31 @@ class ExpressionsSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.graft.ivf.trainer")
   }
+  test("IVF k/nprobe confs: theorem suite holds at a second (k, nprobe) setting") {
+    // spark.graft.ivf.{k,nprobe} are the knobs an operator actually
+    // turns at 100 TB; the q58 theorems (all answered, rerank exact
+    // within probed cells, recall floor) must hold wherever the dial
+    // lands, not just at the 16/4 default. Second setting probes half
+    // of 8 cells — different index geometry on both axes.
+    spark.conf.set("spark.graft.ivf.k", "8")
+    spark.conf.set("spark.graft.ivf.nprobe", "4")
+    try {
+      val r = SimilarityQueries.ivfNnValidated(spark, sf).head()
+      val names = r.schema.fieldNames.zipWithIndex.toMap
+      assert(r.getLong(names("n_points")) > 0)
+      Seq("all_answered", "rerank_exact", "recall_ok").foreach { f =>
+        assert(r.getBoolean(names(f)), s"$f must hold at (k=8, nprobe=4)")
+      }
+      // nprobe > k must refuse loudly, not silently probe garbage
+      spark.conf.set("spark.graft.ivf.nprobe", "9")
+      intercept[IllegalArgumentException] {
+        SimilarityQueries.ivfNnValidated(spark, sf).head()
+      }
+    } finally {
+      spark.conf.unset("spark.graft.ivf.k")
+      spark.conf.unset("spark.graft.ivf.nprobe")
+    }
+  }
   test("PCA (q89): planted low-rank corpus -> top components capture it; theorems hold") {
     // 500 vectors in a 2-D subspace of R^16 (+ tiny per-dim ramp so no
     // column is constant): top-8 PCA must explain essentially ALL

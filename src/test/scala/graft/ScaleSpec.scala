@@ -181,4 +181,27 @@ class ScaleSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("reliableCheckpoint: a CHANGED spark.graft.checkpoint.dir re-applies (not first-wins)") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ckpt-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ckpt-b").toString
+    def filesUnder(d: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+    try {
+      spark.conf.set("spark.graft.checkpoint.dir", dirA)
+      Scale.checkpointed(spark.range(100).toDF()).count()
+      assert(filesUnder(dirA) > 0, s"first checkpoint must land under $dirA")
+      // the round-9 bug: the context kept dirA forever, so a session
+      // that moved the conf (e.g. after cleaning dirA) silently kept
+      // writing into the retired directory
+      spark.conf.set("spark.graft.checkpoint.dir", dirB)
+      Scale.checkpointed(spark.range(100).toDF()).count()
+      assert(filesUnder(dirB) > 0, s"changed conf must redirect checkpoints to $dirB")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirB))
+    }
+  }
 }

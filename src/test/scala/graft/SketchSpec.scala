@@ -213,6 +213,12 @@ class SketchSpec extends SparkSpec {
           |FROM (SELECT cms_sketch(CAST(id % 10 AS STRING), 512) cms
           |      FROM range(1000)) s""".stripMargin).head().getLong(0)
       assert(cms == 100, s"expected exact 100, got $cms")
+      // 3-arg sketch / 4-arg probe: depth rides through SQL too
+      val cmsD = s2.sql(
+        """SELECT cms_query(s.cms.table, '3', 256, 6) est
+          |FROM (SELECT cms_sketch(CAST(id % 10 AS STRING), 256, 6) cms
+          |      FROM range(1000)) s""".stripMargin).head().getLong(0)
+      assert(cmsD == 100, s"expected exact 100 at (256, 6), got $cmsD")
       // top_k_by(ord, tie, k): best-first (ord DESC, tie ASC)
       val tk = s2.sql(
         """SELECT top_k_by(CAST(id % 7 AS DOUBLE), id, 3) t
@@ -258,6 +264,29 @@ class SketchSpec extends SparkSpec {
       .select(cms_query($"cms.table", lit(null).cast("string"), 512)).head()
     assert(nullProbe.isNullAt(0), "null probe must estimate NULL")
   }
+  test("cms q88 report honors spark.graft.cms.{width,depth} (booleans hold off-default)") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.range(2000).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS event_type",
+      "id % 40 AS user_id")
+    def report() = graft.queries.EventQueries.cmsFrequencyOver(ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    val atDefault = report()
+    try {
+      spark.conf.set("spark.graft.cms.width", "256")
+      spark.conf.set("spark.graft.cms.depth", "2")
+      val tuned = report()
+      assert(tuned == atDefault,
+        s"collision-free at both settings -> identical reports: $tuned vs $atDefault")
+      // each type owns one id-parity -> 20 distinct users per type
+      assert(tuned.values.forall { case (n, over, within) => n == 20L && over && within })
+    } finally {
+      spark.conf.unset("spark.graft.cms.width")
+      spark.conf.unset("spark.graft.cms.depth")
+    }
+  }
+
   test("cms q88 report keeps an all-NULL-user group (vacuous-truth row, not a drop)") {
     // unreachable on the fixture (every type has non-null users):
     // a type whose user_ids are ALL NULL has no probes but still owns
@@ -275,44 +304,87 @@ class SketchSpec extends SparkSpec {
     val (n, items, over, within) = out("probed")
     assert(n === 50L && items === 7L && over && within)
   }
-  test("cms theorems hold under seeded fuzz (40 random streams, random merges)") {
+  /** Reference CMS build + probe against the shared bucket hash —
+    * used by the fuzz and the ε/δ knob test below. */
+  private def cmsEstimates(stream: Seq[String], width: Int, depth: Int,
+                           parts: Int = 1): Map[String, Long] = {
+    import graft.functions.CountMin
+    val agg = graft.functions.CountMinSketchAgg(null, width, depth)
+    def sketchOf(items: Seq[String]): Array[Long] = {
+      val b = agg.createAggregationBuffer()
+      items.foreach { it =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(it)
+        var r = 0
+        while (r < depth) {
+          b(r * width + CountMin.bucket(u, r, width)) += 1L; r += 1
+        }
+        b(depth * width) += 1L
+      }
+      agg.deserialize(agg.serialize(b)) // round-trip must be exact
+    }
+    val merged = stream.grouped(math.max(1, stream.size / parts)).toSeq
+      .map(sketchOf).reduce { (a, b) => agg.merge(a, b) }
+    stream.distinct.map { item =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(item)
+      item -> (0 until depth)
+        .map(r => merged(r * width + graft.functions.CountMin.bucket(u, r, width)).toLong).min
+    }.toMap
+  }
+
+  test("cms theorems hold under seeded fuzz (40 random streams, merges, widths, depths)") {
     // q88's oracle pins overestimate_holds to literal true, so the
-    // gate is only sound if the theorem holds for ANY stream and ANY
-    // partitioning; the 4x(n/width) bound pin additionally needs the
-    // estimates to be partition-invariant (pointwise-add merge).
+    // gate is only sound if the theorem holds for ANY stream, ANY
+    // partitioning, and ANY (width, depth) a conf user picks; the
+    // 4x(n/width) bound pin additionally needs the estimates to be
+    // partition-invariant (pointwise-add merge).
     import graft.functions.{CountMin, CountMinSketchAgg}
     val rnd = new scala.util.Random(11)
     (1 to 40).foreach { trial =>
       val width = 64 << rnd.nextInt(3) // 64/128/256
+      val depth = 2 + rnd.nextInt(4) // 2..5
       val n = 100 + rnd.nextInt(4000)
       val stream = Seq.fill(n)(
         math.floor(math.pow(rnd.nextDouble(), 2) * 80).toInt.toString)
-      val agg = CountMinSketchAgg(null, width)
-      def sketchOf(items: Seq[String]): Array[Long] = {
-        val b = agg.createAggregationBuffer()
-        items.foreach { it =>
-          val u = org.apache.spark.unsafe.types.UTF8String.fromString(it)
-          var r = 0
-          while (r < CountMin.Depth) {
-            b(r * width + CountMin.bucket(u, r, width)) += 1L; r += 1
-          }
-          b(CountMin.Depth * width) += 1L
-        }
-        agg.deserialize(agg.serialize(b)) // round-trip must be exact
-      }
       val nParts = 1 + rnd.nextInt(6)
-      val merged = stream.grouped(math.max(1, n / nParts)).toSeq
-        .map(sketchOf).reduce { (a, b) => agg.merge(a, b) }
-      val whole = sketchOf(stream)
-      assert(merged.sameElements(whole),
-        s"trial $trial: merge must equal the single-stream sketch")
+      val merged = cmsEstimates(stream, width, depth, nParts)
+      val whole = cmsEstimates(stream, width, depth, 1)
+      assert(merged == whole,
+        s"trial $trial: merged estimates must equal the single-stream sketch")
       val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
       exact.foreach { case (item, truth) =>
-        val u = org.apache.spark.unsafe.types.UTF8String.fromString(item)
-        val est = (0 until CountMin.Depth)
-          .map(r => merged(r * width + CountMin.bucket(u, r, width))).min
-        assert(est >= truth, s"trial $trial: underestimate $item est=$est true=$truth")
+        val est = merged(item)
+        assert(est >= truth,
+          s"trial $trial (w=$width d=$depth): underestimate $item est=$est true=$truth")
         assert(est <= n, s"trial $trial: estimate beyond stream length")
+      }
+    }
+  }
+
+  test("cms ε/δ knobs: error shrinks with width; estimates monotone nonincreasing in depth") {
+    // fixed heavy-collision stream: 6000 updates over 600 distinct
+    // keys, Zipf-ish — fixed seeds + fixed data make every assertion
+    // below deterministic
+    val rnd = new scala.util.Random(7)
+    val stream = Seq.fill(6000)(
+      math.floor(math.pow(rnd.nextDouble(), 3) * 600).toInt.toString)
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // ε (width): total overestimate mass must shrink as width grows —
+    // the tradeoff the spark.graft.cms.width conf buys
+    val errByWidth = Seq(64, 256, 1024).map { w =>
+      w -> cmsEstimates(stream, w, 4).map { case (k, e) => e - exact(k) }.sum
+    }
+    errByWidth.sliding(2).foreach { case Seq((w1, e1), (w2, e2)) =>
+      assert(e2 < e1, s"total overestimate must shrink with width: $errByWidth")
+    }
+    // δ (depth): row hashes are seeded by row INDEX, so a depth-d
+    // table's rows are a prefix of a depth-d′>d table's — per-item
+    // estimates are monotone nonincreasing in depth, a theorem
+    val byDepth = Seq(1, 2, 4, 6).map(d => cmsEstimates(stream, 256, d))
+    byDepth.sliding(2).foreach { case Seq(shallow, deep) =>
+      exact.keys.foreach { k =>
+        assert(deep(k) <= shallow(k),
+          s"depth must only tighten estimates: $k ${shallow(k)} -> ${deep(k)}")
+        assert(deep(k) >= exact(k), s"never below truth: $k")
       }
     }
   }
