@@ -285,24 +285,7 @@ object EventQueries {
   private[graft] def sessionFunnelOver(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val gapFlag = when(
-      unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 1800000000L, 1)
-      .otherwise(0)
-    val w = Window.partitionBy($"user_id", $"session_idx")
-    val per = ev
-      .withColumn("new_session", gapFlag)
-      .withColumn("session_idx", sum($"new_session").over(
-        byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("t", unix_micros($"ts"))
-      .withColumn("t_view", min(when($"event_type" === "view", $"t")).over(w))
-      .withColumn("t_click",
-        min(when($"event_type" === "click" && $"t" > $"t_view", $"t")).over(w))
-      .withColumn("t_purchase",
-        min(when($"event_type" === "purchase" && $"t" > $"t_click", $"t")).over(w))
-      .groupBy($"user_id", $"session_idx")
-      .agg(max($"t_view").as("t_view"), max($"t_click").as("t_click"),
-        max($"t_purchase").as("t_purchase"))
+    val per = sessionSteps(ev)
     per.agg(count(lit(1)).as("n_sessions"),
         count($"t_view").as("n_view"),
         count($"t_click").as("n_view_click"),
@@ -314,6 +297,35 @@ object EventQueries {
         when($"n_view_click" === 0, 0.0).otherwise(
           expr("CAST((20000 * n_view_click_purchase + n_view_click) div (2 * n_view_click) AS DOUBLE) / 10000.0"))
           .as("frac_purchase"))
+  }
+
+  /** q90's per-session step frame — (user_id, session_idx, session
+    * bounds, event count, strict-order step times in epoch MICROS) —
+    * exposed so the STREAMING funnel (`streaming.FunnelState`) can
+    * assert batch↔stream parity per session, not just on the rollup. */
+  private[graft] def sessionSteps(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapFlag = when(
+      unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 1800000000L, 1)
+      .otherwise(0)
+    val w = Window.partitionBy($"user_id", $"session_idx")
+    ev
+      .withColumn("new_session", gapFlag)
+      .withColumn("session_idx", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", unix_micros($"ts"))
+      .withColumn("t_view", min(when($"event_type" === "view", $"t")).over(w))
+      .withColumn("t_click",
+        min(when($"event_type" === "click" && $"t" > $"t_view", $"t")).over(w))
+      .withColumn("t_purchase",
+        min(when($"event_type" === "purchase" && $"t" > $"t_click", $"t")).over(w))
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"t").as("t_start"), max($"t").as("t_end"),
+        count(lit(1)).as("n_events"),
+        max($"t_view").as("t_view"), max($"t_click").as("t_click"),
+        max($"t_purchase").as("t_purchase"))
   }
 
   val sessionFunnelSql: String =

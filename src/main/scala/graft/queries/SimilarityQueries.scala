@@ -565,14 +565,13 @@ object SimilarityQueries {
     * near-isotropic embeddings exercise the theorems but not the
     * "PCA actually concentrates variance" behavior; a spec plants a
     * low-rank corpus and asserts explained variance ≈ 1). */
-  private[graft] def pcaValidatedOver(embIn: DataFrame): DataFrame = {
-    val s = embIn.sparkSession
-    import s.implicits._
-    val k = 8
-    // a NULL embedding would NPE the RowMatrix conversion and has no
-    // place in either the covariance or the variance totals
-    val emb = embIn.na.drop()
-    // distributed: mean + covariance via MLlib RowMatrix (one pass)
+  /** Distributed PCA fit over a single-column `embedding` frame:
+    * mean + principal components via MLlib RowMatrix (one-pass
+    * tree-aggregated Gramian, O(d²) per task; d×d eigendecomposition
+    * driver-side — constant-size at any corpus scale). Returns
+    * (mean, components), components as k rows of length d. Shared by
+    * q89 (validated artifact) and q91 (the ANN pipeline stage). */
+  private[graft] def fitPca(emb: DataFrame, k: Int): (Array[Double], Array[Array[Double]]) = {
     val rows = emb.rdd.map { r =>
       org.apache.spark.mllib.linalg.Vectors.dense(
         r.getSeq[Float](0).map(_.toDouble).toArray)
@@ -582,6 +581,38 @@ object SimilarityQueries {
     val pc = mat.computePrincipalComponents(k) // dim × k, driver-side eig of d×d
     val comps: Array[Array[Double]] =
       Array.tabulate(k)(j => Array.tabulate(dim)(i => pc(i, j)))
+    val mean = mat.computeColumnSummaryStatistics().mean.toArray
+    (mean, comps)
+  }
+
+  /** The centered embedding column against literal mean — the shared
+    * front of every projection expression (codegen'd, no broadcast). */
+  private def centeredCol(s: SparkSession, mean: Array[Double]): Column = {
+    import s.implicits._
+    transform($"embedding",
+      (x, i) => x.cast("double") - element_at(typedlit(mean.toSeq), i + 1))
+  }
+
+  /** Projection coordinates z_j = (x − mean)·w_j as pure column
+    * arithmetic against the literal component matrix. */
+  private def pcaCoords(s: SparkSession, mean: Array[Double],
+      comps: Array[Array[Double]]): Seq[Column] = {
+    val centered = centeredCol(s, mean)
+    comps.toSeq.map { w =>
+      aggregate(zip_with(centered, typedlit(w.toSeq), (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+    }
+  }
+
+  private[graft] def pcaValidatedOver(embIn: DataFrame): DataFrame = {
+    val s = embIn.sparkSession
+    import s.implicits._
+    val k = 8
+    // a NULL embedding would NPE the RowMatrix conversion and has no
+    // place in either the covariance or the variance totals
+    val emb = embIn.na.drop()
+    val (mean, comps) = fitPca(emb, k)
+    val dim = mean.length
     // driver-side theorem: the basis is orthonormal (8×8 Gram ≈ I)
     val orthonormal = (0 until k).forall { a =>
       (a until k).forall { b =>
@@ -589,16 +620,10 @@ object SimilarityQueries {
         math.abs(d0 - (if (a == b) 1.0 else 0.0)) < 1e-6
       }
     }
-    val mean = mat.computeColumnSummaryStatistics().mean.toArray
     // corpus-side: variance totals under the centered projection
-    val centered = transform($"embedding",
-      (x, i) => x.cast("double") - element_at(typedlit(mean.toSeq), i + 1))
+    val centered = centeredCol(s, mean)
     val totalSq = aggregate(centered, lit(0.0), (acc, x) => acc + x * x)
-    val projSq = comps.map { w =>
-      val p = aggregate(zip_with(centered, typedlit(w.toSeq), (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
-      p * p
-    }.reduce(_ + _)
+    val projSq = pcaCoords(s, mean, comps).map(p => p * p).reduce(_ + _)
     emb.agg(count(lit(1)).as("n_vectors"),
         sum(totalSq).as("tot"), sum(projSq).as("proj"))
       .select($"n_vectors", lit(dim).cast("long").as("dim"), lit(k).cast("long").as("k"),
@@ -615,7 +640,133 @@ object SimilarityQueries {
       |  true AS explained_frac_ok
       |FROM embeddings""".stripMargin
 
+  /** q91: PCA AS A PIPELINE STAGE — near-dup pair candidates from the
+    * SIGNS of the top-8 principal coordinates (VERDICT r09 #4: compose
+    * q89 into the ANN path). The PCA axes are DATA-ADAPTED LSH
+    * hyperplanes: where q54's random hyperplanes split the corpus
+    * blindly, the principal directions split along maximum variance,
+    * so sign agreement concentrates genuinely-near vectors. Banding
+    * (4 bands × 4 sign bits → 16 buckets per band, candidate if ANY
+    * band matches) is the standard OR-amplification that buys recall
+    * back from single-band bit sampling; at corpus scale the knobs
+    * grow with n (more bits per band → smaller buckets, more bands →
+    * recall), which is exactly how production MinHash/SimHash banding
+    * is tuned (q43/q44 document the same tradeoff).
+    *
+    * Plan shape: one corpus pass computes both band keys as literal
+    * column arithmetic (no broadcast state), candidates come from two
+    * band-keyed equi-joins (the explode), re-rank is the exact
+    * full-dimension cosine, and `distinct` collapses cross-band
+    * duplicates AFTER the threshold filter (≤ 2 cosine evaluations
+    * per pair beats re-joining embeddings by id).
+    *
+    * SELF-VALIDATING (q58 pattern — components are data-derived fp,
+    * so the oracle pins theorems + INDEPENDENTLY-REPRODUCIBLE counts):
+    * `n_sample_pairs` is the exhaustive full-dimension near-dup count
+    * on the absolutely-capped audit sample (vec_id % 5 = 0 AND
+    * vec_id < 2500, the q58 cap) — DuckDB recomputes it exactly, so
+    * the threshold arithmetic is hash-verified cross-engine;
+    * `recall_ok` pins that the PCA-sign index finds ≥ 1/3 of those
+    * pairs. The floor is deliberately boundary-honest: EVERY fixture
+    * sample pair sits at cosine 0.40–0.51, the worst case for sign
+    * LSH (per-bit agreement ≈ 1 − θ/π ≈ 0.63 at the threshold, so a
+    * 4-bit-band match ≈ 0.16 and 4 correlated bands land ≈ 0.3–0.5 —
+    * measured 0.75 at sf0.01, 0.46 at sf0.1, deterministic). Recall
+    * rises steeply with cosine and reaches 1.0 for exact copies (all
+    * signs equal ⇒ same bucket in every band — the planted-dup spec
+    * pins it), which is the regime an actual dedup pass cares about;
+    * at the loose end a production index simply spends more bands. */
+  def pcaAnnPairs(s: SparkSession, dir: String): DataFrame =
+    pcaAnnPairsOver(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** q91 internals: (candidate-generated near-dup pairs, exhaustive
+    * full-dimension sample ground truth) — split out so specs can
+    * measure recall directly (the number the report folds into its
+    * boolean). */
+  private[graft] def pcaAnnInternals(embIn: DataFrame): (DataFrame, DataFrame) = {
+    val s = embIn.sparkSession
+    import s.implicits._
+    val k = 8
+    val emb = embIn.na.drop()
+    val (mean, comps) = fitPca(emb.select($"embedding"), k)
+    val signBits = pcaCoords(s, mean, comps).map(z => when(z >= 0, 1).otherwise(0))
+    // 4 bands × 4 sign bits over the 8 principal coordinates: two
+    // disjoint bands plus two INTERLEAVED ones (even/odd coords). The
+    // interleaved bands reuse bits, so they are correlated with the
+    // disjoint pair — weaker than 4 independent bands but strictly
+    // more recall than 2, at 16 buckets per band either way (a pair
+    // is a candidate iff some band agrees on all 4 of its signs).
+    val bandCoords = Seq(
+      Seq(0, 1, 2, 3), Seq(4, 5, 6, 7), Seq(0, 2, 4, 6), Seq(1, 3, 5, 7))
+    def bandKey(b: Int): Column =
+      bandCoords(b).zipWithIndex
+        .map { case (c, i) => signBits(c) * lit(1 << i) }.reduce(_ + _)
+    val bands = emb.select($"vec_id", $"embedding",
+        explode(array(bandCoords.indices.map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select($"vec_id", $"embedding", $"bk.band".as("band"), $"bk.key".as("key"))
+    val aSide = bands.select($"vec_id".as("id_a"), $"embedding".as("emb_a"), $"band", $"key")
+    val bSide = bands.select($"vec_id".as("id_b"), $"embedding".as("emb_b"), $"band", $"key")
+    // band-keyed equi-join only — never an all-pairs product
+    val pairs = aSide.join(bSide, Seq("band", "key"))
+      .filter($"id_b" > $"id_a")
+      .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
+      .filter($"cosine" >= 0.4)
+      .select($"id_a", $"id_b", $"cosine")
+      .distinct()
+      .reliableCheckpoint() // consumed by the structural AND recall checks
+    val sampled = (c: Column) => c % 5 === 0 && c < 2500
+    val sa = emb.filter(sampled($"vec_id"))
+      .select($"vec_id".as("id_a"), $"embedding".as("emb_a"))
+    val sb = emb.filter(sampled($"vec_id"))
+      .select($"vec_id".as("id_b"), $"embedding".as("emb_b"))
+    // exhaustive full-dimension ground truth on the capped sample:
+    // O(|sample|²) ≤ 500² pairs at ANY corpus size
+    val samplePairs = sa.join(sb, $"id_b" > $"id_a")
+      .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
+      .filter($"cosine" >= 0.4)
+      .select($"id_a", $"id_b")
+    (pairs, samplePairs)
+  }
+
+  /** The q91 pipeline over any (vec_id, embedding) frame — injectable
+    * so planted exact-copy recall has a spec (round-7 rule). */
+  private[graft] def pcaAnnPairsOver(embIn: DataFrame): DataFrame = {
+    val s = embIn.sparkSession
+    import s.implicits._
+    val k = 8
+    val emb = embIn.na.drop()
+    val (pairs, samplePairs) = pcaAnnInternals(embIn)
+    val audit = samplePairs
+      .join(pairs.select($"id_a", $"id_b", lit(1).as("hit")), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_sample_pairs"), count($"hit").as("n_recalled"))
+    val structural = pairs.agg(
+      coalesce(expr("bool_and(id_a < id_b)"), lit(true)).as("all_ordered"),
+      (count(lit(1)) === countDistinct($"id_a", $"id_b")).as("no_dup_pairs"),
+      coalesce(expr("bool_and(cosine >= 0.4 AND cosine <= 1.0)"), lit(true))
+        .as("cosine_in_range"))
+    emb.agg(count(lit(1)).as("n_vectors")).crossJoin(structural).crossJoin(audit)
+      .select($"n_vectors", lit(k).cast("long").as("k"), $"n_sample_pairs",
+        $"all_ordered", $"no_dup_pairs", $"cosine_in_range",
+        // recall floor (≥ 1/3, boundary-honest — see Scaladoc):
+        // vacuously true on a sample with no near-dups
+        ($"n_recalled" * 3 >= $"n_sample_pairs").as("recall_ok"))
+  }
+
+  val pcaAnnPairsSql: String =
+    """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+      |  CAST(8 AS BIGINT) AS k,
+      |  (SELECT count(*) FROM embeddings a JOIN embeddings b
+      |     ON b.vec_id > a.vec_id
+      |    AND a.vec_id % 5 = 0 AND a.vec_id < 2500
+      |    AND b.vec_id % 5 = 0 AND b.vec_id < 2500
+      |   WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |           b.embedding::DOUBLE[]), 6) >= 0.4) AS n_sample_pairs,
+      |  true AS all_ordered, true AS no_dup_pairs, true AS cosine_in_range,
+      |  true AS recall_ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_pca_ann_pairs" -> (pcaAnnPairs _),
     "q89_pca_validated" -> (pcaValidated _),
     "q76_quantize_embeddings" -> (quantizeEmbeddings _),
     "q49_embedding_dim_stats" -> (embeddingDimStats _),
@@ -628,6 +779,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_pca_ann_pairs" -> pcaAnnPairsSql,
     "q89_pca_validated" -> pcaValidatedSql,
     "q46_cosine_topk" -> cosineTopKSql,
     "q47_nn_within_label" -> nnWithinLabelSql,

@@ -229,4 +229,36 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getBoolean(names("explained_frac_ok")),
       "a rank-2 corpus must clear the explained-variance floor")
   }
+
+  test("PCA-ANN (q91): planted exact copies recall at 1.0; report booleans hold") {
+    // 40 seeded random vectors at ids 0,5,...,195 (inside the audit
+    // sample) plus exact copies at id+1000: an identical vector has
+    // identical principal coordinates, hence identical sign buckets in
+    // EVERY band — the index must recover every planted pair with
+    // cosine 1.0. This is the regime the boundary-honest 1/3 floor
+    // can't exercise on the near-isotropic fixture.
+    val rnd = new scala.util.Random(17)
+    val originals = (0 until 40).map { i =>
+      (i * 5L, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val copies = originals.map { case (id, v) => (id + 1000L, v) }
+    val df = (originals ++ copies).toDF("vec_id", "embedding")
+    val (pairs, samplePairs) = SimilarityQueries.pcaAnnInternals(df)
+    val found = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    originals.foreach { case (id, _) =>
+      assert(found.get((id, id + 1000L)).contains(1.0),
+        s"planted copy pair ($id, ${id + 1000L}) must be recalled at cosine 1.0; " +
+          s"found ${found.size} pairs")
+    }
+    // every planted pair is inside the audit sample (both ids %5=0,
+    // <2500), so the report's recall boolean must hold non-vacuously
+    assert(samplePairs.count() >= 40, "planted pairs must be in the ground truth")
+    val rep = SimilarityQueries.pcaAnnPairsOver(df).head()
+    val names = rep.schema.fieldNames.zipWithIndex.toMap
+    assert(rep.getLong(names("n_vectors")) === 80)
+    Seq("all_ordered", "no_dup_pairs", "cosine_in_range", "recall_ok").foreach { f =>
+      assert(rep.getBoolean(names(f)), s"$f must hold on the planted corpus")
+    }
+  }
 }

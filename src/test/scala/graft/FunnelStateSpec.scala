@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.FunnelState
+
+/** Streaming sessionized funnel: strict view→click→purchase order,
+  * out-of-order retro-qualification, gap/timeout close, and per-session
+  * parity with the batch q90 step frame (the q28 discipline). */
+class FunnelStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runStream(batches: Seq[Seq[(Long, Timestamp, Long, String)]],
+                        gapMs: Long = 30 * 60 * 1000L,
+                        watermark: String = "0 seconds",
+                        name: String = "funnel_test") = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = FunnelState.funnelize(
+        mem.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        gapMs = gapMs, watermark = watermark)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // sentinel users far in the future flush every open session
+      // (two advances: watermark moves AFTER a batch completes)
+      mem.addData((9901L, ts("2030-01-01 00:00:00"), 0L, "view"))
+      q.processAllAvailable()
+      mem.addData((9902L, ts("2030-06-01 00:00:00"), 0L, "view"))
+      q.processAllAvailable()
+      spark.table(name).filter($"user_id" < 9900L).collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long]),
+          r.getBoolean(7))
+      }.toSeq
+    } finally q.stop()
+  }
+
+  test("strict order: click before view and purchase before click do NOT convert") {
+    val t0 = ts("2025-09-01 10:00:00")
+    def at(m: Int) = ts(f"2025-09-01 10:$m%02d:00")
+    val out = runStream(Seq(Seq(
+      // u1: click(2) precedes view(5) -> no qualifying click
+      (1L, at(2), 1L, "click"), (1L, at(5), 2L, "view"),
+      // u2: purchase(4) precedes click(6); view(2) -> click converts, purchase doesn't
+      (2L, at(2), 3L, "view"), (2L, at(4), 4L, "purchase"), (2L, at(6), 5L, "click"),
+      // u3: the clean chain converts fully
+      (3L, at(1), 6L, "view"), (3L, at(3), 7L, "click"), (3L, at(8), 8L, "purchase"))))
+    val byUser = out.groupBy(_._1).view.mapValues(_.head).toMap
+    assert(byUser(1L)._4.isDefined && byUser(1L)._5.isEmpty,
+      s"u1: click-before-view must not convert: ${byUser(1L)}")
+    assert(byUser(2L)._5.isDefined && byUser(2L)._6.isEmpty,
+      s"u2: purchase-before-click must not convert: ${byUser(2L)}")
+    assert(byUser(3L)._4.isDefined && byUser(3L)._5.isDefined && byUser(3L)._6.isDefined,
+      s"u3: full chain must convert: ${byUser(3L)}")
+    assert(t0 != null)
+  }
+
+  test("out-of-order: a late earlier view retro-qualifies a click (and its purchase)") {
+    def at(m: Int) = ts(f"2025-09-01 10:$m%02d:00")
+    // batch 1 delivers click+purchase first; the view arrives in batch
+    // 2 with an EARLIER timestamp (within gap and watermark) — the
+    // pruning invariant must have kept the click so both steps resolve
+    val out = runStream(Seq(
+      Seq((1L, at(10), 1L, "click"), (1L, at(12), 2L, "purchase")),
+      Seq((1L, at(5), 3L, "view"))),
+      watermark = "2 hours")
+    assert(out.size == 1, s"one merged session expected: $out")
+    val (_, tStart, n, tv, tc, tp, _) = out.head
+    assert(n == 3L && tStart == FunnelState.micros(at(5)),
+      s"late view must extend the session backwards: $out")
+    assert(tv.contains(FunnelState.micros(at(5))), s"t_view: $out")
+    assert(tc.contains(FunnelState.micros(at(10))), s"retro-qualified click: $out")
+    assert(tp.contains(FunnelState.micros(at(12))), s"retro-qualified purchase: $out")
+  }
+
+  test("gap closes a session mid-stream; watermark closes stragglers") {
+    def h(hh: Int, mm: Int) = ts(f"2025-09-01 $hh%02d:$mm%02d:00")
+    val out = runStream(Seq(
+      Seq((1L, h(10, 0), 1L, "view"), (1L, h(10, 5), 2L, "click")),
+      // 2h later: gap-close emits session A, opens B
+      Seq((1L, h(12, 30), 3L, "view"))))
+    assert(out.size == 2, s"expected gap-closed + timeout-closed: $out")
+    val gapClosed = out.find(!_._7).get
+    val timedOut = out.find(_._7).get
+    assert(gapClosed._3 == 2L && gapClosed._4.isDefined && gapClosed._5.isDefined,
+      s"session A converted through click: $gapClosed")
+    assert(timedOut._3 == 1L && timedOut._5.isEmpty, s"session B is view-only: $timedOut")
+  }
+
+  test("batch q90 step frame and the streaming funnel agree per session on the fixture") {
+    // all fixture users, events fed chronologically in 3 chunks so
+    // sessions span micro-batches; in-order delivery makes the
+    // streaming merge window equal the batch gap split exactly
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val rows = ev.orderBy($"ts", $"event_id")
+      .as[(Long, Timestamp, Long, String)].collect()
+    val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).map(_.toSeq).toSeq
+    val streamed = runStream(chunks, watermark = "0 seconds", name = "funnel_parity")
+      .map { case (u, tStart, n, tv, tc, tp, _) => (u, tStart, n, tv, tc, tp) }.toSet
+    val batch = graft.queries.EventQueries.sessionSteps(ev)
+      .select($"user_id", $"t_start", $"n_events", $"t_view", $"t_click", $"t_purchase")
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))
+      }.toSet
+    assert(streamed.size == batch.size,
+      s"session counts differ: stream=${streamed.size} batch=${batch.size}")
+    val onlyBatch = batch -- streamed
+    val onlyStream = streamed -- batch
+    assert(onlyBatch.isEmpty && onlyStream.isEmpty,
+      s"step frames differ; batch-only=${onlyBatch.take(3)} stream-only=${onlyStream.take(3)}")
+  }
+}
