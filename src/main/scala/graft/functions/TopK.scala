@@ -118,9 +118,17 @@ object TopKBy {
     val ties: Array[Long] = new Array[Long](k)
     var size: Int = 0
 
-    /** a beats b under (ord DESC, tie ASC)? */
-    @inline private def beats(oa: Double, ta: Long, ob: Double, tb: Long): Boolean =
-      oa > ob || (oa == ob && ta < tb)
+    /** a beats b under (ord DESC, tie ASC)? Double.compare, not raw
+      * `>`: raw comparisons make NaN un-displaceable once inserted
+      * (NaN > x and x > NaN are both false) and break the sort
+      * contract below; Double.compare totals the order with NaN as
+      * the LARGEST value — exactly how Spark SQL and DuckDB rank NaN
+      * under DESC, so the aggregate stays window-parity even on NaN
+      * inputs. */
+    @inline private def beats(oa: Double, ta: Long, ob: Double, tb: Long): Boolean = {
+      val c = java.lang.Double.compare(oa, ob)
+      c > 0 || (c == 0 && ta < tb)
+    }
 
     def add(o: Double, t: Long): Unit = {
       if (size < k) {
@@ -139,7 +147,15 @@ object TopKBy {
 
     def sortedBestFirst: Array[(Double, Long)] =
       (0 until size).map(i => (ords(i), ties(i))).toArray
-        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .sorted(new Ordering[(Double, Long)] {
+          // total order (NaN-safe): ord DESC via reversed
+          // Double.compare, then tie ASC — a raw `>` sortWith would
+          // violate the TimSort contract on NaN and throw
+          def compare(a: (Double, Long), b: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(b._1, a._1)
+            if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+          }
+        })
   }
 
   /** Column API: top_k_by(ord, tie, k) → array<struct<ord, tie>>,

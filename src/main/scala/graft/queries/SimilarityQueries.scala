@@ -381,6 +381,42 @@ object SimilarityQueries {
   def ivfTopk(s: SparkSession, dir: String): DataFrame =
     ivfNnFrom(ivfAssigned(s, dir, trainCentroids(s, dir)))
 
+  /** PERSISTED index build (round 10): the Scaladoc above calls the
+    * checkpoint "the local-mode stand-in for that stored assignment" —
+    * this is the stored assignment for real. Train once, assign once,
+    * write the (vec_id, embedding, cell, probe_cells) index BUCKETED
+    * BY CELL (`Scale.writeBucketed` precedent), plus the centroids as
+    * a tiny sidecar table (what a new out-of-corpus query vector needs
+    * for its own cell assignment). Every later NN query reads the
+    * stored table: no re-training, no re-assignment, and the home-cell
+    * side of the probe join arrives PRE-PARTITIONED — only the
+    * exploded probe side shuffles (IvfIndexSpec pins exactly one
+    * exchange under the join). At 100 TB this is the build-once/
+    * query-many lifecycle every IVF system runs; the bucket count
+    * equals k so each cell is one bucket. */
+  def buildIvfIndex(s: SparkSession, dir: String, table: String): Unit = {
+    import s.implicits._
+    val cent = trainCentroids(s, dir)
+    val (cell, probeCells) = ivfCells(s, cent)
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", cell.as("cell"), probeCells.as("probe_cells"))
+      .write.mode("overwrite")
+      .bucketBy(ivfK(s), "cell").sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+    cent.zipWithIndex
+      .map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
+  }
+
+  /** NN query over a PERSISTED index — the read side of
+    * [[buildIvfIndex]]; identical semantics to [[ivfTopk]] but no
+    * training or assignment work (both join sides scan the stored
+    * bucketed table). */
+  def ivfNnFromIndex(s: SparkSession, table: String): DataFrame =
+    ivfNnFrom(s.table(table))
+
   /** q58 as a SELF-VALIDATING query (centroids are data-dependent, so
     * the oracle pins the index's THEOREMS, the q19/q56/q57 pattern):
     *  - `n_points`/`n_sample`: every vector (and every sampled query)

@@ -42,7 +42,6 @@ class FunnelStateSpec extends SparkSpec {
   }
 
   test("strict order: click before view and purchase before click do NOT convert") {
-    val t0 = ts("2025-09-01 10:00:00")
     def at(m: Int) = ts(f"2025-09-01 10:$m%02d:00")
     val out = runStream(Seq(Seq(
       // u1: click(2) precedes view(5) -> no qualifying click
@@ -58,7 +57,6 @@ class FunnelStateSpec extends SparkSpec {
       s"u2: purchase-before-click must not convert: ${byUser(2L)}")
     assert(byUser(3L)._4.isDefined && byUser(3L)._5.isDefined && byUser(3L)._6.isDefined,
       s"u3: full chain must convert: ${byUser(3L)}")
-    assert(t0 != null)
   }
 
   test("out-of-order: a late earlier view retro-qualifies a click (and its purchase)") {

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.SimilarityQueries
+
+/** Persisted IVF index: build-once/query-many lifecycle — stored
+  * results identical to the live pipeline, centroid sidecar intact,
+  * and the home-cell side of the probe join pre-partitioned by the
+  * bucketed layout (only the exploded probe side shuffles). */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stored-index NN query equals the live pipeline; only the probe side shuffles") {
+    val tbl = "ivf_index_spec"
+    SimilarityQueries.buildIvfIndex(spark, sf, tbl)
+    try {
+      val stored = SimilarityQueries.ivfNnFromIndex(spark, tbl)
+      val storedRows = stored.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val live = SimilarityQueries.ivfNn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(storedRows == live,
+        s"stored-index answers must equal the live pipeline (${storedRows.size} vs ${live.size})")
+
+      // centroid sidecar: k unit-norm vectors, 1-indexed cells
+      val cents = spark.table(s"${tbl}_centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      assert(cents.keySet == (1 to 16).toSet, s"cells 1..16 expected: ${cents.keySet}")
+      cents.values.foreach { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        assert(math.abs(n - 1.0) < 1e-9, s"centroids are unit-norm, got $n")
+      }
+
+      // plan: the bucketed home side needs NO exchange — the whole
+      // query plans exactly two (probe-side alignment to the bucket
+      // partitioning + the per-vector argmax aggregation); the live
+      // path pays a third to co-partition the checkpointed home side
+      stored.count()
+      // the AQE toString prints Final AND Initial plans — count
+      // exchanges in the final section only
+      val p = stored.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(nEx == 2, s"expected 2 hash exchanges over the stored index, found $nEx:\n$p")
+      assert(p.contains("Bucketed: true") && p.contains("SelectedBucketsCount"),
+        s"home side must read the bucketed layout:\n$p")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_centroids")
+    }
+  }
+}

@@ -118,19 +118,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$p")
   }
 
-  test("q67: all five analytic window functions evaluate in ONE Window pass") {
+  test("q67: corpus window partitions on (event_type, shard); offsets broadcast back") {
     // assert on the un-checkpointed core: the registered query eagerly
-    // materializes the export slice, which hides the Window behind a
-    // checkpoint-RDD scan in the executed plan
+    // materializes the export slice, which hides the plan behind a
+    // checkpoint-RDD scan. Round 10: the single event_type window
+    // became the two-level quantile-shard construction — the corpus
+    // window must key on (event_type, shard), never event_type alone,
+    // and the per-shard offset/edge frame rides in broadcast.
     val df = graft.queries.EventQueries.valueWindowStatsCore(spark, sf)
     df.count()
     val p = df.queryExecution.executedPlan.toString
-    val nWindow = "\\bWindow\\b".r.findAllIn(p).length
-    assert(nWindow == 1,
-      s"ntile/percent_rank/cume_dist/lag/lead share one window spec and " +
-        s"must plan as a single WindowExec, found $nWindow:\n$p")
-    assert("Exchange hashpartitioning\\(event_type".r.findFirstIn(p).isDefined,
-      s"expected one hash exchange on event_type:\n$p")
+    assert("hashpartitioning\\(event_type[#0-9L]*, shard".r.findFirstIn(p).isDefined,
+      s"corpus window exchange must key on (event_type, shard):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard offsets/edges must broadcast back:\n$p")
+    // and the lint itself agrees: no low-card-only window over raw
+    // rows anywhere in the core (the tiny-aggregate windows are the
+    // sanctioned second level)
+    assert(lowCardWindows(graft.queries.EventQueries.valueWindowStatsCore(spark, sf)).isEmpty,
+      "q67 core must not plan a raw low-cardinality window")
   }
 
   test("q81: tokens compact to (doc, fp, count) map-side before any exchange; no join") {

@@ -430,4 +430,20 @@ class SketchSpec extends SparkSpec {
       .selectExpr("transform(t, x -> x.tie) ties").head().getSeq[Long](0)
     assert(withNull == Seq(7L, 6L, 5L), s"null ords must not rank: $withNull")
   }
+
+  test("top_k_by: NaN ranks as the LARGEST ord (Spark/DuckDB DESC semantics), no sort crash") {
+    import graft.functions.TopKBy.top_k_by
+    // ids 3 and 7 carry NaN; everything else is its id value. Under
+    // ord DESC NaN sorts first (Spark treats NaN > any double), so
+    // top-3 = the two NaN rows (tie ASC between them) then 9.0. Raw
+    // `>` comparisons would have made an early NaN un-displaceable
+    // garbage AND risked a TimSort contract violation in eval.
+    val got = spark.range(0, 10)
+      .select(when($"id".isin(3L, 7L), lit(Double.NaN))
+        .otherwise($"id".cast("double")).as("v"), $"id")
+      .repartition(4)
+      .agg(top_k_by($"v", $"id", 3).as("t"))
+      .selectExpr("transform(t, x -> x.tie) ties").head().getSeq[Long](0)
+    assert(got == Seq(3L, 7L, 9L), s"NaN-largest ranking expected (3,7,9), got $got")
+  }
 }
