@@ -198,6 +198,18 @@ class PlanSpec extends SparkSpec {
       s"expected the intra-batch window partitioned on fp:\n$p")
   }
 
+  test("q79: the train side passes the bloom prefilter map-side, before its exchange") {
+    val p = planOf("q79_contamination")
+    // bloomcontains must sit in a Filter on the train branch — grams
+    // that cannot match any held-out gram die before the distinct
+    // exchange (no-false-negative theorem keeps the result exact; the
+    // oracle hash is the proof)
+    assert(p.contains("bloomcontains"),
+      s"expected the bloom prefilter in the train-side plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"contamination must stay an equi-join:\n$p")
+  }
+
   test("q82: the impact report is a broadcast join over the labels, then one rollup") {
     val p = planOf("q82_dedup_impact")
     assert(p.contains("BroadcastHashJoin"), s"narrow docs side must broadcast:\n$p")
