@@ -765,6 +765,37 @@ object SimilarityQueries {
     (pairs, samplePairs)
   }
 
+  /** PCA model persistence — the train/store/apply lifecycle for the
+    * embedding-compression stage (the IVF-index precedent): fit once,
+    * store (mean, components) as a one-row table, and project any
+    * embedding frame through the STORED model without refitting.
+    * Doubles round-trip parquet exactly, so stored-model projections
+    * are bit-identical to fresh-fit ones (PcaModelSpec pins it). */
+  def buildPcaModel(s: SparkSession, dir: String, table: String, k: Int = 8): Unit = {
+    import s.implicits._
+    val (mean, comps) = fitPca(
+      Tables.embeddings(s, dir).select($"embedding").na.drop(), k)
+    Seq((mean.toSeq, comps.map(_.toSeq).toSeq)).toDF("mean", "components")
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  private[graft] def loadPcaModel(s: SparkSession,
+      table: String): (Array[Double], Array[Array[Double]]) = {
+    val r = s.table(table).head()
+    // inner rows come back as mutable ArraySeq — type them as the
+    // collection.Seq supertype or the element map ClassCastExceptions
+    (r.getSeq[Double](0).toArray,
+      r.getSeq[scala.collection.Seq[Double]](1).map(_.toArray).toArray)
+  }
+
+  /** Apply step: append the k projection coordinates (column `z`,
+    * array<double>) to an embedding frame using a stored model —
+    * codegen'd literal-matrix arithmetic, no refit, no broadcast. */
+  def pcaProjected(s: SparkSession, modelTable: String, emb: DataFrame): DataFrame = {
+    val (mean, comps) = loadPcaModel(s, modelTable)
+    emb.withColumn("z", array(pcaCoords(s, mean, comps): _*))
+  }
+
   /** The q91 pipeline over any (vec_id, embedding) frame — injectable
     * so planted exact-copy recall has a spec (round-7 rule). */
   private[graft] def pcaAnnPairsOver(embIn: DataFrame): DataFrame = {

@@ -431,6 +431,40 @@ class SketchSpec extends SparkSpec {
     assert(withNull == Seq(7L, 6L, 5L), s"null ords must not rank: $withNull")
   }
 
+  test("top_k_by theorems hold under seeded fuzz (40 random streams, random merges)") {
+    // the buffer's replace-the-worst path and the merge path must
+    // equal a reference sort for ANY stream, ANY k, ANY partitioning
+    // — including duplicate ords (tie-break load) and NaN
+    val rnd = new scala.util.Random(23)
+    (1 to 40).foreach { trial =>
+      val k = 1 + rnd.nextInt(10)
+      val n = 1 + rnd.nextInt(300)
+      val rows = Seq.fill(n)((
+        if (rnd.nextInt(20) == 0) Double.NaN else rnd.nextInt(40).toDouble,
+        rnd.nextLong(1000000)))
+      val agg = graft.functions.TopKBy(null, null, k)
+      def bufOf(part: Seq[(Double, Long)]) = {
+        val b = agg.createAggregationBuffer()
+        part.foreach { case (o, t) => b.add(o, t) }
+        agg.deserialize(agg.serialize(b)) // round-trip must be exact
+      }
+      val parts = rows.grouped(math.max(1, n / (1 + rnd.nextInt(5)))).toSeq
+      val merged = parts.map(bufOf).reduce { (a, b) => agg.merge(a, b) }
+      val got = merged.sortedBestFirst.toSeq
+      val expect = rows
+        .sorted(new Ordering[(Double, Long)] {
+          def compare(a: (Double, Long), b: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(b._1, a._1)
+            if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+          }
+        }).take(k)
+      // NaN != NaN under tuple ==, so normalize it for the compare
+      def norm(p: (Double, Long)) = (p._1.isNaN, if (p._1.isNaN) 0.0 else p._1, p._2)
+      assert(got.map(norm) == expect.map(norm),
+        s"trial $trial (k=$k, n=$n): merged top-k must equal the reference sort")
+    }
+  }
+
   test("top_k_by: NaN ranks as the LARGEST ord (Spark/DuckDB DESC semantics), no sort crash") {
     import graft.functions.TopKBy.top_k_by
     // ids 3 and 7 carry NaN; everything else is its id value. Under
