@@ -93,7 +93,7 @@ object SimilarityQueries {
     * within bucket. Plane components derive from integer arithmetic,
     * so the EXACT buckets are reproducible in the DuckDB oracle as
     * double-literal plane arrays — this is an oracle-hash-checked LSH
-    * query, not a rows-only one. AnnSpec additionally asserts recall
+    * query, not a rows-only one. ExpressionsSpec additionally asserts recall
     * vs brute force. Scale shape: one bucket-keyed shuffle of
     * (id, bucket, vector), per-bucket re-rank, WindowGroupLimit
     * bounds the candidate sort. */
@@ -429,7 +429,7 @@ object SimilarityQueries {
     *  - recall@1 vs the UNRESTRICTED brute force ≥ 0.5 on the sample
     *    (nprobe=4 of 16 cells; measured 0.63 at sf0.01, 0.53 at
     *    sf0.1 — the pin is the floor the index must clear, the exact
-    *    figure lives in AnnSpec).
+    *    figure lives in ExpressionsSpec).
     * The audit sample is CAPPED ABSOLUTELY (vec_id % 5 = 0 AND
     * vec_id < 2500 → ≤ 500 query points), so the brute-force audit
     * is O(500·n) — linear in the corpus, never the O(n²/5) an
