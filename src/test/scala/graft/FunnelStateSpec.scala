@@ -91,6 +91,44 @@ class FunnelStateSpec extends SparkSpec {
     assert(timedOut._3 == 1L && timedOut._5.isEmpty, s"session B is view-only: $timedOut")
   }
 
+  test("parity fuzz: random corpora and batch splits match the batch step frame") {
+    // the fixture parity test covers one data distribution; this
+    // fuzzes gap structure, step-type mixes (including no-view
+    // sessions and purchase-heavy users), and micro-batch boundaries.
+    // In-order delivery keeps the streaming merge window equal to the
+    // batch gap split, so the comparison is exact.
+    val rnd = new scala.util.Random(31)
+    val types = Seq("view", "click", "purchase", "other")
+    (1 to 5).foreach { trial =>
+      var eid = 0L
+      val rows = (0 until 8).flatMap { u =>
+        var t = Timestamp.valueOf("2025-09-01 08:00:00").getTime + rnd.nextInt(600) * 1000L
+        (0 until (1 + rnd.nextInt(30))).map { _ =>
+          // mostly intra-session steps, occasionally a gap-crossing jump
+          t += (if (rnd.nextInt(6) == 0) (31 + rnd.nextInt(180)) else rnd.nextInt(25)) * 60000L
+          eid += 1
+          (u.toLong, new Timestamp(t), eid, types(rnd.nextInt(types.length)))
+        }
+      }.sortBy(r => (r._2.getTime, r._3))
+      val chunks = rows.grouped(
+        math.max(1, rows.length / (1 + rnd.nextInt(4)) + 1)).map(_.toSeq).toSeq
+      val streamed = runStream(chunks, name = s"funnel_fuzz_$trial")
+        .map { case (u, tStart, n, tv, tc, tp, _) => (u, tStart, n, tv, tc, tp) }.toSet
+      val batch = graft.queries.EventQueries.sessionSteps(
+          rows.toDF("user_id", "ts", "event_id", "event_type"))
+        .select($"user_id", $"t_start", $"n_events", $"t_view", $"t_click", $"t_purchase")
+        .collect().map { r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long]),
+            Option(r.get(5)).map(_.asInstanceOf[Long]))
+        }.toSet
+      assert(streamed == batch,
+        s"trial $trial: stream-only=${(streamed -- batch).take(3)} " +
+          s"batch-only=${(batch -- streamed).take(3)}")
+    }
+  }
+
   test("batch q90 step frame and the streaming funnel agree per session on the fixture") {
     // all fixture users, events fed chronologically in 3 chunks so
     // sessions span micro-batches; in-order delivery makes the
