@@ -29,10 +29,13 @@ import org.apache.spark.sql.types._
   *
   * Ordering contract: greatest `ord` first; ties broken by SMALLEST
   * `tie` (the deterministic-ranking idiom `ORDER BY v DESC, id ASC`).
-  * Null `ord`/`tie` inputs are skipped — a null can never be a top-k
-  * value under DESC NULLS LAST unless the group has fewer than k
-  * non-null rows, which callers that allow nulls must handle
-  * upstream.
+  * Null `ord`/`tie` inputs are skipped by default — a null can never
+  * be a top-k value under DESC NULLS LAST unless the group has fewer
+  * than k non-null rows, which callers that allow nulls must handle
+  * upstream. A caller REPLACING a rank window (q17) passes
+  * `strict = true` to ENFORCE that precondition: a null input then
+  * fails the query loudly instead of silently dropping rows the
+  * window's NULLS LAST ordering would have kept.
   *
   * Output: array<struct<ord double, tie long>> sorted best-first, so
   * `posexplode` yields the rank as `pos + 1`. */
@@ -40,6 +43,7 @@ case class TopKBy(
     ord: Expression,
     tie: Expression,
     k: Int,
+    strict: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBy.Buffer] with CodegenFallback {
@@ -60,6 +64,11 @@ case class TopKBy(
     val t = tie.eval(input)
     if (o != null && t != null) {
       buf.add(o.asInstanceOf[Double], t.asInstanceOf[Long])
+    } else if (strict) {
+      throw new IllegalStateException(
+        "top_k_by(strict): null ord/tie input — NULLS LAST window padding is " +
+          "not implemented; coalesce or filter nulls upstream, or drop strict " +
+          "to skip them")
     }
     buf
   }
@@ -160,10 +169,12 @@ object TopKBy {
 
   /** Column API: top_k_by(ord, tie, k) → array<struct<ord, tie>>,
     * best-first under (ord DESC, tie ASC). Inputs are cast to
-    * (double, long) — the numeric-ranking shape this aggregate serves. */
-  def top_k_by(ord: Column, tie: Column, k: Int): Column =
+    * (double, long) — the numeric-ranking shape this aggregate serves.
+    * `strict = true` rejects null inputs loudly (rank-window
+    * replacement callers; see the class contract). */
+  def top_k_by(ord: Column, tie: Column, k: Int, strict: Boolean = false): Column =
     GraftColumnBridge.column(
       TopKBy(Cast(GraftColumnBridge.expression(ord), DoubleType),
-        Cast(GraftColumnBridge.expression(tie), LongType), k)
+        Cast(GraftColumnBridge.expression(tie), LongType), k, strict)
         .toAggregateExpression())
 }

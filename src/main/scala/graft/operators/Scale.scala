@@ -73,11 +73,14 @@ object Scale {
       case Some(dir) =>
         val sc = spark.sparkContext
         // setCheckpointDir stores a fresh UUID SUBDIRECTORY of the
-        // given path, so compare by prefix — and re-apply when the
-        // conf changed mid-session instead of silently keeping the
-        // old target (first-wins would checkpoint into a directory
-        // the operator believes is no longer in use)
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+        // given path and getCheckpointDir returns it fully QUALIFIED
+        // (file:/dir/<uuid>), so comparing the context's value against
+        // the raw conf can never match (and bare prefix tests
+        // false-match /a against /ab). Track the last conf value we
+        // applied ourselves and re-apply only when it changes —
+        // first-wins would silently checkpoint into a directory the
+        // operator believes is no longer in use.
+        if (appliedCheckpointDir.getAndSet(dir) != dir) sc.setCheckpointDir(dir)
         // Reliable checkpoint files are NEVER deleted by default:
         // each q66/q82 label-propagation iteration writes one, so a
         // long cluster job accumulates durable files without bound.
@@ -101,6 +104,8 @@ object Scale {
   }
 
   private val warnedCheckpointGrowth = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val appliedCheckpointDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Chain syntax for [[checkpointed]]:
     * `df.transform(...).reliableCheckpoint()`. */

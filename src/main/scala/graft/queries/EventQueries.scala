@@ -168,7 +168,9 @@ object EventQueries {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy($"event_type")
-      .agg(graft.functions.TopKBy.top_k_by($"value", $"event_id", 5).as("top"))
+      // strict: a null value/event_id would silently diverge from the
+      // window's NULLS LAST padding — fail loudly instead (ADVICE r10)
+      .agg(graft.functions.TopKBy.top_k_by($"value", $"event_id", 5, strict = true).as("top"))
       .select($"event_type", posexplode($"top"))
       .select($"event_type", $"col.tie".as("event_id"),
         round($"col.ord", 2).as("value"), ($"pos" + 1).as("rn"))

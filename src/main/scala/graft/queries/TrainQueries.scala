@@ -383,7 +383,14 @@ object TrainQueries {
     * — the oracle hash (unchanged single-join SQL) verifies exactly
     * that. The test-gram frame is checkpointed once and feeds both
     * the bloom build and the probe join. */
-  def contamination(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  def contamination(s: SparkSession, dir: String, n: Int = 8): DataFrame =
+    contaminationOver(Tables.documents(s, dir), n)
+
+  /** q79 over an injectable documents frame (the round-7 rule: the
+    * empty-held-out branch can't bind on the fixture, which always
+    * has src0 rows — the spec constructs a frame without them). */
+  private[graft] def contaminationOver(docs: DataFrame, n: Int = 8): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val toks = split(trim($"text"), "\\s+")
     def gramFps(src: DataFrame): DataFrame = src
@@ -394,18 +401,21 @@ object TrainQueries {
               i => TextQueries.fingerprint(
                 concat_ws(" ", slice($"toks", i, lit(n)))))))
           .otherwise(array().cast("array<long>"))).as("fp"))
-    val docs = Tables.documents(s, dir)
     val test = docs.filter($"source" === "src0").select($"doc_id", $"text")
     val train = docs.filter($"source" =!= "src0").select($"doc_id", $"text")
     // the held-out gram frame feeds the bloom aggregation AND the
     // probe join — materialize it once (re-deriving would tokenize
     // and fingerprint the held-out corpus twice)
     val testG = graft.operators.Scale.checkpointed(gramFps(test))
-    val bloom = testG
+    // bloom_build over ZERO rows (empty or all-short held-out set)
+    // aggregates to null — skip the prefilter rather than NPE; the
+    // final frame is empty anyway (it starts from `test`)
+    val bloom = Option(testG
       .agg(graft.functions.BloomFilter.bloom_build($"fp"))
-      .head().getAs[Array[Byte]](0)
-    val trainFps = gramFps(train)
-      .filter(graft.functions.BloomFilter.bloom_contains($"fp", bloom))
+      .head().getAs[Array[Byte]](0))
+    val trainG = gramFps(train)
+    val trainFps = bloom.fold(trainG)(b =>
+        trainG.filter(graft.functions.BloomFilter.bloom_contains($"fp", b)))
       .select($"fp").distinct()
     // the left join against the (bloom-thinned, distinct) train set
     // marks each held-out gram hit-or-miss; a single aggregate

@@ -55,6 +55,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c.filter($"is_contaminated").count() > 0)
   }
 
+  test("contamination: an empty or all-short held-out side skips the bloom, no NPE") {
+    import graft.queries.TrainQueries.contaminationOver
+    // no src0 rows at all: bloom_build aggregates over zero rows to
+    // null — the guard must skip the prefilter and return empty
+    val noTest = Seq((1L, "src1", "a b c d e f g h i j"),
+      (2L, "src2", "k l m n o p q r s t")).toDF("doc_id", "source", "text")
+    assert(contaminationOver(noTest).count() == 0)
+    // src0 present but every doc shorter than the gram width: the
+    // gram frame is empty (null bloom again) yet each held-out doc
+    // must still report n_grams = 0, uncontaminated
+    val shortTest = Seq((1L, "src0", "too short"), (2L, "src0", "also brief"),
+      (3L, "src1", "a b c d e f g h i j")).toDF("doc_id", "source", "text")
+    val out = contaminationOver(shortTest).collect()
+    assert(out.length == 2 && out.forall(r =>
+      r.getAs[Long]("n_grams") == 0L && !r.getAs[Boolean]("is_contaminated")),
+      s"short held-out docs must report zero grams: ${out.toSeq}")
+  }
+
   test("scd2Intervals: per-user timeline partitions cleanly") {
     val iv = graft.queries.EventQueries.scd2Intervals(spark, sf)
     val n = iv.count()

@@ -198,6 +198,14 @@ class ScaleSpec extends SparkSpec {
       spark.conf.set("spark.graft.checkpoint.dir", dirB)
       Scale.checkpointed(spark.range(100).toDF()).count()
       assert(filesUnder(dirB) > 0, s"changed conf must redirect checkpoints to $dirB")
+      // ADVICE r10: getCheckpointDir returns the QUALIFIED UUID
+      // subdirectory, so the old prefix test never matched and every
+      // call minted a fresh UUID dir — an UNCHANGED conf must reuse
+      // the one already applied
+      Scale.checkpointed(spark.range(100).toDF()).count()
+      val uuidDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dirB)).count()
+      assert(uuidDirs == 1L,
+        s"unchanged conf re-applied setCheckpointDir ($uuidDirs UUID dirs under $dirB)")
     } finally {
       spark.conf.unset("spark.graft.checkpoint.dir")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))

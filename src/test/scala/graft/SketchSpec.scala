@@ -431,6 +431,28 @@ class SketchSpec extends SparkSpec {
     assert(withNull == Seq(7L, 6L, 5L), s"null ords must not rank: $withNull")
   }
 
+  test("top_k_by strict mode fails loudly on null input (the q17 precondition)") {
+    import graft.functions.TopKBy.top_k_by
+    // q17 replaced a NULLS LAST rank window; strict enforces the
+    // no-null precondition the Scaladoc used to merely note (ADVICE
+    // r10: a silent skip changes output when a group has < k non-null)
+    val withNull = spark.range(0, 10)
+      .select(when($"id" < 8, $"id".cast("double")).as("v"), $"id")
+    val ex = intercept[Exception] {
+      withNull.agg(top_k_by($"v", $"id", 3, strict = true).as("t")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).flatMap(c => Option(c.getMessage)).exists(_.contains("top_k_by(strict)")),
+      s"strict null must surface the precondition error: $ex")
+    // non-null data is unaffected by strict
+    val ok = withNull.filter($"v".isNotNull)
+      .agg(top_k_by($"v", $"id", 3, strict = true).as("t"))
+      .selectExpr("transform(t, x -> x.tie) ties").head().getSeq[Long](0)
+    assert(ok == Seq(7L, 6L, 5L), s"strict must not change non-null ranking: $ok")
+  }
+
   test("top_k_by theorems hold under seeded fuzz (40 random streams, random merges)") {
     // the buffer's replace-the-worst path and the merge path must
     // equal a reference sort for ANY stream, ANY k, ANY partitioning
