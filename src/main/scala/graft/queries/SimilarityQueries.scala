@@ -417,6 +417,73 @@ object SimilarityQueries {
   def ivfNnFromIndex(s: SparkSession, table: String): DataFrame =
     ivfNnFrom(s.table(table))
 
+  /** Catalog-safe table suffix for a per-dataset artifact name. */
+  private def tableSuffix(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]+", "_").replaceAll("^_+|_+$", "")
+
+  /** Build-if-absent gate for a persisted artifact. The session
+    * catalog is in-memory, so a PREVIOUS JVM may have left the managed
+    * table's warehouse directory behind while this catalog has never
+    * heard of the table — CTAS then refuses with
+    * LOCATION_ALREADY_EXISTS. When the catalog lacks the table, clear
+    * any stale location before rebuilding (the build is deterministic,
+    * so rebuild-per-session is correct; within a session the catalog
+    * hit makes every later call reuse the artifact). */
+  private def needsBuild(s: SparkSession, tables: String*): Boolean = {
+    val missing = tables.filterNot(s.catalog.tableExists(_))
+    if (missing.nonEmpty) {
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      tables.foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+    }
+    missing.nonEmpty
+  }
+
+  /** q92: the PERSISTED-INDEX LIFECYCLE as a driver-verified row
+    * (VERDICT r10 #1) — build [[buildIvfIndex]] once per dataset
+    * (build-if-absent: warm re-runs and later queries in the same
+    * session reuse the stored table, which is exactly the
+    * build-once/query-many shape a 100 TB operator runs), answer NN
+    * through [[ivfNnFromIndex]], and pin in the emitted row itself:
+    *  - `n_points`: every vector got an answer (DuckDB reproduces the
+    *    count independently);
+    *  - `stored_equals_live`: the stored-index answers EQUAL the live
+    *    train+assign pipeline's, via symmetric exceptAll — the
+    *    byte-identity IvfIndexSpec proves, now oracle-checked;
+    *  - `home_bucketed` + `n_exchanges`: the stored plan reads the
+    *    bucketed layout and plans exactly TWO hash exchanges (probe
+    *    explode alignment + argmax aggregate) — one FEWER than the
+    *    live path, which is the point of persisting: the home side
+    *    arrives pre-partitioned.
+    * Validation-priced like q58/q91 (the live-path comparison exists
+    * only to verify; production consumers call ivfNnFromIndex alone). */
+  def ivfStoredNn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_ivf_q92_${tableSuffix(dir)}"
+    if (needsBuild(s, tbl, s"${tbl}_centroids")) buildIvfIndex(s, dir, tbl)
+    val stored = ivfNnFromIndex(s, tbl)
+    val live = ivfNnFrom(ivfAssigned(s, dir, trainCentroids(s, dir)))
+    val nDiff = stored.exceptAll(live).union(live.exceptAll(stored)).count()
+    // settle AQE, then pin the executed shape (IvfIndexSpec's method)
+    stored.count()
+    val plan = stored.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    stored.agg(count(lit(1)).as("n_points"))
+      .select($"n_points",
+        lit(nDiff == 0).as("stored_equals_live"),
+        lit(plan.contains("Bucketed: true")).as("home_bucketed"),
+        lit(nEx).cast("long").as("n_exchanges"))
+  }
+
+  val ivfStoredNnSql: String =
+    """SELECT (SELECT count(*) FROM embeddings) AS n_points,
+      |  true AS stored_equals_live, true AS home_bucketed,
+      |  CAST(2 AS BIGINT) AS n_exchanges""".stripMargin
+
   /** q58 as a SELF-VALIDATING query (centroids are data-dependent, so
     * the oracle pins the index's THEOREMS, the q19/q56/q57 pattern):
     *  - `n_points`/`n_sample`: every vector (and every sampled query)
@@ -796,6 +863,50 @@ object SimilarityQueries {
     emb.withColumn("z", array(pcaCoords(s, mean, comps): _*))
   }
 
+  /** q93: the PERSISTED-MODEL LIFECYCLE as a driver-verified row
+    * (VERDICT r10 #1, q92's PCA sibling) — [[buildPcaModel]] once per
+    * dataset (build-if-absent), project the corpus through the STORED
+    * model via [[pcaProjected]], and pin in the emitted row:
+    *  - `n_vectors` / `k` / `dim`: DuckDB-reproducible shape counts
+    *    (the q89 pattern);
+    *  - `stored_matches_fresh`: stored-model projections are
+    *    BIT-IDENTICAL to a fresh in-session fit's (doubles round-trip
+    *    parquet exactly; symmetric exceptAll over the z arrays) — the
+    *    PcaModelSpec byte-identity, now oracle-checked;
+    *  - `var_bounded`: the q89 energy theorem holds THROUGH the
+    *    stored artifact — Σ‖z‖² ≤ Σ‖x − mean‖² with mean and
+    *    components read back from the table, so a corrupted or
+    *    mis-round-tripped model fails the row. */
+  def pcaStoredProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val tbl = s"graft_pca_q93_${tableSuffix(dir)}"
+    if (needsBuild(s, tbl)) buildPcaModel(s, dir, tbl, k)
+    val emb = Tables.embeddings(s, dir).na.drop()
+    val proj = pcaProjected(s, tbl, emb).select($"vec_id", $"z")
+    val (meanF, compsF) = fitPca(emb.select($"embedding"), k)
+    val fresh = emb.select($"vec_id", array(pcaCoords(s, meanF, compsF): _*).as("z"))
+    val nDiff = proj.exceptAll(fresh).union(fresh.exceptAll(proj)).count()
+    val (mean, _) = loadPcaModel(s, tbl)
+    val centered = centeredCol(s, mean)
+    val totalSq = aggregate(centered, lit(0.0), (acc, x) => acc + x * x)
+    val zSq = aggregate($"z", lit(0.0), (acc, x) => acc + x * x)
+    pcaProjected(s, tbl, emb)
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(zSq).as("proj"), sum(totalSq).as("tot"))
+      .select($"n_vectors",
+        lit(k).cast("long").as("k"),
+        lit(mean.length).cast("long").as("dim"),
+        lit(nDiff == 0).as("stored_matches_fresh"),
+        ($"proj" <= $"tot" * 1.000001).as("var_bounded"))
+  }
+
+  val pcaStoredProjectionSql: String =
+    """SELECT count(*) AS n_vectors, CAST(8 AS BIGINT) AS k,
+      |  (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS dim,
+      |  true AS stored_matches_fresh, true AS var_bounded
+      |FROM embeddings""".stripMargin
+
   /** The q91 pipeline over any (vec_id, embedding) frame — injectable
     * so planted exact-copy recall has a spec (round-7 rule). */
   private[graft] def pcaAnnPairsOver(embIn: DataFrame): DataFrame = {
@@ -843,6 +954,8 @@ object SimilarityQueries {
     "q55_nn_lsh" -> (nnLsh _),
     "q58_ivf_nn" -> (ivfNnValidated _),
     "q74_ivf_topk" -> (ivfTopk _),
+    "q92_ivf_stored_nn" -> (ivfStoredNn _),
+    "q93_pca_stored_projection" -> (pcaStoredProjection _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -855,5 +968,7 @@ object SimilarityQueries {
     "q55_nn_lsh" -> nnLshSql,
     "q58_ivf_nn" -> ivfNnValidatedSql,
     "q76_quantize_embeddings" -> quantizeEmbeddingsSql,
+    "q92_ivf_stored_nn" -> ivfStoredNnSql,
+    "q93_pca_stored_projection" -> pcaStoredProjectionSql,
   )
 }
