@@ -749,12 +749,16 @@ object SimilarityQueries {
     * hyperplanes: where q54's random hyperplanes split the corpus
     * blindly, the principal directions split along maximum variance,
     * so sign agreement concentrates genuinely-near vectors. Banding
-    * (4 bands × 4 sign bits → 16 buckets per band, candidate if ANY
-    * band matches) is the standard OR-amplification that buys recall
-    * back from single-band bit sampling; at corpus scale the knobs
-    * grow with n (more bits per band → smaller buckets, more bands →
-    * recall), which is exactly how production MinHash/SimHash banding
-    * is tuned (q43/q44 document the same tradeoff).
+    * (default 4 bands × 4 sign bits → 16 buckets per band, candidate
+    * if ANY band matches) is the standard OR-amplification that buys
+    * recall back from single-band bit sampling; at corpus scale the
+    * knobs grow with n (more bits per band → smaller buckets, more
+    * bands → recall), which is exactly how production MinHash/SimHash
+    * banding is tuned (q43/q44 document the same tradeoff). Round 11:
+    * the geometry is conf-driven — `spark.graft.pcaann.{bands,bits}`
+    * ([[pcaAnnGeometry]]) with a prefix-stable band sequence
+    * ([[bandCoordSets]]) so recall is provably non-decreasing in
+    * `bands` at fixed `bits` (the CMS width/depth precedent).
     *
     * Plan shape: one corpus pass computes both band keys as literal
     * column arithmetic (no broadcast state), candidates come from two
@@ -782,6 +786,42 @@ object SimilarityQueries {
   def pcaAnnPairs(s: SparkSession, dir: String): DataFrame =
     pcaAnnPairsOver(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
 
+  /** `spark.graft.pcaann.{bands,bits}` (defaults 4, 4): the q91 band
+    * geometry — `bands` is THE recall dial (candidates only grow as
+    * bands are appended; see [[bandCoordSets]]), `bits` the
+    * selectivity dial (buckets per band = 2^bits; more bits → smaller
+    * buckets → fewer candidates per band). */
+  private[graft] def pcaAnnGeometry(s: SparkSession): (Int, Int) = {
+    val bands = s.conf.getOption("spark.graft.pcaann.bands").map(_.toInt).getOrElse(4)
+    val bits = s.conf.getOption("spark.graft.pcaann.bits").map(_.toInt).getOrElse(4)
+    require(bands >= 1 && bands <= 64,
+      s"spark.graft.pcaann.bands must be in [1, 64], got $bands")
+    require(bits >= 1 && bits <= 8,
+      s"spark.graft.pcaann.bits must be in [1, k=8] (8 principal coords), got $bits")
+    (bands, bits)
+  }
+
+  /** The first `bands` entries of a FIXED infinite band sequence over
+    * k coordinates: the floor(k/bits) disjoint chunks first, then for
+    * stride = 2, 3, … every offset's strided interleave. Because band
+    * i's definition never depends on `bands`, the sequence is
+    * PREFIX-STABLE: bandCoordSets(k, B+1, b) extends
+    * bandCoordSets(k, B, b), so the q91 candidate set (union over
+    * bands of bucket mates) is monotone non-decreasing in `bands` —
+    * recall can only rise, the theorem the geometry fuzz pins. At
+    * (k=8, bands=4, bits=4) this reproduces the round-10 hardcoded
+    * geometry exactly, keeping the q91 row unchanged at defaults.
+    * Strides with gcd(stride, k) > 1 can repeat a coordinate inside a
+    * deep band (effective bits shrink — a weaker, never incorrect
+    * band); the re-rank keeps every emitted pair exact regardless. */
+  private[graft] def bandCoordSets(k: Int, bands: Int, bits: Int): Seq[Seq[Int]] = {
+    val disjoint = (0 until k / bits).iterator
+      .map(i => Seq.tabulate(bits)(j => i * bits + j))
+    val strided = Iterator.from(2).flatMap(stride =>
+      (0 until stride).iterator.map(o => Seq.tabulate(bits)(j => (o + j * stride) % k)))
+    (disjoint ++ strided).take(bands).toSeq
+  }
+
   /** q91 internals: (candidate-generated near-dup pairs, exhaustive
     * full-dimension sample ground truth) — split out so specs can
     * measure recall directly (the number the report folds into its
@@ -793,14 +833,18 @@ object SimilarityQueries {
     val emb = embIn.na.drop()
     val (mean, comps) = fitPca(emb.select($"embedding"), k)
     val signBits = pcaCoords(s, mean, comps).map(z => when(z >= 0, 1).otherwise(0))
-    // 4 bands × 4 sign bits over the 8 principal coordinates: two
-    // disjoint bands plus two INTERLEAVED ones (even/odd coords). The
-    // interleaved bands reuse bits, so they are correlated with the
-    // disjoint pair — weaker than 4 independent bands but strictly
-    // more recall than 2, at 16 buckets per band either way (a pair
-    // is a candidate iff some band agrees on all 4 of its signs).
-    val bandCoords = Seq(
-      Seq(0, 1, 2, 3), Seq(4, 5, 6, 7), Seq(0, 2, 4, 6), Seq(1, 3, 5, 7))
+    // bands × bits sign-bit bands over the 8 principal coordinates
+    // (conf-driven, defaults 4 × 4 — the round-10 geometry exactly):
+    // disjoint chunks first, then strided interleaves. Interleaved
+    // bands reuse bits, so they are correlated with the disjoint ones
+    // — weaker than independent bands but strictly more recall per
+    // band added (a pair is a candidate iff SOME band agrees on all
+    // of its signs, and the band sequence is prefix-stable, so the
+    // candidate set only grows with `bands` — the monotonicity
+    // theorem ExpressionsSpec fuzzes). "Spend more bands" is the
+    // documented production answer at a hostile cosine boundary.
+    val (nBands, nBits) = pcaAnnGeometry(s)
+    val bandCoords = bandCoordSets(k, nBands, nBits)
     def bandKey(b: Int): Column =
       bandCoords(b).zipWithIndex
         .map { case (c, i) => signBits(c) * lit(1 << i) }.reduce(_ + _)

@@ -261,4 +261,51 @@ class ExpressionsSpec extends SparkSpec {
       assert(rep.getBoolean(names(f)), s"$f must hold on the planted corpus")
     }
   }
+
+  test("PCA-ANN band geometry: prefix-stable sequence, defaults pinned") {
+    import SimilarityQueries.bandCoordSets
+    // the round-10 hardcoded geometry IS the default — the q91 row
+    // cannot move when nothing is configured
+    assert(bandCoordSets(8, 4, 4) ==
+      Seq(Seq(0, 1, 2, 3), Seq(4, 5, 6, 7), Seq(0, 2, 4, 6), Seq(1, 3, 5, 7)))
+    // prefix stability is the monotonicity theorem's whole substance:
+    // band i never depends on how many bands were requested
+    for (bits <- 1 to 8; b <- 1 until 12)
+      assert(bandCoordSets(8, b, bits) == bandCoordSets(8, b + 1, bits).take(b),
+        s"band sequence must be prefix-stable at bits=$bits, bands=$b")
+    // every band holds `bits` in-range coordinates
+    bandCoordSets(8, 12, 3).foreach { band =>
+      assert(band.size == 3 && band.forall(c => c >= 0 && c < 8), s"bad band: $band")
+    }
+  }
+
+  test("PCA-ANN (q91): recall non-decreasing in bands at fixed bits (conf fuzz)") {
+    // the q88 CMS precedent: the conf knob ships with its theorem. A
+    // seeded near-dup corpus (noisy copies, not exact ones, so bands
+    // genuinely disagree) is indexed at growing band counts; the
+    // candidate-pair set — and hence recall — must only grow. Only
+    // the bands axis carries a theorem; bits is exercised at two
+    // settings per the verdict's >=2-geometries bar.
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 60).map(i => (i * 5L, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val noisy = base.map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.35f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ noisy).toDF("vec_id", "embedding")
+    for (bits <- Seq(2, 4)) {
+      spark.conf.set("spark.graft.pcaann.bits", bits.toString)
+      var prev = Set.empty[(Long, Long)]
+      for (bands <- Seq(1, 2, 4, 8)) {
+        spark.conf.set("spark.graft.pcaann.bands", bands.toString)
+        val (pairs, _) = SimilarityQueries.pcaAnnInternals(df)
+        val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(prev.subsetOf(got),
+          s"bits=$bits: candidates must not shrink going to bands=$bands " +
+            s"(lost ${(prev -- got).take(3)})")
+        prev = got
+      }
+      spark.conf.unset("spark.graft.pcaann.bands")
+    }
+    spark.conf.unset("spark.graft.pcaann.bits")
+  }
 }
