@@ -79,8 +79,19 @@ object Scale {
         // false-match /a against /ab). Track the last conf value we
         // applied ourselves and re-apply only when it changes —
         // first-wins would silently checkpoint into a directory the
-        // operator believes is no longer in use.
-        if (appliedCheckpointDir.getAndSet(dir) != dir) sc.setCheckpointDir(dir)
+        // operator believes is no longer in use. The tracked pair is
+        // JVM-global but the dir lives on the SparkContext, so a
+        // restarted context (or another caller's setCheckpointDir)
+        // would desync an unchanged conf value: remember the QUALIFIED
+        // dir we applied and re-apply whenever the current context's
+        // dir is not that exact value (covers restart, external
+        // clear, and external overwrite in one check).
+        val prev = appliedCheckpointDir.get()
+        if (prev == null || prev._1 != dir ||
+          !sc.getCheckpointDir.contains(prev._2)) {
+          sc.setCheckpointDir(dir)
+          appliedCheckpointDir.set((dir, sc.getCheckpointDir.get))
+        }
         // Reliable checkpoint files are NEVER deleted by default:
         // each q66/q82 label-propagation iteration writes one, so a
         // long cluster job accumulates durable files without bound.
@@ -104,8 +115,9 @@ object Scale {
   }
 
   private val warnedCheckpointGrowth = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** (conf value we applied, qualified dir the context returned for it). */
   private val appliedCheckpointDir =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   /** Chain syntax for [[checkpointed]]:
     * `df.transform(...).reliableCheckpoint()`. */

@@ -417,9 +417,16 @@ object SimilarityQueries {
   def ivfNnFromIndex(s: SparkSession, table: String): DataFrame =
     ivfNnFrom(s.table(table))
 
-  /** Catalog-safe table suffix for a per-dataset artifact name. */
-  private def tableSuffix(dir: String): String =
-    dir.replaceAll("[^a-zA-Z0-9]+", "_").replaceAll("^_+|_+$", "")
+  /** Catalog-safe table suffix for a per-dataset artifact name. The
+    * slug alone is lossy ("/data/a-b" and "/data/a_b" both slug to
+    * "data_a_b", so one dataset's artifact could shadow another's
+    * within a session); a short hash of the RAW dir string makes the
+    * suffix collision-resistant while keeping it human-readable. */
+  private[graft] def tableSuffix(dir: String): String = {
+    val slug = dir.replaceAll("[^a-zA-Z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"${slug}_$h"
+  }
 
   /** Build-if-absent gate for a persisted artifact. The session
     * catalog is in-memory, so a PREVIOUS JVM may have left the managed
@@ -432,12 +439,22 @@ object SimilarityQueries {
   private def needsBuild(s: SparkSession, tables: String*): Boolean = {
     val missing = tables.filterNot(s.catalog.tableExists(_))
     if (missing.nonEmpty) {
-      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       tables.foreach { t =>
+        // A catalog-KNOWN table's real location (wherever it is) is
+        // removed by DROP TABLE itself; only catalog-unknown leftovers
+        // need the manual sweep, at the managed location under the
+        // CURRENT database — resolved from the catalog, not assumed
+        // to be the warehouse root (default's location IS the root,
+        // db X's is <warehouse>/x.db unless relocated).
+        val known = s.catalog.tableExists(t)
         s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        if (!known) {
+          val dbLoc = new org.apache.hadoop.fs.Path(
+            s.catalog.getDatabase(s.catalog.currentDatabase).locationUri)
+          val loc = new org.apache.hadoop.fs.Path(dbLoc, t.toLowerCase)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
       }
     }
     missing.nonEmpty
@@ -735,13 +752,15 @@ object SimilarityQueries {
         ($"proj" >= $"tot" * 0.10).as("explained_frac_ok"))
   }
 
+  // count matches the Spark side's na.drop (null embeddings are
+  // excluded from the fit and the variance totals)
   val pcaValidatedSql: String =
     """SELECT count(*) AS n_vectors,
       |  (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS dim,
       |  CAST(8 AS BIGINT) AS k,
       |  true AS components_orthonormal, true AS var_bounded,
       |  true AS explained_frac_ok
-      |FROM embeddings""".stripMargin
+      |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin
 
   /** q91: PCA AS A PIPELINE STAGE — near-dup pair candidates from the
     * SIGNS of the top-8 principal coordinates (VERDICT r09 #4: compose
@@ -926,9 +945,15 @@ object SimilarityQueries {
     val k = 8
     val tbl = s"graft_pca_q93_${tableSuffix(dir)}"
     if (needsBuild(s, tbl)) buildPcaModel(s, dir, tbl, k)
-    val emb = Tables.embeddings(s, dir).na.drop()
+    // select-then-drop: only the columns the projection needs decide
+    // null-exclusion (and label never reaches the scan)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")).na.drop()
     val proj = pcaProjected(s, tbl, emb).select($"vec_id", $"z")
-    val (meanF, compsF) = fitPca(emb.select($"embedding"), k)
+    // fresh fit over the SAME frame buildPcaModel fits (all non-null
+    // embeddings, vec_id irrelevant to the fit) so stored vs fresh
+    // compares models trained on identical inputs
+    val (meanF, compsF) =
+      fitPca(Tables.embeddings(s, dir).select($"embedding").na.drop(), k)
     val fresh = emb.select($"vec_id", array(pcaCoords(s, meanF, compsF): _*).as("z"))
     val nDiff = proj.exceptAll(fresh).union(fresh.exceptAll(proj)).count()
     val (mean, _) = loadPcaModel(s, tbl)
@@ -945,11 +970,14 @@ object SimilarityQueries {
         ($"proj" <= $"tot" * 1.000001).as("var_bounded"))
   }
 
+  // count matches the Spark side's select-then-na.drop (rows with a
+  // null vec_id or embedding are excluded from the projection)
   val pcaStoredProjectionSql: String =
     """SELECT count(*) AS n_vectors, CAST(8 AS BIGINT) AS k,
       |  (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings) AS dim,
       |  true AS stored_matches_fresh, true AS var_bounded
-      |FROM embeddings""".stripMargin
+      |FROM embeddings
+      |WHERE vec_id IS NOT NULL AND embedding IS NOT NULL""".stripMargin
 
   /** The q91 pipeline over any (vec_id, embedding) frame — injectable
     * so planted exact-copy recall has a spec (round-7 rule). */

@@ -140,8 +140,11 @@ object FunnelState {
       else {
         state.update(FunnelSessions(open))
         // fire once the watermark passes the EARLIEST still-open merge
-        // window (ceil to ms); kept sessions have ceil > wmMs, so the
-        // timestamp is legal (strictly after the current watermark)
+        // window (ceil to ms); closable uses strict <, so kept
+        // sessions have ceil >= wmMs — legal because Spark rejects
+        // only timeout timestamps strictly BELOW the watermark
+        // (timeout == watermark is accepted; if that check ever
+        // tightened to <=, the boundary case here would throw)
         state.setTimeoutTimestamp(
           open.map(f => (f.lastUs + gapUs + 999L) / 1000L).min)
       }

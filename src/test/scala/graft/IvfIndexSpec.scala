@@ -48,4 +48,16 @@ class IvfIndexSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_centroids")
     }
   }
+
+  test("tableSuffix: distinct dataset dirs never collide (ADVICE r11)") {
+    // the slug alone collapses these to the same name — one dataset's
+    // persisted index would shadow the other's within a session
+    val a = SimilarityQueries.tableSuffix("/data/a-b")
+    val b = SimilarityQueries.tableSuffix("/data/a_b")
+    assert(a != b, s"suffix collision: both dirs map to $a")
+    // deterministic across calls (the artifact must be findable again)
+    assert(a == SimilarityQueries.tableSuffix("/data/a-b"))
+    // still catalog-safe: identifier characters only
+    assert(a.matches("[a-zA-Z0-9_]+"), s"unsafe suffix: $a")
+  }
 }

@@ -206,6 +206,15 @@ class ScaleSpec extends SparkSpec {
       val uuidDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dirB)).count()
       assert(uuidDirs == 1L,
         s"unchanged conf re-applied setCheckpointDir ($uuidDirs UUID dirs under $dirB)")
+      // ADVICE r11: the tracked value is JVM-global but the dir lives
+      // on the SparkContext — after an EXTERNAL setCheckpointDir (or a
+      // context restart) an unchanged conf value must re-apply, not
+      // silently checkpoint into someone else's directory
+      spark.sparkContext.setCheckpointDir(dirA)
+      Scale.checkpointed(spark.range(100).toDF()).count()
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(dirB)),
+        s"external setCheckpointDir desynced the applied dir: " +
+          s"${spark.sparkContext.getCheckpointDir} should be under $dirB")
     } finally {
       spark.conf.unset("spark.graft.checkpoint.dir")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
