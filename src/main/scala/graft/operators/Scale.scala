@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   * asserted in ScaleSpec):
   *
   *  - AQE's skew-join splitting handles sort-merge join skew at
-  *    runtime (on by default); salting remains the tool for skewed
-  *    AGGREGATIONS and for broadcast-averse hot-key joins.
+  *    runtime (on by default — ScaleSpec pins that it actually fires
+  *    on a hot-key join, and MIGRATION.md §skew gives the full
+  *    decision rule); salting remains the tool for skewed
+  *    AGGREGATIONS (AQE never splits an agg's hash partition) and
+  *    for broadcast-averse hot-key joins.
   *  - Bucketed tables co-locate both sides of a frequent equi-join at
   *    write time: the join then plans with zero Exchange.
   */

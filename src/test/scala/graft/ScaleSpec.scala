@@ -33,6 +33,50 @@ class ScaleSpec extends SparkSpec {
     assert(direct == salted)
   }
 
+  test("AQE skew join: OptimizeSkewedJoin splits the hot key at runtime (no manual salt)") {
+    // The first knob a 100 TB operator reaches for on a skewed
+    // SHUFFLE JOIN is not saltedJoin — it is Spark's own runtime
+    // skew-split, on by default. This pins that the default actually
+    // fires on a hot-key sort-merge join (thresholds scaled down to
+    // fixture bytes; the PRODUCTION defaults are 256 MB / factor 5),
+    // so MIGRATION.md's salt-vs-AQE decision rule rests on an
+    // asserted behavior, not folklore.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // ~2.5 MB of key-0 rows land in ONE of the 4 shuffle partitions
+      // while the 1..1000 tail keeps the median partition tiny. The
+      // payload must SURVIVE the shuffle (aggregated below, else
+      // column pruning drops it pre-exchange and nothing is skewed)
+      // and be incompressible (sha2, not a constant — shuffle sizes
+      // are compressed bytes).
+      val pad = sha2(concat(lit("p"), $"id".cast("string")), 256)
+      val fact = spark.range(40000).select(lit(0L).as("key"), pad.as("pad"))
+        .union(spark.range(4000).select(($"id" % 1000 + 1).as("key"), pad.as("pad")))
+      val dim = spark.range(0, 1001).select($"id".as("key"), ($"id" * 2).as("v"))
+      val q = fact.join(dim, "key")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"), sum(length($"pad")).as("sp"))
+      val Array(row) = q.collect()
+      assert(row.getLong(0) == 44000L, s"join result wrong: $row")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)") && plan.contains("AQEShuffleRead skewed"),
+        s"OptimizeSkewedJoin did not fire (no skew-split markers in the final plan):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("oracleTierGuard refuses quadratic oracle queries past the row cap") {
     spark.conf.set("spark.graft.oracleTier.maxRows", "10")
     try {
