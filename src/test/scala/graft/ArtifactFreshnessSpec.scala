@@ -1,0 +1,69 @@
+package graft
+
+import java.io.File
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.DataFrame
+import graft.queries.SimilarityQueries
+
+/** Source-snapshot fingerprints on the persisted artifacts (VERDICT
+  * r11 #5): the verifying read paths REJECT an index/model built from
+  * a different snapshot of the source dir, and the lifecycle entry
+  * points rebuild instead of serving stale answers. */
+class ArtifactFreshnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Swap-in a new embeddings snapshot at `$dir/embeddings.parquet`
+    * (write-to-temp + move: Spark cannot overwrite its own input). */
+  private def writeSnapshot(df: DataFrame, dir: String): Unit = {
+    val dst = new File(dir, "embeddings.parquet")
+    val tmp = new File(dir, "embeddings.tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    FileUtils.deleteQuietly(dst)
+    FileUtils.moveDirectory(tmp, dst)
+  }
+
+  test("stale persisted artifacts are rejected on read and rebuilt by the lifecycle entries") {
+    val src = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val orig = spark.read.parquet(s"$sf/embeddings.parquet")
+    val maxId = orig.agg(org.apache.spark.sql.functions.max($"vec_id")).head().getLong(0)
+    val ivfTbl = s"graft_fresh_ivf_${System.nanoTime()}"
+    val pcaTbl = s"graft_fresh_pca_${System.nanoTime()}"
+    try {
+      writeSnapshot(orig, src)
+      SimilarityQueries.buildIvfIndex(spark, src, ivfTbl)
+      SimilarityQueries.buildPcaModel(spark, src, pcaTbl)
+      // fresh: both verifying reads answer
+      assert(SimilarityQueries.ivfNnFromIndex(spark, ivfTbl, src).limit(1).count() == 1)
+      val emb = Tables.embeddings(spark, src).select($"vec_id", $"embedding")
+      assert(SimilarityQueries.pcaProjected(spark, pcaTbl, emb, src).limit(1).count() == 1)
+
+      // the dataset is REPLACED under the same path (one row dropped)
+      writeSnapshot(orig.filter($"vec_id" =!= maxId), src)
+      val e1 = intercept[IllegalArgumentException] {
+        SimilarityQueries.ivfNnFromIndex(spark, ivfTbl, src)
+      }
+      assert(e1.getMessage.contains("different source snapshot"), e1.getMessage)
+      val emb2 = Tables.embeddings(spark, src).select($"vec_id", $"embedding")
+      val e2 = intercept[IllegalArgumentException] {
+        SimilarityQueries.pcaProjected(spark, pcaTbl, emb2, src)
+      }
+      assert(e2.getMessage.contains("different source snapshot"), e2.getMessage)
+
+      // the lifecycle entries REBUILD from the new snapshot and their
+      // own stored-vs-live pins hold through the rebuilt artifacts
+      val q92 = SimilarityQueries.ivfStoredNn(spark, src).head()
+      assert(q92.getAs[Long]("n_points") == orig.count() - 1, s"q92 after rebuild: $q92")
+      assert(q92.getAs[Boolean]("stored_equals_live"), s"q92 after rebuild: $q92")
+      val q93 = SimilarityQueries.pcaStoredProjection(spark, src).head()
+      assert(q93.getAs[Long]("n_vectors") == orig.count() - 1, s"q93 after rebuild: $q93")
+      assert(q93.getAs[Boolean]("stored_matches_fresh"), s"q93 after rebuild: $q93")
+    } finally {
+      Seq(ivfTbl, s"${ivfTbl}_centroids", pcaTbl,
+        s"graft_ivf_q92_${SimilarityQueries.tableSuffix(src)}",
+        s"graft_ivf_q92_${SimilarityQueries.tableSuffix(src)}_centroids",
+        s"graft_pca_q93_${SimilarityQueries.tableSuffix(src)}")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      FileUtils.deleteDirectory(new File(src))
+    }
+  }
+}
