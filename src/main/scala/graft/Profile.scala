@@ -3,10 +3,28 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc stage profiler: times labeled sub-plans of expensive queries
-  * (noop-materialized, post-warm-up) so optimization targets the real
-  * cost, not a guess. Not part of the driver contract. */
+/** Consolidated profiling driver (one main, subcommands — VERDICT r10
+  * #5): measurement tooling, NOT part of the driver contract.
+  *
+  * Usage: `runMain graft.Profile <subcommand> [args]`
+  *
+  *  - `med <substr...>` — median-of-7 warm timer over registered
+  *    queries matching any substring (round-9 noise control: identical
+  *    code varies ±20–50% per query at the 0.1–0.5 s scale, so
+  *    single-shot timings can't support any claim below ~1.5×).
+  *  - `stage` — labeled sub-plan decomposition of the historically
+  *    expensive shapes (minhash, within-label pairs, IVF, VADER,
+  *    distinct) so optimization targets the real cost, not a guess.
+  *  - `floor` — per-action scheduling/planning-floor probes (trivial
+  *    scan/union/sort shapes; the BENCH_NOTES floor attributions).
+  *
+  * `SPARK_GRAFT_SF_DIR` selects the dataset (default sf0.1). The
+  * retired one-off round decompositions (ProfileR7/ProfileR9/
+  * ProfileIvf) live in git history; their conclusions are recorded as
+  * BENCH_NOTES.md attributions and, where they changed a plan, in the
+  * operator's own Scaladoc. */
 object Profile {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -18,18 +36,49 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    def time(label: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-
-    // warm-up
+    // shared warm-up: JIT/codegen + table footers
     spark.range(1000).selectExpr("id % 7 k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()
     Tables.documents(spark, sfDir).select(count(lit(1))).count()
+    try args.toList match {
+      case "med" :: pats if pats.nonEmpty => med(spark, sfDir, pats)
+      case "stage" :: Nil => stage(spark, sfDir)
+      case "floor" :: Nil => floor(spark, sfDir)
+      case other =>
+        System.err.println(
+          s"unknown profile subcommand '${other.mkString(" ")}'; " +
+            "usage: Profile med <substr...> | stage | floor")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Median-of-7 warm timings for registered queries by substring. */
+  private def med(spark: SparkSession, sfDir: String, pats: Seq[String]): Unit = {
+    Tables.events(spark, sfDir).select(count(lit(1))).count()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => pats.exists(n.contains))
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to 7).map { _ =>
+        val t0 = System.nanoTime()
+        noop(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[med] $name%-32s median ${ts(3)}%.3f  min ${ts.head}%.3f  max ${ts.last}%.3f")
+    }
+  }
+
+  /** Labeled stage decomposition of the expensive query shapes. */
+  private def stage(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    def time(label: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      noop(df)
+      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
 
     import graft.functions.expressions._
     import graft.queries.DedupQueries.shingles
@@ -65,10 +114,10 @@ object Profile {
       Tables.documents(spark, sfDir).select($"doc_id", length($"text").as("l"))
         .repartition(1).sortWithinPartitions($"doc_id"))
     // IVF end-to-end (the sub-plan decomposition that diagnosed the
-    // broadcast-of-probe-side pathology lived here temporarily; the
-    // conclusion — shuffle-hash the cell join — is recorded in
-    // BENCH_NOTES.md and encoded in SimilarityQueries.ivfNn itself,
-    // so Profile measures only the real query and cannot drift from it)
+    // broadcast-of-probe-side pathology is retired; the conclusion —
+    // shuffle-hash the cell join — is recorded in BENCH_NOTES.md and
+    // encoded in SimilarityQueries.ivfNn itself, so Profile measures
+    // only the real query and cannot drift from it)
     time("ivf full")(graft.queries.SimilarityQueries.ivfNn(spark, sfDir))
     val vaderUdf = udf((t: String) => graft.functions.Vader.score(t))
     val vaderNoSort = Tables.documents(spark, sfDir)
@@ -80,6 +129,34 @@ object Profile {
     time("q09 as-is")(graft.queries.Relational.distinctParts(spark, sfDir))
     time("q33 again")(graft.queries.SentimentQueries.vaderDocs(spark, sfDir))
     time("q09 again")(graft.queries.Relational.distinctParts(spark, sfDir))
-    spark.stop()
+  }
+
+  /** Per-action scheduling-floor probes (median-of-7). */
+  private def floor(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    def med7(label: String)(f: => Unit): Unit = {
+      val ts = (1 to 7).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[fp] $label%-46s median ${ts(3)}%.3f  min ${ts.head}%.3f")
+    }
+    println("[fp] events rows = " + Tables.events(spark, sfDir).count())
+    med7("events scan+filter errors (noop)") {
+      noop(Tables.events(spark, sfDir).filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts"))
+    }
+    med7("errors + clicks scans (noop, union)") {
+      val ev = Tables.events(spark, sfDir)
+      noop(ev.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("t"))
+        .unionByName(ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", unix_micros($"ts").as("t"))))
+    }
+    med7("errors sorted output only (sort floor)") {
+      noop(Tables.events(spark, sfDir).filter($"event_type" === "error")
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+        .orderBy($"event_id"))
+    }
   }
 }
