@@ -652,7 +652,130 @@ object TrainQueries {
       |FROM c WHERE cum_tokens <= $budget
       |ORDER BY source, doc_id""".stripMargin
 
+  /** q94: DETERMINISTIC TRAIN/VAL/TEST SPLIT ASSIGNMENT — the
+    * split step every training pipeline runs before anything touches
+    * the data. Membership is a pure function of the PRIMARY KEY
+    * ([[sampleKey]] thresholds 980/990 of 1000 → ~98/1/1), which buys
+    * the three properties a 100 TB pipeline needs and `rand()`/
+    * `df.randomSplit` cannot give:
+    *  - **disjoint + exhaustive** by construction (one CASE over one
+    *    hash — a doc is in exactly one split);
+    *  - **stable under growth**: appending new documents NEVER moves
+    *    an existing document between splits (no re-shuffle of the
+    *    held-out set when the corpus is refreshed — the property that
+    *    keeps old eval results comparable), asserted by
+    *    TrainOpsSpec on a doubled corpus;
+    *  - **stable under retries/AQE**: no partition-dependent
+    *    randomness.
+    * Execution is a stateless map-side projection + a 3-group
+    * aggregate: one scan, one tiny exchange, at any scale. The
+    * emitted per-split report (counts, token sums, id range) is
+    * integer-exact for DuckDB to reproduce. */
+  private def splitCol: Column = {
+    val h = sampleKey(col("doc_id"))
+    when(h < 980L, "train").when(h < 990L, "val").otherwise("test")
+  }
+
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(splitCol.as("split"), $"doc_id",
+        TextQueries.tokenCount($"text").as("n_tokens"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"))
+      .orderBy($"split")
+  }
+
+  val splitAssignSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |    CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 980
+      |           THEN 'train'
+      |         WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 990
+      |           THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM t GROUP BY split ORDER BY split""".stripMargin
+
+  /** The q94 pipeline over any (doc_id, text) frame — injectable so
+    * the growth-stability and all-three-splits-populated properties
+    * have a spec on a corpus large enough to bind (the fixture's 500
+    * ids may leave the 1%-bands thin; round-7 rule). */
+  private[graft] def splitAssignOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", splitCol.as("split"))
+  }
+
+  /** q95: GLOBAL SHUFFLE ORDINAL — the "shuffle the corpus before
+    * training" step: assign every document a contiguous position
+    * 0..n−1 in a SEEDED pseudorandom permutation, deterministically.
+    * The permutation key is (doc_id·a) mod p with p = 1000003 prime
+    * and a = 2654435761 coprime to p — a true bijection on [0, p), so
+    * documents with doc_id < p collide never and larger corpora only
+    * tie-break by doc_id. Same reproducibility properties as
+    * [[sampleKey]]: stable under retries, engine-independent integer
+    * arithmetic.
+    *
+    * The GLOBAL ordinal is the classic scale trap: a bare
+    * `row_number() OVER (ORDER BY key)` funnels the corpus through
+    * ONE task. This is the two-level construction instead (the
+    * q67/q70/q85 pattern): (1) per-shard rank over 64 key-RANGE
+    * shards (shard = key div ⌈p/64⌉ — range, not hash, so shard order
+    * IS key order), (2) shard row-counts → running offsets via a
+    * window over the 64-row aggregate, (3) broadcast offsets back;
+    * ordinal = offset + local rank − 1. Identical to the oracle's
+    * single window, parallelism 64 (tune shards to the cluster). */
+  def shuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shuffleOrderOver(Tables.documents(s, dir).select($"doc_id"))
+  }
+
+  /** The q95 pipeline over any (doc_id) frame — injectable so the
+    * permutation theorem (ordinals are exactly 0..n−1; keys collide
+    * never below p) has a spec on a corpus big enough to populate
+    * every shard (round-7 rule). */
+  private[graft] def shuffleOrderOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val p = 1000003L
+    val step = (p + 63L) / 64L
+    val base = docs
+      .select($"doc_id",
+        pmod(pmod($"doc_id", lit(p)) * lit(2654435761L), lit(p)).as("shuffle_key"))
+      .withColumn("shard", ($"shuffle_key" / lit(step)).cast("long"))
+    val wLocal = Window.partitionBy($"shard").orderBy($"shuffle_key", $"doc_id")
+    // the offsets window runs over the COMPACTED 64-row aggregate —
+    // the sanctioned single-task second level, not a corpus window
+    val wShard = Window.orderBy($"shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy($"shard").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum($"n").over(wShard), lit(0L)))
+      .select($"shard", $"offset")
+    base
+      .withColumn("local_rank", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("shard"))
+      .select($"doc_id", $"shuffle_key",
+        ($"offset" + $"local_rank" - 1L).as("ordinal"))
+      .orderBy($"ordinal")
+  }
+
+  val shuffleOrderSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    (doc_id % 1000003) * 2654435761 % 1000003 AS shuffle_key
+      |  FROM documents)
+      |SELECT doc_id, shuffle_key,
+      |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS ordinal
+      |FROM t ORDER BY ordinal""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_split_assign" -> (splitAssign _),
+    "q95_shuffle_order" -> (shuffleOrder _),
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
     "q78_doc_chunks" -> ((s: SparkSession, dir: String) => docChunks(s, dir)),
     "q79_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)),
@@ -666,6 +789,8 @@ object TrainQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q94_split_assign" -> splitAssignSql,
+    "q95_shuffle_order" -> shuffleOrderSql,
     "q75_source_mix" -> sourceMixSql,
     "q78_doc_chunks" -> docChunksSql,
     "q79_contamination" -> contaminationSql,

@@ -288,6 +288,55 @@ class TrainOpsSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("q94 split assignment: disjoint, exhaustive, ~98/1/1, and STABLE under corpus growth") {
+    // large synthetic corpus so the 1%-bands bind (round-7 rule)
+    val n = 100000L
+    val docs = spark.range(n).select($"id".as("doc_id"))
+    val assigned = TrainQueries.splitAssignOver(docs)
+      .as[(Long, String)].collect().toMap
+    // exhaustive + disjoint by construction of the map; check coverage
+    assert(assigned.size == n)
+    val byS = assigned.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byS.keySet == Set("train", "val", "test"), s"splits: $byS")
+    // hash-threshold proportions: within ±20% relative of 980/10/10
+    assert(math.abs(byS("train") - 0.98 * n) < 0.002 * n, s"train: $byS")
+    assert(byS("val") > 0.008 * n && byS("val") < 0.012 * n, s"val: $byS")
+    assert(byS("test") > 0.008 * n && byS("test") < 0.012 * n, s"test: $byS")
+    // growth stability: doubling the corpus moves NO existing doc
+    val grown = TrainQueries.splitAssignOver(
+        spark.range(2 * n).select($"id".as("doc_id")))
+      .filter($"doc_id" < n).as[(Long, String)].collect().toMap
+    assert(grown == assigned, "corpus growth must never reassign an existing doc")
+  }
+
+  test("q95 shuffle order: ordinals are exactly 0..n-1 and keys never collide below p") {
+    val n = 20000L
+    // non-contiguous ids (every 3rd) — the permutation must not rely
+    // on dense ids
+    val docs = spark.range(n).select(($"id" * 3L).as("doc_id"))
+    val out = TrainQueries.shuffleOrderOver(docs)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == n)
+    // contiguous global ordinal, no single-partition corpus window
+    assert(out.map(_._3).sorted.toSeq == (0L until n), "ordinals must be 0..n-1")
+    // (doc_id * a) mod p is a bijection below p: zero key collisions
+    assert(out.map(_._2).distinct.length == n, "shuffle keys must be collision-free below p")
+    // the output really is ordered by (key, doc_id)
+    val byOrdinal = out.sortBy(_._3).map(o => (o._2, o._1)).toSeq
+    assert(byOrdinal == byOrdinal.sorted, "ordinal order must equal (key, doc_id) order")
+    // plan shape: the corpus-level rank window is SHARD-partitioned;
+    // any unpartitioned window sits above an Aggregate (the 64-row
+    // offsets frame), never over raw rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = TrainQueries.shuffleOrderOver(docs).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.exists(_.partitionSpec.nonEmpty), "corpus rank must be shard-partitioned")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        "an unpartitioned window may only run over a compacted aggregate")
+    }
+  }
+
   test("fixture corpus carries no PII-shaped strings (documented zero-match)") {
     val n = TrainQueries.piiRedact(spark, sf)
       .agg(sum("n_pii")).as[Long].head()
