@@ -137,4 +137,44 @@ class SessionStateSpec extends SparkSpec {
         s"est ${ests.head} + err $maxErr must bracket true 5")
     } finally q.stop()
   }
+
+  test("streaming trending bound-parity on the fixture under SHUFFLED replay") {
+    // The MG sketch's counters are order-dependent, so exact
+    // batch↔stream value parity is not a theorem — the BOUNDS are.
+    // Replay the whole events fixture in arbitrary order across 3
+    // micro-batches and check, per event type, against exact counts:
+    // n_events is exact, every emitted estimate brackets its true
+    // count within max_err, and state stays capacity-bounded.
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", $"user_id").as[(String, Long)].collect().toSeq
+    val delivered = new scala.util.Random(41).shuffle(rows)
+      .map { case (t, u) => (t, Option(u)) }
+    val chunks = delivered.grouped(delivered.length / 3 + 1).map(_.toSeq).toSeq
+    assert(chunks.length == 3)
+    val mem = MemoryStream[(String, Option[Long])]
+    val trends = graft.streaming.TrendingState.trending(
+      mem.toDF().toDF("event_type", "user_id"), capacity = 16, k = 5)
+    val q = trends.writeStream.format("memory").queryName("trending_parity")
+      .outputMode("update").start()
+    try {
+      chunks.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val perType = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val finals = spark.table("trending_parity").collect()
+        .map { r => (r.getString(0), r.getSeq[String](1), r.getSeq[Long](2),
+          r.getLong(3), r.getLong(4), r.getInt(5)) }
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._5) }
+      assert(finals.map(_._1).toSet == perType.keySet)
+      finals.foreach { case (tpe, items, ests, maxErr, n, tracked) =>
+        assert(n == perType(tpe), s"$tpe: n_events $n != exact ${perType(tpe)}")
+        assert(tracked <= 16, s"$tpe: state exceeded capacity")
+        items.zip(ests).foreach { case (item, est) =>
+          val truth = exact((tpe, item.toLong))
+          assert(est <= truth && truth <= est + maxErr,
+            s"$tpe/$item: est $est + err $maxErr must bracket true $truth")
+        }
+      }
+    } finally q.stop()
+  }
 }
