@@ -747,7 +747,9 @@ object TrainQueries {
     val base = docs
       .select($"doc_id",
         pmod(pmod($"doc_id", lit(p)) * lit(2654435761L), lit(p)).as("shuffle_key"))
-      .withColumn("shard", ($"shuffle_key" / lit(step)).cast("long"))
+      // integral `div`, not `/`: double division + cast could truncate
+      // to the wrong shard on an exact-boundary quotient
+      .withColumn("shard", expr(s"shuffle_key div $step"))
     val wLocal = Window.partitionBy($"shard").orderBy($"shuffle_key", $"doc_id")
     // the offsets window runs over the COMPACTED 64-row aggregate —
     // the sanctioned single-task second level, not a corpus window
