@@ -428,35 +428,35 @@ object SimilarityQueries {
     (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
   }
 
-  /** Fail-loud freshness gate on the read side: the fingerprint
-    * stamped in `fpTable` must equal the source's CURRENT one. A
-    * pre-fingerprint artifact (no stamp columns) is treated as
-    * unverifiable and rejected the same way. */
-  private def requireFresh(s: SparkSession, fpTable: String, dir: String,
-      what: String): Unit = {
-    val stored = scala.util.Try {
+  private def storedFingerprint(s: SparkSession, fpTable: String): Option[(Long, Long)] =
+    scala.util.Try {
       val r = s.table(fpTable).select(col("src_rows"), col("src_max_id")).head()
       (r.getLong(0), r.getLong(1))
     }.toOption
-    val now = sourceFingerprint(s, dir)
+
+  /** Fail-loud freshness gate on the read side: the fingerprint
+    * stamped in `fpTable` must equal the source's CURRENT one (`now`,
+    * computed by the caller from whichever table the artifact
+    * sketches/indexes). A pre-fingerprint artifact (no stamp columns)
+    * is treated as unverifiable and rejected the same way. */
+  private def requireFresh(s: SparkSession, fpTable: String, now: (Long, Long),
+      dir: String, what: String): Unit = {
+    val stored = storedFingerprint(s, fpTable)
     require(stored.contains(now),
       s"$what '$fpTable' was built from a different source snapshot of $dir " +
         s"(stored fingerprint ${stored.getOrElse("<absent>")}, source is now $now): " +
         "rebuild the artifact, or query through the lifecycle entry point " +
-        "(ivfStoredNn / pcaStoredProjection), which rebuilds stale artifacts itself.")
+        "(ivfStoredNn / pcaStoredProjection / hllStoredUnion), which rebuilds " +
+        "stale artifacts itself.")
   }
 
   /** Build-if-absent-or-STALE gate: rebuild when the catalog lacks
     * any of `tables` (needsBuild) OR the stamped source fingerprint in
-    * `fpTable` no longer matches the source dir. */
-  private def needsBuildOrStale(s: SparkSession, dir: String, fpTable: String,
+    * `fpTable` no longer matches the caller-computed current one. */
+  private def needsBuildOrStale(s: SparkSession, now: => (Long, Long), fpTable: String,
       tables: String*): Boolean =
     needsBuild(s, tables: _*) || {
-      val stored = scala.util.Try {
-        val r = s.table(fpTable).select(col("src_rows"), col("src_max_id")).head()
-        (r.getLong(0), r.getLong(1))
-      }.toOption
-      val stale = !stored.contains(sourceFingerprint(s, dir))
+      val stale = !storedFingerprint(s, fpTable).contains(now)
       if (stale) tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       stale
     }
@@ -470,7 +470,8 @@ object SimilarityQueries {
     * callers that just established freshness (the q92 gate) or
     * explicitly accept the stored snapshot. */
   def ivfNnFromIndex(s: SparkSession, table: String, sourceDir: String): DataFrame = {
-    requireFresh(s, s"${table}_centroids", sourceDir, "IVF index")
+    requireFresh(s, s"${table}_centroids", sourceFingerprint(s, sourceDir),
+      sourceDir, "IVF index")
     ivfNnFrom(s.table(table))
   }
 
@@ -544,7 +545,8 @@ object SimilarityQueries {
   def ivfStoredNn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tbl = s"graft_ivf_q92_${tableSuffix(dir)}"
-    if (needsBuildOrStale(s, dir, s"${tbl}_centroids", tbl, s"${tbl}_centroids"))
+    if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
+        tbl, s"${tbl}_centroids"))
       buildIvfIndex(s, dir, tbl)
     val stored = ivfNnFromIndex(s, tbl)
     val live = ivfNnFrom(ivfAssigned(s, dir, trainCentroids(s, dir)))
@@ -998,7 +1000,8 @@ object SimilarityQueries {
     * as the verifying [[ivfNnFromIndex]]). */
   def pcaProjected(s: SparkSession, modelTable: String, emb: DataFrame,
       sourceDir: String): DataFrame = {
-    requireFresh(s, modelTable, sourceDir, "PCA model")
+    requireFresh(s, modelTable, sourceFingerprint(s, sourceDir),
+      sourceDir, "PCA model")
     pcaProjected(s, modelTable, emb)
   }
 
@@ -1021,7 +1024,8 @@ object SimilarityQueries {
     import s.implicits._
     val k = 8
     val tbl = s"graft_pca_q93_${tableSuffix(dir)}"
-    if (needsBuildOrStale(s, dir, tbl, tbl)) buildPcaModel(s, dir, tbl, k)
+    if (needsBuildOrStale(s, sourceFingerprint(s, dir), tbl, tbl))
+      buildPcaModel(s, dir, tbl, k)
     // select-then-drop: only the columns the projection needs decide
     // null-exclusion (and label never reaches the scan)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")).na.drop()
@@ -1055,6 +1059,95 @@ object SimilarityQueries {
       |  true AS stored_matches_fresh, true AS var_bounded
       |FROM embeddings
       |WHERE vec_id IS NOT NULL AND embedding IS NOT NULL""".stripMargin
+
+  /** Fingerprint of the DOCUMENTS source — the q96 sketch base; same
+    * (row count, max id) shape as [[sourceFingerprint]]. */
+  private def docsFingerprint(s: SparkSession, dir: String): (Long, Long) = {
+    import s.implicits._
+    val r = Tables.documents(s, dir)
+      .agg(count(lit(1)), max($"doc_id".cast("long"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+  }
+
+  /** Build side of the PERSISTED SKETCH lifecycle: one HLL register
+    * array per source over distinct text fingerprints, stored with the
+    * source-snapshot stamp (the q92/q93 discipline). At 100 TB these
+    * are the per-partition/per-day sketches a pipeline stores so that
+    * "how many distinct documents across sources X, Y, any date range"
+    * is answered by merging kilobyte register arrays — never by
+    * re-scanning raw data. */
+  def buildDocSketches(s: SparkSession, dir: String, table: String): Unit = {
+    import s.implicits._
+    val (srcRows, srcMaxId) = docsFingerprint(s, dir)
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(graft.functions.HllSketch.hll_sketch(
+        TextQueries.fingerprint($"text")).as("sketch"))
+      .withColumn("src_rows", lit(srcRows)).withColumn("src_max_id", lit(srcMaxId))
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Query side: distinct-document estimate from STORED sketches
+    * alone. The `sourceDir` form verifies the stamped fingerprint
+    * first (the verifying-read contract of ivfNnFromIndex /
+    * pcaProjected); the raw form is for callers that just established
+    * freshness. */
+  def docDistinctFromSketches(s: SparkSession, table: String, sourceDir: String): DataFrame = {
+    requireFresh(s, table, docsFingerprint(s, sourceDir), sourceDir, "HLL sketch table")
+    docDistinctFromSketches(s, table)
+  }
+
+  def docDistinctFromSketches(s: SparkSession, table: String): DataFrame = {
+    import s.implicits._
+    s.table(table)
+      .agg(graft.functions.HllSketch.hll_union_distinct($"sketch").as("est_distinct"))
+  }
+
+  /** q96: the PERSISTED-SKETCH LIFECYCLE as a driver-verified row —
+    * [[buildDocSketches]] once per dataset (build-if-absent-or-stale,
+    * the q92 gate), answer the corpus distinct-document question from
+    * the STORED sketches, and pin in the emitted row:
+    *  - `n_sources` / `sketch_bytes` / `exact_distinct`: shape counts
+    *    DuckDB reproduces independently (exact distinct via the shared
+    *    codepoint fingerprint — ONE definition each side);
+    *  - `merge_exact`: union-of-stored EQUALS the one-pass direct
+    *    sketch — the register max is associative/commutative/
+    *    idempotent and per-source grouping partitions the corpus, so
+    *    the merged registers are BIT-identical to a single scan's
+    *    (the property that makes stored sketches trustworthy at all);
+    *  - `err_bounded`: the estimate lands within 3σ (3·1.04/√2048 ≈
+    *    6.9%, +2 absolute slack for tiny corpora) of the true count —
+    *    the q19 tolerance discipline, here THROUGH the artifact.
+    * Validation-priced like q92/q93 (direct sketch + exact distinct
+    * exist only to verify; production consumers pay one merge of
+    * n_sources × 2 KB register arrays). */
+  def hllStoredUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_hll_q96_${tableSuffix(dir)}"
+    if (needsBuildOrStale(s, docsFingerprint(s, dir), tbl, tbl))
+      buildDocSketches(s, dir, tbl)
+    val fp = TextQueries.fingerprint($"text")
+    val stored = s.table(tbl).agg(
+      graft.functions.HllSketch.hll_union_distinct($"sketch").as("est_stored"),
+      count(lit(1)).as("n_sources"),
+      max(length($"sketch")).cast("long").as("sketch_bytes"))
+    val direct = Tables.documents(s, dir).agg(
+      graft.functions.HllSketch.hll_distinct(fp).as("est_direct"),
+      countDistinct(fp).as("exact_distinct"))
+    stored.crossJoin(direct).select(
+      $"n_sources", $"sketch_bytes", $"exact_distinct",
+      ($"est_stored" === $"est_direct").as("merge_exact"),
+      (abs($"est_stored" - $"exact_distinct") <=
+        $"exact_distinct" * 0.069 + 2.0).as("err_bounded"))
+  }
+
+  lazy val hllStoredUnionSql: String =
+    s"""SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(2048 AS BIGINT) AS sketch_bytes,
+       |  CAST(count(DISTINCT ${TextQueries.fingerprintSql("text")}) AS BIGINT)
+       |    AS exact_distinct,
+       |  true AS merge_exact, true AS err_bounded
+       |FROM documents""".stripMargin
 
   /** The q91 pipeline over any (vec_id, embedding) frame — injectable
     * so planted exact-copy recall has a spec (round-7 rule). */
@@ -1105,6 +1198,7 @@ object SimilarityQueries {
     "q74_ivf_topk" -> (ivfTopk _),
     "q92_ivf_stored_nn" -> (ivfStoredNn _),
     "q93_pca_stored_projection" -> (pcaStoredProjection _),
+    "q96_hll_stored_union" -> (hllStoredUnion _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1119,5 +1213,6 @@ object SimilarityQueries {
     "q76_quantize_embeddings" -> quantizeEmbeddingsSql,
     "q92_ivf_stored_nn" -> ivfStoredNnSql,
     "q93_pca_stored_projection" -> pcaStoredProjectionSql,
+    "q96_hll_stored_union" -> hllStoredUnionSql,
   )
 }

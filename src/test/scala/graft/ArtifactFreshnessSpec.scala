@@ -66,4 +66,37 @@ class ArtifactFreshnessSpec extends SparkSpec {
       FileUtils.deleteDirectory(new File(src))
     }
   }
+
+  test("stale stored HLL sketches are rejected on read and rebuilt by the q96 entry") {
+    val src = java.nio.file.Files.createTempDirectory("graft-stale-hll").toString
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+    val maxId = orig.agg(org.apache.spark.sql.functions.max($"doc_id")).head().getLong(0)
+    val tbl = s"graft_fresh_hll_${System.nanoTime()}"
+    def snapshot(df: DataFrame): Unit = {
+      val dst = new File(src, "documents.parquet")
+      val tmp = new File(src, "documents.tmp")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      FileUtils.deleteQuietly(dst)
+      FileUtils.moveDirectory(tmp, dst)
+    }
+    try {
+      snapshot(orig)
+      SimilarityQueries.buildDocSketches(spark, src, tbl)
+      assert(SimilarityQueries.docDistinctFromSketches(spark, tbl, src)
+        .head().getLong(0) > 0L)
+      snapshot(orig.filter($"doc_id" =!= maxId))
+      val e = intercept[IllegalArgumentException] {
+        SimilarityQueries.docDistinctFromSketches(spark, tbl, src)
+      }
+      assert(e.getMessage.contains("different source snapshot"), e.getMessage)
+      val q96 = SimilarityQueries.hllStoredUnion(spark, src).head()
+      assert(q96.getAs[Long]("exact_distinct") > 0L, s"q96 after rebuild: $q96")
+      assert(q96.getAs[Boolean]("merge_exact"), s"q96 after rebuild: $q96")
+      assert(q96.getAs[Boolean]("err_bounded"), s"q96 after rebuild: $q96")
+    } finally {
+      Seq(tbl, s"graft_hll_q96_${SimilarityQueries.tableSuffix(src)}")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      FileUtils.deleteDirectory(new File(src))
+    }
+  }
 }

@@ -25,6 +25,41 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(a2 - e2) / e2 < 0.05, s"exact=$e2 approx=$a2")
   }
 
+  test("hll store/merge lifecycle: union of per-group sketches is BIT-identical to one pass") {
+    import graft.functions.HllSketch.{hll_sketch, hll_union_distinct}
+    // skewed groups + cross-group duplicate values (ids mod 1000) so
+    // the union genuinely de-duplicates across stored sketches
+    val df = spark.range(30000).select(
+      ($"id" % 7).as("g"), ($"id" % 1000).as("v"))
+    val perGroup = df.groupBy($"g").agg(hll_sketch($"v").as("sketch"))
+    // the registers themselves: elementwise max across the 7 stored
+    // arrays equals the single-scan array byte-for-byte
+    val stored = perGroup.select($"sketch").as[Array[Byte]].collect()
+    val direct = df.agg(hll_sketch($"v")).as[Array[Byte]].head()
+    val merged = stored.reduce { (a, b) =>
+      a.zip(b).map { case (x, y) => if (y > x) y else x }
+    }
+    assert(java.util.Arrays.equals(merged, direct),
+      "union of stored registers must equal the one-pass registers bit-for-bit")
+    assert(stored.forall(_.length == 2048), "p=11 sketches must be 2048 bytes")
+    // and the estimate through the stored path equals the direct one
+    val estStored = perGroup.agg(hll_union_distinct($"sketch")).as[Long].head()
+    val estDirect = df.agg(hll_distinct($"v")).as[Long].head()
+    assert(estStored == estDirect, s"stored $estStored != direct $estDirect")
+    // exact truth: 1000 distinct values; the 2.3%-σ sketch must land close
+    assert(math.abs(estStored - 1000L) <= 70L, s"estimate $estStored vs exact 1000")
+  }
+
+  test("hll_union_distinct rejects mis-sized sketches loudly") {
+    import graft.functions.HllSketch.hll_union_distinct
+    val bad = Seq(Array[Byte](1, 2, 3)).toDF("sketch")
+    val e = intercept[Exception] {
+      bad.agg(hll_union_distinct($"sketch")).head()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("2048"),
+      s"mis-sized sketch must fail with the expected size in the message: $e")
+  }
+
   test("freq_items: finds a planted heavy hitter with valid bounds") {
     import graft.functions.FrequentItemsSketch.freq_items
     // 10k noise items (ids 0..999, ~10 each) + one item at 3000 —
