@@ -89,11 +89,18 @@ object Scale {
         // dir we applied and re-apply whenever the current context's
         // dir is not that exact value (covers restart, external
         // clear, and external overwrite in one check).
-        val prev = appliedCheckpointDir.get()
-        if (prev == null || prev._1 != dir ||
-          !sc.getCheckpointDir.contains(prev._2)) {
-          sc.setCheckpointDir(dir)
-          appliedCheckpointDir.set((dir, sc.getCheckpointDir.get))
+        // check-and-apply must be atomic: two concurrent callers
+        // interleaving get/set could store the LOSING thread's pair
+        // and force a redundant setCheckpointDir (extra UUID dir) on
+        // the next call (ADVICE r12). setCheckpointDir itself is
+        // cheap and rare, so a plain lock beats a CAS retry loop.
+        appliedCheckpointDir.synchronized {
+          val prev = appliedCheckpointDir.get()
+          if (prev == null || prev._1 != dir ||
+            !sc.getCheckpointDir.contains(prev._2)) {
+            sc.setCheckpointDir(dir)
+            appliedCheckpointDir.set((dir, sc.getCheckpointDir.get))
+          }
         }
         // Reliable checkpoint files are NEVER deleted by default:
         // each q66/q82 label-propagation iteration writes one, so a

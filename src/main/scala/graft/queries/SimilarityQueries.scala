@@ -429,10 +429,19 @@ object SimilarityQueries {
   }
 
   private def storedFingerprint(s: SparkSession, fpTable: String): Option[(Long, Long)] =
-    scala.util.Try {
+    try {
       val r = s.table(fpTable).select(col("src_rows"), col("src_max_id")).head()
-      (r.getLong(0), r.getLong(1))
-    }.toOption
+      Some((r.getLong(0), r.getLong(1)))
+    } catch {
+      // Only the cases that MEAN "no usable stamp": an absent table or a
+      // pre-stamp artifact missing the src_rows/src_max_id columns (both
+      // AnalysisException), or an empty stamp table (head() on zero rows).
+      // Anything else — transient FS/catalog failure mid-read — propagates
+      // instead of silently classifying the artifact stale and paying a
+      // full rebuild (ADVICE r12).
+      case _: org.apache.spark.sql.AnalysisException => None
+      case _: NoSuchElementException                 => None
+    }
 
   /** Fail-loud freshness gate on the read side: the fingerprint
     * stamped in `fpTable` must equal the source's CURRENT one (`now`,
@@ -1141,8 +1150,15 @@ object SimilarityQueries {
         $"exact_distinct" * 0.069 + 2.0).as("err_bounded"))
   }
 
+  // n_sources counts GROUPS, so a NULL source is one more group —
+  // count(DISTINCT source) alone would exclude it (ADVICE r12). The
+  // Spark side deliberately keeps the null group: dropping it would
+  // break merge_exact (per-source sketches must PARTITION the corpus
+  // for union-of-stored ≡ one-pass).
   lazy val hllStoredUnionSql: String =
-    s"""SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+    s"""SELECT CAST(count(DISTINCT source)
+       |    + max(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_sources,
        |  CAST(2048 AS BIGINT) AS sketch_bytes,
        |  CAST(count(DISTINCT ${TextQueries.fingerprintSql("text")}) AS BIGINT)
        |    AS exact_distinct,

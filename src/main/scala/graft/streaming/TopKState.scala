@@ -70,7 +70,14 @@ object TopKState {
     * decode would otherwise kill the streaming query. Explicit
     * isNotNull filters, NOT `na.drop()`: na.drop treats NaN as
     * missing, but the batch buffer RANKS NaN (largest, the Spark/
-    * DuckDB DESC convention) — the parity fuzz catches the drop. */
+    * DuckDB DESC convention) — the parity fuzz catches the drop.
+    *
+    * Consequently `n_events` counts RANKABLE events — rows surviving
+    * the null filter — NOT raw delivered rows: on null-bearing input
+    * it diverges from a batch `count(lit(1))` per group (which counts
+    * null-ord/tie rows too). That is the intended semantics (a count
+    * of events that could ever appear in the top-k), pinned by the
+    * null-semantics case in TopKStateSpec (ADVICE r12). */
   def topk(events: DataFrame, k: Int = 5): Dataset[TopK] = {
     val spark = events.sparkSession
     import spark.implicits._

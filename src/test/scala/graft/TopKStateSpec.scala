@@ -88,6 +88,26 @@ class TopKStateSpec extends SparkSpec {
     }
   }
 
+  test("null semantics: n_events counts only rankable (non-null) events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Option[Double], Option[Long])]
+    val q = TopKState.topk(mem.toDF().toDF("group", "ord", "tie"), 2)
+      .writeStream.format("memory").queryName("topk_nulls").outputMode("update").start()
+    try {
+      mem.addData(("a", Some(1.0), Some(1L)), ("a", None, Some(2L)),
+        ("a", Some(3.0), None), ("a", Some(2.0), Some(4L)))
+      q.processAllAvailable()
+      val aLast = spark.table("topk_nulls").collect().maxBy(_.getLong(2))
+      // null-ord / null-tie rows can never rank (DESC NULLS LAST) and are
+      // dropped before the typed decode, so n_events is 2, not 4 — the
+      // DOCUMENTED divergence from batch count(lit(1)) on null-bearing
+      // input (TopKState.topk Scaladoc; ADVICE r12)
+      assert(aLast.getLong(2) == 2L, s"n_events must count non-null events only: $aLast")
+      assert(aLast.getSeq[Row](1).map(e => (e.getDouble(0), e.getLong(1))) ==
+        Seq((2.0, 4L), (1.0, 1L)), s"nulls must not enter the buffer: $aLast")
+    } finally q.stop()
+  }
+
   test("Update-mode emission: only touched groups emit; n_events is monotone") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double, Long)]
