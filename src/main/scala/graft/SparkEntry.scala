@@ -21,6 +21,7 @@ object SparkEntry {
       (graft.queries.SentimentQueries.queries, graft.queries.SentimentQueries.oracles),
       (graft.queries.MediaQueries.queries, graft.queries.MediaQueries.oracles),
       (graft.queries.TrainQueries.queries, graft.queries.TrainQueries.oracles),
+      (graft.queries.BpeQueries.queries, graft.queries.BpeQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -448,7 +448,7 @@ object SimilarityQueries {
     * computed by the caller from whichever table the artifact
     * sketches/indexes). A pre-fingerprint artifact (no stamp columns)
     * is treated as unverifiable and rejected the same way. */
-  private def requireFresh(s: SparkSession, fpTable: String, now: (Long, Long),
+  private[graft] def requireFresh(s: SparkSession, fpTable: String, now: (Long, Long),
       dir: String, what: String): Unit = {
     val stored = storedFingerprint(s, fpTable)
     require(stored.contains(now),
@@ -462,7 +462,7 @@ object SimilarityQueries {
   /** Build-if-absent-or-STALE gate: rebuild when the catalog lacks
     * any of `tables` (needsBuild) OR the stamped source fingerprint in
     * `fpTable` no longer matches the caller-computed current one. */
-  private def needsBuildOrStale(s: SparkSession, now: => (Long, Long), fpTable: String,
+  private[graft] def needsBuildOrStale(s: SparkSession, now: => (Long, Long), fpTable: String,
       tables: String*): Boolean =
     needsBuild(s, tables: _*) || {
       val stale = !storedFingerprint(s, fpTable).contains(now)
@@ -1071,7 +1071,7 @@ object SimilarityQueries {
 
   /** Fingerprint of the DOCUMENTS source — the q96 sketch base; same
     * (row count, max id) shape as [[sourceFingerprint]]. */
-  private def docsFingerprint(s: SparkSession, dir: String): (Long, Long) = {
+  private[graft] def docsFingerprint(s: SparkSession, dir: String): (Long, Long) = {
     import s.implicits._
     val r = Tables.documents(s, dir)
       .agg(count(lit(1)), max($"doc_id".cast("long"))).head()

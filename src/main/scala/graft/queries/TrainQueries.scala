@@ -77,10 +77,18 @@ object TrainQueries {
     * ranges), which is exactly what the unchanged single-window
     * oracle SQL verifies. */
   def tokenPack(s: SparkSession, dir: String, budget: Long = 2048L,
-                shardSize: Long = 1000L): DataFrame = {
+                shardSize: Long = 1000L): DataFrame =
+    tokenPackWith(s, dir, budget, shardSize, TextQueries.bpeishTokenCount(col("text")))
+
+  /** [[tokenPack]] with a pluggable per-document token cost — the
+    * same two-level prefix-sum plan under any counting currency
+    * (q70: the `\w+|[^\w\s]` pre-token count; q99: true BPE subword
+    * counts via [[graft.functions.Bpe]]). */
+  private[graft] def tokenPackWith(s: SparkSession, dir: String, budget: Long,
+                shardSize: Long, cost: Column): DataFrame = {
     import s.implicits._
     val base = Tables.documents(s, dir)
-      .select($"source", $"doc_id", TextQueries.bpeishTokenCount($"text").as("n_tokens"))
+      .select($"source", $"doc_id", cost.cast("long").as("n_tokens"))
       .withColumn("shard", expr(s"doc_id div $shardSize"))
     val wLocal = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -610,11 +618,19 @@ object TrainQueries {
     * the source count; this form keeps sources × bands partitions
     * while computing the identical cumulative sum, which is exactly
     * what the single-window oracle SQL verifies. */
-  def budgetSelect(s: SparkSession, dir: String, budget: Long = 800L): DataFrame = {
+  def budgetSelect(s: SparkSession, dir: String, budget: Long = 800L): DataFrame =
+    budgetSelectWith(s, dir, budget, TextQueries.tokenCount(col("text")))
+
+  /** [[budgetSelect]] with a pluggable token cost (q85: whitespace
+    * tokens; q98: BPE subword tokens) — selection order (quality
+    * desc, doc_id) is currency-independent; only the budget's
+    * currency changes. */
+  private[graft] def budgetSelectWith(s: SparkSession, dir: String, budget: Long,
+      cost: Column): DataFrame = {
     import s.implicits._
     val base = Tables.documents(s, dir)
       .select($"source", $"doc_id",
-        TextQueries.tokenCount($"text").as("n_tokens"),
+        cost.cast("long").as("n_tokens"),
         size(array_distinct(split(trim($"text"), "\\s+"))).cast("long").as("quality"))
     val wLocal = Window.partitionBy($"source", $"quality").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
