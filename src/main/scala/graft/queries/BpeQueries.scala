@@ -82,15 +82,23 @@ object BpeQueries {
     * Deterministic: dictionary cap breaks ties (freq desc, word asc),
     * argmax breaks ties (count desc, l asc, r asc) — same corpus,
     * same confs ⇒ same table, under any partitioning/AQE/retry. */
-  def trainBpeMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
+  def trainBpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    trainBpeMergesFrom(Tables.documents(s, dir).select(col("text")),
+      bpeMergesN(s), bpeDictSize(s), bpeMinFreq(s))
+
+  /** Trainer over any (text) frame — injectable so constructed
+    * corpora with hand-computable merge sequences have a spec (the
+    * round-7 rule; the gate fixture's 31-word vocabulary can't pin
+    * specific merges). */
+  private[graft] def trainBpeMergesFrom(docs: DataFrame, nMerges: Int,
+      dictSize: Int, minFreq: Long): Seq[(String, String)] = {
+    val s = docs.sparkSession
     import s.implicits._
-    val nMerges = bpeMergesN(s)
-    val minFreq = bpeMinFreq(s)
     // one corpus scan → capped word dictionary (the only data-scale work)
-    val dict = Tables.documents(s, dir)
+    val dict = docs
       .select(explode(expr("regexp_extract_all(text, '\\\\w+', 0)")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .orderBy($"freq".desc, $"word".asc).limit(bpeDictSize(s))
+      .orderBy($"freq".desc, $"word".asc).limit(dictSize)
     // filter() guards Java's split("", -1) trailing empty string
     var state = dict
       .select(expr("filter(split(word, ''), x -> x <> '')").as("syms"), $"freq")
