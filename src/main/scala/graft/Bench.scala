@@ -84,6 +84,37 @@ object Bench {
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
 
+    // ------------------------------------------------------------- //
+    // Load sentinel (VERDICT r12 #2): r12's warm medians moved +51%
+    // with no plan changes — measurement-host load, provable only by
+    // forensics. Record the machine state IN the artifact so a
+    // polluted run is detectable by inspection: /proc/loadavg at
+    // start and end, plus a FIXED-WORK calibration query (a pure
+    // CPU-bound hash-aggregate over a generated range — no IO, no
+    // data dependence) timed before and after the suite. On an idle
+    // host the calibration medians agree run-to-run; a loaded host
+    // inflates them in proportion to the pollution of neighboring
+    // query timings.
+    // ------------------------------------------------------------- //
+    def loadavg(): String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "" }
+    def calibration(): Double = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(20000000L)
+          .selectExpr("(id * 2654435761) % 1000003 AS k")
+          .groupBy("k").count()
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      runs(1) // median-of-3, same estimator as the queries
+    }
+    val loadStart = loadavg()
+    val calibStart = calibration()
+
     /** Per-query record: cold, warm median, warm min/max (noise
       * band), cold-run GC ms, first error if any run failed. */
     case class QRes(name: String, cold: Double, warm: Double, warmMin: Double,
@@ -125,6 +156,10 @@ object Bench {
     val total = results.map(r => math.max(r.cold, 0.0)).sum
     val totalWarm = results.map(r => math.max(r.warm, 0.0)).sum
 
+    // post-suite sentinel readings (before serializing the artifact)
+    val loadEnd = loadavg()
+    val calibEnd = calibration()
+
     // Full per-query detail → BENCH_FULL.json (committed per round);
     // the stdout line stays tiny so the driver's retained output tail
     // always contains it whole.
@@ -139,7 +174,12 @@ object Bench {
       "{\n\"metric\":\"total\",\"value\":" + jnum(total) +
         ",\"unit\":\"sec\",\"value_warm\":" + jnum(totalWarm) +
         ",\"n_failed\":" + nFailed + ",\"sf\":" + jstr(sfDir) +
-        ",\"warm_estimator\":\"median-of-3\",\"queries\":{\n",
+        ",\"warm_estimator\":\"median-of-3\"" +
+        ",\"loadavg_start\":" + jstr(loadStart) +
+        ",\"loadavg_end\":" + jstr(loadEnd) +
+        ",\"calib_sec_start\":" + jnum(calibStart) +
+        ",\"calib_sec_end\":" + jnum(calibEnd) +
+        ",\"queries\":{\n",
       ",\n", "\n}\n}\n")
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))

@@ -420,13 +420,20 @@ object SimilarityQueries {
     * under the same path no longer silently serves an index built
     * from the OLD data. (Not a content hash — an in-place UPDATE that
     * preserves both count and max id passes; at that point the
-    * dataset layer's own snapshot/version id is the right key.) */
-  private def sourceFingerprint(s: SparkSession, dir: String): (Long, Long) = {
-    import s.implicits._
-    val r = Tables.embeddings(s, dir)
-      .agg(count(lit(1)), max($"vec_id".cast("long"))).head()
-    (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
-  }
+    * dataset layer's own snapshot/version id is the right key.)
+    *
+    * Served from parquet FOOTER statistics + a modification-signature
+    * cache ([[graft.sources.FooterStats]]) — a metadata read, not a
+    * source scan (VERDICT r12 #3); the two-aggregate scan remains
+    * only as the fallback when footers lack usable integer stats. */
+  private def sourceFingerprint(s: SparkSession, dir: String): (Long, Long) =
+    graft.sources.FooterStats.fingerprint(s, s"$dir/embeddings.parquet", "vec_id")
+      .getOrElse {
+        import s.implicits._
+        val r = Tables.embeddings(s, dir)
+          .agg(count(lit(1)), max($"vec_id".cast("long"))).head()
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+      }
 
   private def storedFingerprint(s: SparkSession, fpTable: String): Option[(Long, Long)] =
     try {
@@ -1069,14 +1076,17 @@ object SimilarityQueries {
       |FROM embeddings
       |WHERE vec_id IS NOT NULL AND embedding IS NOT NULL""".stripMargin
 
-  /** Fingerprint of the DOCUMENTS source — the q96 sketch base; same
-    * (row count, max id) shape as [[sourceFingerprint]]. */
-  private[graft] def docsFingerprint(s: SparkSession, dir: String): (Long, Long) = {
-    import s.implicits._
-    val r = Tables.documents(s, dir)
-      .agg(count(lit(1)), max($"doc_id".cast("long"))).head()
-    (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
-  }
+  /** Fingerprint of the DOCUMENTS source — the q96/q97 sketch/merges
+    * base; same (row count, max id) shape as [[sourceFingerprint]],
+    * same footer-stats fast path + scan fallback. */
+  private[graft] def docsFingerprint(s: SparkSession, dir: String): (Long, Long) =
+    graft.sources.FooterStats.fingerprint(s, s"$dir/documents.parquet", "doc_id")
+      .getOrElse {
+        import s.implicits._
+        val r = Tables.documents(s, dir)
+          .agg(count(lit(1)), max($"doc_id".cast("long"))).head()
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+      }
 
   /** Build side of the PERSISTED SKETCH lifecycle: one HLL register
     * array per source over distinct text fingerprints, stored with the

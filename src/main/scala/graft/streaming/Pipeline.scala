@@ -140,6 +140,24 @@ object Pipeline {
           .as("n_negative"))
   }
 
+  /** q94's deterministic train/val/test split on the STREAMING
+    * enrichment path: a stateless `withColumn`, usable on any stream
+    * (no watermark, no state — membership is a pure function of the
+    * key). String keys go through the shared codepoint rolling hash
+    * first (the engine's ONE cross-engine string hash), numeric keys
+    * feed the threshold CASE directly — so a stream keyed by
+    * tweet_id and a batch backfill keyed by the same id can only
+    * agree (growth/retry stability inherited from q94; parity with
+    * the batch assignment pinned in StreamingPipelineSpec). */
+  def withSplit(df: DataFrame, idCol: String = "tweet_id"): DataFrame = {
+    val key = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TextQueries.fingerprint(col(idCol))
+      case _ => col(idCol)
+    }
+    df.withColumn("split", graft.queries.TrainQueries.splitOf(key))
+  }
+
   /** Stream-stream join: enrich the tweet stream with a late-arriving
     * engagement-update stream (tweet_id, new counts) within a bounded
     * time window. Both sides are watermarked so join state is purged

@@ -99,4 +99,33 @@ class ArtifactFreshnessSpec extends SparkSpec {
       FileUtils.deleteDirectory(new File(src))
     }
   }
+
+  test("footer-stats fingerprint equals the aggregate scan (both writers, cache coherent)") {
+    import org.apache.spark.sql.functions.{count, lit, max}
+    def scanned(df: DataFrame, id: String): (Long, Long) = {
+      val r = df.agg(count(lit(1)), max(df(id).cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+    }
+    // driver-written single-file parquet (pyarrow footers)
+    for ((t, id) <- Seq("documents" -> "doc_id", "embeddings" -> "vec_id")) {
+      val path = s"$sf/$t.parquet"
+      val foot = graft.sources.FooterStats.fingerprint(spark, path, id)
+      assert(foot.isDefined, s"$t footers must carry usable $id stats")
+      assert(foot.get == scanned(spark.read.parquet(path), id), s"table $t")
+    }
+    // Spark-written multi-file directory, then REPLACED: the
+    // modification-signature cache must serve the new snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-footer").toString
+    try {
+      val orig = spark.read.parquet(s"$sf/documents.parquet").repartition(3)
+      orig.write.mode("overwrite").parquet(s"$dir/d.parquet")
+      val f1 = graft.sources.FooterStats.fingerprint(spark, s"$dir/d.parquet", "doc_id")
+      assert(f1.contains(scanned(orig, "doc_id")))
+      val maxId = scanned(orig, "doc_id")._2
+      orig.filter(orig("doc_id") =!= maxId).write.mode("overwrite").parquet(s"$dir/d.parquet")
+      val f2 = graft.sources.FooterStats.fingerprint(spark, s"$dir/d.parquet", "doc_id")
+      assert(f2.isDefined && f2 != f1, "replaced snapshot must re-fingerprint")
+      assert(f2.get._1 == f1.get._1 - 1)
+    } finally FileUtils.deleteDirectory(new File(dir))
+  }
 }

@@ -284,4 +284,30 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("tweet_count")).sum == 5)
     } finally q.stop()
   }
+
+  test("q94 split sibling: stream and batch assign identical splits (string + numeric keys)") {
+    implicit val sqlCtx = spark.sqlContext
+    // string keys (tweet_id): stream through a real streaming query
+    val ids = (1 to 500).map(i => s"tw$i")
+    val mem = MemoryStream[String]
+    val streamed = Pipeline.withSplit(mem.toDF().select(col("value").as("tweet_id")))
+    assert(streamed.isStreaming, "the sibling must be legal on an unbounded plan")
+    val q = streamed.writeStream.format("memory").queryName("split_parity")
+      .outputMode("append").start()
+    try { mem.addData(ids: _*); q.processAllAvailable() } finally q.stop()
+    val streamMap = spark.table("split_parity")
+      .as[(String, String)].collect().toMap
+    val batchMap = Pipeline.withSplit(ids.toDF("tweet_id"))
+      .as[(String, String)].collect().toMap
+    assert(streamMap.size == ids.size)
+    assert(streamMap == batchMap, "stream and batch must assign identical splits")
+    assert(streamMap.values.toSet.subsetOf(Set("train", "val", "test")))
+    // numeric keys: the sibling ≡ q94's own batch CASE over doc_id
+    val docs = spark.range(2000L).select($"id".as("doc_id"))
+    val viaStream = Pipeline.withSplit(docs, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val viaBatch = graft.queries.TrainQueries.splitAssignOver(docs)
+      .as[(Long, String)].collect().toMap
+    assert(viaStream == viaBatch)
+  }
 }
