@@ -101,7 +101,7 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .trim.split("\\s+").take(3).mkString(" ")
     } catch { case _: Throwable => "" }
-    def calibration(): Double = {
+    def calibration(): Double = try {
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         spark.range(20000000L)
@@ -111,7 +111,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       runs(1) // median-of-3, same estimator as the queries
-    }
+    } catch { case _: Throwable => -1.0 } // sentinel must never sink the bench
     val loadStart = loadavg()
     val calibStart = calibration()
 
