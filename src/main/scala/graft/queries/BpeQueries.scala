@@ -129,7 +129,12 @@ object BpeQueries {
   }
 
   /** Build side of the persisted-merges lifecycle: train, stamp with
-    * the documents-source fingerprint, store rank-ordered. */
+    * the documents-source fingerprint, store rank-ordered. Degenerate
+    * corpora (no pair ever reaches minFreq) persist an EMPTY table,
+    * which carries no stamp row — the q97 gate then retrains on every
+    * call (cheap: one argmax round) and `merges_full` reads false,
+    * surfacing the misconfiguration through the oracle row instead of
+    * hiding it. */
   def buildBpeTable(s: SparkSession, dir: String, table: String): Unit = {
     import s.implicits._
     val (srcRows, srcMaxId) = SimilarityQueries.docsFingerprint(s, dir)
@@ -266,12 +271,54 @@ object BpeQueries {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
+  /** q100: SUBWORD COMPRESSION diagnostic — chars-per-BPE-token by
+    * source, the corpus-profiling number a tokenizer owner watches
+    * (a source whose ratio drifts low is fragmenting into char-level
+    * tokens — out-of-domain for the vocabulary). One stateless scan +
+    * one tiny per-source aggregate; the ratio uses the round-3
+    * integer half-up division so both engines agree on exact 4 dp
+    * midpoints. Pinned table for the same oracle-exactness reason as
+    * q98/q99. */
+  def bpeCompression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source",
+        length(array_join(
+          expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"), "")).cast("long")
+          .as("chars"),
+        Bpe.bpe_token_count($"text", Bpe.pinned).as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"chars").as("n_chars"),
+        sum($"toks").as("n_tokens"))
+      // NULL on an all-whitespace source rather than engine-divergent
+      // division-by-zero behavior (Spark null vs DuckDB error)
+      .withColumn("chars_per_token",
+        expr("(20000 * n_chars + n_tokens) div nullif(2 * n_tokens, 0)") / 10000.0d)
+      .orderBy($"source")
+  }
+
+  lazy val bpeCompressionSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(length(array_to_string(regexp_extract_all(text, '\\w+|[^\\w\\s]'), '')) AS BIGINT) AS chars,
+       |    CAST(${Bpe.pinnedTokenCountSql("text")} AS BIGINT) AS toks
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  ((20000 * CAST(sum(chars) AS BIGINT) + CAST(sum(toks) AS BIGINT))
+       |    // NULLIF(2 * CAST(sum(toks) AS BIGINT), 0)) / 10000.0 AS chars_per_token
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_bpe_compression" -> ((s: SparkSession, dir: String) => bpeCompression(s, dir)),
     "q97_bpe_stored_encode" -> ((s: SparkSession, dir: String) => bpeStoredEncode(s, dir)),
     "q98_bpe_budget_select" -> ((s: SparkSession, dir: String) => bpeBudgetSelect(s, dir)),
     "q99_bpe_pack" -> ((s: SparkSession, dir: String) => bpePack(s, dir)))
 
   lazy val oracles: Map[String, String] = Map(
+    "q100_bpe_compression" -> bpeCompressionSql,
     "q97_bpe_stored_encode" -> bpeStoredEncodeSql,
     "q98_bpe_budget_select" -> bpeBudgetSelectSql(),
     "q99_bpe_pack" -> bpePackSql())

@@ -157,6 +157,16 @@ class BpeSpec extends SparkSpec {
       val row = BpeQueries.bpeStoredEncode(spark, src).head()
       assert(row.getAs[Boolean]("roundtrip_ok"))
       assert(row.getAs[Boolean]("trained_bounds_ok"))
+      // the TRAINED artifact drives the budget operator end-to-end:
+      // same operator the pinned-table q98 registers, different table
+      val rebuilt = s"graft_bpe_q97_${graft.queries.SimilarityQueries.tableSuffix(src)}"
+      val trained = BpeQueries.loadBpeTable(spark, rebuilt, src)
+      val sel = graft.queries.TrainQueries.budgetSelectWith(spark, src, 300L,
+        graft.functions.Bpe.bpe_token_count(col("text"), trained))
+      val n = sel.count()
+      val total = spark.read.parquet(s"$src/documents.parquet").count()
+      assert(n > 0 && n < total, s"trained-table budget must bind: $n of $total")
+      assert(sel.agg(max($"cum_tokens")).head().getLong(0) <= 300L)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS graft_bpe_q97_${
