@@ -158,6 +158,19 @@ object Pipeline {
     df.withColumn("split", graft.queries.TrainQueries.splitOf(key))
   }
 
+  /** BPE token counting on the STREAMING path — the ingest-time
+    * "how many subword tokens is this record" stamp a training
+    * pipeline wants before records reach budget/packing decisions.
+    * Stateless per-row expression (no watermark, no state), legal on
+    * any unbounded plan; pass a trained table from
+    * [[graft.queries.BpeQueries.loadBpeTable]] or the pinned one.
+    * Stream ≡ batch by construction (same expression object) —
+    * pinned in StreamingPipelineSpec. */
+  def withBpeTokenCount(df: DataFrame, textCol: String = "cleaned_text",
+      table: graft.functions.Bpe.BpeTable = graft.functions.Bpe.pinned): DataFrame =
+    df.withColumn("bpe_tokens",
+      graft.functions.Bpe.bpe_token_count(col(textCol), table))
+
   /** Stream-stream join: enrich the tweet stream with a late-arriving
     * engagement-update stream (tweet_id, new counts) within a bounded
     * time window. Both sides are watermarked so join state is purged

@@ -175,6 +175,19 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("q98/q99 plan the NATIVE expression: BpeTokenCount present, no ScalaUDF") {
+    for (df <- Seq(BpeQueries.bpeBudgetSelect(spark, sf),
+                   BpeQueries.bpePack(spark, sf))) {
+      val plan = df.queryExecution.optimizedPlan
+      val exprs = plan.collect { case n => n.expressions }.flatten
+        .flatMap(e => e +: e.children.flatMap(_.collect { case c => c }))
+      assert(exprs.exists(_.isInstanceOf[graft.functions.BpeTokenCount]),
+        "the token cost must be the codegen'd BpeTokenCount expression")
+      val s = plan.toString.toLowerCase
+      assert(!s.contains("scalaudf"), "no UDF may carry the BPE cost")
+    }
+  }
+
   test("q98/q99 budgets BIND on the test fixture (non-vacuous branches)") {
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     val sel = BpeQueries.bpeBudgetSelect(spark, sf, budget = 300L).count()

@@ -310,4 +310,23 @@ class StreamingPipelineSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(viaStream == viaBatch)
   }
+
+  test("BPE token stamp: streaming ≡ batch, stateless on an unbounded plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq("the cat sat", "standing forest editor", "", "with that mississippi")
+    val mem = MemoryStream[String]
+    val streamed = Pipeline.withBpeTokenCount(
+      mem.toDF().select(col("value").as("cleaned_text")))
+    assert(streamed.isStreaming)
+    val q = streamed.writeStream.format("memory").queryName("bpe_stamp")
+      .outputMode("append").start()
+    try { mem.addData(texts: _*); q.processAllAvailable() } finally q.stop()
+    val streamMap = spark.table("bpe_stamp")
+      .as[(String, Long)].collect().toMap
+    val batchMap = Pipeline.withBpeTokenCount(texts.toDF("cleaned_text"))
+      .as[(String, Long)].collect().toMap
+    assert(streamMap == batchMap && streamMap.size == texts.size)
+    // and the stamp is the encoder's count, hand-checked on one row
+    assert(streamMap("the cat sat") == 5L) // the | c,at | s,at
+  }
 }
