@@ -128,4 +128,42 @@ class ArtifactFreshnessSpec extends SparkSpec {
       assert(f2.get._1 == f1.get._1 - 1)
     } finally FileUtils.deleteDirectory(new File(dir))
   }
+
+  test("footer-stats: multi-row-group files, appended files, and null-bearing id chunks") {
+    import org.apache.spark.sql.functions.{count, lit, max, when}
+    val dir = java.nio.file.Files.createTempDirectory("graft-footer2").toString
+    def scanned(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), max(df("doc_id").cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+    }
+    try {
+      // many small row groups in one file: the per-BLOCK footer loop
+      // must sum counts and max maxes across groups
+      val big = spark.range(50000L).select($"id".as("doc_id"))
+      big.coalesce(1).write
+        .option("parquet.block.size", (64 * 1024).toString)
+        .mode("overwrite").parquet(s"$dir/m.parquet")
+      val fm = graft.sources.FooterStats.fingerprint(spark, s"$dir/m.parquet", "doc_id")
+      assert(fm.contains(scanned(spark.read.parquet(s"$dir/m.parquet"))))
+
+      // APPEND (incremental ingest): new part files must invalidate
+      // the modification-signature cache, not just replacement
+      big.limit(10).select(($"doc_id" + 100000L).as("doc_id"))
+        .write.mode("append").parquet(s"$dir/m.parquet")
+      val fa = graft.sources.FooterStats.fingerprint(spark, s"$dir/m.parquet", "doc_id")
+      assert(fa.contains((50010L, 100009L)), s"append must re-fingerprint, got $fa")
+
+      // null-bearing id chunks: footer max skips nulls exactly like
+      // SQL max; an ALL-null file still carries usable stats
+      val withNulls = spark.range(100L)
+        .select(when($"id" < 90L, $"id").otherwise(lit(null)).as("doc_id"))
+      withNulls.coalesce(1).write.mode("overwrite").parquet(s"$dir/n.parquet")
+      val fn = graft.sources.FooterStats.fingerprint(spark, s"$dir/n.parquet", "doc_id")
+      assert(fn.contains((100L, 89L)), s"null-skipping max, got $fn")
+      val allNull = spark.range(5L).select(lit(null).cast("long").as("doc_id"))
+      allNull.coalesce(1).write.mode("overwrite").parquet(s"$dir/an.parquet")
+      val fan = graft.sources.FooterStats.fingerprint(spark, s"$dir/an.parquet", "doc_id")
+      assert(fan.contains((5L, -1L)), s"all-null column -> max -1 sentinel, got $fan")
+    } finally FileUtils.deleteDirectory(new File(dir))
+  }
 }
