@@ -166,23 +166,29 @@ object Bpe {
   def pinnedSqlList: String =
     pinnedMerges.map { case (l, r) => s"'$l $r'" }.mkString("list_value(", ", ", ")")
 
-  /** DuckDB expression: BPE token count of one `\w+` word under the
-    * pinned table. */
-  private def wordTokensSql(w: String): String =
+  /** DuckDB expression: BPE token count of one `\w+` word under an
+    * arbitrary merges-LIST expression (elements are 'l r' strings in
+    * rank order — a literal for the pinned table, a trained/re-derived
+    * list column for q101). */
+  private def wordTokensSql(w: String, mergesList: String): String =
     s"""len(string_split(list_reduce(
-       |  list_prepend(array_to_string(string_split($w, ''), ' '), $pinnedSqlList),
+       |  list_prepend(array_to_string(string_split($w, ''), ' '), $mergesList),
        |  (st, m) -> list_reduce(
        |    string_split(st, ' '),
        |    (acc, x) -> CASE WHEN ends_with(' ' || acc, ' ' || split_part(m, ' ', 1))
        |                      AND x = split_part(m, ' ', 2)
        |                THEN acc || x ELSE acc || ' ' || x END)), ' '))""".stripMargin
 
-  /** DuckDB rendering of [[countDoc]] under the PINNED table over an
-    * arbitrary SQL string expression. */
-  def pinnedTokenCountSql(input: String): String =
+  /** DuckDB rendering of [[countDoc]] over an arbitrary SQL string
+    * expression, under any merges-list expression. */
+  def tokenCountSqlWith(input: String, mergesList: String): String =
     s"""(COALESCE(list_sum(list_transform(regexp_extract_all($input, '\\w+'),
-       |    w -> ${wordTokensSql("w")})), 0)
+       |    w -> ${wordTokensSql("w", mergesList)})), 0)
        |  + len(regexp_extract_all($input, '[^\\w\\s]')))""".stripMargin
+
+  /** [[tokenCountSqlWith]] under the PINNED table. */
+  def pinnedTokenCountSql(input: String): String =
+    tokenCountSqlWith(input, pinnedSqlList)
 }
 
 /** `bpe_token_count(text)` under a fixed merge table → BIGINT. Fully

@@ -219,6 +219,92 @@ object BpeQueries {
        |  true AS roundtrip_ok, true AS trained_bounds_ok, true AS merges_full
        |FROM s""".stripMargin
 
+  /** q101: the TRAINED table fully oracle-verified — the strongest
+    * row of the family. The Spark side reads the STORED artifact
+    * (shared with q97's gate) and emits its merge count, a rolling-
+    * hash fingerprint of the canonical rank-ordered merge list, and
+    * the trained-table token total over the 20% sample. The DuckDB
+    * oracle INDEPENDENTLY RE-TRAINS the table from the source
+    * ([[bpeTrainingChainSql]]: one materialized CTE level per merge
+    * round mirroring the distributed trainer exactly — same
+    * dictionary cap, same overlapping pair counts, same (count desc,
+    * pair asc) tie-break, same minFreq early-exit) and re-encodes the
+    * sample through ITS OWN merges — so training, storage, and encode
+    * must all agree for the row to hash-match. Upgrades the trained
+    * artifact from q97's boolean pins to full cross-engine identity.
+    *
+    * The oracle is generated at the DEFAULT confs (the q81 rule: a
+    * non-default `spark.graft.bpe.*` setting must flow to BOTH
+    * sides via the parameterized generator). */
+  def bpeTrainedTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_bpe_q97_${SimilarityQueries.tableSuffix(dir)}"
+    if (SimilarityQueries.needsBuildOrStale(
+        s, SimilarityQueries.docsFingerprint(s, dir), tbl, tbl))
+      buildBpeTable(s, dir, tbl)
+    val trained = loadBpeTable(s, tbl)
+    val canonical = trained.merges.map { case (l, r) => s"$l $r" }.mkString(" ")
+    Tables.documents(s, dir).filter($"doc_id" % 5 === 0)
+      .agg(coalesce(sum(Bpe.bpe_token_count($"text", trained)), lit(0L))
+        .as("trained_tokens"))
+      .select(
+        lit(trained.size.toLong).as("n_merges"),
+        TextQueries.fingerprint(lit(canonical)).as("merges_fp"),
+        $"trained_tokens")
+  }
+
+  /** The BPE trainer as a chain of MATERIALIZED DuckDB CTEs (plain
+    * CTEs re-inline on double reference — exponential at depth; 64
+    * materialized levels run in ~2 s). Level i: `best_i` is the
+    * argmax pair over `dict_(i-1)` (overlapping pairs via
+    * list_zip(s, s[2:]), weighted by word freq, minFreq floor in
+    * HAVING, the trainer's exact tie-break), `dict_i` applies it with
+    * the shared merge-all fold (LEFT JOIN ON true so an early-exited
+    * level is a no-op, not an empty dict), `merges_i` accumulates. */
+  private def bpeTrainingChainSql(nMerges: Int, dictSize: Int, minFreq: Long): String = {
+    val levels = (1 to nMerges).map { i =>
+      s"""best_$i AS MATERIALIZED (
+         |  SELECT z[1] AS l, z[2] AS r FROM (
+         |    SELECT unnest(list_zip(s, s[2:])) AS z, freq FROM (
+         |      SELECT string_split(syms, ' ') AS s, freq FROM dict_${i - 1}))
+         |  WHERE z[2] IS NOT NULL
+         |  GROUP BY z[1], z[2] HAVING CAST(sum(freq) AS BIGINT) >= $minFreq
+         |  ORDER BY CAST(sum(freq) AS BIGINT) DESC, z[1], z[2] LIMIT 1),
+         |dict_$i AS MATERIALIZED (
+         |  SELECT CASE WHEN b.l IS NULL THEN d.syms ELSE
+         |    list_reduce(string_split(d.syms, ' '),
+         |      (acc, x) -> CASE WHEN ends_with(' ' || acc, ' ' || b.l) AND x = b.r
+         |                  THEN acc || x ELSE acc || ' ' || x END)
+         |  END AS syms, d.freq
+         |  FROM dict_${i - 1} d LEFT JOIN best_$i b ON true),
+         |merges_$i AS MATERIALIZED (
+         |  SELECT * FROM merges_${i - 1} UNION ALL SELECT CAST($i AS BIGINT), l, r FROM best_$i)""".stripMargin
+    }.mkString(",\n")
+    s"""dict_0 AS MATERIALIZED (
+       |  SELECT array_to_string(string_split(word, ''), ' ') AS syms, freq FROM (
+       |    SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |    FROM (SELECT unnest(regexp_extract_all(text, '\\w+')) AS word FROM documents)
+       |    GROUP BY word ORDER BY freq DESC, word LIMIT $dictSize)),
+       |merges_0 AS (SELECT CAST(NULL AS BIGINT) AS rank, CAST(NULL AS VARCHAR) AS l,
+       |  CAST(NULL AS VARCHAR) AS r WHERE false),
+       |$levels""".stripMargin
+  }
+
+  def bpeTrainedTokensSql(nMerges: Int = 64, dictSize: Int = 65536,
+      minFreq: Long = 2L): String =
+    s"""WITH ${bpeTrainingChainSql(nMerges, dictSize, minFreq)},
+       |mlrow AS MATERIALIZED (
+       |  SELECT COALESCE(list(l || ' ' || r ORDER BY rank), []) AS ms,
+       |    COALESCE(array_to_string(list(l || ' ' || r ORDER BY rank), ' '), '') AS canon,
+       |    CAST(count(*) AS BIGINT) AS n_merges
+       |  FROM merges_$nMerges)
+       |SELECT m.n_merges AS n_merges,
+       |  ${TextQueries.fingerprintSql("m.canon")} AS merges_fp,
+       |  CAST(COALESCE(sum(${Bpe.tokenCountSqlWith("s.text", "m.ms")}), 0) AS BIGINT)
+       |    AS trained_tokens
+       |FROM (SELECT text FROM documents WHERE doc_id % 5 = 0) s CROSS JOIN mlrow m
+       |GROUP BY m.n_merges, m.canon""".stripMargin
+
   /** q98: q85's QUALITY-RANKED BUDGET SELECTION budgeted in BPE
     * subword tokens — the currency upgrade VERDICT r12 asked for. The
     * registered row runs under the PINNED table so DuckDB reproduces
@@ -313,12 +399,14 @@ object BpeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_bpe_compression" -> ((s: SparkSession, dir: String) => bpeCompression(s, dir)),
+    "q101_bpe_trained_tokens" -> ((s: SparkSession, dir: String) => bpeTrainedTokens(s, dir)),
     "q97_bpe_stored_encode" -> ((s: SparkSession, dir: String) => bpeStoredEncode(s, dir)),
     "q98_bpe_budget_select" -> ((s: SparkSession, dir: String) => bpeBudgetSelect(s, dir)),
     "q99_bpe_pack" -> ((s: SparkSession, dir: String) => bpePack(s, dir)))
 
   lazy val oracles: Map[String, String] = Map(
     "q100_bpe_compression" -> bpeCompressionSql,
+    "q101_bpe_trained_tokens" -> bpeTrainedTokensSql(),
     "q97_bpe_stored_encode" -> bpeStoredEncodeSql,
     "q98_bpe_budget_select" -> bpeBudgetSelectSql(),
     "q99_bpe_pack" -> bpePackSql())
