@@ -52,10 +52,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Fixture-drift sentinel FIRST: a driver-side fixture regen that
+    // changes a physical type costs one loud line here, not N opaque
+    // per-query failures scattered through the bench record.
+    Tables.sentinel(spark, sfDir).foreach(d => System.err.println(s"[sentinel] $d"))
 
     // warm-up: JVM + parquet reader + codegen + one shuffle + noop sink
     try {

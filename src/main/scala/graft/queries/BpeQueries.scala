@@ -357,6 +357,87 @@ object BpeQueries {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
+  /** q102: q98's QUALITY-RANKED BUDGET SELECTION under the TRAINED
+    * merge table — VERDICT r13 #6. q98 stays pinned so the selection
+    * oracle is cheap; this row pays the full price: the DuckDB oracle
+    * RE-TRAINS the table via [[bpeTrainingChainSql]] (q101's
+    * machinery) and re-derives every document's subword cost through
+    * ITS OWN merges, so admission decisions — which doc_ids clear the
+    * budget — must agree across independently-trained tokenizers.
+    * Spark reads the STORED artifact (built once, shared with
+    * q97/q101), so this also pins storage round-trip fidelity:
+    * a corrupted persisted rank order would flip token counts and
+    * shift the admission frontier. Plan shape is q85/q98's two-level
+    * prefix sum — no new scale surface. */
+  def bpeTrainedBudgetSelect(s: SparkSession, dir: String,
+      budget: Long = 2000L): DataFrame = {
+    val tbl = s"graft_bpe_q97_${SimilarityQueries.tableSuffix(dir)}"
+    if (SimilarityQueries.needsBuildOrStale(
+        s, SimilarityQueries.docsFingerprint(s, dir), tbl, tbl))
+      buildBpeTable(s, dir, tbl)
+    val trained = loadBpeTable(s, tbl)
+    TrainQueries.budgetSelectWith(s, dir, budget,
+      Bpe.bpe_token_count(col("text"), trained))
+  }
+
+  def bpeTrainedBudgetSelectSql(budget: Long = 2000L, nMerges: Int = 64,
+      dictSize: Int = 65536, minFreq: Long = 2L): String =
+    s"""WITH ${bpeTrainingChainSql(nMerges, dictSize, minFreq)},
+       |mlrow AS MATERIALIZED (
+       |  SELECT COALESCE(list(l || ' ' || r ORDER BY rank), []) AS ms
+       |  FROM merges_$nMerges),
+       |q AS MATERIALIZED (
+       |  SELECT d.source, d.doc_id,
+       |    CAST(${Bpe.tokenCountSqlWith("d.text", "m.ms")} AS BIGINT) AS n_tokens,
+       |    len(list_distinct(regexp_split_to_array(trim(d.text), '\\s+'))) AS quality
+       |  FROM documents d CROSS JOIN mlrow m),
+       |c AS (
+       |  SELECT source, doc_id, quality, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM q)
+       |SELECT source, doc_id, CAST(quality AS BIGINT) AS quality,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= $budget
+       |ORDER BY source, doc_id""".stripMargin
+
+  /** q103: q99's token PACKING under the TRAINED table — the pack
+    * boundaries (which shard of documents lands in which fixed-size
+    * training pack) must agree between the stored Spark artifact and
+    * DuckDB's independent re-train. Same two-level prefix-sum plan as
+    * q70/q99; only the costing currency changes. */
+  def bpeTrainedPack(s: SparkSession, dir: String, budget: Long = 2048L,
+      shardSize: Long = 1000L): DataFrame = {
+    val tbl = s"graft_bpe_q97_${SimilarityQueries.tableSuffix(dir)}"
+    if (SimilarityQueries.needsBuildOrStale(
+        s, SimilarityQueries.docsFingerprint(s, dir), tbl, tbl))
+      buildBpeTable(s, dir, tbl)
+    val trained = loadBpeTable(s, tbl)
+    TrainQueries.tokenPackWith(s, dir, budget, shardSize,
+      Bpe.bpe_token_count(col("text"), trained))
+  }
+
+  def bpeTrainedPackSql(budget: Long = 2048L, nMerges: Int = 64,
+      dictSize: Int = 65536, minFreq: Long = 2L): String =
+    s"""WITH ${bpeTrainingChainSql(nMerges, dictSize, minFreq)},
+       |mlrow AS MATERIALIZED (
+       |  SELECT COALESCE(list(l || ' ' || r ORDER BY rank), []) AS ms
+       |  FROM merges_$nMerges),
+       |toks AS MATERIALIZED (
+       |  SELECT d.source, d.doc_id,
+       |    CAST(${Bpe.tokenCountSqlWith("d.text", "m.ms")} AS BIGINT) AS n_tokens
+       |  FROM documents d CROSS JOIN mlrow m),
+       |cum AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM toks)
+       |SELECT source, (cum - n_tokens) // $budget AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
   /** q100: SUBWORD COMPRESSION diagnostic — chars-per-BPE-token by
     * source, the corpus-profiling number a tokenizer owner watches
     * (a source whose ratio drifts low is fragmenting into char-level
@@ -402,12 +483,16 @@ object BpeQueries {
     "q101_bpe_trained_tokens" -> ((s: SparkSession, dir: String) => bpeTrainedTokens(s, dir)),
     "q97_bpe_stored_encode" -> ((s: SparkSession, dir: String) => bpeStoredEncode(s, dir)),
     "q98_bpe_budget_select" -> ((s: SparkSession, dir: String) => bpeBudgetSelect(s, dir)),
-    "q99_bpe_pack" -> ((s: SparkSession, dir: String) => bpePack(s, dir)))
+    "q99_bpe_pack" -> ((s: SparkSession, dir: String) => bpePack(s, dir)),
+    "q102_bpe_trained_budget_select" -> ((s: SparkSession, dir: String) => bpeTrainedBudgetSelect(s, dir)),
+    "q103_bpe_trained_pack" -> ((s: SparkSession, dir: String) => bpeTrainedPack(s, dir)))
 
   lazy val oracles: Map[String, String] = Map(
     "q100_bpe_compression" -> bpeCompressionSql,
     "q101_bpe_trained_tokens" -> bpeTrainedTokensSql(),
     "q97_bpe_stored_encode" -> bpeStoredEncodeSql,
     "q98_bpe_budget_select" -> bpeBudgetSelectSql(),
-    "q99_bpe_pack" -> bpePackSql())
+    "q99_bpe_pack" -> bpePackSql(),
+    "q102_bpe_trained_budget_select" -> bpeTrainedBudgetSelectSql(),
+    "q103_bpe_trained_pack" -> bpeTrainedPackSql())
 }

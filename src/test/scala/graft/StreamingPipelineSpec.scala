@@ -329,4 +329,33 @@ class StreamingPipelineSpec extends SparkSpec {
     // and the stamp is the encoder's count, hand-checked on one row
     assert(streamMap("the cat sat") == 5L) // the | c,at | s,at
   }
+
+  test("BPE stamp parity on the DOCUMENTS FIXTURE under streamed replay") {
+    // VERDICT r13 #8: the constructed-data parity above shares no
+    // evidence tier with the fixture-replay suite — replay the whole
+    // documents fixture through the streaming stamp in three
+    // micro-batches and require EXACT per-document equality with the
+    // batch stamp (the expression is stateless, so parity is a
+    // theorem; this pins that the streaming plan actually preserves it
+    // on real fixture text: unicode, punctuation, empty-ish docs).
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stamped = Pipeline.withBpeTokenCount(
+      mem.toDF().toDF("doc_id", "text"), "text")
+    val q = stamped.writeStream.format("memory").queryName("bpe_fixture_parity")
+      .outputMode("append").start()
+    try {
+      val third = math.max(1, docs.size / 3)
+      docs.grouped(third).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamMap = spark.table("bpe_fixture_parity")
+        .select($"doc_id", $"bpe_tokens").as[(Long, Long)].collect().toMap
+      val batchMap = Pipeline.withBpeTokenCount(
+          Tables.documents(spark, sf).select($"doc_id", $"text"), "text")
+        .select($"doc_id", $"bpe_tokens").as[(Long, Long)].collect().toMap
+      assert(streamMap.size == docs.size, s"lost rows: ${streamMap.size}/${docs.size}")
+      assert(streamMap == batchMap)
+    } finally q.stop()
+  }
 }
