@@ -106,6 +106,16 @@ object Bench {
         .trim.split("\\s+").take(3).mkString(" ")
     } catch { case _: Throwable => "" }
     def calibration(): Double = try {
+      // One untimed execution first: the probe's own codegen + C2 JIT
+      // ramp otherwise lands entirely in the START measurement (r13/r14
+      // showed calib_start 3-8× calib_end on an IDLE host), burying the
+      // load signal the probe exists to expose. Warming the exact shape
+      // makes start and end measure the same steady state, so their
+      // ratio is load and only load.
+      spark.range(20000000L)
+        .selectExpr("(id * 2654435761) % 1000003 AS k")
+        .groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         spark.range(20000000L)

@@ -1,0 +1,83 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import graft.api.HttpFacade
+
+/** Drives the port-bound HTTP façade end-to-end with the JDK HTTP
+  * client: real sockets, real routes, reference-parity status codes
+  * and response keys (SURVEY §2.11 / sentiment_analysis.py:575-715).
+  * Until round 14 the API surface was method calls; this pins that a
+  * user of the reference's Flask endpoints can hit the same paths. */
+class HttpFacadeSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, pathQ: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$pathQ")).GET.build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(port: Int, path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def envelope(id: String, text: String): String =
+    s"""{"data": {"id": "$id", "text": "$text", "created_at": "2025-09-01T14:03:27.000Z",
+       |"author_id": "a$id", "lang": "en",
+       |"public_metrics": {"retweet_count": 3, "like_count": 17, "reply_count": 1, "quote_count": 0}},
+       |"includes": {"users": [{"id": "a$id", "name": "N", "username": "u",
+       |"public_metrics": {"followers_count": 12}}]},
+       |"kafka_timestamp": 1756735407123}""".stripMargin.replaceAll("\n", " ")
+
+  test("façade serves the full reference route surface over real sockets") {
+    val store = new HttpFacade.InMemoryTweetStore(spark)
+    val h = HttpFacade.start(spark, store)
+    try {
+      // /health before any data: healthy, zero rows
+      val health = get(h.port, "/health")
+      assert(health.statusCode == 200 && health.body.contains("\"status\": \"healthy\""))
+      assert(health.body.contains("\"total_tweets\":0"), health.body)
+
+      // /analyze: C9 composite over the wire; 400 parity on empty text
+      val an = post(h.port, "/analyze", """{"text": "I love this amazing product!"}""")
+      assert(an.statusCode == 200 && an.body.contains("\"sentiment\""), an.body)
+      assert(an.body.contains("positive"), an.body)
+      assert(post(h.port, "/analyze", """{"text": ""}""").statusCode == 400)
+      assert(post(h.port, "/analyze", "not json").statusCode == 400)
+
+      // /store: two distinct + one duplicate id → dedup keeps 2 (K3)
+      assert(post(h.port, "/store", envelope("1", "I love this!")).statusCode == 200)
+      assert(post(h.port, "/store", envelope("2", "This is awful.")).statusCode == 200)
+      assert(post(h.port, "/store", envelope("1", "I love this!")).statusCode == 200)
+      assert(post(h.port, "/store", "").statusCode == 400)
+
+      // /summary: rollup total equals stored row count, groups present
+      val sm = get(h.port, "/summary?hours=24")
+      assert(sm.statusCode == 200 && sm.body.contains("\"total_tweets\": 2"), sm.body)
+      assert(sm.body.contains("\"summary\": ["), sm.body)
+      assert(!sm.body.contains("\"ALL\""), s"total row must not leak into groups: ${sm.body}")
+
+      // /tweets: limit + sentiment filter + count key
+      val tw = get(h.port, "/tweets?limit=10")
+      assert(tw.statusCode == 200 && tw.body.contains("\"count\": 2"), tw.body)
+      val twPos = get(h.port, "/tweets?limit=10&sentiment=positive")
+      assert(twPos.statusCode == 200 &&
+        !twPos.body.contains("\"final_sentiment\":\"negative\""), twPos.body)
+      assert(twPos.body.contains("\"sentiment_filter\": \"positive\""), twPos.body)
+
+      // /export: CSV via the K4 sink — header row + both tweets; JSON mode counts
+      val ex = get(h.port, "/export?hours=24&format=csv")
+      assert(ex.statusCode == 200 && ex.headers.firstValue("Content-Type").orElse("")
+        .startsWith("text/csv"), ex.headers.map.toString)
+      assert(ex.body.linesIterator.next().contains("tweet_id"), ex.body.take(200))
+      assert(ex.body.linesIterator.size == 3, s"header + 2 rows: ${ex.body}")
+      val exj = get(h.port, "/export?hours=24&format=json")
+      assert(exj.statusCode == 200 && exj.body.contains("\"count\": 2"), exj.body)
+
+      // method guard parity
+      assert(get(h.port, "/analyze").statusCode == 405)
+    } finally h.stop()
+  }
+}
