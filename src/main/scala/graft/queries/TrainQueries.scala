@@ -827,7 +827,56 @@ object TrainQueries {
       |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS ordinal
       |FROM t ORDER BY ordinal""".stripMargin
 
+  /** q104: EXACT-k PER-STRATUM SAMPLE — the companion to q69's
+    * rate-based sampling: q69 keeps a deterministic ~permille of each
+    * stratum (size varies with the data); this keeps EXACTLY k
+    * documents per source (eval sets, few-shot pools, per-source
+    * spot-audit batches all want fixed counts). Selection is the k
+    * smallest [[sampleKey]] values per source (ties by doc_id) — a
+    * seeded, engine-independent pseudorandom choice, reproducible
+    * run-to-run and in the DuckDB oracle.
+    *
+    * The scale point: exact-k-per-group is the classic
+    * `row_number() OVER (PARTITION BY g ORDER BY h)` trap — a
+    * corpus-wide sort-shuffle where every row of a 100 TB table
+    * crosses the wire to be ranked and then mostly discarded. This
+    * plans as the bounded [[graft.functions.TopKBy]] aggregate
+    * instead: each map partition keeps at most k candidates per
+    * source, the exchange carries ≤ k·sources·partitions tiny
+    * structs, and the explode recovers rows. Same two-phase bounded
+    * shape as q17 (pinned in PlanSpec there); output is
+    * oracle-identical to the window form at any partitioning. */
+  def exactStratifiedSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val h = sampleKey($"doc_id")
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", h.as("sample_h"))
+      // best-first = (ord DESC, tie ASC); ord = -h makes "smallest h
+      // first", tie = doc_id resolves the ~1/1000 hash collisions
+      .groupBy($"source")
+      .agg(graft.functions.TopKBy.top_k_by(-$"sample_h", $"doc_id", k, strict = true).as("top"))
+      .select($"source", explode($"top").as("t"))
+      .select($"source",
+        $"t.tie".as("doc_id"),
+        (-$"t.ord").cast("long").as("sample_h"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  def exactStratifiedSampleSql(k: Int = 10): String =
+    s"""WITH h AS (
+       |  SELECT source, doc_id,
+       |    (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 AS sample_h
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, sample_h,
+       |    row_number() OVER (PARTITION BY source ORDER BY sample_h, doc_id) AS rn
+       |  FROM h)
+       |SELECT source, doc_id, CAST(sample_h AS BIGINT) AS sample_h
+       |FROM r WHERE rn <= $k
+       |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_exact_stratified_sample" -> ((s: SparkSession, dir: String) => exactStratifiedSample(s, dir)),
     "q94_split_assign" -> (splitAssign _),
     "q95_shuffle_order" -> (shuffleOrder _),
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
@@ -843,6 +892,7 @@ object TrainQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q104_exact_stratified_sample" -> exactStratifiedSampleSql(),
     "q94_split_assign" -> splitAssignSql,
     "q95_shuffle_order" -> shuffleOrderSql,
     "q75_source_mix" -> sourceMixSql,

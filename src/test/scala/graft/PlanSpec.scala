@@ -39,6 +39,18 @@ class PlanSpec extends SparkSpec {
       s"per-type top-k must not plan a rank window:\n$p")
   }
 
+  test("q104: exact-k stratified sample is a bounded two-phase aggregate — no rank window") {
+    val p = planOf("q104_exact_stratified_sample")
+    // the classic trap is row_number() OVER (PARTITION BY source ORDER
+    // BY hash): a corpus-wide sort-shuffle that ranks every row and
+    // discards most. The TopKBy form must plan partial+final bounded
+    // aggregates with only the ≤ k·sources survivors exchanged.
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected 2-phase bounded top-k agg:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window "),
+      s"exact-k sample must not plan a rank window:\n$p")
+  }
+
   test("q02: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val df = Relational.recentOrders(spark, sf)
     df.count()

@@ -371,4 +371,31 @@ class TrainOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(fp == orig)
   }
+
+  test("q104 exact-k sample: exactly min(k, stratum size) rows per source, deterministic") {
+    val k = 3
+    val got = TrainQueries.exactStratifiedSample(spark, sf, k)
+      .select($"source", $"doc_id").as[(String, Long)].collect().toSeq
+    val counts = Tables.documents(spark, sf).groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val perSource = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perSource.keySet == counts.keySet, "every stratum must be represented")
+    perSource.foreach { case (src, n) =>
+      assert(n == math.min(k.toLong, counts(src)), s"$src: got $n of ${counts(src)} (k=$k)")
+    }
+    // deterministic: a re-run under different parallelism picks the SAME docs
+    val again = TrainQueries.exactStratifiedSample(spark, sf, k)
+    val repartitioned = again.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(repartitioned.sorted == got.sorted)
+    // and selection is the k smallest sample keys per source (model check)
+    val model = Tables.documents(spark, sf)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        rows.toSeq.map { case (_, id) =>
+          val h = ((id % 1000000007L) * 2654435761L) % 1000000007L % 1000L
+          (src, h, id)
+        }.sortBy(t => (t._2, t._3)).take(k).map(t => (src, t._3))
+      }
+    assert(got.sorted == model.toSeq.sorted)
+  }
 }
