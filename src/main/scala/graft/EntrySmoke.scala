@@ -7,6 +7,8 @@ object EntrySmoke {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Tables.sentinel(spark, "/root/testdata/sf0.001")
+      .foreach(d => System.err.println(s"[sentinel] $d"))
     val df = SparkEntry.entry(spark)
     val n = df.count()
     println(s"ENTRY_ROWS=$n")
