@@ -54,6 +54,26 @@ class FixtureSentinelSpec extends SparkSpec {
     assert(drifts.head.contains("string"), drifts.head)
   }
 
+  test("legacy nanos-era branch: LongType ts floor-divides to TimestampType micros") {
+    // A plain int64 ts column surfaces as LongType — exactly what the
+    // NANOS-era fixture looked like under nanosAsLong. The adaptive
+    // loader must take the legacy branch: ts div 1000 → micros.
+    val nanos = 1_756_735_407_123_456_789L // 2025-09-01T14:03:27.123456789Z
+    val dir = tempFixtureWith { d =>
+      Files.delete(Paths.get(s"$d/events.parquet"))
+      Seq((1L, nanos, 2L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$d/events.parquet")
+    }
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val got = ev.select($"ts").head().getTimestamp(0)
+    val micros = got.getTime * 1000L + (got.getNanos / 1000L) % 1000L
+    assert(micros == nanos / 1000L, s"expected ns→µs truncation, got $micros")
+    // and the sentinel accepts the adapted schema (ts is the canonical type)
+    assert(Tables.sentinel(spark, dir).isEmpty)
+  }
+
   test("wrong-typed scalar column produces a named field-level diagnostic") {
     val dir = tempFixtureWith { d =>
       Files.delete(Paths.get(s"$d/region.parquet"))
