@@ -827,6 +827,64 @@ object TrainQueries {
       |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS ordinal
       |FROM t ORDER BY ordinal""".stripMargin
 
+  /** q105: CURRICULUM ORDER — the training-order composition of q85's
+    * quality signal and q95's seeded shuffle: documents are binned by
+    * quality (bin = quality div binWidth), bins are consumed
+    * high-quality-first, and WITHIN a bin the order is the q95 seeded
+    * pseudorandom permutation — the "start clean, shuffle within
+    * difficulty band" curriculum a pre-training run wants, fully
+    * deterministic and growth-auditable.
+    *
+    * Scale shape: the global position is the q95 two-level
+    * construction with a TWO-PART partition key — per-(bin, shard)
+    * rank windows (bounded partitions, parallelism = bins × shards),
+    * offsets from an exclusive prefix sum over the compacted
+    * ≤ bins·shards-row aggregate in one deliberate task, broadcast
+    * back. No corpus-wide window, no single-task sort, and the same
+    * shard-count invariance as q95 (any `spark.graft.shuffle.shards`
+    * yields identical positions — range shards compose order). */
+  def curriculumOrder(s: SparkSession, dir: String, binWidth: Long = 8L): DataFrame = {
+    import s.implicits._
+    val p = 1000003L
+    val shards = shuffleShards(s)
+    val step = (p + shards - 1L) / shards
+    val base = Tables.documents(s, dir)
+      .select($"doc_id",
+        size(array_distinct(split(trim($"text"), "\\s+"))).cast("long").as("quality"))
+      .withColumn("bin", expr(s"quality div $binWidth"))
+      .withColumn("shuffle_key",
+        pmod(pmod($"doc_id", lit(p)) * lit(2654435761L), lit(p)))
+      .withColumn("shard", expr(s"shuffle_key div $step"))
+    val wLocal = Window.partitionBy($"bin", $"shard").orderBy($"shuffle_key", $"doc_id")
+    // exclusive prefix sum over the tiny (bin, shard) aggregate in ONE
+    // deliberate task, bins DESCENDING (high quality first) — the q95
+    // structural form, kept window-free for the same log-hygiene reason
+    val offsets = base.groupBy($"bin", $"shard").agg(count(lit(1)).as("n"))
+      .coalesce(1).sortWithinPartitions($"bin".desc, $"shard".asc)
+      .select($"bin", $"shard", $"n").as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (bin, shard, n) => val off = acc; acc += n; (bin, shard, off) }
+      }.toDF("bin", "shard", "offset")
+    base
+      .withColumn("local_rank", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("bin", "shard"))
+      .select($"doc_id", $"quality", $"bin", $"shuffle_key",
+        ($"offset" + $"local_rank" - 1L).as("curriculum_pos"))
+      .orderBy($"curriculum_pos")
+  }
+
+  def curriculumOrderSql(binWidth: Long = 8L): String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS quality,
+       |    (doc_id % 1000003) * 2654435761 % 1000003 AS shuffle_key
+       |  FROM documents)
+       |SELECT doc_id, quality, quality // $binWidth AS bin, shuffle_key,
+       |  CAST(row_number() OVER (ORDER BY quality // $binWidth DESC, shuffle_key, doc_id) - 1
+       |    AS BIGINT) AS curriculum_pos
+       |FROM q ORDER BY curriculum_pos""".stripMargin
+
   /** q104: EXACT-k PER-STRATUM SAMPLE — the companion to q69's
     * rate-based sampling: q69 keeps a deterministic ~permille of each
     * stratum (size varies with the data); this keeps EXACTLY k
@@ -877,6 +935,7 @@ object TrainQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_exact_stratified_sample" -> ((s: SparkSession, dir: String) => exactStratifiedSample(s, dir)),
+    "q105_curriculum_order" -> ((s: SparkSession, dir: String) => curriculumOrder(s, dir)),
     "q94_split_assign" -> (splitAssign _),
     "q95_shuffle_order" -> (shuffleOrder _),
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
@@ -893,6 +952,7 @@ object TrainQueries {
 
   val oracles: Map[String, String] = Map(
     "q104_exact_stratified_sample" -> exactStratifiedSampleSql(),
+    "q105_curriculum_order" -> curriculumOrderSql(),
     "q94_split_assign" -> splitAssignSql,
     "q95_shuffle_order" -> shuffleOrderSql,
     "q75_source_mix" -> sourceMixSql,

@@ -398,4 +398,31 @@ class TrainOpsSpec extends SparkSpec {
       }
     assert(got.sorted == model.toSeq.sorted)
   }
+
+  test("q105 curriculum order: exhaustive 0..n-1 positions, bins descend, shard-invariant") {
+    val rows = TrainQueries.curriculumOrder(spark, sf)
+      .select($"curriculum_pos", $"bin", $"shuffle_key", $"doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_._1) == (0L until n), "positions must be exactly 0..n-1")
+    // bins are consumed high-quality-first: non-increasing along positions
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 >= b._2, s"bin must not increase along curriculum: $a -> $b")
+      if (a._2 == b._2)
+        assert(a._3 < b._3 || (a._3 == b._3 && a._4 < b._4),
+          s"within a bin the seeded shuffle order must hold: $a -> $b")
+    case _ => ()
+    }
+    // identical positions at any shard count (range shards compose order)
+    val conf = "spark.graft.shuffle.shards"
+    val prior = spark.conf.getOption(conf)
+    try {
+      for (shards <- Seq("1", "7")) {
+        spark.conf.set(conf, shards)
+        val again = TrainQueries.curriculumOrder(spark, sf)
+          .select($"doc_id", $"curriculum_pos").as[(Long, Long)].collect().toMap
+        assert(again == rows.map(r => (r._4, r._1)).toMap, s"shards=$shards must not change positions")
+      }
+    } finally { prior.fold(spark.conf.unset(conf))(spark.conf.set(conf, _)) }
+  }
 }
