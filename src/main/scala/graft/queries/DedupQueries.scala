@@ -412,6 +412,14 @@ object DedupQueries {
     * derived planes are reproduced as double literals in SQL. */
   def embeddingNearDupsLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    embeddingNearDupsLshRaw(s, dir).orderBy($"id_a", $"id_b")
+  }
+
+  /** Unsorted q54 pair graph — shared with q106's clustering, which
+    * must not pay (or re-trigger, via the range sampler) a global
+    * sort the edge set immediately discards. */
+  private[graft] def embeddingNearDupsLshRaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding", hyperplane_bucket($"embedding", 8, 0).as("bucket"))
     val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("emb_a"))
@@ -421,7 +429,6 @@ object DedupQueries {
       .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
       .filter($"cosine" >= 0.4)
       .select($"id_a", $"id_b", $"cosine")
-      .orderBy($"id_a", $"id_b")
   }
 
   val embeddingNearDupsLshSql: String =
@@ -472,12 +479,26 @@ object DedupQueries {
     // RAW (unsorted) pairs: the public q42 form ends in a global sort
     // whose RangePartitioner sampling pass would re-execute the pair
     // join — a total order the edge set immediately discards
-    val edges = ngramJaccardPairsRaw(s, dir).select($"id_a", $"id_b")
+    componentsOver(
+      ngramJaccardPairsRaw(s, dir).select($"id_a", $"id_b"),
+      Tables.documents(s, dir).select($"doc_id".as("id")))
+      .select($"id".as("doc_id"), $"cluster_id")
+  }
+
+  /** The connected-components core behind q66 (and round 14's q106):
+    * min-label propagation with double pointer jumping over ANY
+    * (id_a, id_b) edge frame and (id) node frame — the graph source
+    * is a parameter, the algorithm is shared. Returns (id,
+    * cluster_id = min reachable id). */
+  private[graft] def componentsOver(edgesIn: DataFrame, nodes: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn
       .reliableCheckpoint() // the pair join runs once, not once per round
     val und = edges.unionByName(
       edges.select($"id_b".as("id_a"), $"id_a".as("id_b")))
-    var labels = Tables.documents(s, dir)
-      .select($"doc_id", $"doc_id".as("cluster_id")).reliableCheckpoint()
+    var labels = nodes
+      .select($"id", $"id".as("cluster_id")).reliableCheckpoint()
     // labels are monotonically non-increasing, so the label SUM
     // strictly decreases on any change — fixpoint detection is one
     // tiny aggregate over the checkpointed frame, no compare join
@@ -486,26 +507,26 @@ object DedupQueries {
     var round0 = 0
     while (changed && round0 < 30) {
       val viaEdges = und
-        .join(labels.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
-        .select($"id_b".as("doc_id"), $"cluster_id")
+        .join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"))
+        .select($"id_b".as("id"), $"cluster_id")
       val viaJump = labels
-        .join(labels.select($"doc_id".as("cluster_id"), $"cluster_id".as("jump")),
+        .join(labels.select($"id".as("cluster_id"), $"cluster_id".as("jump")),
           Seq("cluster_id"))
-        .select($"doc_id", $"jump".as("cluster_id"))
+        .select($"id", $"jump".as("cluster_id"))
       val hop = labels.unionByName(viaEdges).unionByName(viaJump)
-        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+        .groupBy($"id").agg(min($"cluster_id").as("cluster_id"))
       // second pointer jump INSIDE the round's plan (round 4): label ←
       // label-of-label once more before materializing. Rounds to
       // fixpoint drop 9 → 5 on the fixture graph; at cluster scale
       // each round is a full shuffle barrier, so halving the round
       // count halves the synchronization cost (locally ~10% — the
       // extra tiny join trades against the per-job floor). LEFT join +
-      // coalesce: every label IS a doc_id, but the guard keeps a row
+      // coalesce: every label IS a node id, but the guard keeps a row
       // with an unmatched label from being dropped rather than kept.
       val next = hop
-        .join(hop.select($"doc_id".as("cluster_id"), $"cluster_id".as("jump2")),
+        .join(hop.select($"id".as("cluster_id"), $"cluster_id".as("jump2")),
           Seq("cluster_id"), "left")
-        .select($"doc_id", coalesce($"jump2", $"cluster_id").as("cluster_id"))
+        .select($"id", coalesce($"jump2", $"cluster_id").as("cluster_id"))
         .reliableCheckpoint()
       val nextSum = next.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
       changed = nextSum != prevSum
@@ -580,7 +601,48 @@ object DedupQueries {
       |SELECT id AS doc_id, min(lbl) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q106: SEMANTIC DEDUP (SemDeDup-class) — the embedding-space
+    * sibling of q66/q82: connected components over the q54 LSH
+    * cosine-candidate graph, one keeper per component (the min-label
+    * rule — cluster_id IS the component's min vec_id, so
+    * `vec_id = cluster_id` selects keepers with no extra window).
+    * Text near-dup (q42→q66) catches lexical copies; this catches
+    * SEMANTIC copies — paraphrases and templated variants whose
+    * embeddings agree (cosine ≥ 0.4) while their n-grams differ.
+    *
+    * Same [[componentsOver]] core as q66: edges come from the
+    * 256-bucket LSH shuffle (never an all-pairs product), rounds are
+    * O(log diameter) shuffle barriers. The oracle recomputes the
+    * components by recursive-CTE closure over the SAME edge SQL (the
+    * q54 pair graph is itself hash-verified), so two different
+    * algorithms on two engines must land on identical keeper sets. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    componentsOver(
+      embeddingNearDupsLshRaw(s, dir).select($"id_a", $"id_b"),
+      Tables.embeddings(s, dir).select($"vec_id".as("id")))
+      .select($"id".as("vec_id"), $"cluster_id",
+        ($"id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"vec_id")
+  }
+
+  /** Edges COMPOSE q54's oracle SQL — one definition of the embedding
+    * pair graph, mirroring the q66/q42 discipline. */
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE edges AS (
+      |  SELECT id_a, id_b FROM ($embeddingNearDupsLshSql)),
+      |und AS (SELECT id_a AS a, id_b AS b FROM edges
+      |        UNION ALL SELECT id_b, id_a FROM edges),
+      |reach(id, lbl) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id)
+      |SELECT id AS vec_id, min(lbl) AS cluster_id,
+      |  (id = min(lbl)) AS is_keeper
+      |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_semantic_dedup" -> (semanticDedup _),
     "q66_dedup_clusters" -> (dedupClusters _),
     "q82_dedup_impact" -> (dedupImpact _),
     "q84_incremental_ingest" -> (incrementalIngest _),
@@ -598,6 +660,7 @@ object DedupQueries {
     "q41_fingerprint_dedup" -> exactDedupByFingerprintSql,
     "q42_ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "q66_dedup_clusters" -> dedupClustersSql,
+    "q106_semantic_dedup" -> semanticDedupSql,
     "q82_dedup_impact" -> dedupImpactSql,
     "q84_incremental_ingest" -> incrementalIngestSql,
     "q43_minhash_dedup" -> minhashDedupValidatedSql,

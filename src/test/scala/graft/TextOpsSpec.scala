@@ -83,6 +83,25 @@ class TextOpsSpec extends SparkSpec {
       }
   }
 
+  test("q106 semantic dedup: LSH edges share clusters; exactly one keeper per cluster") {
+    val rows = graft.queries.DedupQueries.semanticDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val labels = rows.map { case (v, c, _) => v -> c }.toMap
+    assert(labels.size == Tables.embeddings(spark, sf).count())
+    // min-label + fixpoint invariants, same theorems as q66
+    labels.foreach { case (v, c) => assert(c <= v && labels(c) == c) }
+    // is_keeper IS the min-label rule, and each cluster has exactly one
+    rows.foreach { case (v, c, k) => assert(k == (v == c)) }
+    val keepersPerCluster = rows.groupBy(_._2).map { case (c, rs) => c -> rs.count(_._3) }
+    keepersPerCluster.foreach { case (c, n) => assert(n == 1, s"cluster $c has $n keepers") }
+    // homomorphism: every q54 LSH cosine edge joins two vecs of one cluster
+    graft.queries.DedupQueries.embeddingNearDupsLshRaw(spark, sf)
+      .select("id_a", "id_b").collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+      }
+  }
+
   test("dedup impact report reconciles with the cluster labels and the corpus") {
     import org.apache.spark.sql.functions._
     val labels = graft.queries.DedupQueries.dedupClusters(spark, sf)
