@@ -80,4 +80,32 @@ class HttpFacadeSpec extends SparkSpec {
       assert(get(h.port, "/analyze").statusCode == 405)
     } finally h.stop()
   }
+
+  test("façade serves concurrent requests through the shared SparkSession") {
+    // The JDK server runs handlers on a cached thread pool; every read
+    // route drives Spark actions from those threads. Spark sessions are
+    // thread-safe for concurrent actions, but this pins it END-TO-END:
+    // 16 parallel mixed requests (driver-side /analyze + Spark-backed
+    // /summary and /tweets) must all return 200 with coherent bodies.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val store = new HttpFacade.InMemoryTweetStore(spark)
+    val h = HttpFacade.start(spark, store)
+    try {
+      assert(post(h.port, "/store", envelope("7", "Concurrent facade test!")).statusCode == 200)
+      val calls: Seq[() => Boolean] = (1 to 16).map { i =>
+        (i % 3) match {
+          case 0 => () => post(h.port, "/analyze", s"""{"text": "request $i is great"}""")
+            .statusCode == 200
+          case 1 => () => { val r = get(h.port, "/summary?hours=24")
+            r.statusCode == 200 && r.body.contains("\"total_tweets\": 1") }
+          case _ => () => { val r = get(h.port, "/tweets?limit=5")
+            r.statusCode == 200 && r.body.contains("\"count\": 1") }
+        }
+      }
+      val ok = Await.result(Future.sequence(calls.map(c => Future(c()))), 60.seconds)
+      assert(ok.forall(identity), s"some concurrent requests failed: $ok")
+    } finally h.stop()
+  }
 }
