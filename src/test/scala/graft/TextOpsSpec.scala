@@ -102,6 +102,37 @@ class TextOpsSpec extends SparkSpec {
       }
   }
 
+  test("componentsOver equals union-find on random graphs (shared q66/q106 core)") {
+    // Both dedup families now ride one label-propagation core; harden
+    // it beyond the fixture graphs: three seeded random graphs checked
+    // against a driver-side union-find model, including singletons and
+    // multi-hop chains the pointer jumping must cross.
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 120
+      val edges = Seq.fill(150)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // union-find model
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val model = (0 until n).map { i =>
+        // canonical label = min member of the component
+        val root = find(i)
+        (i.toLong, (0 until n).filter(find(_) == root).min.toLong)
+      }.toMap
+      val got = graft.queries.DedupQueries.componentsOver(
+          edges.toDF("id_a", "id_b"),
+          spark.range(n).toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == model, s"trial $trial: propagation != union-find")
+    }
+  }
+
   test("dedup impact report reconciles with the cluster labels and the corpus") {
     import org.apache.spark.sql.functions._
     val labels = graft.queries.DedupQueries.dedupClusters(spark, sf)
