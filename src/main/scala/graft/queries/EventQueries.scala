@@ -367,6 +367,85 @@ object EventQueries {
       |    AS frac_purchase
       |FROM per""".stripMargin
 
+  /** q107: SESSION CO-PRESENCE / LIFT — association mining over the
+    * q28 sessions: for every unordered event-type pair, in how many
+    * sessions do both occur, and the lift
+    * P(a,b) / (P(a)·P(b)) = n_both·n_sessions / (n_a·n_b) — the
+    * signal behind "users who view also purchase" dashboards and
+    * funnel hypothesis ranking, which the reference's per-record SQL
+    * surface cannot express.
+    *
+    * Scale shape: session assignment is q28's one user_id shuffle;
+    * the distinct (session, type) frame is AT MOST types× the session
+    * count; the pair join is keyed on the session (fan-out per
+    * session ≤ types², types is a small enum); per-type totals and
+    * the 1-row session count broadcast back. The lift ratio uses the
+    * round-3 integer half-up 4 dp division so both engines agree on
+    * exact midpoints (int64-safe to ~10^9 sessions × 10^4 pairs; past
+    * that, swap the literal arithmetic to decimal — the oracle
+    * identity, not the plan, is what binds the form). */
+  def sessionCopresence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val st = Tables.events(s, dir)
+      .withColumn("new_session", when(
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 1800000000L, 1)
+        .otherwise(0))
+      .withColumn("session_idx", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"user_id", $"session_idx", $"event_type").distinct()
+    val totals = st.select($"user_id", $"session_idx").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val perType = st.groupBy($"event_type").agg(count(lit(1)).as("n_type"))
+    val a = st.select($"user_id", $"session_idx", $"event_type".as("type_a"))
+    val b = st.select($"user_id", $"session_idx", $"event_type".as("type_b"))
+    a.join(b, Seq("user_id", "session_idx"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.select($"event_type".as("type_a"), $"n_type".as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select($"event_type".as("type_b"), $"n_type".as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(totals))
+      // integer part in SQL, double division Scala-side: an in-expr
+      // `/ 10000.0` would parse as a DECIMAL literal and type the
+      // column decimal where the oracle emits DOUBLE (q100's rule)
+      .withColumn("lift",
+        expr("(20000 * n_both * n_sessions + n_a * n_b) div (2 * n_a * n_b)") / 10000.0d)
+      .select($"type_a", $"type_b", $"n_both", $"n_a", $"n_b", $"n_sessions", $"lift")
+      .orderBy($"type_a", $"type_b")
+  }
+
+  /** Session CTE COMPOSES q28's arithmetic verbatim — one definition
+    * of the session boundary; a gap-rule change updates both. */
+  val sessionCopresenceSql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT user_id, session_idx, event_type FROM (
+      |    SELECT user_id, event_type,
+      |      CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |    FROM (
+      |      SELECT user_id, event_id, ts, event_type,
+      |        CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |             THEN 1 ELSE 0 END AS new_session
+      |      FROM events))),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+      |        FROM (SELECT DISTINCT user_id, session_idx FROM st)),
+      |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type FROM st GROUP BY 1),
+      |pr AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_both
+      |  FROM st a JOIN st b
+      |    ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+      |   AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both, pa.n_type AS n_a, pb.n_type AS n_b,
+      |  t.n_sessions,
+      |  ((20000 * n_both * t.n_sessions + pa.n_type * pb.n_type)
+      |    // (2 * pa.n_type * pb.n_type)) / 10000.0 AS lift
+      |FROM pr JOIN pt pa ON pr.type_a = pa.event_type
+      |        JOIN pt pb ON pr.type_b = pb.event_type
+      |        CROSS JOIN tot t
+      |ORDER BY type_a, type_b""".stripMargin
+
   val sessionizeSql: String =
     """SELECT user_id, session_idx, count(*) AS n_events,
       |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s,
@@ -1002,6 +1081,7 @@ object EventQueries {
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
     "q28_sessionize" -> (sessionize _),
+    "q107_session_copresence" -> (sessionCopresence _),
     "q90_session_funnel" -> (sessionFunnel _),
     "q29_value_percentiles" -> (valuePercentiles _),
     "q56_approx_percentiles" -> (approxPercentiles _),
@@ -1028,6 +1108,7 @@ object EventQueries {
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,
     "q28_sessionize" -> sessionizeSql,
+    "q107_session_copresence" -> sessionCopresenceSql,
     "q90_session_funnel" -> sessionFunnelSql,
     "q29_value_percentiles" -> valuePercentilesSql,
     "q56_approx_percentiles" -> approxPercentilesSql,

@@ -105,6 +105,39 @@ class PipelineOpsSpec extends SparkSpec {
     // every event lands in exactly one bucket
     assert(got.map(_._4).sum == events.length)
   }
+  test("q107 co-presence equals a Scala session-fold model on the fixture") {
+    // third implementation: driver-side gap fold (the SessionStateSpec
+    // discipline) → distinct (session, type) → pair counts + lift
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+      .sortBy(e => (e._1, e._3.getTime * 1000L + (e._3.getNanos / 1000) % 1000, e._2))
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val st = scala.collection.mutable.Set[(Long, Long, String)]()
+    var (curUser, curIdx) = (-1L, 0L)
+    var last = Long.MinValue
+    evs.foreach { case (u, _, ts, tpe) =>
+      if (u != curUser) { curUser = u; curIdx = 0L; last = Long.MinValue }
+      else if (micros(ts) - last > 1800000000L) curIdx += 1
+      last = micros(ts)
+      st += ((u, curIdx, tpe))
+    }
+    val sessions = st.map(t => (t._1, t._2)).size.toLong
+    val perType = st.groupBy(_._3).map { case (t, s) => t -> s.size.toLong }
+    val pairs = st.groupBy(t => (t._1, t._2)).values.flatMap { rows =>
+      val types = rows.map(_._3).toSeq.sorted
+      for (i <- types.indices; j <- (i + 1) until types.size) yield (types(i), types(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val model = pairs.toSeq.sortBy(_._1).map { case ((a, b), nBoth) =>
+      val (na, nb) = (perType(a), perType(b))
+      val lift = ((20000L * nBoth * sessions + na * nb) / (2L * na * nb)) / 10000.0
+      (a, b, nBoth, na, nb, sessions, lift)
+    }
+    val got = graft.queries.EventQueries.sessionCopresence(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == model, s"got=$got\nmodel=$model")
+  }
+
   test("q90 funnel: strict step ordering and session boundaries (constructed data)") {
     import org.apache.spark.sql.functions._
     // four users, one scenario each:
