@@ -8,29 +8,73 @@ import scala.util.hashing.MurmurHash3
   * image/audio/video as opaque `binary` columns + typed metadata, with
   * decode / feature-extract / frame-sample stages whose *Spark-side
   * shape* (schema, partitioning, batched execution) is real and
-  * tested, while the codec itself is a clearly-marked deterministic
-  * STUB (no image/audio libraries ship in this container).
+  * tested.
+  *
+  * CODEC (round 15, de-stubbed): payloads whose magic bytes identify a
+  * JDK-decodable raster format (PNG/JPEG/GIF/BMP) are REALLY decoded
+  * with `javax.imageio` — zero extra dependencies — yielding true
+  * width/height metadata and a grid-pooled luminance embedding over
+  * the actual pixels. Payloads that are not decodable images (the
+  * parquet fixture stores UTF-8 text bytes) fall back to the original
+  * deterministic hash featurizer, clearly marked below, so the
+  * cross-engine byte-total oracles (q50–q52) remain exact while the
+  * image path is exercised by MultimodalSpec over ImageIO-encoded
+  * frames.
   *
   * Execution model: `featurize` uses `mapPartitions` over a typed
   * Dataset and processes rows in fixed-size batches — the exact shape
   * a real encoder needs (model loaded once per partition, inputs fed
-  * in batches of `batchSize`, results zipped back). Swapping the stub
-  * for ONNX/JNI inference changes only the inside of
+  * in batches of `batchSize`, results zipped back). Swapping the
+  * luminance pooling for ONNX/JNI inference changes only the inside of
   * `decodeAndEmbedBatch`. At 100 TB this stage is a pure map — no
   * shuffle — and scales with executor count; binary payloads stay
-  * columnar (parquet BYTE_ARRAY) end to end.
+  * columnar (parquet BYTE_ARRAY) end to end. `ImageIO.setUseCache
+  * (false)` keeps decodes heap-only (the default spills a temp FILE
+  * per decode — a per-record disk write on every executor).
   */
 object Multimodal {
 
-  /** Typed metadata extracted by the (stub) decoder. */
+  /** Typed metadata extracted by the decoder. */
   final case class MediaMeta(nBytes: Long, format: String, width: Int, height: Int, frames: Int)
   final case class MediaRow(doc_id: Long, content: Array[Byte])
   final case class FeatureRow(doc_id: Long, meta: MediaMeta, embedding: Array[Float])
 
-  /** STUB decode — deterministic pseudo-metadata from the payload
-    * header. A real implementation would parse the container format
-    * here (???-equivalent; see file Scaladoc). */
-  private[graft] def decodeMeta(bytes: Array[Byte]): MediaMeta = {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Container sniff by magic bytes — cheap rejection before ImageIO
+    * ever touches the payload (the reader-lookup path is ~100× a
+    * 4-byte compare, and most corpus rows are not images). */
+  private[graft] def sniffImageFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if (bytes.length >= 3 && bytes(0) == 0xFF.toByte &&
+             bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte) Some("jpeg")
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+             bytes(2) == 'F' && bytes(3) == '8') Some("gif")
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else None
+
+  /** Real decode via the JDK codec. None when the payload is not a
+    * (valid) image — truncated/corrupt bytes degrade to the fallback
+    * featurizer rather than failing the task. */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] =
+    sniffImageFormat(bytes).flatMap { fmt =>
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map(fmt -> _)
+      catch { case _: Throwable => None }
+    }
+
+  /** Metadata: real container header when decodable, deterministic
+    * pseudo-metadata otherwise (FALLBACK — the fixture path). */
+  private[graft] def decodeMeta(bytes: Array[Byte]): MediaMeta =
+    decodeImage(bytes) match {
+      case Some((fmt, img)) =>
+        MediaMeta(bytes.length.toLong, fmt, img.getWidth, img.getHeight, frames = 1)
+      case None => syntheticMeta(bytes)
+    }
+
+  /** FALLBACK decode — deterministic pseudo-metadata from the payload
+    * hash, used only when the bytes are not a decodable image. */
+  private[graft] def syntheticMeta(bytes: Array[Byte]): MediaMeta = {
     val h = MurmurHash3.bytesHash(bytes, 7)
     val formats = Array("png", "jpeg", "webp", "wav")
     val fmt = formats(math.abs(h % 4))
@@ -40,19 +84,73 @@ object Multimodal {
       frames = 1 + math.abs((h >> 16) % 32))
   }
 
-  /** STUB feature extraction for one batch — deterministic hash-mixed
-    * unit vector per payload (stands in for batched model inference). */
+  /** Grid-pooled luminance embedding over real pixels: the image is
+    * divided into a gx×gy cell grid covering `dim` cells; each cell
+    * contributes its mean luminance (Rec. 601 weights), centered at
+    * 0.5 so a flat image maps near the origin rather than to a
+    * degenerate all-positive vector; the result is L2-normalized.
+    * Deterministic for identical bytes, resolution-robust (pooling,
+    * not pixel sampling). */
+  private[graft] def embedImage(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val gx = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val gy = (dim + gx - 1) / gx
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](gx * gy)
+    val counts = new Array[Long](gx * gy)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(gy - 1, y * gy / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(gx - 1, x * gx / w)
+        val rgb = img.getRGB(x, y)
+        val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)) / 255.0
+        val c = cy * gx + cx
+        sums(c) += lum; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val v = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      v(j) = if (j < gx * gy && counts(j) > 0) (sums(j) / counts(j) - 0.5).toFloat else 0f
+      j += 1
+    }
+    normalize(v)
+  }
+
+  /** FALLBACK feature extraction — deterministic hash-mixed unit
+    * vector per payload (used for non-image bytes; stands in for a
+    * modality-specific encoder). */
+  private[graft] def hashEmbed(content: Array[Byte], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      v(j) = (MurmurHash3.bytesHash(content, j) / Int.MaxValue.toFloat)
+      j += 1
+    }
+    normalize(v)
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    if (norm == 0f) v else v.map(_ / norm)
+  }
+
+  /** Feature extraction for one batch: real ImageIO decode + luminance
+    * pooling for image payloads, hash fallback otherwise. */
   private[graft] def decodeAndEmbedBatch(batch: Seq[MediaRow], dim: Int): Seq[FeatureRow] =
     batch.map { r =>
-      val v = new Array[Float](dim)
-      var j = 0
-      while (j < dim) {
-        v(j) = (MurmurHash3.bytesHash(r.content, j) / Int.MaxValue.toFloat)
-        j += 1
+      decodeImage(r.content) match {
+        case Some((fmt, img)) =>
+          FeatureRow(r.doc_id,
+            MediaMeta(r.content.length.toLong, fmt, img.getWidth, img.getHeight, frames = 1),
+            embedImage(img, dim))
+        case None =>
+          FeatureRow(r.doc_id, syntheticMeta(r.content), hashEmbed(r.content, dim))
       }
-      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
-      val unit = if (norm == 0f) v else v.map(_ / norm)
-      FeatureRow(r.doc_id, decodeMeta(r.content), unit)
     }
 
   /** Attach a binary content column (fixture: the UTF-8 payload of the
@@ -61,16 +159,21 @@ object Multimodal {
     docs.withColumn("content", encode(coalesce(col("text"), lit("")), "UTF-8"))
 
   /** Batched decode + feature extraction via mapPartitions (the
-    * mapInPandas-equivalent batch shape in Scala). */
-  def featurize(docs: DataFrame, dim: Int = 16, batchSize: Int = 32): DataFrame = {
-    val spark = docs.sparkSession
+    * mapInPandas-equivalent batch shape in Scala), over a frame that
+    * already carries a binary `content` column — the real-media entry
+    * point (PNG/JPEG bytes decode through ImageIO here). */
+  def featurizeBinary(media0: DataFrame, dim: Int = 16, batchSize: Int = 32): DataFrame = {
+    val spark = media0.sparkSession
     import spark.implicits._
-    val media: Dataset[MediaRow] =
-      withBinaryContent(docs).select(col("doc_id"), col("content")).as[MediaRow]
+    val media: Dataset[MediaRow] = media0.select(col("doc_id"), col("content")).as[MediaRow]
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(b => decodeAndEmbedBatch(b.toSeq, dim))
     }.toDF()
   }
+
+  /** Fixture entry point: documents' text bytes stand in for blobs. */
+  def featurize(docs: DataFrame, dim: Int = 16, batchSize: Int = 32): DataFrame =
+    featurizeBinary(withBinaryContent(docs), dim, batchSize)
 
   /** Frame sampling: split the payload into fixed-size "frames" and
     * keep every `stride`-th — array<binary> out, ready to explode into

@@ -29,13 +29,73 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decodeMeta stub is deterministic and size-faithful") {
+  test("decodeMeta fallback is deterministic and size-faithful on non-image bytes") {
     val bytes = "hello media".getBytes("UTF-8")
     val m1 = Multimodal.decodeMeta(bytes)
     val m2 = Multimodal.decodeMeta(bytes)
     assert(m1 == m2)
     assert(m1.nBytes == bytes.length)
     assert(m1.width >= 64 && m1.height >= 64 && m1.frames >= 1)
+  }
+
+  /** Encode a w×h image through the JDK codec; pixel (x,y) gets the
+    * RGB produced by `paint`. */
+  private def encodeImage(fmt: String, w: Int, h: Int)(paint: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, paint(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos))
+    bos.toByteArray
+  }
+
+  test("real PNG/JPEG decode: true metadata, not the hash fallback") {
+    val png = encodeImage("png", 37, 21)((x, y) => ((x * 7) << 16) | ((y * 11) << 8) | 128)
+    val jpg = encodeImage("jpg", 48, 32)((x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0)
+    val mPng = Multimodal.decodeMeta(png)
+    assert(mPng.format == "png" && mPng.width == 37 && mPng.height == 21 && mPng.frames == 1)
+    assert(mPng.nBytes == png.length)
+    val mJpg = Multimodal.decodeMeta(jpg)
+    assert(mJpg.format == "jpeg" && mJpg.width == 48 && mJpg.height == 32)
+    // a truncated PNG header must degrade to the fallback, not throw
+    val truncated = png.take(20)
+    val mTrunc = Multimodal.decodeMeta(truncated)
+    assert(mTrunc.nBytes == 20)
+  }
+
+  test("featurizeBinary over real decoded frames: q52 byte/feature contracts hold") {
+    // Dark, light, and gradient images: the luminance embedding must be
+    // unit-norm, deterministic, and separate dark from light (cosine<1).
+    val dark  = encodeImage("png", 64, 64)((_, _) => 0x101010)
+    val light = encodeImage("png", 64, 64)((_, _) => 0xF0F0F0)
+    val grad  = encodeImage("png", 64, 64)((x, _) => { val v = x * 4; (v << 16) | (v << 8) | v })
+    val text  = "not an image at all".getBytes("UTF-8")
+    val media = Seq((1L, dark), (2L, light), (3L, grad), (4L, text))
+      .toDF("doc_id", "content")
+    val out = Multimodal.featurizeBinary(media, dim = 16, batchSize = 2)
+    assert(out.columns.toSeq == Seq("doc_id", "meta", "embedding"))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getStruct(1), r.getSeq[Float](2))).toMap
+    assert(rows.size == 4)
+    // byte contract: meta.nBytes equals the real payload length for every row
+    assert(rows(1L)._1.getLong(0) == dark.length)
+    assert(rows(4L)._1.getLong(0) == text.length)
+    // real image rows carry true decoded dimensions
+    Seq(1L, 2L, 3L).foreach { id =>
+      val m = rows(id)._1
+      assert(m.getString(1) == "png" && m.getInt(2) == 64 && m.getInt(3) == 64)
+    }
+    // unit-norm feature contract over decoded pixels
+    rows.values.foreach { case (_, emb) =>
+      val norm = math.sqrt(emb.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"not unit norm: $norm")
+    }
+    // dark cells pool below 0.5, light above: embeddings must oppose
+    val cos = rows(1L)._2.zip(rows(2L)._2).map { case (a, b) => a.toDouble * b }.sum
+    assert(cos < 0, s"dark vs light cosine should be negative, got $cos")
+    // determinism: re-run with a different batch size gives identical vectors
+    val again = Multimodal.featurizeBinary(media, dim = 16, batchSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    rows.foreach { case (id, (_, emb)) => assert(again(id) == emb) }
   }
 
   test("sampleFrames: stride-4 64-byte frames with correct sizes; empty content → no frames") {
