@@ -78,9 +78,8 @@ object MediaQueries {
     * No global sort — same rationale as [[mediaFeatures]]. */
   def langIdDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val detect = udf((t: String) => LangId.detect(t))
     Tables.documents(s, dir)
-      .withColumn("d", detect($"text"))
+      .withColumn("d", graft.functions.LangIdDetect.lang_id($"text"))
       .select($"doc_id", $"lang".as("labeled_lang"),
         $"d.lang".as("detected_lang"), round($"d.confidence", 4).as("confidence"))
   }
@@ -123,9 +122,8 @@ object MediaQueries {
     * and well-typed over every language block. */
   def langIdValidated(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val detect = udf((t: String) => LangId.detect(t))
     Tables.documents(s, dir)
-      .withColumn("d", detect($"text"))
+      .withColumn("d", graft.functions.LangIdDetect.lang_id($"text"))
       .groupBy(coalesce($"lang", lit("und")).as("labeled_lang"))
       .agg(count(lit(1)).as("n_docs"),
         expr("bool_and(d is not null)").as("all_classified"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.queries.Export._
-import graft.functions.{Ensemble, TextBlobOps, Vader}
+import graft.functions.{Ensemble, TextBlobOps, TextBlobScore, Vader, VaderScore}
 
 /** Sentiment pipeline queries (SURVEY §2.8 C2–C9, §3.2).
   *
@@ -147,9 +147,8 @@ object SentimentQueries {
     * for the other per-doc analyzer queries below. */
   def vaderDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vaderUdf = udf((t: String) => Vader.score(t))
     Tables.documents(s, dir)
-      .withColumn("v", vaderUdf(TextQueries.cleanText($"text")))
+      .withColumn("v", VaderScore.vader_score(TextQueries.cleanText($"text")))
       .select($"doc_id", $"v.compound".as("compound"), $"v.positive".as("positive"),
         $"v.negative".as("negative"), $"v.neutral".as("neutral"))
   }
@@ -158,9 +157,8 @@ object SentimentQueries {
     * SentimentSpec). No global sort — see [[vaderDocs]]. */
   def textblobDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tbUdf = udf((t: String) => TextBlobOps.score(t))
     Tables.documents(s, dir)
-      .withColumn("t", tbUdf(TextQueries.cleanText($"text")))
+      .withColumn("t", TextBlobScore.textblob_score(TextQueries.cleanText($"text")))
       .select($"doc_id", $"t.polarity".as("polarity"), $"t.subjectivity".as("subjectivity"))
   }
 

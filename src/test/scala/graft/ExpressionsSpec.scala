@@ -308,4 +308,46 @@ class ExpressionsSpec extends SparkSpec {
     }
     spark.conf.unset("spark.graft.pcaann.bits")
   }
+
+  test("sentiment/langid expressions codegen for real (no silent interpreted fallback)") {
+    import graft.functions.{AnalyzeSentiment, LangIdDetect, TextBlobScore, VaderScore, LangId, TextBlobOps, Vader}
+    // fallback=false makes a Janino compile failure THROW instead of
+    // quietly degrading to interpreted mode — this test is the proof
+    // that the round-15 doGenCode promotion actually generates valid
+    // Java, not just that results match.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val texts = Seq("I love this, it is great!!!", "terrible awful no good",
+        "", "the quick brown fox jumps over the lazy dog and it is fine")
+      // repartition keeps ConvertToLocalRelation from evaluating the
+      // projection at optimize time — the expressions must run inside
+      // a real WholeStageCodegen span to prove the generated Java.
+      val df = texts.toDF("text").repartition(2).select(
+        $"text",
+        VaderScore.vader_score($"text").as("v"),
+        TextBlobScore.textblob_score($"text").as("t"),
+        AnalyzeSentiment.analyze_sentiment($"text").as("a"),
+        LangIdDetect.lang_id($"text").as("l"))
+      val collected = df.collect() // executes: Janino failure would throw here under fallback=false
+      val plan = df.queryExecution.executedPlan.toString // AQE-final after execution
+      // the `*(n)` prefix is the WholeStageCodegen marker in plan strings
+      assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+        s"expected codegen span in:\n$plan")
+      collected.foreach { r =>
+        val text = r.getString(0)
+        val vs = Vader.score(text); val ts = TextBlobOps.score(text); val li = LangId.detect(text)
+        val v = r.getStruct(1); val t = r.getStruct(2); val a = r.getStruct(3); val l = r.getStruct(4)
+        assert(v.getDouble(0) == vs.compound && v.getDouble(1) == vs.positive &&
+          v.getDouble(2) == vs.negative && v.getDouble(3) == vs.neutral)
+        assert(t.getDouble(0) == ts.polarity && t.getDouble(1) == ts.subjectivity)
+        assert(a.getDouble(0) == vs.compound && a.getDouble(4) == ts.polarity &&
+          a.getDouble(5) == ts.subjectivity)
+        assert(l.getString(0) == li.lang && l.getDouble(1) == li.confidence)
+      }
+      // null input → neutral defaults through the generated path too
+      val nullRow = Seq(Option.empty[String]).toDF("text")
+        .select(AnalyzeSentiment.analyze_sentiment($"text").as("a")).collect().head.getStruct(0)
+      assert(nullRow.getDouble(0) == 0.0 && nullRow.getDouble(3) == 1.0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
