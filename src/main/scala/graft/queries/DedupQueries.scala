@@ -497,8 +497,24 @@ object DedupQueries {
       .reliableCheckpoint() // the pair join runs once, not once per round
     val und = edges.unionByName(
       edges.select($"id_b".as("id_a"), $"id_a".as("id_b")))
-    var labels = nodes
-      .select($"id", $"id".as("cluster_id")).reliableCheckpoint()
+    // SEED (round 15, VERDICT #6): label₀ = min over the CLOSED
+    // NEIGHBORHOOD — exactly what propagation round 1 produces from
+    // identity labels, but computed as one aggregate over the edge
+    // frame (with identity labels that round's two joins are pure
+    // renames, so the old first round paid three frames + a union +
+    // a join for what one groupBy delivers). Star-shaped components
+    // (the common dedup case: one keeper, k near-copies) are fully
+    // labeled by the seed, so the loop's first round is already the
+    // no-change fixpoint check. NOTE: seeding by candidate-BUCKET min
+    // would be unsound — bucket-mates below the similarity threshold
+    // are NOT edges, and their components must stay separate; the
+    // neighborhood min only ever propagates along real edges.
+    val nbrMin = und.groupBy($"id_a").agg(min($"id_b").as("nb"))
+      .withColumnRenamed("id_a", "id")
+    var labels = nodes.select($"id")
+      .join(nbrMin, Seq("id"), "left")
+      .select($"id", least($"id", coalesce($"nb", $"id")).as("cluster_id"))
+      .reliableCheckpoint()
     // labels are monotonically non-increasing, so the label SUM
     // strictly decreases on any change — fixpoint detection is one
     // tiny aggregate over the checkpointed frame, no compare join
@@ -534,8 +550,14 @@ object DedupQueries {
       labels = next
       round0 += 1
     }
+    lastComponentRounds = round0
     labels
   }
+
+  /** Rounds the last [[componentsOver]] call took to fixpoint —
+    * instrumentation for the TextOpsSpec convergence assertions (the
+    * seed's value IS the round count it saves). */
+  @volatile private[graft] var lastComponentRounds: Int = -1
 
   /** q82: DEDUP IMPACT REPORT — the artifact a dedup run actually
     * ships to its operators: per source, how many documents and

@@ -244,22 +244,48 @@ object EventQueries {
     * Realizes SURVEY §2.9's session concept the reference never had. */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // all time arithmetic in integer MICROS so Spark and the oracle
+    // Round 15 (VERDICT #8): the lag + running-sum window pair is
+    // SEQUENTIALLY dependent (the sum consumes the lag output), so
+    // Catalyst can never fuse those two WindowExecs — the fix is the
+    // operator Spark built for exactly this: batch `session_window`
+    // aggregation, ONE sort-based pass that assigns and aggregates
+    // sessions in-stream (no per-event window nodes at all). The only
+    // remaining WindowExec is the per-user session NUMBERING, which
+    // runs over the aggregated one-row-per-session frame (tiny) and
+    // reuses the user_id partitioning — PlanSpec pins exactly one
+    // window node and one exchange up to the export sort.
+    //
+    // Boundary fidelity: the old rule keeps a gap of EXACTLY 1800 s in
+    // the same session (`diff > 1800000000 µs` starts a new one);
+    // session_window starts a new session when `diff >= gap`. Setting
+    // gap = 1800000001 µs makes `>= gap` ⟺ `> 1800 s` at the data's
+    // microsecond resolution — semantics preserved, oracle unchanged.
+    //
+    // All time arithmetic in integer MICROS so Spark and the oracle
     // truncate identically (unix_timestamp would floor each operand
-    // to seconds; DuckDB's epoch() subtracts fractionally)
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val gapFlag = when(
-      unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 1800000000L, 1)
-      .otherwise(0)
-    Tables.events(s, dir)
-      .withColumn("new_session", gapFlag)
-      .withColumn("session_idx", sum($"new_session").over(
-        byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy($"user_id", $"session_idx")
+    // to seconds; DuckDB's epoch() subtracts fractionally).
+    sessionizeRaw(s, dir)
+      // materialize once, then sort: the RangePartitioner sampling
+      // pass would otherwise re-execute the session aggregation (the
+      // checkpointed slice is one row per session)
+      .reliableCheckpoint()
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  /** q28 before the checkpoint + export sort — PlanSpec pins this
+    * frame's shape (the checkpoint would hide it behind an RDD scan). */
+  private[graft] def sessionizeRaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sessions = Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "1800000001 microseconds"))
       .agg(count(lit(1)).as("n_events"),
         expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").as("duration_s"),
-        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
-      .orderBy($"user_id", $"session_idx")
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        min($"ts").as("t0"))
+    val numbered = Window.partitionBy($"user_id").orderBy($"t0")
+    sessions
+      .withColumn("session_idx", (row_number().over(numbered) - 1).cast("long"))
+      .select($"user_id", $"session_idx", $"n_events", $"duration_s", $"session_start")
   }
 
   /** q90: SESSIONIZED FUNNEL — per 30-minute-gap session (q28's
@@ -393,14 +419,12 @@ object EventQueries {
     * (int64-safe to ~10^9 sessions × 10^4 pairs). */
   def sessionCopresence(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // session membership via the same native session_window pass as
+    // q28 (gap = 1800000001 µs ⟺ the oracle's `> 1800 s` rule at
+    // microsecond resolution); co-presence needs no session NUMBERS,
+    // so no window node exists anywhere in this plan
     val sessions = Tables.events(s, dir)
-      .withColumn("new_session", when(
-        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 1800000000L, 1)
-        .otherwise(0))
-      .withColumn("session_idx", sum($"new_session").over(
-        byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy($"user_id", $"session_idx")
+      .groupBy($"user_id", session_window($"ts", "1800000001 microseconds"))
       .agg(array_sort(collect_set($"event_type")).as("types"))
     val nullT = lit(null).cast("string")
     val entries = concat(

@@ -195,10 +195,20 @@ object TextQueries {
 
   /** q65: TF-IDF top terms per document — the classic training-data
     * relevance/keyword primitive. Plan shape: one explode → (doc,
-    * term) map-side-combined count → df as an unordered count window
-    * over the tf relation (one shuffle on term, no df aggregate or
-    * join) → per-doc top-3 window (WindowGroupLimit bounds the sort)
-    * → checkpointed export sort.
+    * term) map-side-combined count → BROADCAST join against the
+    * vocabulary-bounded df aggregate → per-doc top-3 window
+    * (WindowGroupLimit bounds the sort) → checkpointed export sort.
+    *
+    * The df side (round 15, VERDICT #7): round 4's count-window form
+    * shuffled the ENTIRE tf relation on term just to count rows per
+    * term — then shuffled it AGAIN on doc_id for the rank window. The
+    * df aggregate's exchange instead carries at most vocab×partitions
+    * partially-combined rows, the broadcast join adds no exchange on
+    * the tf side, and tf's own groupBy exchange is reused between the
+    * df branch and the join branch (AQE stage reuse), so tf crosses
+    * the wire once, not three times. (Round 4's A/B rejected a
+    * SHUFFLE df join — the broadcast form is the one that removes an
+    * exchange rather than adding one.)
     *
     * The idf is the BM25-style RATIONAL form
     * `(N − df + 0.5)/(df + 0.5)` rather than the logarithmic one:
@@ -211,16 +221,12 @@ object TextQueries {
     val toks = Tables.documents(s, dir)
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
     val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    // df as an unordered COUNT WINDOW over the tf relation (exactly
-    // one row per (doc, term), so per-term row count IS the document
-    // frequency): one shuffle on term and NO df-aggregate + join —
-    // round 4 replaced the agg/join shape, which paid an extra
-    // exchange and join node for the same result (A/B: 0.83 → 0.73 s
-    // warm at sf0.1, and one fewer stage at any scale).
+    // one row per (doc, term) in tf ⇒ per-term row count IS the
+    // document frequency
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
-    val wdf = Window.partitionBy($"term")
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
-    tf.withColumn("df", count(lit(1)).over(wdf))
+    tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round($"tf" * ($"n" - $"df" + 0.5) / ($"df" + 0.5), 4))

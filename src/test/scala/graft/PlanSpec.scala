@@ -51,6 +51,24 @@ class PlanSpec extends SparkSpec {
       s"exact-k sample must not plan a rank window:\n$p")
   }
 
+  test("q28: sessionize is one session_window pass + one numbering window over sessions") {
+    // round 15: the lag + running-sum pair (two sequentially-dependent
+    // WindowExecs over every event) became a single batch
+    // session_window aggregation; the only WindowExec left is the
+    // per-user session numbering, which runs over the one-row-per-
+    // session aggregate, and the event frame crosses the wire once
+    // (the checkpoint + export sort sit above the tiny session frame).
+    val df = graft.queries.EventQueries.sessionizeRaw(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert("Window ".r.findAllIn(p).size == 1,
+      s"expected exactly one window node (session numbering):\n$p")
+    assert(p.contains("UpdatingSessions") || p.contains("session_window"),
+      s"expected the native session_window aggregation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"event frame must cross the wire exactly once:\n$p")
+  }
+
   test("q02: global top-k plans as TakeOrderedAndProject (no full sort)") {
     val df = Relational.recentOrders(spark, sf)
     df.count()

@@ -133,6 +133,22 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("neighborhood-min seeding: star components converge in one verify round") {
+    // 10 stars (center = component min) + singletons: the round-15
+    // seed labels every node at initialization, so the loop's first
+    // round is purely the no-change fixpoint check.
+    val edges = (0 until 10).flatMap { c => (1 to 4).map(k => (c * 10L, c * 10L + k)) }
+    val got = graft.queries.DedupQueries.componentsOver(
+        edges.toDF("id_a", "id_b"), spark.range(100).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    (0 until 100).foreach { i =>
+      val expect = if (i < 95 && i % 10 <= 4) (i / 10) * 10L else i.toLong
+      assert(got(i.toLong) == expect, s"node $i")
+    }
+    assert(graft.queries.DedupQueries.lastComponentRounds == 1,
+      s"star graph should converge at the seed; took ${graft.queries.DedupQueries.lastComponentRounds} rounds")
+  }
+
   test("dedup impact report reconciles with the cluster labels and the corpus") {
     import org.apache.spark.sql.functions._
     val labels = graft.queries.DedupQueries.dedupClusters(spark, sf)
