@@ -14,24 +14,39 @@ import org.apache.spark.sql.types._
   * object-store URIs and Catalyst handles partition discovery.
   */
 object Tables {
-  /** Parquet schema cache keyed by file path + modification time.
+  /** Parquet schema cache keyed by file path + content signature.
     * Footer-based schema inference costs a synchronous driver-side
     * read per `spark.read.parquet` call; across a 100-query bench
     * that is seconds of pure overhead. Schemas are a property of the
-    * file CONTENTS, so the key includes the file's mtime: if the
+    * file CONTENTS, so the key carries a content signature: if the
     * driver regenerates a fixture mid-session (it did, round 13 —
     * events.ts flipped TIMESTAMP(NANOS) → TIMESTAMP(MICROS)), the
     * stale entry is simply never hit again. File listing itself is
-    * cached by Spark's shared FileStatusCache. */
+    * cached by Spark's shared FileStatusCache.
+    *
+    * The signature is taken from LEAF FILES (round 15, ADVICE): for a
+    * directory-shaped dataset the key is max-mtime + total-length +
+    * count over its part files, because directory mtime alone is
+    * unreliable exactly where it matters — S3A fake directories
+    * report mtime 0, and an HDFS in-place part-file rewrite leaves
+    * the directory mtime untouched. Plain files key on their own
+    * mtime + length. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   private def cacheKey(s: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val mtime =
-      try p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p).getModificationTime
-      catch { case _: Exception => 0L } // missing file: let spark.read raise the real error
-    s"$path@$mtime"
+    val sig = try {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) {
+        val parts = fs.listStatus(p)
+          .filterNot(f => f.getPath.getName.startsWith("_") || f.getPath.getName.startsWith("."))
+        if (parts.isEmpty) st.getModificationTime.toString
+        else s"${parts.map(_.getModificationTime).max}-${parts.map(_.getLen).sum}-${parts.length}"
+      } else s"${st.getModificationTime}-${st.getLen}"
+    } catch { case _: Exception => "0" } // missing file: let spark.read raise the real error
+    s"$path@$sig"
   }
 
   private def loadSchema(s: SparkSession, path: String): StructType =

@@ -129,4 +129,58 @@ class JdbcSinkSpec extends SparkSpec {
     JdbcSink.insertIgnore(batch, url, "pgkeys_ii", conflictKeys = Seq("tweet_id"))
     assert(count("pgkeys_ii") == 2, "conflictKeys on a non-PG URL must not change semantics")
   }
+
+  // ------------------------------------------------------------------ //
+  // PG-path replay hardening (VERDICT r14 #9): the REAL insertIgnore
+  // runs end-to-end against a JDBC-level PG stand-in (FakePgDriver) —
+  // only the wire is faked, so these pin the native-conflict path's
+  // statement shape, savepoint-freedom, transaction boundaries, and
+  // replay behavior that Derby (savepoint dialect) cannot exercise.
+  // ------------------------------------------------------------------ //
+
+  test("PG path: replayed duplicates are DO NOTHING no-ops — zero savepoints, reference statement") {
+    FakePgDriver.ensureRegistered()
+    val pgUrl = "jdbc:postgresql://stub/replaydb"
+    val d = FakePgDriver.db(pgUrl); d.reset()
+    val batch = Seq(("t1", "hello"), ("t2", "world")).toDF("tweet_id", "txt").coalesce(1)
+    JdbcSink.insertIgnore(batch, pgUrl, "tweets", conflictKeys = Seq("tweet_id"))
+    assert(d.committed.keySet == Set("t1", "t2"))
+    // checkpoint replay: same batch + a conflicting rewrite of t1
+    val replay = Seq(("t1", "CHANGED"), ("t2", "world"), ("t3", "new"))
+      .toDF("tweet_id", "txt").coalesce(1)
+    JdbcSink.insertIgnore(replay, pgUrl, "tweets", conflictKeys = Seq("tweet_id"))
+    assert(d.committed.keySet == Set("t1", "t2", "t3"))
+    assert(d.committed("t1")(1) == "hello", "first writer wins across replay")
+    assert(d.savepoints == 0,
+      "the native-conflict path must never bracket rows in savepoints")
+    assert(d.statements.nonEmpty && d.statements.forall(
+      _ == "INSERT INTO tweets (tweet_id, txt) VALUES (?, ?) ON CONFLICT (tweet_id) DO NOTHING"),
+      s"reference statement expected, got: ${d.statements.distinct}")
+  }
+
+  test("PG path: mid-batch connection failure loses only the open window; replay completes exactly-once") {
+    FakePgDriver.ensureRegistered()
+    val pgUrl = "jdbc:postgresql://stub/crashdb"
+    val d = FakePgDriver.db(pgUrl); d.reset()
+    val rows = Seq(("a", "1"), ("b", "2"), ("c", "3"), ("d", "4"), ("e", "5"))
+    val batch = rows.toDF("tweet_id", "txt").coalesce(1)
+    // commitEvery=2: rows a,b commit; c enters the open window; d dies
+    d.failOnceOnKey = Some("d")
+    val thrown = intercept[org.apache.spark.SparkException] {
+      JdbcSink.insertIgnore(batch, pgUrl, "tweets", commitEvery = 2,
+        conflictKeys = Seq("tweet_id"))
+    }
+    assert(Option(thrown.getMessage).exists(_.contains("08006")) ||
+      thrown.getCause != null, s"failure must surface, got: $thrown")
+    assert(d.committed.keySet == Set("a", "b"),
+      s"only the committed window survives a dropped connection, got ${d.committed.keySet}")
+    // at-least-once replay of the WHOLE batch (what foreachBatch does
+    // after the failed micro-batch retries): idempotent inserts make
+    // the end state exactly-once
+    JdbcSink.insertIgnore(batch, pgUrl, "tweets", commitEvery = 2,
+      conflictKeys = Seq("tweet_id"))
+    assert(d.committed.keySet == rows.map(_._1).toSet)
+    assert(d.committed.values.forall(_.size == 2))
+    assert(d.savepoints == 0)
+  }
 }
