@@ -118,5 +118,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.BloomBuild(c, intArg(bits, "numBits"), intArg(k, "numHashes"))
         case _ => throw new IllegalArgumentException("bloom_build(col[, numBits[, numHashes]])")
       }).toAggregateExpression()))
+
+    // Round 15: the codegen'd analyzer expressions join the SQL
+    // surface — `SELECT analyze_sentiment(text).compound FROM docs`
+    // is the reference's /analyze semantics from plain SQL.
+    def unary(name: String, build: Expression => Expression)
+        (cls: Class[_]): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+      (new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (args: Seq[Expression]) => args match {
+          case Seq(c) => build(c)
+          case _ => throw new IllegalArgumentException(s"$name(text)")
+        })
+    ext.injectFunction(unary("analyze_sentiment",
+      graft.functions.AnalyzeSentiment(_))(classOf[graft.functions.AnalyzeSentiment]))
+    ext.injectFunction(unary("vader_score",
+      graft.functions.VaderScore(_))(classOf[graft.functions.VaderScore]))
+    ext.injectFunction(unary("textblob_score",
+      graft.functions.TextBlobScore(_))(classOf[graft.functions.TextBlobScore]))
+    ext.injectFunction(unary("lang_id",
+      graft.functions.LangIdDetect(_))(classOf[graft.functions.LangIdDetect]))
   }
 }

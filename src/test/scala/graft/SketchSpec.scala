@@ -260,6 +260,19 @@ class SketchSpec extends SparkSpec {
           |FROM range(100)""".stripMargin)
         .selectExpr("transform(t, x -> x.tie) ties").head().getSeq[Long](0)
       assert(tk == Seq(6L, 13L, 20L), s"expected ties (6,13,20), got $tk")
+      // round 15: the codegen'd analyzers from plain SQL — the
+      // reference's /analyze semantics as one SELECT
+      val an = s2.sql(
+        "SELECT analyze_sentiment('I love this, it is great').compound c").head().getDouble(0)
+      assert(an == graft.functions.Vader.score("I love this, it is great").compound)
+      val vs = s2.sql("SELECT vader_score('terrible awful').compound").head().getDouble(0)
+      assert(vs == graft.functions.Vader.score("terrible awful").compound && vs < 0)
+      val tb = s2.sql("SELECT textblob_score('I love this').polarity").head().getDouble(0)
+      assert(tb == graft.functions.TextBlobOps.score("I love this").polarity)
+      val li = s2.sql(
+        "SELECT lang_id('the quick brown fox jumps over the lazy dog and it is fine').lang")
+        .head().getString(0)
+      assert(li == "en")
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
