@@ -1,5 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// warning-clean policy (round 15): the tree compiles with zero
+// deprecation/feature warnings — keep the flags on so regressions show
+ThisBuild / scalacOptions ++= Seq("-deprecation", "-feature")
 name := "socialmediasentimentanalysisspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -82,7 +82,7 @@ object TweetApi {
   /** GET /export?hours=N (sentiment_analysis.py:668-715): F3 window +
     * W2 recency sort (unbounded). CSV shaping is the caller's
     * concern (df.write.option("header",true).csv or toLocalIterator). */
-  def export(tweets: DataFrame, hours: Int = 24): DataFrame =
+  def `export`(tweets: DataFrame, hours: Int = 24): DataFrame = // backticks: Scala 3 keyword
     tweets
       .filter(col("processed_at") >= current_timestamp() - expr(s"INTERVAL $hours HOURS"))
       .orderBy(desc("processed_at"))

@@ -106,7 +106,7 @@ object BpeQueries {
     val out = ArrayBuffer[(String, String)]()
     var continue = true
     while (continue && out.length < nMerges) {
-      val top = state.toDF.select(explode(adjacentPairs).as("p"), $"freq")
+      val top = state.toDF().select(explode(adjacentPairs).as("p"), $"freq")
         .groupBy($"p.l".as("l"), $"p.r".as("r"))
         .agg(sum($"freq").as("cnt"))
         .orderBy($"cnt".desc, $"l".asc, $"r".asc)
@@ -122,7 +122,7 @@ object BpeQueries {
         // q66 discipline: cut the per-round map lineage before it
         // compounds into quadratic recompute under the argmax jobs
         if (out.length % 8 == 0)
-          state = graft.operators.Scale.checkpointed(state.toDF).as[WordSyms]
+          state = graft.operators.Scale.checkpointed(state.toDF()).as[WordSyms]
       }
     }
     out.toSeq

@@ -299,8 +299,8 @@ object SimilarityQueries {
   private def ivfCells(s: SparkSession, cent: Array[Array[Double]]): (Column, Column) = {
     import s.implicits._
     val cosines = cent.map(c => cosine_similarity($"embedding", typedlit(c.toSeq)))
-    val cell = array_position(array(cosines: _*), array_max(array(cosines: _*))).cast("int")
-    val scored = array(cosines.zipWithIndex.map { case (c, i) =>
+    val cell = array_position(array(cosines.toIndexedSeq: _*), array_max(array(cosines.toIndexedSeq: _*))).cast("int")
+    val scored = array(cosines.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(c.as("c"), lit(i + 1).as("i")) }: _*)
     val probeCells = transform(
       slice(array_sort(scored, (l, r) =>

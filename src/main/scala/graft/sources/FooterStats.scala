@@ -6,6 +6,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
 
 import java.util.concurrent.ConcurrentHashMap
+import scala.language.existentials // parquet Statistics[T <: Comparable[T]] below
 
 /** Source-snapshot fingerprints from parquet FOOTER statistics — the
   * artifact-freshness gates' (row count, max id) WITHOUT a data scan

@@ -131,7 +131,7 @@ object Pipeline {
     // A4 observable metrics (replaces the reference's every-10-records
     // progress log, twitter_streamer.py:274-277): per-batch row count
     // and label mix surface in StreamingQueryProgress.observedMetrics.
-    stamped.select(Schemas.enrichedTweet.fieldNames.map(col): _*)
+    stamped.select(Schemas.enrichedTweet.fieldNames.toIndexedSeq.map(col): _*)
       .observe("enrich_metrics",
         count(lit(1)).as("n_rows"),
         coalesce(sum(when(col("final_sentiment") === "positive", 1L).otherwise(0L)), lit(0L))
@@ -212,8 +212,8 @@ object Pipeline {
   def dedupBatch(df: DataFrame): DataFrame = {
     val cols = df.columns
     df.groupBy(col("tweet_id"))
-      .agg(min(struct(cols.map(col): _*)).as("_r"))
-      .select(cols.map(c => col(s"_r.$c")): _*)
+      .agg(min(struct(cols.toIndexedSeq.map(col): _*)).as("_r"))
+      .select(cols.toIndexedSeq.map(c => col(s"_r.$c")): _*)
   }
 
   /** Full batch-equivalent transform: json lines → enriched, deduped
