@@ -350,6 +350,39 @@ object TrainQueries {
           .as("chunk_fp"))
   }
 
+  /** q108: CHUNK-LEVEL EXACT DEDUP — the step between q78 chunking
+    * and q70/q99 packing in a real pipeline: identical context
+    * windows recur ACROSS documents (boilerplate, quotes, templated
+    * passages) even when the documents themselves are not duplicates,
+    * and training on them re-weights the corpus. Composes q78's chunk
+    * fingerprints with the q40 keeper discipline: the keeper of each
+    * fingerprint group is its (doc_id, chunk_idx) minimum.
+    *
+    * Scale shape: ONE shuffle on the 64-bit chunk fingerprint (the
+    * 8-byte scale representation — q41's rule), then a row_number
+    * window over fingerprint groups, which are near-singleton by
+    * construction (the lint's low-cardinality-partition trap does not
+    * apply; group size is the duplication multiplicity, not the
+    * corpus). No join back — the window IS the keeper assignment. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"chunk_fp").orderBy($"doc_id", $"chunk_idx")
+    docChunks(s, dir)
+      .withColumn("is_keeper", row_number().over(w) === 1)
+      // materialize before the export sort (range-sampler re-execute rule)
+      .reliableCheckpoint()
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Chunks COMPOSE q78's oracle verbatim — one definition of the
+    * chunk grid and fingerprint across both queries. */
+  lazy val chunkDedupSql: String =
+    s"""WITH chunks AS ($docChunksSql)
+      |SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_fp,
+      |  row_number() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_idx) = 1
+      |    AS is_keeper
+      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
   val docChunksSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -940,6 +973,7 @@ object TrainQueries {
     "q95_shuffle_order" -> (shuffleOrder _),
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
     "q78_doc_chunks" -> ((s: SparkSession, dir: String) => docChunks(s, dir)),
+    "q108_chunk_dedup" -> (chunkDedup _),
     "q79_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)),
     "q69_stratified_sample" -> (stratifiedSample _),
     "q70_token_pack" -> ((s: SparkSession, dir: String) => tokenPack(s, dir)),
@@ -957,6 +991,7 @@ object TrainQueries {
     "q95_shuffle_order" -> shuffleOrderSql,
     "q75_source_mix" -> sourceMixSql,
     "q78_doc_chunks" -> docChunksSql,
+    "q108_chunk_dedup" -> chunkDedupSql,
     "q79_contamination" -> contaminationSql,
     "q69_stratified_sample" -> stratifiedSampleSql,
     "q70_token_pack" -> tokenPackSql,

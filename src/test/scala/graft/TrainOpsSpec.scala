@@ -425,4 +425,25 @@ class TrainOpsSpec extends SparkSpec {
       }
     } finally { prior.fold(spark.conf.unset(conf))(spark.conf.set(conf, _)) }
   }
+
+  test("q108 chunk dedup: one keeper per fingerprint, keeper is the group minimum, non-vacuous") {
+    val rows = TrainQueries.chunkDedup(spark, sf)
+      .select($"doc_id", $"chunk_idx", $"chunk_fp", $"is_keeper")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // chunk grid identity with q78 (the composed definition holds)
+    assert(rows.length == TrainQueries.docChunks(spark, sf).count())
+    val byFp = rows.groupBy(_._3)
+    byFp.foreach { case (fp, g) =>
+      assert(g.count(_._4) == 1, s"fp $fp has ${g.count(_._4)} keepers")
+      val keeper = g.filter(_._4).head
+      val minPos = g.map(r => (r._1, r._2)).min
+      assert((keeper._1, keeper._2) == minPos,
+        s"fp $fp keeper ${(keeper._1, keeper._2)} != min $minPos")
+    }
+    // the fixture must actually exercise the dedup (vacuity guard):
+    // duplicated chunks exist, so keepers < chunks
+    val dups = rows.length - byFp.size
+    assert(dups > 0, "fixture has no duplicate chunks — test is vacuous")
+    assert(rows.count(_._4) == byFp.size)
+  }
 }
