@@ -11,15 +11,17 @@ import scala.util.hashing.MurmurHash3
   * tested.
   *
   * CODEC (round 15, de-stubbed): payloads whose magic bytes identify a
-  * JDK-decodable raster format (PNG/JPEG/GIF/BMP) are REALLY decoded
-  * with `javax.imageio` — zero extra dependencies — yielding true
-  * width/height metadata and a grid-pooled luminance embedding over
-  * the actual pixels. Payloads that are not decodable images (the
-  * parquet fixture stores UTF-8 text bytes) fall back to the original
-  * deterministic hash featurizer, clearly marked below, so the
-  * cross-engine byte-total oracles (q50–q52) remain exact while the
-  * image path is exercised by MultimodalSpec over ImageIO-encoded
-  * frames.
+  * JDK-decodable format are REALLY decoded with zero extra
+  * dependencies — PNG/JPEG/GIF/BMP via `javax.imageio` (true
+  * width/height metadata, grid-pooled luminance embedding over the
+  * actual pixels) and RIFF/WAVE PCM via `javax.sound.sampled` (true
+  * sample-rate/channel/frame metadata, windowed RMS-energy
+  * embedding over the decoded samples). Payloads that are neither
+  * (the parquet fixture stores UTF-8 text bytes) fall back to the
+  * original deterministic hash featurizer, clearly marked below, so
+  * the cross-engine byte-total oracles (q50–q52) remain exact while
+  * both real modalities are exercised by MultimodalSpec over
+  * ImageIO-/AudioSystem-encoded payloads.
   *
   * Execution model: `featurize` uses `mapPartitions` over a typed
   * Dataset and processes rows in fixed-size batches — the exact shape
@@ -63,13 +65,107 @@ object Multimodal {
       catch { case _: Throwable => None }
     }
 
-  /** Metadata: real container header when decodable, deterministic
-    * pseudo-metadata otherwise (FALLBACK — the fixture path). */
+  /** WAV sniff: RIFF container with a WAVE type tag. */
+  private[graft] def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Decoded PCM audio: sample rate, channels, and channel-mixed
+    * samples normalized to [-1, 1]. */
+  private[graft] final case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Double])
+
+  /** Real WAV decode via the JDK codec (`javax.sound.sampled` — zero
+    * new deps, same rule as ImageIO): 8/16-bit PCM, any channel
+    * count; channels are mean-mixed to mono. None on malformed or
+    * compressed-encoding payloads (degrade to the fallback, never
+    * fail the task). */
+  private[graft] def decodeWav(bytes: Array[Byte]): Option[PcmAudio] =
+    if (!isWav(bytes)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding._
+        // the WAV PCM spec: 8-bit is unsigned, 16-bit is signed —
+        // anything else (float, compressed, 24/32-bit) degrades to
+        // the fallback rather than being half-decoded
+        val supported =
+          (f.getSampleSizeInBits == 8 && enc == PCM_UNSIGNED) ||
+          (f.getSampleSizeInBits == 16 && enc == PCM_SIGNED)
+        if (!supported) None
+        else {
+          val raw = in.readAllBytes()
+          val ch = f.getChannels
+          val bytesPerSample = f.getSampleSizeInBits / 8
+          val frameBytes = bytesPerSample * ch
+          val nFrames = raw.length / frameBytes
+          val mono = new Array[Double](nFrames)
+          var i = 0
+          while (i < nFrames) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = i * frameBytes + c * bytesPerSample
+              val s =
+                if (bytesPerSample == 1) ((raw(off) & 0xFF) - 128) / 128.0
+                else {
+                  val v = if (f.isBigEndian) (raw(off) << 8) | (raw(off + 1) & 0xFF)
+                          else (raw(off + 1) << 8) | (raw(off) & 0xFF)
+                  v / 32768.0
+                }
+              acc += s
+              c += 1
+            }
+            mono(i) = acc / ch
+            i += 1
+          }
+          Some(PcmAudio(f.getSampleRate.toInt, ch, mono))
+        }
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
+  /** Windowed RMS-energy embedding over real PCM: samples split into
+    * `dim` equal windows, each contributing its root-mean-square
+    * energy; centered at the mean so a constant-energy clip maps near
+    * the origin; L2-normalized. The audio analog of the image grid
+    * pooling — deterministic, duration-robust. */
+  private[graft] def embedAudio(a: PcmAudio, dim: Int): Array[Float] = {
+    val n = a.samples.length
+    val v = new Array[Float](dim)
+    if (n == 0) return v
+    val energies = new Array[Double](dim)
+    var w = 0
+    while (w < dim) {
+      val from = (w.toLong * n / dim).toInt
+      val to = math.max(from + 1, ((w + 1).toLong * n / dim).toInt)
+      var ss = 0.0
+      var i = from
+      while (i < math.min(to, n)) { ss += a.samples(i) * a.samples(i); i += 1 }
+      energies(w) = math.sqrt(ss / math.max(1, math.min(to, n) - from))
+      w += 1
+    }
+    val mean = energies.sum / dim
+    var j = 0
+    while (j < dim) { v(j) = (energies(j) - mean).toFloat; j += 1 }
+    normalize(v)
+  }
+
+  /** Metadata: real container header when decodable (image OR wav),
+    * deterministic pseudo-metadata otherwise (FALLBACK — the fixture
+    * path). Audio maps onto the typed meta as width = sample rate,
+    * height = channels, frames = PCM frame count. */
   private[graft] def decodeMeta(bytes: Array[Byte]): MediaMeta =
     decodeImage(bytes) match {
       case Some((fmt, img)) =>
         MediaMeta(bytes.length.toLong, fmt, img.getWidth, img.getHeight, frames = 1)
-      case None => syntheticMeta(bytes)
+      case None => decodeWav(bytes) match {
+        case Some(a) =>
+          MediaMeta(bytes.length.toLong, "wav", a.sampleRate, a.channels, a.samples.length)
+        case None => syntheticMeta(bytes)
+      }
     }
 
   /** FALLBACK decode — deterministic pseudo-metadata from the payload
@@ -140,7 +236,8 @@ object Multimodal {
   }
 
   /** Feature extraction for one batch: real ImageIO decode + luminance
-    * pooling for image payloads, hash fallback otherwise. */
+    * pooling for images, real PCM decode + windowed RMS energy for
+    * WAV audio, hash fallback otherwise. */
   private[graft] def decodeAndEmbedBatch(batch: Seq[MediaRow], dim: Int): Seq[FeatureRow] =
     batch.map { r =>
       decodeImage(r.content) match {
@@ -148,8 +245,14 @@ object Multimodal {
           FeatureRow(r.doc_id,
             MediaMeta(r.content.length.toLong, fmt, img.getWidth, img.getHeight, frames = 1),
             embedImage(img, dim))
-        case None =>
-          FeatureRow(r.doc_id, syntheticMeta(r.content), hashEmbed(r.content, dim))
+        case None => decodeWav(r.content) match {
+          case Some(a) =>
+            FeatureRow(r.doc_id,
+              MediaMeta(r.content.length.toLong, "wav", a.sampleRate, a.channels, a.samples.length),
+              embedAudio(a, dim))
+          case None =>
+            FeatureRow(r.doc_id, syntheticMeta(r.content), hashEmbed(r.content, dim))
+        }
       }
     }
 

@@ -62,6 +62,48 @@ class MultimodalSpec extends SparkSpec {
     assert(mTrunc.nBytes == 20)
   }
 
+  /** Encode 16-bit PCM mono samples into a real WAV container via the
+    * JDK codec; `sample(i)` in [-1, 1]. */
+  private def encodeWav(n: Int, rate: Float = 8000f)(sample: Int => Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val raw = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = math.max(-32768, math.min(32767, (sample(i) * 32767).toInt))
+      raw(i * 2) = (v & 0xFF).toByte
+      raw(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decode: true sample-rate/channel/frame metadata and energy-profile embeddings") {
+    val n = 4000
+    // burst in the FIRST half vs the SECOND half: the windowed RMS
+    // profile must separate them (negative cosine); same-burst clips
+    // must be deterministic
+    val early = encodeWav(n)(i => if (i < n / 2) math.sin(i * 0.3) else 0.0)
+    val late  = encodeWav(n)(i => if (i >= n / 2) math.sin(i * 0.3) else 0.0)
+    val mEarly = Multimodal.decodeMeta(early)
+    assert(mEarly.format == "wav" && mEarly.width == 8000 && mEarly.height == 1
+      && mEarly.frames == n, s"$mEarly")
+    assert(mEarly.nBytes == early.length)
+    val out = Multimodal.featurizeBinary(
+      Seq((1L, early), (2L, late)).toDF("doc_id", "content"), dim = 16, batchSize = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    out.values.foreach { emb =>
+      val norm = math.sqrt(emb.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"not unit norm: $norm")
+    }
+    val cos = out(1L).zip(out(2L)).map { case (a, b) => a.toDouble * b }.sum
+    assert(cos < 0, s"early vs late energy profiles should oppose, got $cos")
+    // truncated WAV header degrades to the fallback, never throws
+    val m = Multimodal.decodeMeta(early.take(16))
+    assert(m.nBytes == 16)
+  }
+
   test("featurizeBinary over real decoded frames: q52 byte/feature contracts hold") {
     // Dark, light, and gradient images: the luminance embedding must be
     // unit-norm, deterministic, and separate dark from light (cosine<1).
