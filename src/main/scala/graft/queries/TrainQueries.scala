@@ -383,6 +383,60 @@ object TrainQueries {
       |    AS is_keeper
       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q109: DEDUP-AWARE CHUNK PACKING — the closing step of the chunk
+    * pipeline (q78 chunk → q108 dedup → pack): keeper chunks packed
+    * into fixed context windows, the frame a trainer actually
+    * consumes. Same fractional-pack rule as q70
+    * (`pack_id = (cum − n) div budget` over the global
+    * (doc_id, chunk_idx) order) with the q95 two-level construction:
+    * per-shard running sums + ONE deliberate single-task exclusive
+    * prefix over the ≤shards-row aggregate (no corpus-wide window,
+    * no "No Partition Defined" warning; see [[shuffleOrderOver]] for
+    * why the structural form beats the declarative alternatives). */
+  def chunkPack(s: SparkSession, dir: String, budget: Long = 256L,
+      shardSize: Long = 100L): DataFrame = {
+    import s.implicits._
+    val base = chunkDedup(s, dir).filter($"is_keeper")
+      .select($"doc_id", $"chunk_idx", $"n_chunk_tokens")
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+    val wLocal = Window.partitionBy($"shard").orderBy($"doc_id", $"chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy($"shard").agg(sum($"n_chunk_tokens").as("n"))
+      .coalesce(1).sortWithinPartitions($"shard")
+      .select($"shard", $"n").as[(Long, Long)]
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (sh, n) => val off = acc; acc += n; (sh, off) }
+      }.toDF("shard", "offset")
+    base
+      .withColumn("local_cum", sum($"n_chunk_tokens").over(wLocal))
+      .join(broadcast(offsets), Seq("shard"))
+      .withColumn("cum", $"local_cum" + $"offset")
+      .withColumn("pack_id", expr(s"(cum - n_chunk_tokens) div $budget"))
+      .groupBy($"pack_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"n_chunk_tokens").as("n_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"pack_id")
+  }
+
+  /** Packs COMPOSE q108's oracle (which composes q78's) — the whole
+    * chunk pipeline is one definition chain across three queries. */
+  lazy val chunkPackSql: String =
+    s"""WITH dedup AS ($chunkDedupSql),
+      |keep AS (
+      |  SELECT doc_id, chunk_idx, n_chunk_tokens FROM dedup WHERE is_keeper),
+      |cum AS (
+      |  SELECT doc_id, chunk_idx, n_chunk_tokens,
+      |    CAST(sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_idx
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM keep)
+      |SELECT (cum - n_chunk_tokens) // 256 AS pack_id,
+      |  count(*) AS n_chunks, CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM cum GROUP BY 1 ORDER BY pack_id""".stripMargin
+
   val docChunksSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -974,6 +1028,7 @@ object TrainQueries {
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
     "q78_doc_chunks" -> ((s: SparkSession, dir: String) => docChunks(s, dir)),
     "q108_chunk_dedup" -> (chunkDedup _),
+    "q109_chunk_pack" -> ((s: SparkSession, dir: String) => chunkPack(s, dir)),
     "q79_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)),
     "q69_stratified_sample" -> (stratifiedSample _),
     "q70_token_pack" -> ((s: SparkSession, dir: String) => tokenPack(s, dir)),
@@ -992,6 +1047,7 @@ object TrainQueries {
     "q75_source_mix" -> sourceMixSql,
     "q78_doc_chunks" -> docChunksSql,
     "q108_chunk_dedup" -> chunkDedupSql,
+    "q109_chunk_pack" -> chunkPackSql,
     "q79_contamination" -> contaminationSql,
     "q69_stratified_sample" -> stratifiedSampleSql,
     "q70_token_pack" -> tokenPackSql,

@@ -446,4 +446,29 @@ class TrainOpsSpec extends SparkSpec {
     assert(dups > 0, "fixture has no duplicate chunks — test is vacuous")
     assert(rows.count(_._4) == byFp.size)
   }
+
+  test("q109 chunk pack: conservation, contiguous packs, shard-count invariance") {
+    val packs = TrainQueries.chunkPack(spark, sf)
+      .select($"pack_id", $"n_chunks", $"n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // contiguity: pack ids are exactly 0..max
+    assert(packs.map(_._1).toSeq == (0L until packs.length).toSeq)
+    // conservation: packed tokens/chunks equal the keeper totals
+    val keepers = TrainQueries.chunkDedup(spark, sf).filter($"is_keeper")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum($"n_chunk_tokens"))
+      .as[(Long, Long)].head()
+    assert(packs.map(_._2).sum == keepers._1, "every keeper chunk packed exactly once")
+    assert(packs.map(_._3).sum == keepers._2, "token conservation")
+    // fractional-pack rule: every non-final pack starts a new window,
+    // so it carries at least budget − (maxChunk − 1) tokens
+    packs.dropRight(1).foreach { case (id, _, toks) =>
+      assert(toks >= 256 - 31, s"pack $id under-filled: $toks")
+    }
+    // the two-level construction is shard-size INVARIANT
+    val again = TrainQueries.chunkPack(spark, sf, shardSize = 7L)
+      .select($"pack_id", $"n_chunks", $"n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == packs.toSeq, "shardSize must not change pack assignment")
+  }
 }
