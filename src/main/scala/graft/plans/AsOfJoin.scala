@@ -303,10 +303,22 @@ object AsOfJoin {
     * the largest `rightTimeCol` ≤ `leftTimeCol`. The output carries
     * every column of both inputs, so all names must be distinct
     * across the two sides (alias the right side's key/payload
-    * columns before calling — always possible, never ambiguous). */
+    * columns before calling — always possible, never ambiguous).
+    *
+    * `tolerance` (round 15, pandas `merge_asof(tolerance=…)` parity):
+    * when set, a match additionally requires
+    * `rightTime ≥ leftTime − tolerance` — pass an interval column for
+    * timestamp times (`expr("INTERVAL 600 SECONDS")`) or a numeric
+    * literal for numeric times. Implemented as a POST-CONDITION over
+    * the joined output, which is exact for backward as-of: the
+    * operator keeps the LATEST match per left row, so if that one is
+    * older than the tolerance every other candidate is older still —
+    * nulling the right side is precisely the tolerance-constrained
+    * semantics, and the merge scan's O(1) state is untouched. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      tolerance: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(leftKeys.length == rightKeys.length,
       s"asofJoin key arity mismatch: $leftKeys vs $rightKeys")
     val spark = left.sparkSession
@@ -334,6 +346,18 @@ object AsOfJoin {
     }
     require(lt.dataType == rt.dataType,
       s"asofJoin time type mismatch: ${lt.name}: ${lt.dataType.sql} vs ${rt.name}: ${rt.dataType.sql}")
-    GraftColumnBridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
+    val joined = GraftColumnBridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
+    tolerance match {
+      case None => joined
+      case Some(tol) =>
+        import org.apache.spark.sql.functions.{col, when, lit}
+        // too-old (or absent: rightTime null ⇒ condition null ⇒
+        // otherwise-branch) matches null every right column
+        val keep = col(rightTimeCol) >= col(leftTimeCol) - tol
+        rPlan.output.foldLeft(joined) { (df, a) =>
+          df.withColumn(a.name,
+            when(keep, col(a.name)).otherwise(lit(null).cast(a.dataType)))
+        }
+    }
   }
 }

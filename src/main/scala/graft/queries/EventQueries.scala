@@ -966,6 +966,52 @@ object EventQueries {
       .orderBy($"event_id")
   }
 
+  /** q110: TOLERANCE-BOUNDED AS-OF — q77's native as-of join with the
+    * pandas `merge_asof(tolerance=…)` constraint: a click is only
+    * attributed to a purchase made within the preceding 10 minutes
+    * (the attribution-window rule every ads/analytics pipeline
+    * carries). Exercises the round-15 `tolerance` parameter of the
+    * custom operator end-to-end; the oracle is DuckDB's native ASOF
+    * with the same integer-micros gap bound as a post-filter — sound
+    * on both engines because backward as-of keeps the LATEST match,
+    * so "latest within tolerance" ≡ "latest, then tolerance-checked".
+    * Inner-filtered like q77 (unmatched + out-of-window clicks drop). */
+  def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"event_id".as("b_event"), $"value".as("b_value"))
+    graft.plans.AsOfJoin.asofJoin(clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user"),
+        leftTimeCol = "ts", rightTimeCol = "p_ts",
+        tolerance = Some(expr("INTERVAL 600 SECONDS")))
+      .filter($"b_event".isNotNull)
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        $"b_event".as("asof_event"),
+        round($"b_value", 2).as("asof_value"),
+        expr("(unix_micros(ts) - unix_micros(p_ts)) div 1000000").as("gap_s"))
+      .orderBy($"event_id")
+  }
+
+  val asofToleranceSql: String =
+    """SELECT event_id, user_id, ts_s, asof_event, asof_value, gap_s FROM (
+      |  SELECT a.event_id, a.user_id,
+      |    strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |    b.event_id AS asof_event, round(b.value, 2) AS asof_value,
+      |    (epoch_us(a.ts) - epoch_us(b.ts)) // 1000000 AS gap_s,
+      |    epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+      |  FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      |        WHERE event_type = 'click') a
+      |  ASOF JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events
+      |             WHERE event_type = 'purchase') b
+      |    ON a.user_id = b.user_id AND a.ts >= b.ts)
+      |WHERE gap_us <= 600000000
+      |ORDER BY event_id""".stripMargin
+
   val asofJoinSql: String =
     """SELECT a.event_id, a.user_id,
       |  strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
@@ -1117,6 +1163,7 @@ object EventQueries {
     "q67_value_window_stats" -> (valueWindowStats _),
     "q59_asof_join" -> (asofJoin _),
     "q77_asof_native" -> (asofJoinNative _),
+    "q110_asof_tolerance" -> (asofTolerance _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
@@ -1144,6 +1191,7 @@ object EventQueries {
     "q67_value_window_stats" -> valueWindowStatsSql,
     "q59_asof_join" -> asofJoinSql,
     "q77_asof_native" -> asofJoinSql,
+    "q110_asof_tolerance" -> asofToleranceSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,

@@ -36,6 +36,31 @@ class AsOfJoinPlanSpec extends SparkSpec {
     leftKeys = Seq("sym"), rightKeys = Seq("q_sym"),
     leftTimeCol = "t_ts", rightTimeCol = "q_ts")
 
+  test("tolerance: boundary-inclusive, older matches null out, unmatched rows unchanged") {
+    // trade 1 @10:00 ← quote A@09:59 (gap 60 s): kept at tol=60 s
+    // (boundary inclusive, rTime ≥ lTime − tol), dropped at tol=59 s;
+    // trade 2 @10:05 ← quote A@10:05 (gap 0): always kept;
+    // trade 3 @10:01 ← quote B@10:00:30 (gap 30 s): kept at 60, dropped at 29;
+    // trade 4 (no match): null either way.
+    def bids(tolSec: Int): Map[Long, Option[Double]] =
+      AsOfJoin.asofJoin(trades, quotes,
+          leftKeys = Seq("sym"), rightKeys = Seq("q_sym"),
+          leftTimeCol = "t_ts", rightTimeCol = "q_ts",
+          tolerance = Some(expr(s"INTERVAL $tolSec SECONDS")))
+        .select($"trade_id", $"bid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val at60 = bids(60)
+    assert(at60(1L).contains(9.8), "60 s gap kept at tol=60 (inclusive boundary)")
+    assert(at60(2L).contains(10.9) && at60(3L).contains(19.9))
+    assert(at60(4L).isEmpty)
+    val at59 = bids(59)
+    assert(at59(1L).isEmpty, "60 s gap must drop at tol=59")
+    assert(at59(2L).contains(10.9) && at59(3L).contains(19.9))
+    val at29 = bids(29)
+    assert(at29(3L).isEmpty, "30 s gap drops at tol=29")
+    assert(at29(2L).contains(10.9))
+  }
+
   test("backward as-of picks the latest right row at-or-before each left time") {
     val got = joined.select($"trade_id", $"bid").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
