@@ -360,4 +360,48 @@ object AsOfJoin {
         }
     }
   }
+
+  /** FORWARD as-of join (round 15 — pandas `direction="forward"`):
+    * for each left row, the right row with equal keys and the
+    * SMALLEST `rightTimeCol` ≥ `leftTimeCol`. Reduced to the backward
+    * merge scan by time negation — `max(−rt) ≤ −lt ⟺ min(rt) ≥ lt` —
+    * so the same O(1)-state operator, exchanges, and pushdown rules
+    * serve both directions; the negated helper columns never appear
+    * in the output. `tolerance` bounds the look-AHEAD
+    * (`rightTime ≤ leftTime + tolerance`), exact as a post-condition
+    * by the mirror of the backward argument: the kept match is the
+    * EARLIEST ≥ lTime, so if it is beyond the window all are. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      tolerance: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, unix_micros, when}
+    import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
+    def negated(c: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = dt match {
+      case TimestampType | TimestampNTZType => -unix_micros(c)
+      case _: NumericType => -c
+      case other => throw new IllegalArgumentException(
+        s"asofJoinForward supports timestamp/numeric times, got ${other.sql}")
+    }
+    val lNeg = "__asof_l_neg"
+    val rNeg = "__asof_r_neg"
+    val l2 = left.withColumn(lNeg, negated(col(leftTimeCol),
+      left.schema(leftTimeCol).dataType))
+    val r2 = right.withColumn(rNeg, negated(col(rightTimeCol),
+      right.schema(rightTimeCol).dataType))
+    val joined = asofJoin(l2, r2, leftKeys, rightKeys, lNeg, rNeg, tolerance = None)
+      .drop(lNeg, rNeg)
+    tolerance match {
+      case None => joined
+      case Some(tol) =>
+        val keep = col(rightTimeCol) <= col(leftTimeCol) + tol
+        val rightCols = right.columns.toSet
+        right.schema.fields.foldLeft(joined) { (df, f) =>
+          if (!rightCols.contains(f.name)) df
+          else df.withColumn(f.name,
+            when(keep, col(f.name)).otherwise(lit(null).cast(f.dataType)))
+        }
+    }
+  }
 }

@@ -1012,6 +1012,47 @@ object EventQueries {
       |WHERE gap_us <= 600000000
       |ORDER BY event_id""".stripMargin
 
+  /** q111: FORWARD AS-OF — for each click, the user's NEXT purchase
+    * (time-to-conversion, the mirror of q77's attribution lookup and
+    * pandas `direction="forward"`). Runs on the round-15
+    * [[graft.plans.AsOfJoin.asofJoinForward]] reduction (time
+    * negation over the same O(1)-state merge scan); the oracle is
+    * DuckDB's native ASOF with the inequality flipped
+    * (`a.ts <= b.ts` selects the smallest b.ts ≥ a.ts). Same tie
+    * caveat as q59/q77; the fixture's microsecond timestamps are
+    * collision-free. */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"event_id".as("b_event"), $"value".as("b_value"))
+    graft.plans.AsOfJoin.asofJoinForward(clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user"),
+        leftTimeCol = "ts", rightTimeCol = "p_ts")
+      .filter($"b_event".isNotNull)
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        $"b_event".as("next_event"),
+        round($"b_value", 2).as("next_value"),
+        expr("(unix_micros(p_ts) - unix_micros(ts)) div 1000000").as("wait_s"))
+      .orderBy($"event_id")
+  }
+
+  val asofForwardSql: String =
+    """SELECT a.event_id, a.user_id,
+      |  strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |  b.event_id AS next_event, round(b.value, 2) AS next_value,
+      |  (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS wait_s
+      |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      |      WHERE event_type = 'click') a
+      |ASOF JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events
+      |           WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id AND a.ts <= b.ts
+      |ORDER BY a.event_id""".stripMargin
+
   val asofJoinSql: String =
     """SELECT a.event_id, a.user_id,
       |  strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
@@ -1164,6 +1205,7 @@ object EventQueries {
     "q59_asof_join" -> (asofJoin _),
     "q77_asof_native" -> (asofJoinNative _),
     "q110_asof_tolerance" -> (asofTolerance _),
+    "q111_asof_forward" -> (asofForward _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
@@ -1192,6 +1234,7 @@ object EventQueries {
     "q59_asof_join" -> asofJoinSql,
     "q77_asof_native" -> asofJoinSql,
     "q110_asof_tolerance" -> asofToleranceSql,
+    "q111_asof_forward" -> asofForwardSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,

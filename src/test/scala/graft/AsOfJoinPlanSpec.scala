@@ -61,6 +61,32 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(at29(2L).contains(10.9))
   }
 
+  test("forward as-of picks the EARLIEST right row at-or-after; tolerance bounds look-ahead") {
+    def next(tolSec: Option[Int]): Map[Long, Option[Double]] =
+      AsOfJoin.asofJoinForward(trades, quotes,
+          leftKeys = Seq("sym"), rightKeys = Seq("q_sym"),
+          leftTimeCol = "t_ts", rightTimeCol = "q_ts",
+          tolerance = tolSec.map(t => expr(s"INTERVAL $t SECONDS")))
+        .select($"trade_id", $"bid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val fwd = next(None)
+    assert(fwd == Map(
+      1L -> Some(10.9), // next A quote at 10:05 — not the earlier 09:59 one
+      2L -> Some(10.9), // tie at 10:05 matches (inclusive ≥)
+      3L -> None,       // B's only quote precedes the trade
+      4L -> None))      // C: 09:00 trade has no later C quote at all
+    // look-ahead bound: trade 1's next quote is 300 s ahead — dropped
+    // at tol=299, kept at tol=300 (inclusive boundary)
+    val at299 = next(Some(299))
+    assert(at299(1L).isEmpty && at299(2L).contains(10.9))
+    val at300 = next(Some(300))
+    assert(at300(1L).contains(10.9))
+    // helper negation columns must not leak into the output
+    val cols = AsOfJoin.asofJoinForward(trades, quotes, Seq("sym"), Seq("q_sym"),
+      "t_ts", "q_ts").columns.toSet
+    assert(cols == (trades.columns ++ quotes.columns).toSet, s"got $cols")
+  }
+
   test("backward as-of picks the latest right row at-or-before each left time") {
     val got = joined.select($"trade_id", $"bid").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
