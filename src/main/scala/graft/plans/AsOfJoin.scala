@@ -404,4 +404,44 @@ object AsOfJoin {
         }
     }
   }
+
+  /** NEAREST as-of join (round 15 — pandas `direction="nearest"`):
+    * for each left row, whichever of the backward and forward matches
+    * lies closer in time; ties go BACKWARD (pandas' rule). Composed
+    * from the two merge passes — the backward join preserves exactly
+    * one output row per left row carrying every left column, so its
+    * output (right columns suffixed away) feeds the forward pass
+    * directly and no synthetic row identity is ever needed. Cost: the
+    * left side flows through two merge scans (same key exchange both
+    * times — AQE reuses it), the right side is scanned twice. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros, when}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val suffix = "__asof_bwd"
+    require(!left.columns.exists(_.endsWith(suffix)),
+      s"asofJoinNearest reserves the column suffix $suffix")
+    def micros(c: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = dt match {
+      case TimestampType | TimestampNTZType => unix_micros(c)
+      case _ => c
+    }
+    val timeDt = right.schema(rightTimeCol).dataType
+    val bwd = asofJoin(left, right, leftKeys, rightKeys, leftTimeCol, rightTimeCol)
+    val bwdRenamed = right.columns.foldLeft(bwd)((df, c) =>
+      df.withColumnRenamed(c, c + suffix))
+    val both = asofJoinForward(bwdRenamed, right, leftKeys, rightKeys,
+      leftTimeCol, rightTimeCol)
+    val lt = micros(col(leftTimeCol), left.schema(leftTimeCol).dataType)
+    val bt = micros(col(rightTimeCol + suffix), timeDt)
+    val ft = micros(col(rightTimeCol), timeDt)
+    // backward wins when it exists and is at-least-as-close (tie rule)
+    val useBwd = bt.isNotNull && (ft.isNull || (lt - bt <= ft - lt))
+    both.select(
+      left.columns.map(col).toIndexedSeq ++
+        right.columns.toIndexedSeq.map { c =>
+          when(useBwd, col(c + suffix)).otherwise(col(c)).as(c)
+        }: _*)
+  }
 }

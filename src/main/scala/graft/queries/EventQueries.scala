@@ -1053,6 +1053,66 @@ object EventQueries {
       |  ON a.user_id = b.user_id AND a.ts <= b.ts
       |ORDER BY a.event_id""".stripMargin
 
+  /** q112: NEAREST AS-OF — each click attributed to its closest
+    * purchase in EITHER direction (pandas `direction="nearest"`,
+    * ties backward), on the round-15
+    * [[graft.plans.AsOfJoin.asofJoinNearest]] two-pass composition.
+    * `offset_s` is signed: positive = the purchase preceded the
+    * click. The oracle reconstructs nearest from DuckDB's two native
+    * ASOF directions joined per click with the same
+    * integer-micros tie rule — a different construction arriving at
+    * the same row set, which is what makes the hash meaningful. */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"event_id".as("b_event"), $"value".as("b_value"))
+    graft.plans.AsOfJoin.asofJoinNearest(clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user"),
+        leftTimeCol = "ts", rightTimeCol = "p_ts")
+      .filter($"b_event".isNotNull)
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        $"b_event".as("near_event"),
+        round($"b_value", 2).as("near_value"),
+        expr("(unix_micros(ts) - unix_micros(p_ts)) div 1000000").as("offset_s"))
+      .orderBy($"event_id")
+  }
+
+  val asofNearestSql: String =
+    """WITH a AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      |           WHERE event_type = 'click'),
+      |b AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events
+      |      WHERE event_type = 'purchase'),
+      |bwd AS (
+      |  SELECT a.event_id, a.user_id, a.ts,
+      |    b.event_id AS b_event, b.value AS b_value, b.ts AS b_ts
+      |  FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts),
+      |fwd AS (
+      |  SELECT a.event_id,
+      |    b.event_id AS f_event, b.value AS f_value, b.ts AS f_ts
+      |  FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts <= b.ts)
+      |SELECT event_id, user_id, ts_s, near_event, near_value,
+      |  (epoch_us(ts) - epoch_us(near_ts)) // 1000000 AS offset_s
+      |FROM (
+      |  SELECT bwd.event_id, bwd.user_id, bwd.ts,
+      |    strftime(bwd.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |    CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+      |           epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+      |         THEN b_event ELSE f_event END AS near_event,
+      |    CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+      |           epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+      |         THEN round(b_value, 2) ELSE round(f_value, 2) END AS near_value,
+      |    CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+      |           epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+      |         THEN b_ts ELSE f_ts END AS near_ts
+      |  FROM bwd JOIN fwd USING (event_id))
+      |WHERE near_event IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   val asofJoinSql: String =
     """SELECT a.event_id, a.user_id,
       |  strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
@@ -1206,6 +1266,7 @@ object EventQueries {
     "q77_asof_native" -> (asofJoinNative _),
     "q110_asof_tolerance" -> (asofTolerance _),
     "q111_asof_forward" -> (asofForward _),
+    "q112_asof_nearest" -> (asofNearest _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
@@ -1235,6 +1296,7 @@ object EventQueries {
     "q77_asof_native" -> asofJoinSql,
     "q110_asof_tolerance" -> asofToleranceSql,
     "q111_asof_forward" -> asofForwardSql,
+    "q112_asof_nearest" -> asofNearestSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,

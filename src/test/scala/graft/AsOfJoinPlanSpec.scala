@@ -87,6 +87,27 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(cols == (trades.columns ++ quotes.columns).toSet, s"got $cols")
   }
 
+  test("nearest as-of picks the closer side; exact ties go backward (pandas rule)") {
+    val got = AsOfJoin.asofJoinNearest(trades, quotes,
+        leftKeys = Seq("sym"), rightKeys = Seq("q_sym"),
+        leftTimeCol = "t_ts", rightTimeCol = "q_ts")
+      .select($"trade_id", $"bid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(
+      1L -> Some(9.8),  // bwd gap 60 s beats fwd gap 300 s
+      2L -> Some(10.9), // exact hit (gap 0)
+      3L -> Some(19.9), // only a backward candidate exists
+      4L -> None))      // no candidate either direction
+    // equidistant construction: left@10:02 between rights 10:01/10:03
+    // (60 s each way) — the tie must resolve BACKWARD
+    val l = Seq((1L, "K", ts("2024-01-01 10:02:00"))).toDF("id", "k", "lt")
+    val r = Seq(("K", ts("2024-01-01 10:01:00"), "before"),
+                ("K", ts("2024-01-01 10:03:00"), "after")).toDF("rk", "rt", "which")
+    val tie = AsOfJoin.asofJoinNearest(l, r, Seq("k"), Seq("rk"), "lt", "rt")
+      .select($"which").head().getString(0)
+    assert(tie == "before", s"equidistant tie must go backward, got $tie")
+  }
+
   test("backward as-of picks the latest right row at-or-before each left time") {
     val got = joined.select($"trade_id", $"bid").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
