@@ -38,7 +38,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    allowExact: Boolean = true) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -52,8 +53,8 @@ case class AsOfJoin(
   * per session via [[AsOfJoin.register]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, ae) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), ae) :: Nil
     case _ => Nil
   }
 }
@@ -64,7 +65,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    allowExact: Boolean = true) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -101,6 +103,12 @@ case class AsOfJoinExec(
     val rKeys = rightKeys
     val lTime = leftTime
     val rTime = rightTime
+    // strict mode (pandas allow_exact_matches=False): the advance
+    // test becomes < instead of ≤, so a right row at EXACTLY the left
+    // time is neither matched nor consumed — it stays buffered and is
+    // picked up by the next left row whose time exceeds it. Same O(1)
+    // state, one comparison changed.
+    val advanceBound = if (allowExact) 0 else -1
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       if (lIter.isEmpty) Iterator.empty
       else {
@@ -161,7 +169,7 @@ case class AsOfJoinExec(
               var advancing = rRow != null
               while (advancing) {
                 val rKt = rKtProj(rRow)
-                if (ktOrd.compare(rKt, lKt) <= 0) {
+                if (ktOrd.compare(rKt, lKt) <= advanceBound) {
                   if (!rKt.anyNull &&
                       keyOrd.compare(keyOnlyFromR(rRow), lKeyRow) == 0) {
                     matched = rRow.asInstanceOf[UnsafeRow].copy()
@@ -314,11 +322,19 @@ object AsOfJoin {
     * operator keeps the LATEST match per left row, so if that one is
     * older than the tolerance every other candidate is older still —
     * nulling the right side is precisely the tolerance-constrained
-    * semantics, and the merge scan's O(1) state is untouched. */
+    * semantics, and the merge scan's O(1) state is untouched.
+    *
+    * `allowExact` (round 15, pandas `allow_exact_matches` parity):
+    * `false` requires `rightTime < leftTime` STRICTLY — a right row
+    * at exactly the left time is skipped (but remains a candidate
+    * for later left rows). Composes with `tolerance`: the kept match
+    * is still the latest valid one, so the post-condition argument
+    * is unchanged. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      tolerance: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      tolerance: Option[org.apache.spark.sql.Column] = None,
+      allowExact: Boolean = true): DataFrame = {
     require(leftKeys.length == rightKeys.length,
       s"asofJoin key arity mismatch: $leftKeys vs $rightKeys")
     val spark = left.sparkSession
@@ -346,7 +362,8 @@ object AsOfJoin {
     }
     require(lt.dataType == rt.dataType,
       s"asofJoin time type mismatch: ${lt.name}: ${lt.dataType.sql} vs ${rt.name}: ${rt.dataType.sql}")
-    val joined = GraftColumnBridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
+    val joined = GraftColumnBridge.ofRows(spark,
+      AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, allowExact))
     tolerance match {
       case None => joined
       case Some(tol) =>
@@ -370,11 +387,15 @@ object AsOfJoin {
     * in the output. `tolerance` bounds the look-AHEAD
     * (`rightTime ≤ leftTime + tolerance`), exact as a post-condition
     * by the mirror of the backward argument: the kept match is the
-    * EARLIEST ≥ lTime, so if it is beyond the window all are. */
+    * EARLIEST ≥ lTime, so if it is beyond the window all are.
+    * `allowExact = false` requires `rightTime > leftTime` strictly —
+    * under the negation reduction that is exactly strict backward on
+    * the negated times, so the flag passes straight through. */
   def asofJoinForward(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      tolerance: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      tolerance: Option[org.apache.spark.sql.Column] = None,
+      allowExact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, unix_micros, when}
     import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
     def negated(c: org.apache.spark.sql.Column,
@@ -390,7 +411,8 @@ object AsOfJoin {
       left.schema(leftTimeCol).dataType))
     val r2 = right.withColumn(rNeg, negated(col(rightTimeCol),
       right.schema(rightTimeCol).dataType))
-    val joined = asofJoin(l2, r2, leftKeys, rightKeys, lNeg, rNeg, tolerance = None)
+    val joined = asofJoin(l2, r2, leftKeys, rightKeys, lNeg, rNeg,
+        tolerance = None, allowExact = allowExact)
       .drop(lNeg, rNeg)
     tolerance match {
       case None => joined
@@ -416,7 +438,8 @@ object AsOfJoin {
     * times — AQE reuses it), the right side is scanned twice. */
   def asofJoinNearest(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      allowExact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros, when}
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val suffix = "__asof_bwd"
@@ -428,11 +451,12 @@ object AsOfJoin {
       case _ => c
     }
     val timeDt = right.schema(rightTimeCol).dataType
-    val bwd = asofJoin(left, right, leftKeys, rightKeys, leftTimeCol, rightTimeCol)
+    val bwd = asofJoin(left, right, leftKeys, rightKeys, leftTimeCol,
+      rightTimeCol, allowExact = allowExact)
     val bwdRenamed = right.columns.foldLeft(bwd)((df, c) =>
       df.withColumnRenamed(c, c + suffix))
     val both = asofJoinForward(bwdRenamed, right, leftKeys, rightKeys,
-      leftTimeCol, rightTimeCol)
+      leftTimeCol, rightTimeCol, allowExact = allowExact)
     val lt = micros(col(leftTimeCol), left.schema(leftTimeCol).dataType)
     val bt = micros(col(rightTimeCol + suffix), timeDt)
     val ft = micros(col(rightTimeCol), timeDt)

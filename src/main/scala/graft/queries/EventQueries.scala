@@ -1113,6 +1113,57 @@ object EventQueries {
       |WHERE near_event IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
+  /** q113: STRICT AS-OF (pandas `allow_exact_matches=False`) — for
+    * each click, the latest purchase-MINUTE of the same user STRICTLY
+    * before the click's minute. Times are truncated to the minute so
+    * exact collisions actually occur (the fixture's microsecond
+    * timestamps never collide, which would make strictness
+    * unobservable); the right side is pre-aggregated to one row per
+    * (user, minute) — count + integer-cents sum, the q12 exactness
+    * discipline — so the match payload is tie-free and deterministic
+    * on both engines. Exercises the round-15 `allowExact = false`
+    * merge-scan mode (advance test `<` instead of `≤`: an equal-time
+    * right row is neither matched nor consumed, staying buffered for
+    * later left rows). Oracle: DuckDB's native ASOF with the strict
+    * inequality `a.ts_m > b.p_m`. */
+  def asofStrict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", date_trunc("minute", $"ts").as("ts_m"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), date_trunc("minute", $"ts").as("p_m"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy($"p_user", $"p_m")
+      .agg(count(lit(1)).as("p_cnt"), sum($"cents").as("p_cents"))
+    graft.plans.AsOfJoin.asofJoin(clicks, purchases,
+        leftKeys = Seq("user_id"), rightKeys = Seq("p_user"),
+        leftTimeCol = "ts_m", rightTimeCol = "p_m",
+        allowExact = false)
+      .filter($"p_cnt".isNotNull)
+      .select($"event_id", $"user_id",
+        date_format($"ts_m", "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        date_format($"p_m", "yyyy-MM-dd HH:mm:ss").as("p_m_s"),
+        $"p_cnt", $"p_cents")
+      .orderBy($"event_id")
+  }
+
+  val asofStrictSql: String =
+    """SELECT a.event_id, a.user_id,
+      |  strftime(a.ts_m, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  strftime(b.p_m, '%Y-%m-%d %H:%M:%S') AS p_m_s,
+      |  b.p_cnt, b.p_cents
+      |FROM (SELECT event_id, user_id, date_trunc('minute', ts::TIMESTAMP) AS ts_m
+      |      FROM events WHERE event_type = 'click') a
+      |ASOF JOIN (
+      |  SELECT user_id, date_trunc('minute', ts::TIMESTAMP) AS p_m,
+      |    count(*) AS p_cnt,
+      |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS p_cents
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2) b
+      |  ON a.user_id = b.user_id AND a.ts_m > b.p_m
+      |ORDER BY a.event_id""".stripMargin
+
   val asofJoinSql: String =
     """SELECT a.event_id, a.user_id,
       |  strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
@@ -1267,6 +1318,7 @@ object EventQueries {
     "q110_asof_tolerance" -> (asofTolerance _),
     "q111_asof_forward" -> (asofForward _),
     "q112_asof_nearest" -> (asofNearest _),
+    "q113_asof_strict" -> (asofStrict _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
@@ -1297,6 +1349,7 @@ object EventQueries {
     "q110_asof_tolerance" -> asofToleranceSql,
     "q111_asof_forward" -> asofForwardSql,
     "q112_asof_nearest" -> asofNearestSql,
+    "q113_asof_strict" -> asofStrictSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,

@@ -119,6 +119,51 @@ class AsOfJoinPlanSpec extends SparkSpec {
       4L -> None))       // C has no quote at or before 09:00 → left outer null
   }
 
+  test("strict mode (allow_exact_matches=False) skips equal-time rows without consuming them") {
+    // trade 2 @10:05 ties quote A@10:05: inclusive matches the tied
+    // quote, strict must fall back to the 09:59 one
+    val strict = AsOfJoin.asofJoin(trades, quotes,
+        leftKeys = Seq("sym"), rightKeys = Seq("q_sym"),
+        leftTimeCol = "t_ts", rightTimeCol = "q_ts", allowExact = false)
+      .select($"trade_id", $"bid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(strict == Map(
+      1L -> Some(9.8),
+      2L -> Some(9.8),  // tie excluded → previous quote, NOT 10.9
+      3L -> Some(19.9),
+      4L -> None))
+    // the buffering property: an equal-time right row must not be
+    // CONSUMED when skipped — a later left row past it still matches it.
+    // left @10:01 (ties right) then @10:02 (strictly after right)
+    val l = Seq((1L, "K", ts("2024-01-01 10:01:00")),
+                (2L, "K", ts("2024-01-01 10:02:00"))).toDF("id", "k", "lt")
+    val r = Seq(("K", ts("2024-01-01 10:01:00"), 7L)).toDF("rk", "rt", "rv")
+    val got = AsOfJoin.asofJoin(l, r, Seq("k"), Seq("rk"), "lt", "rt",
+        allowExact = false)
+      .select($"id", $"rv").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(7L)),
+      "the tied row must stay buffered for the next left row")
+  }
+
+  test("strict forward/nearest exclude exact ties") {
+    val fwd = AsOfJoin.asofJoinForward(trades, quotes,
+        leftKeys = Seq("sym"), rightKeys = Seq("q_sym"),
+        leftTimeCol = "t_ts", rightTimeCol = "q_ts", allowExact = false)
+      .select($"trade_id", $"bid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(fwd(2L).contains(12.0), s"strict forward must skip the 10:05 tie, got ${fwd(2L)}")
+    assert(fwd(1L).contains(10.9), "non-tied forward matches unchanged")
+    val near = AsOfJoin.asofJoinNearest(trades, quotes,
+        leftKeys = Seq("sym"), rightKeys = Seq("q_sym"),
+        leftTimeCol = "t_ts", rightTimeCol = "q_ts", allowExact = false)
+      .select($"trade_id", $"bid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // trade 2 @10:05: strict bwd → 09:59 (gap 360 s), strict fwd →
+    // 10:30 (gap 1500 s) — backward is closer
+    assert(near(2L).contains(9.8), s"strict nearest must exclude the tie, got ${near(2L)}")
+  }
+
   test("every left row survives; unmatched right columns are null") {
     assert(joined.count() == 4)
     assert(joined.filter($"q_ts".isNull && $"bid".isNull && $"q_sym".isNull).count() == 1)
