@@ -291,7 +291,72 @@ object TextQueries {
       |SELECT bigram, count(*) AS n FROM b
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $k""".stripMargin
 
+  /** q114: TOKEN-DISTRIBUTION DIVERGENCE between two corpus slices —
+    * the domain-shift / domain-mix diagnostic of a training-data
+    * pipeline: which tokens are most over- or under-represented in
+    * the `en` slice vs the rest, ranked by the two-sample chi-square
+    * statistic. (The chi-square form is chosen over KL/G² PRECISELY
+    * because it needs no logarithm: counts are exact integers, the
+    * expected counts and the statistic use only +,−,×,÷ — IEEE-exact
+    * operations that produce bit-identical doubles in both engines —
+    * so the 4 dp rounding is deterministic. `ln` is not
+    * correctly-rounded; see the q65 idf note.)
+    *
+    * Plan at 100 TB: explode → one groupBy(token) with conditional
+    * partial sums (map-side combined, the exchange carries one row
+    * per DISTINCT token); the 1-row class totals cross-join in as a
+    * broadcast; top-k plans as TakeOrderedAndProject (per-partition
+    * top-50 + bounded merge — no corpus-wide sort). Nothing scales
+    * with corpus size except the one vocabulary-bounded exchange. */
+  def tokenDivergence(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(when($"lang" === "en", lit(1L)).otherwise(lit(0L)).as("isa"),
+        explode(split(trim($"text"), "\\s+")).as("tok"))
+    val counts = toks.groupBy($"tok")
+      .agg(sum($"isa").as("ca"), sum(lit(1L) - $"isa").as("cb"))
+    val totals = counts.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+    counts.crossJoin(broadcast(totals))
+      // expected counts under the pooled distribution; the integer
+      // product (ca+cb)*na is exact in BIGINT long before the one
+      // division makes it a double
+      .withColumn("ea", ($"ca" + $"cb") * $"na" / ($"na" + $"nb"))
+      .withColumn("eb", ($"ca" + $"cb") * $"nb" / ($"na" + $"nb"))
+      .withColumn("chi2", round(
+        ($"ca" - $"ea") * ($"ca" - $"ea") / $"ea" +
+        ($"cb" - $"eb") * ($"cb" - $"eb") / $"eb", 4))
+      .select($"tok", $"ca", $"cb", $"chi2")
+      .orderBy($"chi2".desc, $"tok")
+      .limit(k)
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). The SQL
+    * spells every arithmetic step with the same association order as
+    * the Column expressions — that textual discipline is what makes
+    * the double bit-identical. */
+  def tokenDivergenceSql(k: Int = 50): String =
+    s"""WITH toks AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS isa,
+      |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      |  FROM documents),
+      |counts AS (
+      |  SELECT tok, CAST(sum(isa) AS BIGINT) AS ca,
+      |    CAST(sum(1 - isa) AS BIGINT) AS cb
+      |  FROM toks GROUP BY tok),
+      |totals AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM counts)
+      |SELECT tok, ca, cb,
+      |  round((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb, 4) AS chi2
+      |FROM (
+      |  SELECT tok, ca, cb,
+      |    (ca + cb) * na / (na + nb) AS ea,
+      |    (ca + cb) * nb / (na + nb) AS eb
+      |  FROM counts CROSS JOIN totals)
+      |ORDER BY chi2 DESC, tok LIMIT $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_token_divergence" -> ((s: SparkSession, dir: String) => tokenDivergence(s, dir)),
     "q27_quality_filter" -> (qualityFilter _),
     "q20_clean_filter" -> (cleanFilter _),
     "q21_token_stats" -> (tokenStats _),
@@ -310,6 +375,7 @@ object TextQueries {
     "q23_lang_stats" -> langStatsSql,
     "q24_doc_fingerprint" -> docFingerprintSql,
     "q65_tfidf_top_terms" -> tfidfTopTermsSql,
+    "q114_token_divergence" -> tokenDivergenceSql(),
     "q87_top_bigrams" -> topBigramsSql(),
   )
 }

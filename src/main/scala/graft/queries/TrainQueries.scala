@@ -848,6 +848,44 @@ object TrainQueries {
     shuffleOrderOver(Tables.documents(s, dir).select($"doc_id"))
   }
 
+  /** q115: WEIGHTED SAMPLE — pick k documents with probability
+    * increasing in a weight column (n_chars here: favor long
+    * documents), deterministically. Each doc gets a "clock"
+    * `priority = (h · 1000) div weight` from the q69 multiplicative
+    * hash h ∈ [0, p) — a doc with twice the weight halves its
+    * expected clock — and the k SMALLEST clocks win (ties by doc_id).
+    * This is hash-clock priority sampling: the deterministic,
+    * refresh-stable analogue of Efraimidis–Spirakis exponential
+    * clocks (whose −ln(u)/w keys would break cross-engine exactness —
+    * `ln` is not correctly-rounded; the integer clock is exact and
+    * reproducible anywhere). Selection is monotone in weight and
+    * stable under corpus growth: adding documents never reorders two
+    * existing clocks, so incremental refreshes only ever swap tail
+    * members in or out.
+    *
+    * Plan at 100 TB: a stateless map computes the clock (no shuffle);
+    * the global bottom-k plans as TakeOrderedAndProject —
+    * per-partition top-k then one bounded merge, never a corpus-wide
+    * sort. The driver sees k rows. */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import s.implicits._
+    val p = 1000000007L
+    Tables.documents(s, dir)
+      .filter($"n_chars" > 0L)
+      .select($"doc_id", $"source", $"n_chars",
+        expr(s"(pmod(pmod(doc_id, ${p}L) * 2654435761L, ${p}L) * 1000) div n_chars")
+          .as("priority"))
+      .orderBy($"priority", $"doc_id")
+      .limit(k)
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def weightedSampleSql(k: Int = 100): String =
+    s"""SELECT doc_id, source, n_chars,
+       |  (doc_id % 1000000007) * 2654435761 % 1000000007 * 1000 // n_chars AS priority
+       |FROM documents WHERE n_chars > 0
+       |ORDER BY priority, doc_id LIMIT $k""".stripMargin
+
   /** The q95 pipeline over any (doc_id) frame — injectable so the
     * permutation theorem (ordinals are exactly 0..n−1; keys collide
     * never below p) has a spec on a corpus big enough to populate
@@ -1023,6 +1061,7 @@ object TrainQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_exact_stratified_sample" -> ((s: SparkSession, dir: String) => exactStratifiedSample(s, dir)),
     "q105_curriculum_order" -> ((s: SparkSession, dir: String) => curriculumOrder(s, dir)),
+    "q115_weighted_sample" -> ((s: SparkSession, dir: String) => weightedSample(s, dir)),
     "q94_split_assign" -> (splitAssign _),
     "q95_shuffle_order" -> (shuffleOrder _),
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
@@ -1041,6 +1080,7 @@ object TrainQueries {
 
   val oracles: Map[String, String] = Map(
     "q104_exact_stratified_sample" -> exactStratifiedSampleSql(),
+    "q115_weighted_sample" -> weightedSampleSql(),
     "q105_curriculum_order" -> curriculumOrderSql(),
     "q94_split_assign" -> splitAssignSql,
     "q95_shuffle_order" -> shuffleOrderSql,

@@ -200,6 +200,24 @@ class PlanSpec extends SparkSpec {
       s"both 20-row size dims must broadcast-join on their source key:\n$p")
   }
 
+  test("q115: the weighted sample is a map-side clock + TakeOrderedAndProject — no shuffle") {
+    val p = planOf("q115_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected bounded bottom-k, not a global sort:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the clock is stateless per-row — nothing may shuffle before the take:\n$p")
+  }
+
+  test("q114: divergence counts pre-aggregate map-side; totals broadcast; top-k bounded") {
+    val p = planOf("q114_token_divergence")
+    assert(p.contains("partial_sum"),
+      s"per-token class counts must pre-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row class totals must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected bounded top-k over the vocabulary:\n$p")
+  }
+
   test("q87: the global bigram top-k plans as TakeOrderedAndProject over a partial agg") {
     val p = planOf("q87_top_bigrams")
     assert(p.contains("TakeOrderedAndProject"),
