@@ -583,6 +583,91 @@ object SimilarityQueries {
       |  true AS stored_equals_live, true AS home_bucketed,
       |  CAST(2 AS BIGINT) AS n_exchanges""".stripMargin
 
+  /** q116: the SERVING path of the persisted IVF index — out-of-corpus
+    * query vectors answered from NOTHING but the two stored tables.
+    * q92 proves the stored corpus self-query equals the live pipeline;
+    * what it never exercises is the reason the centroids sidecar
+    * exists: a NEW vector that is not in the index must be assigned
+    * its probe cells at query time from the sidecar alone, then probe
+    * the bucketed index. That is the read path an online ANN service
+    * actually runs (build once, serve many), and this query runs it
+    * end-to-end: sidecar → collect k centroids (constant driver state)
+    * → probe-cell projection over the query stream → explode → one
+    * shuffle-hash join against the pre-partitioned bucketed index →
+    * per-query argmax aggregate.
+    *
+    * The query set is a deterministic corpus slice (vec_id % 7 = 3)
+    * re-keyed to q_id = vec_id + 1e6, standing in for external
+    * traffic; its own source row is excluded from candidates (a real
+    * external vector has no self in the index). Self-validating like
+    * q58/q92 (answers depend on learned centroids):
+    *  - `n_queries`: DuckDB reproduces the slice count independently;
+    *  - `all_answered`: every query produced a served row (≥1
+    *    candidate in its probed cells — a real index failure if ever
+    *    false);
+    *  - `serve_exact`: on an absolutely-capped audit sample (src_id %
+    *    5 = 0 AND < 2500 → ≤ 500 queries, O(500·n) audit), the served
+    *    answer EQUALS a probe-restricted brute force computed through
+    *    a different plan (all-pairs + array_contains filter instead of
+    *    the cell equi-join) — catching candidate loss in the
+    *    explode/join/argmax path;
+    *  - `audit_nonempty`: the audit actually audited something. */
+  def ivfServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_ivf_q92_${tableSuffix(dir)}" // share q92's artifact
+    if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
+        tbl, s"${tbl}_centroids"))
+      buildIvfIndex(s, dir, tbl)
+    // centroids from the SIDECAR only — all a serving tier has
+    val cent: Array[Array[Double]] = s.table(s"${tbl}_centroids")
+      .select($"cell", $"centroid").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val (_, probeCol) = ivfCells(s, cent)
+    val queries = Tables.embeddings(s, dir)
+      .filter($"vec_id" % 7 === 3)
+      .select(($"vec_id" + 1000000L).as("q_id"), $"vec_id".as("src_id"),
+        $"embedding")
+    val assignedQ = queries
+      .select($"q_id", $"src_id", $"embedding", probeCol.as("probe_cells"))
+      .reliableCheckpoint()
+    val probe = assignedQ.select($"q_id", $"src_id",
+      $"embedding".as("q_emb"), explode($"probe_cells").as("cell"))
+    val index = s.table(tbl).select($"vec_id", $"embedding".as("i_emb"), $"cell")
+    val served = probe.hint("shuffle_hash").join(index, Seq("cell"))
+      .filter($"src_id" =!= $"vec_id")
+      .withColumn("cosine", round(cosine_similarity($"q_emb", $"i_emb"), 6))
+      .groupBy($"q_id")
+      .agg(max(struct($"cosine", (-$"vec_id").as("neg_id"),
+        $"vec_id".as("id"))).as("best"))
+      .select($"q_id", $"best.id".as("nearest_id"), $"best.cosine".as("cosine"))
+      .reliableCheckpoint()
+    val nQueries = queries.agg(count(lit(1)).as("n_queries"))
+    val nServed = served.agg(count(lit(1)).as("n_served"))
+    val auditQ = assignedQ.filter($"src_id" % 5 === 0 && $"src_id" < 2500)
+    val idx = s.table(tbl).select($"vec_id".as("b_id"),
+      $"embedding".as("b_emb"), $"cell".as("cell_b"))
+    val ref = auditQ.join(idx, $"src_id" =!= $"b_id")
+      .withColumn("cosine", round(cosine_similarity($"embedding", $"b_emb"), 6))
+      .groupBy($"q_id")
+      .agg(max(when(array_contains($"probe_cells", $"cell_b"),
+        struct($"cosine", (-$"b_id").as("neg_id"), $"b_id".as("id")))).as("r"))
+    val checks = served.join(ref, Seq("q_id"))
+      .agg(
+        min(coalesce($"nearest_id" === $"r.id" && $"cosine" === $"r.cosine",
+          lit(false))).as("serve_exact"),
+        (count(lit(1)) > 0L).as("audit_nonempty"))
+    nQueries.crossJoin(nServed).crossJoin(checks)
+      .select($"n_queries",
+        ($"n_served" === $"n_queries").as("all_answered"),
+        $"serve_exact", $"audit_nonempty")
+  }
+
+  val ivfServeSql: String =
+    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
+      |  true AS all_answered, true AS serve_exact,
+      |  true AS audit_nonempty""".stripMargin
+
   /** q58 as a SELF-VALIDATING query (centroids are data-dependent, so
     * the oracle pins the index's THEOREMS, the q19/q56/q57 pattern):
     *  - `n_points`/`n_sample`: every vector (and every sampled query)
@@ -1223,6 +1308,7 @@ object SimilarityQueries {
     "q58_ivf_nn" -> (ivfNnValidated _),
     "q74_ivf_topk" -> (ivfTopk _),
     "q92_ivf_stored_nn" -> (ivfStoredNn _),
+    "q116_ivf_serve" -> (ivfServe _),
     "q93_pca_stored_projection" -> (pcaStoredProjection _),
     "q96_hll_stored_union" -> (hllStoredUnion _),
   )
@@ -1238,6 +1324,7 @@ object SimilarityQueries {
     "q58_ivf_nn" -> ivfNnValidatedSql,
     "q76_quantize_embeddings" -> quantizeEmbeddingsSql,
     "q92_ivf_stored_nn" -> ivfStoredNnSql,
+    "q116_ivf_serve" -> ivfServeSql,
     "q93_pca_stored_projection" -> pcaStoredProjectionSql,
     "q96_hll_stored_union" -> hllStoredUnionSql,
   )

@@ -49,6 +49,29 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("serving path: q116 theorems hold and the index is reused, not rebuilt") {
+    // first call may build the shared q92 artifact; the second must
+    // reuse it (the build-once/serve-many contract) — detected by the
+    // centroids table's object identity surviving (no DROP+recreate:
+    // the stamped fingerprint still matches, so needsBuildOrStale is
+    // false and the table is untouched between the calls)
+    val r1 = SimilarityQueries.ivfServe(spark, sf).collect()
+    assert(r1.length == 1)
+    val row = r1.head
+    assert(row.getBoolean(1), "all_answered must hold")
+    assert(row.getBoolean(2), "serve_exact must hold")
+    assert(row.getBoolean(3), "audit_nonempty must hold")
+    val tbl = s"graft_ivf_q92_${SimilarityQueries.tableSuffix(sf)}"
+    val createdAt1 = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+      .filter($"col_name" === "Created Time").select($"data_type").head().getString(0)
+    val r2 = SimilarityQueries.ivfServe(spark, sf).collect()
+    assert(r2.map(_.toString).toSeq == r1.map(_.toString).toSeq,
+      "serving is deterministic across calls")
+    val createdAt2 = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+      .filter($"col_name" === "Created Time").select($"data_type").head().getString(0)
+    assert(createdAt1 == createdAt2, "the stored index must be reused, not rebuilt")
+  }
+
   test("tableSuffix: distinct dataset dirs never collide (ADVICE r11)") {
     // the slug alone collapses these to the same name — one dataset's
     // persisted index would shadow the other's within a session
