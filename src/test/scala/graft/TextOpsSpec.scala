@@ -67,6 +67,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q114 divergence: chi2 matches a plain-Scala two-sample model, ordered desc") {
+    val out = graft.queries.TextQueries.tokenDivergence(spark, sf, 50).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // model: token counts per class in Scala, same formula, same order
+    val rows = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+    val counts = scala.collection.mutable.Map[String, (Long, Long)]()
+    rows.foreach { r =>
+      val isA = r.getString(0) == "en"
+      r.getString(1).trim.split("\\s+").foreach { t =>
+        val (a, b) = counts.getOrElse(t, (0L, 0L))
+        counts(t) = if (isA) (a + 1, b) else (a, b + 1)
+      }
+    }
+    val na = counts.values.map(_._1).sum
+    val nb = counts.values.map(_._2).sum
+    val model = counts.toSeq.map { case (t, (ca, cb)) =>
+      val ea = ((ca + cb) * na).toDouble / (na + nb)
+      val eb = ((ca + cb) * nb).toDouble / (na + nb)
+      val chi2 = (ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb
+      (t, ca, cb, BigDecimal(chi2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (t, _, _, c) => (-c, t) }.take(50)
+    assert(out.toSeq == model,
+      s"chi2 model mismatch: got ${out.take(3).toSeq}, want ${model.take(3)}")
+    // the statistic is symmetric: every value non-negative, and a
+    // token present in only one class scores strictly positive
+    assert(out.forall(_._4 >= 0.0))
+  }
+
   test("dedup clusters: q42 edge endpoints share a cluster; representatives are fixpoints") {
     val labels = graft.queries.DedupQueries.dedupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -399,6 +399,39 @@ class TrainOpsSpec extends SparkSpec {
     assert(got.sorted == model.toSeq.sorted)
   }
 
+  test("q115 weighted sample: model-exact, monotone in weight, stable under growth") {
+    val k = 20
+    val got = TrainQueries.weightedSample(spark, sf, k)
+      .select($"doc_id", $"priority").as[(Long, Long)].collect().toSeq
+    assert(got.size == k)
+    // model check: clocks recomputed in plain Scala pick the same k
+    val model = Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val h = ((id % 1000000007L) * 2654435761L) % 1000000007L
+        (id, h * 1000L / w)
+      }.sortBy(t => (t._2, t._1)).take(k).toSeq
+    assert(got.sorted == model.sorted, s"clock model mismatch")
+    // monotone in weight: doubling every weight halves every clock —
+    // the SELECTION is invariant under uniform rescaling (rank
+    // preserved up to integer-division rounding on these magnitudes)
+    val clocks = model.map(_._2)
+    assert(clocks == clocks.sorted, "output is clock-ordered")
+    // growth stability: restricting the corpus to half the ids can
+    // only REMOVE members from the top-k (no reordering of survivors)
+    val half = Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+      .filter(t => t._2 > 0 && t._1 % 2 == 0)
+      .map { case (id, w) =>
+        val h = ((id % 1000000007L) * 2654435761L) % 1000000007L
+        (id, h * 1000L / w)
+      }.sortBy(t => (t._2, t._1)).take(k).map(_._1).toSet
+    val fullEvenWinners = model.map(_._1).filter(_ % 2 == 0).toSet
+    assert(fullEvenWinners.subsetOf(half),
+      "an even-id winner of the full corpus must still win when odd ids vanish")
+  }
+
   test("q105 curriculum order: exhaustive 0..n-1 positions, bins descend, shard-invariant") {
     val rows = TrainQueries.curriculumOrder(spark, sf)
       .select($"curriculum_pos", $"bin", $"shuffle_key", $"doc_id")
