@@ -886,6 +886,77 @@ object TrainQueries {
        |FROM documents WHERE n_chars > 0
        |ORDER BY priority, doc_id LIMIT $k""".stripMargin
 
+  /** q117: VOCABULARY GROWTH CURVE — how fast the training stream
+    * introduces new tokens under the q95 seeded order: each token's
+    * FIRST-occurrence ordinal, bucketed into `bins` equal slices of
+    * the corpus, with the cumulative vocabulary count per slice. The
+    * curve is the data-mixing diagnostic a pre-training run reads to
+    * see whether late curriculum slices still contribute vocabulary
+    * (a flat tail = the stream has gone lexically stale).
+    *
+    * Plan at 100 TB: the q95 ordinal construction (two-level, shard-
+    * count invariant) joins back on doc_id; tokens compact to their
+    * 8-byte fingerprint before the min-ordinal aggregate (the q81
+    * exchange discipline — one row per distinct fp crosses the
+    * wire); the ≤bins-row cumulative sum reuses q95's structural
+    * one-task running sum (coalesce + sortWithinPartitions +
+    * mapPartitions over the compacted aggregate) instead of an
+    * unpartitioned window, so no corpus row ever meets a global
+    * window and the "No Partition Defined" warning never appears.
+    * Fingerprint collisions merge vocabulary entries — the same
+    * deliberate 8-byte tradeoff as q41/q79/q81, identical in the
+    * oracle because DuckDB computes the same hash. */
+  def vocabGrowth(s: SparkSession, dir: String, bins: Int = 20): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val ord = shuffleOrderOver(docs.select($"doc_id"))
+      .select($"doc_id", $"ordinal")
+    val n = docs.agg(count(lit(1)).as("n"))
+    val firstOcc = docs.select($"doc_id", $"text").join(ord, Seq("doc_id"))
+      .select($"ordinal", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy(TextQueries.fingerprint($"tok").as("fp"))
+      .agg(min($"ordinal").as("first_ord"))
+    val binned = firstOcc.crossJoin(broadcast(n))
+      .withColumn("bin", expr(s"(first_ord * $bins) div n"))
+      .groupBy($"bin").agg(count(lit(1)).as("new_tokens"))
+    binned
+      .coalesce(1).sortWithinPartitions($"bin")
+      .select($"bin", $"new_tokens")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (bin, nt) => acc += nt; (bin, nt, acc) }
+      }.toDF("bin", "new_tokens", "cum_tokens")
+      .orderBy($"bin")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def vocabGrowthSql(bins: Int = 20): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    (doc_id % 1000003) * 2654435761 % 1000003 AS shuffle_key
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS ordinal
+       |  FROM t),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |toks AS (
+       |  SELECT o.ordinal,
+       |    unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS tok
+       |  FROM documents d JOIN o USING (doc_id)),
+       |first_occ AS (
+       |  SELECT ${TextQueries.fingerprintSql("tok")} AS fp,
+       |    min(ordinal) AS first_ord
+       |  FROM toks GROUP BY 1),
+       |binned AS (
+       |  SELECT (first_ord * $bins) // n AS bin, count(*) AS new_tokens
+       |  FROM first_occ CROSS JOIN n GROUP BY 1)
+       |SELECT bin, new_tokens,
+       |  CAST(sum(new_tokens) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS cum_tokens
+       |FROM binned ORDER BY bin""".stripMargin
+
   /** The q95 pipeline over any (doc_id) frame — injectable so the
     * permutation theorem (ordinals are exactly 0..n−1; keys collide
     * never below p) has a spec on a corpus big enough to populate
@@ -1062,6 +1133,7 @@ object TrainQueries {
     "q104_exact_stratified_sample" -> ((s: SparkSession, dir: String) => exactStratifiedSample(s, dir)),
     "q105_curriculum_order" -> ((s: SparkSession, dir: String) => curriculumOrder(s, dir)),
     "q115_weighted_sample" -> ((s: SparkSession, dir: String) => weightedSample(s, dir)),
+    "q117_vocab_growth" -> ((s: SparkSession, dir: String) => vocabGrowth(s, dir)),
     "q94_split_assign" -> (splitAssign _),
     "q95_shuffle_order" -> (shuffleOrder _),
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
@@ -1081,6 +1153,7 @@ object TrainQueries {
   val oracles: Map[String, String] = Map(
     "q104_exact_stratified_sample" -> exactStratifiedSampleSql(),
     "q115_weighted_sample" -> weightedSampleSql(),
+    "q117_vocab_growth" -> vocabGrowthSql(),
     "q105_curriculum_order" -> curriculumOrderSql(),
     "q94_split_assign" -> splitAssignSql,
     "q95_shuffle_order" -> shuffleOrderSql,

@@ -432,6 +432,31 @@ class TrainOpsSpec extends SparkSpec {
       "an even-id winner of the full corpus must still win when odd ids vanish")
   }
 
+  test("q117 vocab growth: conserves the vocabulary, cum is a monotone prefix sum") {
+    val out = TrainQueries.vocabGrowth(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.forall { case (b, _, _) => b >= 0 && b < 20 })
+    // conservation: total new_tokens across bins = distinct fingerprints
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(TextQueries.fingerprint(col("tok"))).distinct().count()
+    assert(out.map(_._2).sum == vocab,
+      s"every vocabulary entry must first-occur in exactly one bin")
+    // cum_tokens is the running sum and ends at the full vocabulary
+    val cums = out.map(_._3)
+    assert(cums == out.map(_._2).scanLeft(0L)(_ + _).tail,
+      "cum must be the exact prefix sum of new_tokens")
+    assert(cums.last == vocab)
+    // shard-count invariance rides on q95's construction: a different
+    // shard conf must not move any bin boundary
+    spark.conf.set("spark.graft.shuffle.shards", "7")
+    try {
+      val again = TrainQueries.vocabGrowth(spark, sf)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(again == out, "bin curve must be shard-count invariant")
+    } finally spark.conf.unset("spark.graft.shuffle.shards")
+  }
+
   test("q105 curriculum order: exhaustive 0..n-1 positions, bins descend, shard-invariant") {
     val rows = TrainQueries.curriculumOrder(spark, sf)
       .select($"curriculum_pos", $"bin", $"shuffle_key", $"doc_id")
