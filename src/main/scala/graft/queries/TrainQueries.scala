@@ -87,6 +87,22 @@ object TrainQueries {
   private[graft] def tokenPackWith(s: SparkSession, dir: String, budget: Long,
                 shardSize: Long, cost: Column): DataFrame = {
     import s.implicits._
+    packedDocs(s, dir, budget, shardSize, cost)
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"pack_id")
+  }
+
+  /** The shared per-DOCUMENT packing frame under q70's rule: (source,
+    * doc_id, n_tokens, cum, pack_id) via the two-level exact prefix
+    * sum. q70/q99 aggregate it per pack; q118 projects the per-doc
+    * loader manifest from it. */
+  private[graft] def packedDocs(s: SparkSession, dir: String, budget: Long,
+                shardSize: Long, cost: Column): DataFrame = {
+    import s.implicits._
     val base = Tables.documents(s, dir)
       .select($"source", $"doc_id", cost.cast("long").as("n_tokens"))
       .withColumn("shard", expr(s"doc_id div $shardSize"))
@@ -105,13 +121,47 @@ object TrainQueries {
       .join(broadcast(offsets), Seq("source", "shard"))
       .withColumn("cum", $"local_cum" + $"offset")
       .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
-      .groupBy($"source", $"pack_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"n_tokens").as("n_tokens"),
-        min($"doc_id").as("first_doc"),
-        max($"doc_id").as("last_doc"))
-      .orderBy($"source", $"pack_id")
   }
+
+  /** q118: PACK MANIFEST — the per-document metadata a training data
+    * loader actually consumes from q70's packing: which pack each
+    * document starts in, its token offset WITHIN that pack (where its
+    * attention-mask span begins), and how many of its tokens spill
+    * into the following pack(s) (a long document spans packs under
+    * the concat-and-chunk rule). Pure integer projections of the same
+    * two-level prefix sum — no new shuffle beyond q70's plan; the
+    * oracle extends q70's SQL chain with the same arithmetic. Spans
+    * reconstruct the packs exactly: within a pack, documents abut
+    * (start_off of doc k+1 = start_off of doc k + n_tokens, mod
+    * budget and spill — pinned in TrainOpsSpec). */
+  def packManifest(s: SparkSession, dir: String, budget: Long = 2048L,
+                shardSize: Long = 1000L): DataFrame = {
+    import s.implicits._
+    packedDocs(s, dir, budget, shardSize, TextQueries.bpeishTokenCount(col("text")))
+      .withColumn("start_off", expr(s"(cum - n_tokens) % $budget"))
+      .withColumn("spill_tokens",
+        greatest(lit(0L), $"start_off" + $"n_tokens" - lit(budget)))
+      .select($"source", $"pack_id", $"doc_id", $"n_tokens",
+        $"start_off", $"spill_tokens")
+      .orderBy($"source", $"pack_id", $"doc_id")
+  }
+
+  def packManifestSql(budget: Long = 2048L): String =
+    s"""WITH toks AS (
+      |  SELECT source, doc_id,
+      |    len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM toks)
+      |SELECT source, (cum - n_tokens) // $budget AS pack_id, doc_id,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  (cum - n_tokens) % $budget AS start_off,
+      |  CAST(greatest(0, (cum - n_tokens) % $budget + n_tokens - $budget) AS BIGINT)
+      |    AS spill_tokens
+      |FROM cum ORDER BY source, pack_id, doc_id""".stripMargin
 
   // DuckDB sum() over BIGINT yields HUGEINT, which pandas/pyarrow read
   // as float64 — the driver's repr-sensitive hash then sees `1435.0` vs
@@ -1134,6 +1184,7 @@ object TrainQueries {
     "q105_curriculum_order" -> ((s: SparkSession, dir: String) => curriculumOrder(s, dir)),
     "q115_weighted_sample" -> ((s: SparkSession, dir: String) => weightedSample(s, dir)),
     "q117_vocab_growth" -> ((s: SparkSession, dir: String) => vocabGrowth(s, dir)),
+    "q118_pack_manifest" -> ((s: SparkSession, dir: String) => packManifest(s, dir)),
     "q94_split_assign" -> (splitAssign _),
     "q95_shuffle_order" -> (shuffleOrder _),
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
@@ -1154,6 +1205,7 @@ object TrainQueries {
     "q104_exact_stratified_sample" -> exactStratifiedSampleSql(),
     "q115_weighted_sample" -> weightedSampleSql(),
     "q117_vocab_growth" -> vocabGrowthSql(),
+    "q118_pack_manifest" -> packManifestSql(),
     "q105_curriculum_order" -> curriculumOrderSql(),
     "q94_split_assign" -> splitAssignSql,
     "q95_shuffle_order" -> shuffleOrderSql,

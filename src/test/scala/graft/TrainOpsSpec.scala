@@ -432,6 +432,37 @@ class TrainOpsSpec extends SparkSpec {
       "an even-id winner of the full corpus must still win when odd ids vanish")
   }
 
+  test("q118 pack manifest: docs abut within packs, spans reconcile with q70's packs") {
+    val budget = 2048L
+    val manifest = TrainQueries.packManifest(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(manifest.nonEmpty)
+    manifest.foreach { case (_, _, _, nTok, startOff, spill) =>
+      assert(startOff >= 0 && startOff < budget)
+      assert(spill == math.max(0L, startOff + nTok - budget),
+        "spill must be exactly the overflow past the pack boundary")
+    }
+    // abutment: consecutive docs of one source sit end-to-end in the
+    // token stream — next start = (prev start + prev tokens) mod budget
+    manifest.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._3).sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._5 == (a._5 + a._4) % budget,
+            s"doc ${b._3} must start where ${a._3} ended (mod budget)")
+        case _ => ()
+      }
+    }
+    // reconciliation: per-(source, pack) doc counts and token mass
+    // equal q70's aggregate exactly
+    val packs = TrainQueries.tokenPack(spark, sf)
+      .select(col("source"), col("pack_id"), col("n_docs"), col("n_tokens"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val fromManifest = manifest.groupBy(r => (r._1, r._2)).map { case ((s0, p), rows) =>
+      (s0, p, rows.size.toLong, rows.map(_._4).sum)
+    }.toSet
+    assert(fromManifest == packs, "manifest must aggregate to q70's pack rows")
+  }
+
   test("q117 vocab growth: conserves the vocabulary, cum is a monotone prefix sum") {
     val out = TrainQueries.vocabGrowth(spark, sf)
       .as[(Long, Long, Long)].collect().toSeq
