@@ -1179,12 +1179,80 @@ object TrainQueries {
        |FROM r WHERE rn <= $k
        |ORDER BY source, doc_id""".stripMargin
 
+  /** q119: PER-DOCUMENT NOVELTY under the q95 training order — for
+    * each document, how much of it the model has "already seen":
+    * `seen_frac` = fraction of its token OCCURRENCES whose
+    * fingerprint first occurred at an EARLIER ordinal, plus the count
+    * of vocabulary types this document introduces (`novel_types`).
+    * The doc-granular complement of q117's corpus curve: a
+    * late-ordinal document with seen_frac 1.0 and no novel types is
+    * the first candidate a data-pruning pass drops.
+    *
+    * Plan at 100 TB: tokens compact map-side to (doc, fp, c) — the
+    * q81 discipline — then ONE fp-keyed join against the fp →
+    * min(ordinal) aggregate of the SAME compacted frame (8-byte keys
+    * both sides), then the per-doc rollup. Ratio in integer half-up
+    * 4 dp arithmetic (q81's rule) so both engines agree on exact
+    * midpoints; ties inside a document (its own first occurrence)
+    * count as novel, not seen — `first_ord < ordinal` strictly. */
+  def noveltyScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val ord = shuffleOrderOver(docs.select($"doc_id"))
+      .select($"doc_id", $"ordinal")
+    val perDocTok = docs.select($"doc_id", $"text").join(ord, Seq("doc_id"))
+      .select($"doc_id", $"ordinal",
+        explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"doc_id", $"ordinal", TextQueries.fingerprint($"tok").as("fp"))
+      .agg(count(lit(1)).as("c"))
+    val firstOcc = perDocTok.groupBy($"fp")
+      .agg(min($"ordinal").as("first_ord"))
+    perDocTok.join(firstOcc, Seq("fp"))
+      .groupBy($"doc_id", $"ordinal")
+      .agg(sum($"c").as("n_tokens"),
+        sum(when($"first_ord" < $"ordinal", $"c").otherwise(lit(0L))).as("n_seen"),
+        sum(when($"first_ord" === $"ordinal", lit(1L)).otherwise(lit(0L)))
+          .as("novel_types"))
+      .withColumn("seen_frac",
+        expr("(20000 * n_seen + n_tokens) div (2 * n_tokens)") / 10000.0)
+      .orderBy($"doc_id")
+  }
+
+  val noveltyScoreSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    (doc_id % 1000003) * 2654435761 % 1000003 AS shuffle_key
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS ordinal
+      |  FROM t),
+      |pt AS (
+      |  SELECT doc_id, ordinal, ${TextQueries.fingerprintSql("tok")} AS fp,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM (
+      |    SELECT d.doc_id, o.ordinal,
+      |      unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS tok
+      |    FROM documents d JOIN o USING (doc_id))
+      |  GROUP BY 1, 2, 3),
+      |fo AS (SELECT fp, min(ordinal) AS first_ord FROM pt GROUP BY 1)
+      |SELECT doc_id, ordinal,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN first_ord < ordinal THEN c ELSE 0 END) AS BIGINT) AS n_seen,
+      |  CAST(sum(CASE WHEN first_ord = ordinal THEN 1 ELSE 0 END) AS BIGINT) AS novel_types,
+      |  ((20000 * CAST(sum(CASE WHEN first_ord < ordinal THEN c ELSE 0 END) AS BIGINT)
+      |      + CAST(sum(c) AS BIGINT))
+      |    // (2 * CAST(sum(c) AS BIGINT))) / 10000.0 AS seen_frac
+      |FROM pt JOIN fo USING (fp)
+      |GROUP BY doc_id, ordinal ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_exact_stratified_sample" -> ((s: SparkSession, dir: String) => exactStratifiedSample(s, dir)),
     "q105_curriculum_order" -> ((s: SparkSession, dir: String) => curriculumOrder(s, dir)),
     "q115_weighted_sample" -> ((s: SparkSession, dir: String) => weightedSample(s, dir)),
     "q117_vocab_growth" -> ((s: SparkSession, dir: String) => vocabGrowth(s, dir)),
     "q118_pack_manifest" -> ((s: SparkSession, dir: String) => packManifest(s, dir)),
+    "q119_novelty_score" -> (noveltyScore _),
     "q94_split_assign" -> (splitAssign _),
     "q95_shuffle_order" -> (shuffleOrder _),
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
@@ -1206,6 +1274,7 @@ object TrainQueries {
     "q115_weighted_sample" -> weightedSampleSql(),
     "q117_vocab_growth" -> vocabGrowthSql(),
     "q118_pack_manifest" -> packManifestSql(),
+    "q119_novelty_score" -> noveltyScoreSql,
     "q105_curriculum_order" -> curriculumOrderSql(),
     "q94_split_assign" -> splitAssignSql,
     "q95_shuffle_order" -> shuffleOrderSql,

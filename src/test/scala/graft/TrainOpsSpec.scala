@@ -463,6 +463,29 @@ class TrainOpsSpec extends SparkSpec {
     assert(fromManifest == packs, "manifest must aggregate to q70's pack rows")
   }
 
+  test("q119 novelty: first doc all-novel, novel_types conserve the vocabulary") {
+    val out = TrainQueries.noveltyScore(spark, sf)
+      .select(col("doc_id"), col("ordinal"), col("n_tokens"), col("n_seen"),
+        col("novel_types"), col("seen_frac"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val n = Tables.documents(spark, sf).count()
+    assert(out.size == n, "every document gets a novelty row")
+    // the ordinal-0 document has nothing before it: all novel
+    val first = out.find(_._2 == 0L).get
+    assert(first._4 == 0L && first._6 == 0.0,
+      s"first doc must have seen nothing, got $first")
+    // vocabulary conservation: each type is novel in exactly one doc
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(TextQueries.fingerprint(col("tok"))).distinct().count()
+    assert(out.map(_._5).sum == vocab,
+      "novel_types must sum to the distinct vocabulary")
+    // bounds: n_seen ≤ n_tokens, seen_frac in [0, 1]
+    out.foreach { r =>
+      assert(r._4 <= r._3 && r._6 >= 0.0 && r._6 <= 1.0, s"bounds violated: $r")
+    }
+  }
+
   test("q117 vocab growth: conserves the vocabulary, cum is a monotone prefix sum") {
     val out = TrainQueries.vocabGrowth(spark, sf)
       .as[(Long, Long, Long)].collect().toSeq
