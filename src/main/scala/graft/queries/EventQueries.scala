@@ -1164,6 +1164,51 @@ object EventQueries {
       |  ON a.user_id = b.user_id AND a.ts_m > b.p_m
       |ORDER BY a.event_id""".stripMargin
 
+  /** q120: COHORT RETENTION — the classic product-analytics matrix:
+    * users grouped by their FIRST-activity day (the cohort), and for
+    * every later day-offset the count and fraction of the cohort
+    * still active. Plan at scale: one distinct over (user, day) —
+    * the only corpus-sized exchange, map-side partial-distinct — then
+    * a user-keyed self-aggregate join (same partitioning, AQE reuses
+    * the exchange), then a ≤days²-row rollup; the cohort-size join
+    * for the retention ratio runs over that tiny aggregate
+    * (broadcast). The ratio uses the q81 integer half-up 4 dp rule —
+    * exact on both engines at any cohort size. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val userDays = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val cohorts = userDays.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val r = userDays.join(cohorts, Seq("user_id"))
+      .groupBy($"cohort_day",
+        datediff($"day", $"cohort_day").cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val size0 = r.filter($"offset_days" === 0L)
+      .select($"cohort_day", $"n_users".as("cohort_size"))
+    r.join(broadcast(size0), Seq("cohort_day"))
+      .withColumn("retention",
+        expr("(20000 * n_users + cohort_size) div (2 * cohort_size)") / 10000.0)
+      .select(date_format($"cohort_day", "yyyy-MM-dd").as("cohort_d"),
+        $"offset_days", $"n_users", $"retention")
+      .orderBy($"cohort_d", $"offset_days")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1),
+      |r AS (
+      |  SELECT cohort_day,
+      |    CAST(datediff('day', cohort_day, day) AS BIGINT) AS offset_days,
+      |    count(*) AS n_users
+      |  FROM ud JOIN c USING (user_id) GROUP BY 1, 2),
+      |s0 AS (SELECT cohort_day, n_users AS cohort_size FROM r WHERE offset_days = 0)
+      |SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_d, r.offset_days, r.n_users,
+      |  ((20000 * r.n_users + cohort_size) // (2 * cohort_size)) / 10000.0 AS retention
+      |FROM r JOIN s0 USING (cohort_day)
+      |ORDER BY cohort_d, offset_days""".stripMargin
+
   val asofJoinSql: String =
     """SELECT a.event_id, a.user_id,
       |  strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
@@ -1319,6 +1364,7 @@ object EventQueries {
     "q111_asof_forward" -> (asofForward _),
     "q112_asof_nearest" -> (asofNearest _),
     "q113_asof_strict" -> (asofStrict _),
+    "q120_cohort_retention" -> (cohortRetention _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
@@ -1350,6 +1396,7 @@ object EventQueries {
     "q111_asof_forward" -> asofForwardSql,
     "q112_asof_nearest" -> asofNearestSql,
     "q113_asof_strict" -> asofStrictSql,
+    "q120_cohort_retention" -> cohortRetentionSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,
