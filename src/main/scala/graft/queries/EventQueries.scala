@@ -1194,6 +1194,44 @@ object EventQueries {
       .orderBy($"cohort_d", $"offset_days")
   }
 
+  /** q121: USER-ACTIVITY HISTOGRAM — how many users fall in each
+    * power-of-two activity band (1, 2–3, 4–7, … events), per event
+    * type: the q86 distribution-profiling idea on the USER axis, the
+    * heavy-tail diagnostic behind bot filtering and engagement
+    * modeling. The band is floor(log2(count)) computed WITHOUT
+    * floating point (log2 is not correctly rounded — the q65 rule):
+    * both engines render the count in binary (`bin`, unpadded in
+    * Spark and DuckDB alike) and take string length − 1 — pure
+    * integer/string ops, exact everywhere. Two exchanges: the
+    * (type, user) count and the ≤types×64-row band rollup, both
+    * partial-aggregating map-side. */
+  def userActivityHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n"))
+      // floor(log2(n)) as binary-string length − 1: integer-exact in
+      // both engines (bin() in Spark, bit_length-from-format in Duck)
+      .withColumn("band", (length(bin($"n")) - 1L).cast("long"))
+      .groupBy($"event_type", $"band")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"n").as("n_events"),
+        min($"n").as("min_events"),
+        max($"n").as("max_events"))
+      .orderBy($"event_type", $"band")
+  }
+
+  val userActivityHistogramSql: String =
+    """WITH ua AS (
+      |  SELECT event_type, user_id, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(length(bin(n)) - 1 AS BIGINT) AS band,
+      |  count(*) AS n_users,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  min(n) AS min_events, max(n) AS max_events
+      |FROM ua GROUP BY 1, 2 ORDER BY event_type, band""".stripMargin
+
   val cohortRetentionSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -1365,6 +1403,7 @@ object EventQueries {
     "q112_asof_nearest" -> (asofNearest _),
     "q113_asof_strict" -> (asofStrict _),
     "q120_cohort_retention" -> (cohortRetention _),
+    "q121_user_activity_histogram" -> (userActivityHistogram _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
@@ -1397,6 +1436,7 @@ object EventQueries {
     "q112_asof_nearest" -> asofNearestSql,
     "q113_asof_strict" -> asofStrictSql,
     "q120_cohort_retention" -> cohortRetentionSql,
+    "q121_user_activity_histogram" -> userActivityHistogramSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,
