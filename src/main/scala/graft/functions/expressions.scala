@@ -483,6 +483,10 @@ object expressions {
   /** Sequential multi-pattern scrub-with-count; see [[RegexScrub]]. */
   def regex_scrub(c: Column, patterns: Seq[(String, String)]): Column =
     GraftColumnBridge.column(RegexScrub(GraftColumnBridge.expression(c), patterns))
+
+  /** Unicode canonical form for dedup keys; see [[NormalizeText]]. */
+  def normalize_text(c: Column): Column =
+    GraftColumnBridge.column(NormalizeText(GraftColumnBridge.expression(c)))
 }
 
 /** Monotone bucket assignment against a small ascending DISTINCT
@@ -623,6 +627,76 @@ object RegexScrub {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](UTF8String.fromString(cur), n))
+  }
+}
+
+/** Unicode CANONICAL FORM for dedup keys: NFC-normalize, strip
+  * combining marks (NFD decompose → drop general-category Mn →
+  * NFC recompose — café/café in decomposed form, résumé vs resume
+  * collapse together), locale-free ROOT lowercase, collapse runs of
+  * whitespace to one space, trim. The q123 canonicalization: two
+  * documents differing only in Unicode encoding form, accents, case
+  * or spacing hash to the same key, catching the near-duplicate
+  * class that byte-exact dedup (q40/q41) misses while staying a
+  * stateless map (no pairwise anything).
+  *
+  * Cross-engine note (provenance, honestly): DuckDB's
+  * `strip_accents` is utf8proc's mark-stripping; on ASCII and on
+  * Latin-1 accent classes the two pipelines agree (spec-pinned), but
+  * exotic scripts may differ in corner cases — the registered
+  * oracle's fixture corpus is ASCII, where both are exact. Null →
+  * null; fully codegen'd via a static helper. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"normalize_text requires a string argument, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeText.canon(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeText.canon($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NormalizeText {
+  import java.text.Normalizer
+
+  /** JVM-static canonicalizer (callable from codegen). The mark strip
+    * walks codepoints once over the NFD form — no regex for the mark
+    * class (Character.getType is a table lookup). */
+  def canon(s: UTF8String): UTF8String = {
+    val nfd = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    var lastWasSpace = false
+    var any = false
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) {
+        if (Character.isWhitespace(cp)) {
+          if (any && !lastWasSpace) { sb.append(' '); lastWasSpace = true }
+          // leading whitespace: drop (trim-left); trailing handled below
+        } else {
+          sb.appendCodePoint(Character.toLowerCase(cp))
+          lastWasSpace = false
+          any = true
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    // trim-right: the collapse above may have left one trailing space
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+      sb.setLength(sb.length - 1)
+    UTF8String.fromString(
+      Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
   }
 }
 

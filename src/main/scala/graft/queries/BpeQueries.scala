@@ -478,7 +478,49 @@ object BpeQueries {
        |    // NULLIF(2 * CAST(sum(toks) AS BIGINT), 0)) / 10000.0 AS chars_per_token
        |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** q125: TOKENIZER FERTILITY by language — subword tokens per
+    * whitespace word under the pinned merge table: the
+    * per-language cost metric a multilingual pipeline tracks (a
+    * tokenizer trained on English pays 2-4× fertility on unseen
+    * scripts, silently shrinking those languages' effective share of
+    * a token budget; q124's mixture math and q98's budget selection
+    * both consume this diagnostic). q100 measures chars/token by
+    * SOURCE; this measures tokens/word by LANGUAGE — the fairness
+    * axis, not the compression axis.
+    *
+    * Stateless map (codegen'd [[graft.functions.BpeTokenCount]]) +
+    * one tiny per-lang aggregate; half-up 4 dp integer ratio, NULL
+    * on a wordless language group (the q100 nullif rule). */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang",
+        Bpe.bpe_token_count($"text", Bpe.pinned).as("st"),
+        TextQueries.tokenCount($"text").as("w"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"st").as("subword_tokens"),
+        sum($"w").as("words"))
+      .withColumn("fertility",
+        expr("(20000 * subword_tokens + words) div nullif(2 * words, 0)") / 10000.0d)
+      .orderBy($"lang")
+  }
+
+  lazy val bpeFertilitySql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(${Bpe.pinnedTokenCountSql("text")} AS BIGINT) AS st,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS w
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(st) AS BIGINT) AS subword_tokens,
+       |  CAST(sum(w) AS BIGINT) AS words,
+       |  ((20000 * CAST(sum(st) AS BIGINT) + CAST(sum(w) AS BIGINT))
+       |    // NULLIF(2 * CAST(sum(w) AS BIGINT), 0)) / 10000.0 AS fertility
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_bpe_fertility" -> ((s: SparkSession, dir: String) => bpeFertility(s, dir)),
     "q100_bpe_compression" -> ((s: SparkSession, dir: String) => bpeCompression(s, dir)),
     "q101_bpe_trained_tokens" -> ((s: SparkSession, dir: String) => bpeTrainedTokens(s, dir)),
     "q97_bpe_stored_encode" -> ((s: SparkSession, dir: String) => bpeStoredEncode(s, dir)),
@@ -488,6 +530,7 @@ object BpeQueries {
     "q103_bpe_trained_pack" -> ((s: SparkSession, dir: String) => bpeTrainedPack(s, dir)))
 
   lazy val oracles: Map[String, String] = Map(
+    "q125_bpe_fertility" -> bpeFertilitySql,
     "q100_bpe_compression" -> bpeCompressionSql,
     "q101_bpe_trained_tokens" -> bpeTrainedTokensSql(),
     "q97_bpe_stored_encode" -> bpeStoredEncodeSql,

@@ -136,6 +136,58 @@ object DedupQueries {
       |  FROM documents)
       |GROUP BY fp ORDER BY keeper_id""".stripMargin
 
+  /** q123: UNICODE-CANONICAL dedup — group on the fingerprint of
+    * [[graft.functions.NormalizeText]]'s canonical form (NFC +
+    * accent-strip + ROOT lowercase + whitespace collapse): the
+    * encoding-form/case/spacing near-duplicate class that byte-exact
+    * q40/q41 miss (café composed vs decomposed, "Hello  World" vs
+    * "hello world"). Per-document verdict row so the oracle checks
+    * EVERY canonical fingerprint cross-engine, not just group
+    * summaries.
+    *
+    * Scale shape: identical to q41 — the canonicalizer is a
+    * stateless codegen'd map, the exchange carries the 8-byte canon
+    * fingerprint, and the group join is fp-keyed. The oracle renders
+    * the same canonicalization in DuckDB
+    * (nfc_normalize → strip_accents → lower → regexp collapse);
+    * pipeline agreement on non-ASCII Latin accent classes is
+    * spec-pinned in ExpressionsSpec, and the fixture corpus (ASCII)
+    * is exact in both engines by construction. */
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame =
+    normalizedDedupOver(Tables.documents(s, dir))
+
+  /** q123 over an injectable (doc_id, text) frame (round-7 rule: the
+    * fixture has no canonical-form duplicates, so grouping behavior
+    * binds only on constructed variants). */
+  private[graft] def normalizedDedupOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs.select($"doc_id",
+      TextQueries.fingerprint(normalize_text($"text")).as("canon_fp"))
+    val groups = base.groupBy($"canon_fp")
+      .agg(count(lit(1)).as("group_size"), min($"doc_id").as("keeper_id"))
+    base.join(groups, Seq("canon_fp"))
+      .select($"doc_id", $"canon_fp", $"group_size", $"keeper_id",
+        ($"doc_id" === $"keeper_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val normalizedDedupSql: String = {
+    val canon = "trim(regexp_replace(lower(strip_accents(nfc_normalize(text))), " +
+      "'\\s+', ' ', 'g'))"
+    s"""WITH c AS (
+      |  SELECT doc_id,
+      |    ${graft.queries.TextQueries.fingerprintSql(canon)} AS canon_fp
+      |  FROM documents),
+      |g AS (
+      |  SELECT canon_fp, count(*) AS group_size, min(doc_id) AS keeper_id
+      |  FROM c GROUP BY canon_fp)
+      |SELECT doc_id, canon_fp, group_size, keeper_id,
+      |  doc_id = keeper_id AS is_keeper
+      |FROM c JOIN g USING (canon_fp)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** N-gram (token-set) Jaccard near-dup pairs, blocked by source +
     * bounded id window (the blocking keeps the oracle O(n·w) — the
     * unblocked scale path is `minhashDedup`, which finds the same
@@ -670,6 +722,7 @@ object DedupQueries {
     "q84_incremental_ingest" -> (incrementalIngest _),
     "q40_exact_dedup" -> (exactDedup _),
     "q41_fingerprint_dedup" -> (exactDedupByFingerprint _),
+    "q123_normalized_dedup" -> (normalizedDedup _),
     "q42_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "q43_minhash_dedup" -> (minhashDedupValidated _),
     "q44_simhash_pairs" -> (simhashPairsValidated _),
@@ -680,6 +733,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "q40_exact_dedup" -> exactDedupSql,
     "q41_fingerprint_dedup" -> exactDedupByFingerprintSql,
+    "q123_normalized_dedup" -> normalizedDedupSql,
     "q42_ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "q66_dedup_clusters" -> dedupClustersSql,
     "q106_semantic_dedup" -> semanticDedupSql,

@@ -361,6 +361,76 @@ object TrainQueries {
       .limit(take)
   }
 
+  /** q124: TEMPERATURE-SAMPLED MIXTURE ALLOCATION — the "how many
+    * documents from each source" step (UniMax/multilingual-temperature
+    * style): weight each source by count^(1/2) — the τ=2 temperature
+    * that upweights small sources against the head — then apportion a
+    * fixed document budget by LARGEST-REMAINDER so the allocations
+    * are integers that sum EXACTLY to the budget. q75 interleaves
+    * under GIVEN weights; this COMPUTES the weights from corpus
+    * statistics, which is the step run when the mixture is data-
+    * driven rather than hand-tuned.
+    *
+    * All-integer cross-engine arithmetic: the only float op is
+    * `floor(sqrt(n))` — IEEE sqrt is correctly rounded, so both
+    * engines see the same double and the same floor (exact integer
+    * sqrt is NOT claimed; the weight is a deterministic shared
+    * surrogate). Apportionment = base `div` + remainder ranking, all
+    * BIGINT.
+    *
+    * Scale shape: one map-side-combined count per source (tiny
+    * aggregate), then windows/joins over the ≤#sources-row frame —
+    * nothing corpus-sized past the first aggregate; the empty window
+    * partition specs run over ~20 rows by construction (the q70
+    * offsets rule). */
+  def mixtureAllocation(s: SparkSession, dir: String, budget: Long = 10000L): DataFrame =
+    mixtureAllocationOver(Tables.documents(s, dir), budget)
+
+  /** q124 over an injectable (source, …) frame — specs pin the
+    * sum-to-budget and remainder-tie rules on hand-built counts. */
+  private[graft] def mixtureAllocationOver(docs: DataFrame, budget: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt($"n_docs".cast("double"))).cast("long"))
+    val tot = counts.agg(sum($"weight").as("tot_w"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * weight) div tot_w"))
+      .withColumn("rem", expr(s"($budget * weight) % tot_w"))
+    val leftover = based.agg((lit(budget) - sum($"base")).as("leftover"))
+    // remainder ranking over the ≤#sources-row frame (empty partition
+    // spec is deliberate: the input is already a tiny aggregate)
+    val byRem = Window.orderBy($"rem".desc, $"source")
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(byRem))
+      .select($"source", $"n_docs", $"weight",
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc_docs"))
+      .orderBy($"source")
+  }
+
+  def mixtureAllocationSql(budget: Long = 10000L): String =
+    s"""WITH c AS (
+      |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight
+      |  FROM c),
+      |t AS (
+      |  SELECT source, n_docs, weight,
+      |    CAST(sum(weight) OVER () AS BIGINT) AS tot_w FROM w),
+      |b AS (
+      |  SELECT source, n_docs, weight, tot_w,
+      |    ($budget * weight) // tot_w AS base,
+      |    ($budget * weight) % tot_w AS rem
+      |  FROM t),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+      |    CAST($budget - sum(base) OVER () AS BIGINT) AS leftover
+      |  FROM b)
+      |SELECT source, n_docs, weight,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc_docs
+      |FROM r ORDER BY source""".stripMargin
+
   val sourceMixSql: String =
     """SELECT doc_id, source, weight, rn, mix_key FROM (
       |  SELECT doc_id, source, weight,
@@ -386,9 +456,17 @@ object TrainQueries {
     * tokenizing "" yields [""] in BOTH engines (len 1), so n ≥ 1
     * always and the formula never degenerates. */
   def docChunks(s: SparkSession, dir: String, chunk: Int = 32,
+      stride: Int = 24): DataFrame =
+    docChunksOver(Tables.documents(s, dir), chunk, stride)
+
+  /** The q78 chunk frame over any (doc_id, text) frame — shared by
+    * the registered query and q126's leakage audit (whose spec
+    * constructs cross-split duplicates the fixture may not have). */
+  private[graft] def docChunksOver(docs: DataFrame, chunk: Int = 32,
       stride: Int = 24): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", $"text").orderBy($"doc_id") // sort-before-project
       .withColumn("toks", split(trim($"text"), "\\s+"))
       .select($"doc_id", $"toks",
@@ -399,6 +477,78 @@ object TrainQueries {
         TextQueries.fingerprint(concat_ws(" ", slice($"toks", $"start" + 1, lit(chunk))))
           .as("chunk_fp"))
   }
+
+  /** q126: CROSS-SPLIT CHUNK LEAKAGE — the eval-integrity audit at
+    * the CONTEXT-WINDOW granularity: how many distinct 32-token
+    * chunks (q78's unit) occur in more than one of q94's
+    * train/val/test splits. Document-level splitting leaks evaluation
+    * signal whenever the SAME passage recurs across documents that
+    * land in different splits — exactly the duplication q108 measures
+    * WITHIN the corpus, here crossed with the split assignment. q79
+    * answers "does held-out text appear in training?" for a designated
+    * holdout via n-grams; this audits the production split itself at
+    * chunk granularity and reports every split pair.
+    *
+    * Scale shape: distinct (split, fp) — one shuffle on the 8-byte
+    * chunk fingerprint; then a fp-group collect_set whose state is
+    * bounded by the 3 split names; the 3-row pair dim joins by
+    * array-membership (broadcast nested loop over 3 rows — linear in
+    * the multi-split fp count, which the ≥2 filter keeps to the
+    * leakage set itself). Fixed 3-row output, zeros included. */
+  def splitChunkLeakage(s: SparkSession, dir: String): DataFrame =
+    splitChunkLeakageOver(Tables.documents(s, dir))
+
+  private[graft] def splitChunkLeakageOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairDim = Seq(("test", "train"), ("test", "val"), ("train", "val"))
+      .toDF("split_a", "split_b")
+    val sp = docChunksOver(docs)
+      .select(splitOf($"doc_id").as("split"), $"chunk_fp").distinct()
+    val byFp = sp.groupBy($"chunk_fp").agg(collect_set($"split").as("sl"))
+      .filter(size($"sl") >= 2)
+    pairDim.join(byFp,
+        array_contains($"sl", $"split_a") && array_contains($"sl", $"split_b"),
+        "left")
+      .groupBy($"split_a", $"split_b")
+      .agg(count($"chunk_fp").as("n_shared_chunks"))
+      .orderBy($"split_a", $"split_b")
+  }
+
+  lazy val splitChunkLeakageSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |  FROM documents),
+      |i AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, (len(toks)-1) // 24 + 1)) AS chunk_idx
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id,
+      |    ${TextQueries.fingerprintSql(
+             "array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')")} AS chunk_fp
+      |  FROM i),
+      |sp AS (
+      |  SELECT DISTINCT
+      |    CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 980
+      |           THEN 'train'
+      |         WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 990
+      |           THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    chunk_fp
+      |  FROM c),
+      |f AS (
+      |  SELECT chunk_fp, list_sort(list(split)) AS sl
+      |  FROM sp GROUP BY chunk_fp HAVING count(*) >= 2),
+      |pairs AS (
+      |  SELECT * FROM (VALUES ('test', 'train'), ('test', 'val'),
+      |    ('train', 'val')) v(split_a, split_b))
+      |SELECT p.split_a, p.split_b,
+      |  CAST(count(f.chunk_fp) AS BIGINT) AS n_shared_chunks
+      |FROM pairs p LEFT JOIN f
+      |  ON list_contains(f.sl, p.split_a) AND list_contains(f.sl, p.split_b)
+      |GROUP BY p.split_a, p.split_b
+      |ORDER BY p.split_a, p.split_b""".stripMargin
 
   /** q108: CHUNK-LEVEL EXACT DEDUP — the step between q78 chunking
     * and q70/q99 packing in a real pipeline: identical context
@@ -503,6 +653,200 @@ object TrainQueries {
       |  ${TextQueries.fingerprintSql("array_to_string(ctoks, ' ')")} AS chunk_fp
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** DISTINCT (doc_id, fp) n-gram fingerprint rows of a
+    * (doc_id, text) frame — the shared gram representation of q79
+    * contamination and q122 dup-ngram fraction. Grams cross the
+    * exchange as the 8-byte cross-engine fingerprint
+    * ([[TextQueries.fingerprint]] — the q41/q79/q81 tradeoff), and a
+    * doc's own fps are `array_distinct`ed BEFORE the explode so
+    * within-doc repetition (q71's separate signal) cannot inflate
+    * cross-doc counts. Docs shorter than n tokens contribute no rows
+    * (the empty-array branch guards Spark's descending
+    * `sequence(1, 0)`). */
+  private[graft] def gramFps(src: DataFrame, n: Int): DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    src
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .select($"doc_id",
+        explode(when(size($"toks") >= n,
+            array_distinct(transform(sequence(lit(1), size($"toks") - (n - 1)),
+              i => TextQueries.fingerprint(
+                concat_ws(" ", slice($"toks", i, lit(n)))))))
+          .otherwise(array().cast("array<long>"))).as("fp"))
+  }
+
+  /** q122: CROSS-CORPUS DUPLICATED-NGRAM FRACTION — the Gopher-class
+    * corpus-level boilerplate signal sitting between q71 (repetition
+    * WITHIN a document) and q79 (contamination ACROSS the held-out
+    * split): for each document, the fraction of its distinct 8-grams
+    * that also occur in at least one OTHER document. High values
+    * flag templated text (headers, licensing blocks, scraped
+    * navigation) that exact dedup (q40) misses because the wrapping
+    * differs and near-dup (q42-q44) misses when the shared span is a
+    * minority of the doc.
+    *
+    * Scale shape: one groupBy over the 8-byte fp space (map-side
+    * combined; per-doc fps are distinct, so `count(*)` IS the
+    * distinct-doc count — no count_distinct state), filtered to the
+    * ≥2-doc dup set; one fp-keyed shuffle join back; one doc_id
+    * aggregate. Cost is O(total grams) end to end — no all-pairs
+    * anything, the 100 TB shape. Docs with <8 tokens report 0 via
+    * the left join + coalesce (the q79 rule); integer half-up 4 dp
+    * division keeps the fraction engine-exact. */
+  def dupNgramFraction(s: SparkSession, dir: String, n: Int = 8): DataFrame =
+    dupNgramFractionOver(Tables.documents(s, dir), n)
+
+  /** q122 over an injectable (doc_id, text) frame (round-7 rule:
+    * specs construct corpora where the dup/unique boundary is
+    * hand-checkable). */
+  private[graft] def dupNgramFractionOver(docs: DataFrame, n: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = gramFps(docs.select($"doc_id", $"text"), n)
+    val dupFps = g.groupBy($"fp").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2).select($"fp").withColumn("dup", lit(1))
+    val perDoc = g.join(dupFps, Seq("fp"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), count($"dup").as("n_dup"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"),
+        // integer-cents half-up division (the round-3 rounding rule);
+        // coalesce INSIDE the arithmetic — n_grams/n_dup are null
+        // (not 0) for short docs at this point in the plan
+        when(coalesce($"n_grams", lit(0L)) === 0, lit(0.0))
+          .otherwise(
+            expr("(20000 * coalesce(n_dup, 0) + n_grams) div (2 * n_grams)") / 10000.0)
+          .as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val dupNgramFractionSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(toks) - 6, 1)),
+      |      i -> ${TextQueries.fingerprintSql("array_to_string(toks[i : i+7], ' ')")}))) AS fp
+      |  FROM t WHERE len(toks) >= 8),
+      |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2),
+      |per AS (
+      |  SELECT doc_id, count(*) AS n_grams,
+      |    CAST(sum(CASE WHEN fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_dup
+      |  FROM g GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(per.n_grams, 0) AS n_grams,
+      |  coalesce(per.n_dup, 0) AS n_dup,
+      |  CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+      |       ELSE ((20000 * coalesce(per.n_dup, 0) + per.n_grams)
+      |             // (2 * per.n_grams)) / 10000.0 END AS dup_frac
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q127: DOCUMENT FILTER STACK — the FineWeb/Gopher-class keep/drop
+    * gate a pretraining pipeline runs over the cleaned corpus, fusing
+    * five independent signals into one verdict with a REASONS BITMASK
+    * (so downstream can audit WHY a doc dropped, not just that it
+    * did):
+    *   1  LENGTH   n_tokens < 20 or > 10000
+    *   2  REPEAT   within-doc duplicate bigrams > 5% (the stack runs
+    *               stricter than q71's standalone 20% gate)
+    *   4  DUPNGRAM cross-corpus duplicated 8-grams > 20% (q122)
+    *   8  LOWSTOP  fewer than 2 stopword hits (the Gopher "must
+    *               contain ≥2 of a tiny stop set" heuristic)
+    *   16 LOWDIV   distinct-token ratio < 0.5
+    * keep = reasons == 0. Every rule BINDS on the gate fixture
+    * (43/102/47/112/281 docs respectively at sf0.01) — no vacuous
+    * conjuncts. All-integer comparisons (k·x > y forms), so the
+    * verdict is engine-exact with no rounding boundary.
+    *
+    * Scale shape: signals 1/2/8/16 are a stateless single-pass map
+    * over the token array; signal 4 reuses q122's machinery — one
+    * fp-space aggregate + one fp join + one doc_id join. Nothing
+    * here exceeds q122's own cost; the map-side signals are free
+    * riders on the same scan. */
+  def filterStack(s: SparkSession, dir: String): DataFrame =
+    filterStackOver(Tables.documents(s, dir))
+
+  private[graft] def filterStackOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = gramFps(docs.select($"doc_id", $"text"), 8)
+    val dupFps = g.groupBy($"fp").agg(count(lit(1)).as("ndocs"))
+      .filter($"ndocs" >= 2).select($"fp").withColumn("dup", lit(1))
+    val perDoc = g.join(dupFps, Seq("fp"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("ng"), count($"dup").as("nd"))
+    val bigrams = expr(
+      """CASE WHEN size(_toks) < 2 THEN array()
+        |ELSE transform(sequence(1, size(_toks) - 1),
+        |       i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))
+        |END""".stripMargin)
+    val base = docs.select($"doc_id", $"text")
+      .withColumn("_toks", split(trim($"text"), "\\s+"))
+      .withColumn("_bi", bigrams)
+      .select($"doc_id",
+        size($"_toks").cast("long").as("n_tokens"),
+        size(regexp_extract_all($"text", lit("\\b(the|a|and|of|to|in|is)\\b"), lit(0)))
+          .cast("long").as("stops"),
+        size(array_distinct($"_toks")).cast("long").as("dist"),
+        size($"_bi").cast("long").as("nbi"),
+        (size($"_bi") - size(array_distinct($"_bi"))).cast("long").as("dupbi"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        (when($"n_tokens" < 20 || $"n_tokens" > 10000, 1L).otherwise(0L)
+          + when($"nbi" > 0 && $"dupbi" * 20 > $"nbi", 2L).otherwise(0L)
+          + when(coalesce($"nd", lit(0L)) * 5 > coalesce($"ng", lit(0L)), 4L)
+            .otherwise(0L)
+          + when($"stops" < 2, 8L).otherwise(0L)
+          + when($"dist" * 2 < $"n_tokens", 16L).otherwise(0L)).as("reasons"))
+      .withColumn("keep", $"reasons" === 0L)
+      .orderBy($"doc_id")
+  }
+
+  val filterStackSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(toks) - 6, 1)),
+      |      i -> ${TextQueries.fingerprintSql("array_to_string(toks[i : i+7], ' ')")}))) AS fp
+      |  FROM t WHERE len(toks) >= 8),
+      |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2),
+      |per AS (
+      |  SELECT doc_id, count(*) AS ng,
+      |    CAST(sum(CASE WHEN fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nd
+      |  FROM g GROUP BY 1),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    len(regexp_extract_all(text, '\\b(the|a|and|of|to|in|is)\\b')) AS stops,
+      |    len(list_distinct(toks)) AS dist,
+      |    len(toks) - 1 AS nbi,
+      |    (len(toks) - 1) - len(list_distinct(list_transform(
+      |      range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS dupbi
+      |  FROM t),
+      |v AS (
+      |  SELECT s.doc_id, s.n_tokens,
+      |    CAST(CASE WHEN s.n_tokens < 20 OR s.n_tokens > 10000 THEN 1 ELSE 0 END
+      |      + CASE WHEN s.nbi > 0 AND s.dupbi * 20 > s.nbi THEN 2 ELSE 0 END
+      |      + CASE WHEN coalesce(per.nd, 0) * 5 > coalesce(per.ng, 0)
+      |             THEN 4 ELSE 0 END
+      |      + CASE WHEN s.stops < 2 THEN 8 ELSE 0 END
+      |      + CASE WHEN s.dist * 2 < s.n_tokens THEN 16 ELSE 0 END
+      |      AS BIGINT) AS reasons
+      |  FROM s LEFT JOIN per USING (doc_id))
+      |SELECT doc_id, n_tokens, reasons, reasons = 0 AS keep
+      |FROM v ORDER BY doc_id""".stripMargin
+
   /** q79: TRAIN/TEST CONTAMINATION — the eval-integrity check run
     * before every training job: which held-out documents share long
     * n-grams with the training corpus. Test set = src0, train = the
@@ -537,15 +881,7 @@ object TrainQueries {
   private[graft] def contaminationOver(docs: DataFrame, n: Int = 8): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = split(trim($"text"), "\\s+")
-    def gramFps(src: DataFrame): DataFrame = src
-      .withColumn("toks", toks)
-      .select($"doc_id",
-        explode(when(size($"toks") >= n,
-            array_distinct(transform(sequence(lit(1), size($"toks") - (n - 1)),
-              i => TextQueries.fingerprint(
-                concat_ws(" ", slice($"toks", i, lit(n)))))))
-          .otherwise(array().cast("array<long>"))).as("fp"))
+    def gramFps(src: DataFrame): DataFrame = TrainQueries.gramFps(src, n)
     val test = docs.filter($"source" === "src0").select($"doc_id", $"text")
     val train = docs.filter($"source" =!= "src0").select($"doc_id", $"text")
     // the held-out gram frame feeds the bloom aggregation AND the
@@ -1256,10 +1592,14 @@ object TrainQueries {
     "q94_split_assign" -> (splitAssign _),
     "q95_shuffle_order" -> (shuffleOrder _),
     "q75_source_mix" -> ((s: SparkSession, dir: String) => sourceMix(s, dir)),
+    "q124_mixture_allocation" -> ((s: SparkSession, dir: String) => mixtureAllocation(s, dir)),
     "q78_doc_chunks" -> ((s: SparkSession, dir: String) => docChunks(s, dir)),
     "q108_chunk_dedup" -> (chunkDedup _),
+    "q126_split_chunk_leakage" -> (splitChunkLeakage _),
     "q109_chunk_pack" -> ((s: SparkSession, dir: String) => chunkPack(s, dir)),
     "q79_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)),
+    "q122_dup_ngram_fraction" -> ((s: SparkSession, dir: String) => dupNgramFraction(s, dir)),
+    "q127_filter_stack" -> (filterStack _),
     "q69_stratified_sample" -> (stratifiedSample _),
     "q70_token_pack" -> ((s: SparkSession, dir: String) => tokenPack(s, dir)),
     "q71_repetition_score" -> (repetitionScore _),
@@ -1279,10 +1619,14 @@ object TrainQueries {
     "q94_split_assign" -> splitAssignSql,
     "q95_shuffle_order" -> shuffleOrderSql,
     "q75_source_mix" -> sourceMixSql,
+    "q124_mixture_allocation" -> mixtureAllocationSql(),
     "q78_doc_chunks" -> docChunksSql,
     "q108_chunk_dedup" -> chunkDedupSql,
+    "q126_split_chunk_leakage" -> splitChunkLeakageSql,
     "q109_chunk_pack" -> chunkPackSql,
     "q79_contamination" -> contaminationSql,
+    "q122_dup_ngram_fraction" -> dupNgramFractionSql,
+    "q127_filter_stack" -> filterStackSql,
     "q69_stratified_sample" -> stratifiedSampleSql,
     "q70_token_pack" -> tokenPackSql,
     "q71_repetition_score" -> repetitionScoreSql,

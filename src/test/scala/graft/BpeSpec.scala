@@ -196,4 +196,21 @@ class BpeSpec extends SparkSpec {
       .groupBy($"source").count().agg(max($"count")).head().getLong(0)
     assert(packs > 1, "pack budget must split at least one source into multiple packs")
   }
+
+  test("q125 fertility: covers every language, ratio consistent with its own integers") {
+    val rows = BpeQueries.bpeFertility(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(rows.length == langs, "one row per language")
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
+    rows.foreach { case (lang, _, st, w, f) =>
+      assert(w > 0, s"$lang: wordless group on the fixture is unexpected")
+      // the emitted ratio is exactly the half-up 4 dp division of the
+      // row's own integer columns (no hidden float path)
+      val want = ((20000L * st + w) / (2L * w)) / 10000.0
+      assert(f == want, s"$lang: fertility $f != recomputed $want")
+      // every whitespace word decodes to ≥1 subword piece on this corpus
+      assert(st >= w, s"$lang: subword tokens $st < words $w")
+    }
+  }
 }

@@ -350,4 +350,56 @@ class ExpressionsSpec extends SparkSpec {
       assert(nullRow.getDouble(0) == 0.0 && nullRow.getDouble(3) == 1.0)
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("normalize_text: DuckDB-verified canonical forms (accents, case, whitespace)") {
+    // expected values are PINNED from DuckDB's
+    // trim(regexp_replace(lower(strip_accents(nfc_normalize(x))), '\s+', ' ', 'g'))
+    // — the exact oracle rendering q123 uses — so this test IS the
+    // cross-engine agreement proof for the Latin accent classes the
+    // expression claims.
+    val cases = Seq(
+      "Hello  World " -> "hello world",
+      "caf\u00e9" -> "cafe",               // composed e-acute
+      "cafe\u0301" -> "cafe",              // decomposed e + combining acute
+      "R\u00c9SUM\u00c9" -> "resume",
+      "stra\u00dfe" -> "stra\u00dfe",       // sharp-s is a letter, not a mark
+      "\u0130stanbul" -> "istanbul",       // dotted capital I decomposes
+      "na\u00efve  TEST" -> "naive test",
+      "\u00d1o\u00f1o" -> "nono",
+      "\u00c5" -> "a",                     // A-ring composed
+      "\u212b" -> "a",                     // angstrom sign, NFD-equivalent
+      "  " -> "",
+      "" -> "",
+      "tab\there\nnewline" -> "tab here newline")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = cases.map(_._1).toDF("text").repartition(2)
+        .select($"text", normalize_text($"text").as("c"))
+        .as[(String, String)].collect().toMap
+      cases.foreach { case (in, want) =>
+        assert(got(in) == want, s"normalize_text(${in.map(_.toInt)}) = " +
+          s"${got(in)} want $want")
+      }
+      val nul = Seq(Option.empty[String]).toDF("text")
+        .select(normalize_text($"text")).collect().head
+      assert(nul.isNullAt(0), "null in, null out")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("q123 normalized dedup groups encoding/case/spacing variants, exact dedup doesn't") {
+    val docs = Seq(
+      (1L, "Café  Crema"),
+      (2L, "café crema"),       // decomposed + lowercase + single space
+      (3L, "CAFE CREMA"),             // accent-free variant — same after strip
+      (4L, "espresso bar"),
+      (5L, "Espresso\tBar"),
+      (6L, "unique text here")).toDF("doc_id", "text")
+    val got = DedupQueries.normalizedDedupOver(docs)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      .map(r => (r._1, r._3, r._4, r._5))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, true), (2L, 3L, 1L, false), (3L, 3L, 1L, false),
+      (4L, 2L, 4L, true), (5L, 2L, 4L, false),
+      (6L, 1L, 6L, true)))
+  }
 }

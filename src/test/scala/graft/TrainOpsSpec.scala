@@ -583,4 +583,147 @@ class TrainOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(again.toSeq == packs.toSeq, "shardSize must not change pack assignment")
   }
+
+  // ---- q127 filter stack ----
+
+  test("q127 filter stack: each rule fires alone on a constructed doc; clean doc keeps") {
+    val good = ((1 to 30).map(i => s"word$i") ++ Seq("the", "a", "of")).mkString(" ")
+    val short = "too short by far"                                   // bit 1
+    // >5% duplicate bigrams but diverse tokens, long enough, stopworded:
+    // "x y"×5 → 7 duplicate bigrams of 54 (13%) amid unique filler
+    val repeat = ("x y x y x y x y x y " + (1 to 40).map(i => s"u$i").mkString(" ") +
+      " the a of to in").trim                                        // bit 2
+    val lowstop = (1 to 40).map(i => s"nost$i").mkString(" ")        // bit 8 only
+    val lowdiv = (Seq.fill(30)("same").mkString(" ") + " the a of to unique1 unique2")
+    val docs = Seq(
+      (1L, good), (2L, short), (3L, repeat), (4L, lowstop), (5L, lowdiv))
+      .toDF("doc_id", "text")
+    val got = TrainQueries.filterStackOver(docs)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got(1L) == ((0L, true)), s"clean doc flagged: ${got(1L)}")
+    assert((got(2L)._1 & 1L) == 1L && !got(2L)._2, "short doc must flag LENGTH")
+    assert((got(3L)._1 & 2L) == 2L && !got(3L)._2, "repeat doc must flag REPEAT")
+    assert((got(4L)._1 & 8L) == 8L && !got(4L)._2, "stopless doc must flag LOWSTOP")
+    assert((got(5L)._1 & 16L) == 16L && !got(5L)._2, "low-diversity doc must flag LOWDIV")
+  }
+
+  test("q127 cross-corpus rule fires on planted boilerplate; every rule binds on the fixture") {
+    // two long, otherwise-clean docs sharing a majority 8-gram span
+    val boiler = (1 to 30).map(i => s"tpl$i").mkString(" ")
+    val mk = (salt: String) =>
+      s"$boiler $salt the a of to in " + (1 to 5).map(i => s"$salt$i").mkString(" ")
+    val docs = Seq((1L, mk("alpha")), (2L, mk("beta"))).toDF("doc_id", "text")
+    val got = TrainQueries.filterStackOver(docs)
+      .as[(Long, Long, Long, Boolean)].collect()
+    got.foreach { case (id, _, reasons, keep) =>
+      assert((reasons & 4L) == 4L && !keep, s"doc $id must flag DUPNGRAM: $reasons")
+    }
+    // fixture: every bit observed somewhere, and keeps exist
+    val fx = TrainQueries.filterStack(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    Seq(1L, 2L, 4L, 8L, 16L).foreach { bit =>
+      assert(fx.exists(r => (r._3 & bit) == bit), s"rule $bit vacuous on fixture")
+    }
+    assert(fx.exists(_._4), "no document survives the stack — thresholds broken")
+    fx.foreach(r => assert(r._4 == (r._3 == 0L)))
+  }
+
+  // ---- q126 cross-split chunk leakage ----
+
+  test("q126 leakage: constructed cross-split duplicate chunk is found; all 3 pairs emitted") {
+    // doc_ids chosen by their q94 split: splitOf uses the Knuth hash —
+    // find concrete ids per split from the shared definition itself
+    val keys = (0L until 5000L).map(id => id ->
+      Seq(("train", 980L), ("val", 990L)).find {
+        case (_, hi) => (id % 1000000007L) * 2654435761L % 1000000007L % 1000L < hi
+      }.map(_._1).getOrElse("test"))
+    val trainId = keys.find(_._2 == "train").get._1
+    val valId = keys.find(_._2 == "val").get._1
+    val testId = keys.find(_._2 == "test").get._1
+    val shared = (1 to 32).map(i => s"tok$i").mkString(" ")  // one exact chunk
+    val docs = Seq(
+      (trainId, shared),
+      (valId, shared),                         // leaks train↔val
+      (testId, (1 to 32).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TrainQueries.splitChunkLeakageOver(docs)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // a 32-token doc yields TWO overlapping chunks under the 32/24
+    // stride rule (full window + the 8-token tail) — both leak
+    assert(got.toSeq == Seq(
+      ("test", "train", 0L), ("test", "val", 0L), ("train", "val", 2L)))
+  }
+
+  test("q126 on the fixture: 3 rows, counts bounded by the multi-split fp space") {
+    val rows = TrainQueries.splitChunkLeakage(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(rows.length == 3, "fixed 3-row pair report")
+    assert(rows.forall(_._3 >= 0L))
+  }
+
+  // ---- q124 temperature mixture allocation ----
+
+  test("q124 mixture allocation: sums to budget exactly, hand-checked apportionment") {
+    // counts 100/25/4 → weights 10/5/2, tot 17; budget 100:
+    // base = 1000 div 17, 500 div 17, 200 div 17 = 58, 29, 11 (sum 98)
+    // rem  = 1000%17=14, 500%17=7, 200%17=13 → leftover 2 goes to a, c
+    val docs = (
+      (1 to 100).map(i => (i.toLong, "a")) ++
+      (1 to 25).map(i => (1000L + i, "b")) ++
+      (1 to 4).map(i => (2000L + i, "c"))).toDF("doc_id", "source")
+    val got = TrainQueries.mixtureAllocationOver(docs, budget = 100L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("a", 100L, 10L, 59L), ("b", 25L, 5L, 29L), ("c", 4L, 2L, 12L)))
+    assert(got.map(_._4).sum == 100L, "largest-remainder must hit the budget exactly")
+  }
+
+  test("q124 on the fixture: exact budget, small sources upweighted vs proportional") {
+    val rows = TrainQueries.mixtureAllocation(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum == 10000L)
+    val totDocs = rows.map(_._2).sum.toDouble
+    // sqrt-temperature property: the smallest source's allocation share
+    // strictly exceeds its document share; the largest's falls below
+    val smallest = rows.minBy(_._2); val largest = rows.maxBy(_._2)
+    if (smallest._2 < largest._2) {
+      assert(smallest._4 / 10000.0 > smallest._2 / totDocs, "small source upweighted")
+      assert(largest._4 / 10000.0 < largest._2 / totDocs, "large source downweighted")
+    }
+  }
+
+  // ---- q122 cross-corpus duplicated-ngram fraction ----
+
+  test("q122 dup-ngram fraction: hand-checked corpus, short docs, within-doc immunity") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // 1 gram, shared with doc 2
+      (2L, "a b c d e f g h x"),          // 2 grams, 1 shared
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8"),    // 1 gram, unique
+      (4L, "one two"),                    // <8 tokens → 0 grams
+      // within-doc repetition: the 8-gram "p..w" occurs twice INSIDE
+      // doc 5 but in no other doc — must NOT count as duplicated
+      (5L, "p q r s t u v w p q r s t u v w"),
+    ).toDF("doc_id", "text")
+    val got = TrainQueries.dupNgramFractionOver(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 1L, 1.0)))
+    assert(got(1) == ((2L, 2L, 1L, 0.5)))
+    assert(got(2) == ((3L, 1L, 0L, 0.0)))
+    assert(got(3) == ((4L, 0L, 0L, 0.0)))
+    // doc 5: 9 sliding grams, 8 distinct after array_distinct, none
+    // cross-doc — repetition inside the doc is q71's signal, not this
+    assert(got(4) == ((5L, 8L, 0L, 0.0)))
+  }
+
+  test("q122 registered query covers every document and stays in [0,1]") {
+    val rows = TrainQueries.dupNgramFraction(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "one row per document, short docs included")
+    rows.foreach { case (id, g, d, f) =>
+      assert(d <= g, s"doc $id: n_dup $d > n_grams $g")
+      assert(f >= 0.0 && f <= 1.0, s"doc $id: frac $f out of range")
+      if (g == 0) assert(d == 0L && f == 0.0, s"short doc $id must report zeros")
+    }
+  }
 }
