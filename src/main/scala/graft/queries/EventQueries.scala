@@ -130,6 +130,45 @@ object EventQueries {
       |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY date_hour, event_type""".stripMargin
 
+  /** q128: EVENT-TYPE PIVOT (crosstab) — the daily type×count matrix
+    * every analytics surface renders. The pivot VALUES ARE PINNED,
+    * not discovered: Spark's `RelationalGroupedDataset.pivot` without
+    * an explicit value list runs a hidden distinct-scan + collect to
+    * the driver to learn the output columns — a second corpus pass
+    * and a driver-memory dependency that both vanish when the list
+    * is pinned (the plan is then ONE partial-agg exchange, identical
+    * to five conditional counts). Pinning also freezes the schema: a
+    * day missing a type yields 0 (na.fill, matching the oracle's
+    * CASE sums) and a NEW event type surfaces as `total` exceeding
+    * the column sum — a loud, queryable discrepancy instead of
+    * silent schema drift. */
+  def eventPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))
+      .groupBy($"event_date")
+      .pivot("event_type", eventTypeDomain)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypeDomain)
+      .withColumn("total", eventTypeDomain.map(col).reduce(_ + _))
+      .orderBy($"event_date")
+  }
+
+  /** The pinned event-type domain (TESTDATA.md). */
+  private[graft] val eventTypeDomain: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  val eventPivotSql: String = {
+    val cols = Seq("click", "error", "purchase", "signup", "view").map(t =>
+      s"  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t,")
+      .mkString("\n")
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+      |$cols
+      |  CAST(sum(CASE WHEN event_type IN ('click', 'error', 'purchase',
+      |    'signup', 'view') THEN 1 ELSE 0 END) AS BIGINT) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** C10 parity: JSON payload field extraction (the Kafka-envelope
     * decode, from_json analog on a dynamic column) + aggregation. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame = {
@@ -1416,6 +1455,7 @@ object EventQueries {
     "q13_recent_events" -> (recentEvents _),
     "q14_export_events" -> (exportEvents _),
     "q15_hourly_summary" -> (hourlySummary _),
+    "q128_event_pivot" -> (eventPivot _),
     "q86_value_histogram" -> (valueHistogram _),
     "q16_json_extract" -> (jsonExtract _),
     "q17_top_events_per_type" -> (topEventsPerType _),
@@ -1449,6 +1489,7 @@ object EventQueries {
     "q13_recent_events" -> recentEventsSql,
     "q14_export_events" -> exportEventsSql,
     "q15_hourly_summary" -> hourlySummarySql,
+    "q128_event_pivot" -> eventPivotSql,
     "q16_json_extract" -> jsonExtractSql,
     "q17_top_events_per_type" -> topEventsPerTypeSql,
     "q18_first_event_per_user" -> firstEventPerUserSql,

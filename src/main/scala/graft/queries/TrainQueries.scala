@@ -101,9 +101,17 @@ object TrainQueries {
     * sum. q70/q99 aggregate it per pack; q118 projects the per-doc
     * loader manifest from it. */
   private[graft] def packedDocs(s: SparkSession, dir: String, budget: Long,
+                shardSize: Long, cost: Column): DataFrame =
+    packedDocsOver(Tables.documents(s, dir), budget, shardSize, cost)
+
+  /** The two-level packing prefix sum over ANY (source, doc_id, text)
+    * frame — q70/q99/q118 run it on the raw corpus; q129 runs it on
+    * the filtered+deduped survivor frame. */
+  private[graft] def packedDocsOver(docs: DataFrame, budget: Long,
                 shardSize: Long, cost: Column): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val base = Tables.documents(s, dir)
+    val base = docs
       .select($"source", $"doc_id", cost.cast("long").as("n_tokens"))
       .withColumn("shard", expr(s"doc_id div $shardSize"))
     val wLocal = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
@@ -773,6 +781,45 @@ object TrainQueries {
   def filterStack(s: SparkSession, dir: String): DataFrame =
     filterStackOver(Tables.documents(s, dir))
 
+  /** The q127 per-record signal columns staged from `textCol` — ONE
+    * definition shared by batch q127 and the streaming
+    * [[graft.streaming.Pipeline.withQualityVerdict]] enrichment, so
+    * stream and batch can only ever score a record identically (the
+    * withSplit parity rule). Legal on unbounded plans (stateless
+    * maps). Emits `_q_n/_q_stops/_q_dist/_q_nbi/_q_dupbi`. */
+  private[graft] def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val bigrams = expr(
+      """CASE WHEN size(_q_toks) < 2 THEN array()
+        |ELSE transform(sequence(1, size(_q_toks) - 1),
+        |       i -> concat(element_at(_q_toks, i), ' ', element_at(_q_toks, i + 1)))
+        |END""".stripMargin)
+    df.withColumn("_q_toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("_q_bi", bigrams)
+      .withColumn("_q_n", size(col("_q_toks")).cast("long"))
+      .withColumn("_q_stops",
+        size(regexp_extract_all(col(textCol),
+          lit("\\b(the|a|and|of|to|in|is)\\b"), lit(0))).cast("long"))
+      .withColumn("_q_dist", size(array_distinct(col("_q_toks"))).cast("long"))
+      .withColumn("_q_nbi", size(col("_q_bi")).cast("long"))
+      .withColumn("_q_dupbi",
+        (size(col("_q_bi")) - size(array_distinct(col("_q_bi")))).cast("long"))
+      .drop("_q_toks", "_q_bi")
+  }
+
+  /** The four STATELESS rule bits (1 length / 2 repeat / 8 lowstop /
+    * 16 lowdiv) over the staged signal columns. Bit 4 (cross-corpus
+    * duplicated n-grams) needs corpus-wide state and exists only on
+    * the batch path — the stream stamps these four. */
+  private[graft] def statelessReasonBits: Column =
+    when(col("_q_n") < 20 || col("_q_n") > 10000, 1L).otherwise(0L) +
+      when(col("_q_nbi") > 0 && col("_q_dupbi") * 20 > col("_q_nbi"), 2L)
+        .otherwise(0L) +
+      when(col("_q_stops") < 2, 8L).otherwise(0L) +
+      when(col("_q_dist") * 2 < col("_q_n"), 16L).otherwise(0L)
+
+  private[graft] val qualitySignalCols: Seq[String] =
+    Seq("_q_n", "_q_stops", "_q_dist", "_q_nbi", "_q_dupbi")
+
   private[graft] def filterStackOver(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -782,37 +829,27 @@ object TrainQueries {
     val perDoc = g.join(dupFps, Seq("fp"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("ng"), count($"dup").as("nd"))
-    val bigrams = expr(
-      """CASE WHEN size(_toks) < 2 THEN array()
-        |ELSE transform(sequence(1, size(_toks) - 1),
-        |       i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))
-        |END""".stripMargin)
-    val base = docs.select($"doc_id", $"text")
-      .withColumn("_toks", split(trim($"text"), "\\s+"))
-      .withColumn("_bi", bigrams)
-      .select($"doc_id",
-        size($"_toks").cast("long").as("n_tokens"),
-        size(regexp_extract_all($"text", lit("\\b(the|a|and|of|to|in|is)\\b"), lit(0)))
-          .cast("long").as("stops"),
-        size(array_distinct($"_toks")).cast("long").as("dist"),
-        size($"_bi").cast("long").as("nbi"),
-        (size($"_bi") - size(array_distinct($"_bi"))).cast("long").as("dupbi"))
+    val base = withQualitySignals(docs.select($"doc_id", $"text"), "text")
+      .select($"doc_id", col("_q_n").as("n_tokens"),
+        statelessReasonBits.as("stateless_bits"))
     base.join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
-        (when($"n_tokens" < 20 || $"n_tokens" > 10000, 1L).otherwise(0L)
-          + when($"nbi" > 0 && $"dupbi" * 20 > $"nbi", 2L).otherwise(0L)
+        ($"stateless_bits"
           + when(coalesce($"nd", lit(0L)) * 5 > coalesce($"ng", lit(0L)), 4L)
-            .otherwise(0L)
-          + when($"stops" < 2, 8L).otherwise(0L)
-          + when($"dist" * 2 < $"n_tokens", 16L).otherwise(0L)).as("reasons"))
+            .otherwise(0L)).as("reasons"))
       .withColumn("keep", $"reasons" === 0L)
       .orderBy($"doc_id")
   }
 
-  val filterStackSql: String =
-    s"""WITH t AS (
+  /** The q127 verdict chain as a reusable CTE body (ends with `v`:
+    * doc_id, n_tokens, reasons), parameterized by the base relation —
+    * q127 runs it on `documents`, q129's assembly oracle on the
+    * deduped survivor CTE, so the two can never disagree about what
+    * "keep" means. */
+  def filterStackCtes(base: String = "documents"): String =
+    s"""t AS (
       |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
-      |  FROM documents),
+      |  FROM $base),
       |g AS (
       |  SELECT doc_id,
       |    unnest(list_distinct(list_transform(
@@ -843,9 +880,94 @@ object TrainQueries {
       |      + CASE WHEN s.stops < 2 THEN 8 ELSE 0 END
       |      + CASE WHEN s.dist * 2 < s.n_tokens THEN 16 ELSE 0 END
       |      AS BIGINT) AS reasons
-      |  FROM s LEFT JOIN per USING (doc_id))
+      |  FROM s LEFT JOIN per USING (doc_id))""".stripMargin
+
+  val filterStackSql: String =
+    s"""WITH ${filterStackCtes()}
       |SELECT doc_id, n_tokens, reasons, reasons = 0 AS keep
       |FROM v ORDER BY doc_id""".stripMargin
+
+  /** q129: CORPUS ASSEMBLY — the end-to-end composition a pretraining
+    * data job actually runs, as ONE declarative plan: q41's
+    * fingerprint dedup keeps one copy per text, q127's filter stack
+    * drops low-quality survivors, and q70's two-level prefix sum
+    * packs what remains into 2048-token windows — output is the
+    * per-(source, pack) loader summary. Stage ORDER is part of the
+    * pinned semantics: dedup runs FIRST so exact copies cannot
+    * pollute the filter's cross-corpus duplicated-8-gram statistic
+    * (an exact-dup pair would otherwise mark BOTH copies as
+    * boilerplate and drop them, where the assembled corpus should
+    * keep exactly one), and the dup-gram signal is then computed over
+    * the DEDUPED corpus — the statistic a production filter actually
+    * uses.
+    *
+    * The point of registering the COMPOSITION (beyond its stages,
+    * each already oracle-checked) is interop: stage boundaries are
+    * DataFrames, so Catalyst fuses the stages into one plan — no
+    * materialization between "jobs". The oracle rebuilds the
+    * identical chain from the q41 window + [[filterStackCtes]]
+    * (re-based onto the deduped CTE) + q70's cum window, so engine
+    * agreement covers the STAGE WIRING (which doc survives into
+    * which pack), not just each stage alone. */
+  def corpusAssembly(s: SparkSession, dir: String, budget: Long = 2048L,
+      shardSize: Long = 1000L): DataFrame =
+    corpusAssemblyOver(Tables.documents(s, dir), budget, shardSize)
+
+  /** q129 over an injectable (doc_id, source, text) frame — the spec
+    * pins the stage-order semantics (a quality-dropped doc must not
+    * shadow a kept duplicate) on constructed data. */
+  private[graft] def corpusAssemblyOver(docs: DataFrame, budget: Long = 2048L,
+      shardSize: Long = 1000L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    // stage 1: q41 keeper discipline over the raw corpus —
+    // near-singleton fp groups (the q108 rule), not a corpus window.
+    // Materialized once (q79's rule): three downstream branches
+    // consume it (gram statistic, signal map, pack join) and would
+    // otherwise each re-run the dedup window.
+    val deduped = graft.operators.Scale.checkpointed(docs
+      .withColumn("fp", TextQueries.fingerprint($"text"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"source", $"doc_id", $"text"))
+    // stage 2: the filter stack over the DEDUPED corpus (its dup-gram
+    // statistic now measures real boilerplate, not exact copies)
+    val kept = filterStackOver(deduped).filter($"keep").select($"doc_id")
+    // stage 3: q70 packing of the survivors
+    packedDocsOver(deduped.join(kept, Seq("doc_id")), budget, shardSize,
+        TextQueries.bpeishTokenCount(col("text")))
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"pack_id")
+  }
+
+  def corpusAssemblySql(budget: Long = 2048L): String =
+    s"""WITH dd AS (
+      |  SELECT source, doc_id, text FROM (
+      |    SELECT source, doc_id, text,
+      |      row_number() OVER (
+      |        PARTITION BY ${TextQueries.fingerprintSql("text")}
+      |        ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1),
+      |${filterStackCtes("dd")},
+      |surv AS (
+      |  SELECT d.source, d.doc_id,
+      |    len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS n_toks
+      |  FROM dd d JOIN (SELECT doc_id FROM v WHERE reasons = 0) k
+      |    USING (doc_id)),
+      |cum AS (
+      |  SELECT source, doc_id, n_toks,
+      |    CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM surv)
+      |SELECT source, (cum - n_toks) // $budget AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
   /** q79: TRAIN/TEST CONTAMINATION — the eval-integrity check run
     * before every training job: which held-out documents share long
@@ -1600,6 +1722,7 @@ object TrainQueries {
     "q79_contamination" -> ((s: SparkSession, dir: String) => contamination(s, dir)),
     "q122_dup_ngram_fraction" -> ((s: SparkSession, dir: String) => dupNgramFraction(s, dir)),
     "q127_filter_stack" -> (filterStack _),
+    "q129_corpus_assembly" -> ((s: SparkSession, dir: String) => corpusAssembly(s, dir)),
     "q69_stratified_sample" -> (stratifiedSample _),
     "q70_token_pack" -> ((s: SparkSession, dir: String) => tokenPack(s, dir)),
     "q71_repetition_score" -> (repetitionScore _),
@@ -1627,6 +1750,7 @@ object TrainQueries {
     "q79_contamination" -> contaminationSql,
     "q122_dup_ngram_fraction" -> dupNgramFractionSql,
     "q127_filter_stack" -> filterStackSql,
+    "q129_corpus_assembly" -> corpusAssemblySql(),
     "q69_stratified_sample" -> stratifiedSampleSql,
     "q70_token_pack" -> tokenPackSql,
     "q71_repetition_score" -> repetitionScoreSql,

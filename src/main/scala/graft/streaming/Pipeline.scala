@@ -171,6 +171,25 @@ object Pipeline {
     df.withColumn("bpe_tokens",
       graft.functions.Bpe.bpe_token_count(col(textCol), table))
 
+  /** q127's filter verdict on the STREAMING path — the ingest-time
+    * keep/drop stamp a training pipeline wants before records reach
+    * budget/packing decisions. Applies the four STATELESS rules
+    * (length / duplicate-bigram / stopword / diversity bits 1/2/8/16)
+    * via the SAME staged signal definition batch q127 uses
+    * ([[graft.queries.TrainQueries.withQualitySignals]] — one
+    * definition → stream ≡ batch on those bits by construction,
+    * pinned in StreamingPipelineSpec). Bit 4 (cross-corpus duplicated
+    * n-grams) needs corpus-wide state and stays batch-only BY DESIGN:
+    * a stream cannot know the corpus dup-gram set at ingest; a real
+    * deployment joins that bit in from q122's standing index
+    * downstream. Stateless per-row expressions — no watermark, no
+    * state, legal on any unbounded plan. */
+  def withQualityVerdict(df: DataFrame, textCol: String = "cleaned_text"): DataFrame =
+    graft.queries.TrainQueries.withQualitySignals(df, textCol)
+      .withColumn("quality_reasons", graft.queries.TrainQueries.statelessReasonBits)
+      .withColumn("quality_keep", col("quality_reasons") === 0L)
+      .drop(graft.queries.TrainQueries.qualitySignalCols: _*)
+
   /** Stream-stream join: enrich the tweet stream with a late-arriving
     * engagement-update stream (tweet_id, new counts) within a bounded
     * time window. Both sides are watermarked so join state is purged

@@ -168,4 +168,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getDouble(4) === 0.5, s"frac_click: $r")
     assert(r.getDouble(5) === 0.5, s"frac_purchase: $r")
   }
+
+  test("q128 pivot: column sums reconcile with total and with groupBy counts; one scan") {
+    val df = graft.queries.EventQueries.eventPivot(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // total column == sum of the five pinned columns on every row
+    rows.foreach { r =>
+      val cols = (1 to 5).map(r.getLong)
+      assert(cols.sum == r.getLong(6), s"row $r: pivot columns don't reconcile")
+    }
+    // pivot counts == plain groupBy counts (the pivot is a reshaping,
+    // not a different aggregation)
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val names = Seq("click", "error", "purchase", "signup", "view")
+    names.zipWithIndex.foreach { case (t, i) =>
+      assert(rows.map(_.getLong(i + 1)).sum == direct(t), s"$t column sum")
+    }
+    // pinned values ⇒ NO second scan to discover pivot columns: the
+    // optimized plan reads the events relation exactly once
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode => l
+    }
+    assert(scans.length == 1, s"expected one scan, got ${scans.length}")
+  }
 }

@@ -358,4 +358,37 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(streamMap == batchMap)
     } finally q.stop()
   }
+
+  test("quality verdict: stream == q127 stateless bits on the full documents fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stamped = Pipeline.withQualityVerdict(
+      mem.toDF().toDF("doc_id", "text"), "text")
+    assert(stamped.isStreaming)
+    val q = stamped.writeStream.format("memory").queryName("quality_verdict")
+      .outputMode("append").start()
+    try {
+      val half = math.max(1, docs.size / 2)
+      docs.grouped(half).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val streamMap = spark.table("quality_verdict")
+        .select($"doc_id", $"quality_reasons", $"quality_keep")
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(streamMap.size == docs.size)
+      // the batch q127 registered query, bit 4 (corpus-wide dup-ngram)
+      // masked off — the declared stream/batch contract
+      val batch = graft.queries.TrainQueries.filterStack(spark, sf)
+        .as[(Long, Long, Long, Boolean)].collect()
+      batch.foreach { case (id, _, reasons, _) =>
+        val stateless = reasons & ~4L
+        assert(streamMap(id)._1 == stateless,
+          s"doc $id: stream ${streamMap(id)._1} != batch-stateless $stateless")
+        assert(streamMap(id)._2 == (stateless == 0L))
+      }
+      // the verdict must BIND both ways on the fixture replay
+      assert(streamMap.values.exists(_._2) && streamMap.values.exists(!_._2))
+    } finally q.stop()
+  }
 }
