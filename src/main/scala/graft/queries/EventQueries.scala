@@ -276,6 +276,76 @@ object EventQueries {
       |  true AS hll_within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q130: ROLLING 7-DAY DISTINCT USERS — the weekly-active-users
+    * series, computed BOTH ways to pin the sketch path against the
+    * exact one (q19's self-validating discipline, extended from a
+    * static group-by to a rolling time window — the case where
+    * sketch MERGEABILITY is the whole point):
+    *  - exact path: the corpus compacts to distinct (day, user) once,
+    *    each compacted row fans out to the ≤7 window-end days it
+    *    contributes to (an explode — equi-shaped, no range join), one
+    *    count_distinct per target day. The 7× fan-out rides on the
+    *    COMPACTED frame, not the event log — but it still scales with
+    *    window length × distinct pairs, which is why production
+    *    systems keep sketches instead.
+    *  - sketch path: ONE per-day HllSketch register array (built in
+    *    the same pass as the daily exact count), unioned over the
+    *    tiny day-level frame — constant work per day regardless of
+    *    window length (register max is associative/commutative/
+    *    idempotent, the q96 theorem).
+    * The emitted row carries both exact series plus the pinned
+    * within-5% verdict on the sketch estimate; the oracle reproduces
+    * the exact series and pins the verdict true. Day keys are
+    * yyyy-MM-dd strings (lexicographic = chronological). */
+  def rollingDistinctUsers(s: SparkSession, dir: String, window: Int = 7): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val daily = ev.groupBy($"day")
+      .agg(countDistinct($"user_id").as("daily_users"),
+        graft.functions.HllSketch.hll_sketch($"user_id").as("regs"))
+    val days = daily.select($"day")
+    val targets = expr(
+      s"transform(sequence(0, ${window - 1}), " +
+        "i -> date_format(date_add(to_date(day), i), 'yyyy-MM-dd'))")
+    // exact rolling: distinct (day, user) → fan out to window-end days
+    val du = ev.select($"day", $"user_id").distinct()
+    val exactRoll = du
+      .select(explode(targets).as("day"), $"user_id")
+      .join(days, Seq("day")) // windows ending on observed days only
+      .groupBy($"day").agg(countDistinct($"user_id").as("rolling_users"))
+    // sketch rolling: same fan-out on the ≤#days register frame
+    val sketchRoll = daily
+      .select(explode(targets).as("day"), $"regs")
+      .join(days, Seq("day"))
+      .groupBy($"day")
+      .agg(graft.functions.HllSketch.hll_union_distinct($"regs").as("est"))
+    daily.select($"day", $"daily_users")
+      .join(exactRoll, Seq("day"))
+      .join(sketchRoll, Seq("day"))
+      .select($"day", $"daily_users", $"rolling_users",
+        (abs($"est" - $"rolling_users").cast("double") / $"rolling_users" <= 0.05)
+          .as("hll_within_5pct"))
+      .orderBy($"day")
+  }
+
+  val rollingDistinctUsersSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM e),
+      |roll AS (
+      |  SELECT t.tday AS day, count(DISTINCT t.user_id) AS rolling_users
+      |  FROM (SELECT day, user_id,
+      |          unnest(list_transform(range(0, 7),
+      |            i -> strftime(CAST(day AS DATE) + to_days(CAST(i AS INTEGER)),
+      |                          '%Y-%m-%d'))) AS tday
+      |        FROM e) t(day, user_id, tday)
+      |  JOIN days d ON t.tday = d.day
+      |  GROUP BY t.tday),
+      |daily AS (SELECT day, count(DISTINCT user_id) AS daily_users FROM e GROUP BY day)
+      |SELECT day, daily_users, rolling_users, true AS hll_within_5pct
+      |FROM daily JOIN roll USING (day) ORDER BY day""".stripMargin
+
   /** Sessionization: gap-based user sessions (30-minute inactivity
     * closes a session) via the lag → gap-flag → running-sum pattern —
     * the batch form of streaming session windows. One shuffle on
@@ -1456,6 +1526,7 @@ object EventQueries {
     "q14_export_events" -> (exportEvents _),
     "q15_hourly_summary" -> (hourlySummary _),
     "q128_event_pivot" -> (eventPivot _),
+    "q130_rolling_distinct" -> ((s: SparkSession, dir: String) => rollingDistinctUsers(s, dir)),
     "q86_value_histogram" -> (valueHistogram _),
     "q16_json_extract" -> (jsonExtract _),
     "q17_top_events_per_type" -> (topEventsPerType _),
@@ -1490,6 +1561,7 @@ object EventQueries {
     "q14_export_events" -> exportEventsSql,
     "q15_hourly_summary" -> hourlySummarySql,
     "q128_event_pivot" -> eventPivotSql,
+    "q130_rolling_distinct" -> rollingDistinctUsersSql,
     "q16_json_extract" -> jsonExtractSql,
     "q17_top_events_per_type" -> topEventsPerTypeSql,
     "q18_first_event_per_user" -> firstEventPerUserSql,

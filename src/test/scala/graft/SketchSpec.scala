@@ -550,4 +550,25 @@ class SketchSpec extends SparkSpec {
       .selectExpr("transform(t, x -> x.tie) ties").head().getSeq[Long](0)
     assert(got == Seq(3L, 7L, 9L), s"NaN-largest ranking expected (3,7,9), got $got")
   }
+
+  test("q130 rolling distinct: bounds vs daily series, verdict holds, window binds") {
+    val rows = graft.queries.EventQueries.rollingDistinctUsers(spark, sf)
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val daily = rows.map(r => r._1 -> r._2).toMap
+    rows.zipWithIndex.foreach { case ((day, d, roll, ok), i) =>
+      // the window ending on `day` contains day itself
+      assert(roll >= d, s"$day: rolling $roll < daily $d")
+      // union bound: rolling ≤ sum of the daily counts inside the window
+      val windowDays = rows.slice(math.max(0, i - 6), i + 1)
+        .map(_._1).filter(_ <= day)
+      val unionBound = windowDays.map(daily).sum
+      assert(roll <= unionBound, s"$day: rolling $roll > union bound $unionBound")
+      assert(ok, s"$day: HLL estimate drifted beyond 5% of $roll")
+    }
+    // the rolling window must BIND: some day's rolling count strictly
+    // exceeds its daily count (otherwise the fixture never re-observes
+    // a user inside 7 days and the test is vacuous)
+    assert(rows.exists(r => r._3 > r._2), "window vacuous on fixture")
+  }
 }
