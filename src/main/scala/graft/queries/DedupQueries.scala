@@ -715,7 +715,264 @@ object DedupQueries {
       |  (id = min(lbl)) AS is_keeper
       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
+  /** q131: CHARACTER-LEVEL NEAR-DUP — banded-threshold Levenshtein
+    * with COMPLETE length-band blocking. The token-level family
+    * (q42 Jaccard, q43 MinHash, q44 SimHash) treats a document as a
+    * bag/sequence of whitespace tokens, so it misses the char-level
+    * near-dup class: OCR noise, single-character typos inside long
+    * words, punctuation drift — edits that leave most tokens changed
+    * by one byte. Rule: a pair is a near-dup when
+    * `levenshtein(a, b) * 10 <= least(len_a, len_b)` (≤10% of the
+    * shorter text edited).
+    *
+    * Blocking is COMPLETE for that rule, not recall-bounded (unlike
+    * q42's same-block-only candidates): any qualifying pair has
+    * `|len_a - len_b| <= dist <= maxLen/10`, so with length bands of
+    * width 64 > ceil(553/10) the pair's bands differ by at most 1.
+    * The probe side therefore emits three keys (band-1, band, band+1)
+    * and the join stays a pure EQUI-join on (lang, band) — bands are
+    * distinct per doc, so each pair matches exactly once and no
+    * dedup pass is needed. Per-pair cost is the BANDED DP
+    * (`levenshtein(l, r, threshold)` — O(threshold·n), Spark 3.5+)
+    * rather than the O(n·m) full matrix; candidates that blow the
+    * threshold return -1 and are filtered by the explicit `dist >= 0`
+    * guard (without it, -1 passes the ≤10% predicate vacuously).
+    *
+    * Cross-engine exactness: Spark's levenshtein counts CHARACTERS
+    * while DuckDB's counts UTF-8 BYTES, so the operator pins its
+    * domain to ASCII rows (`octet_length = char_length`), where the
+    * two definitions coincide — the whole fixture qualifies, and at
+    * scale non-ASCII rows route through q123's normalization first.
+    *
+    * 100 TB shape: one equi-join keyed on (lang, band) — band
+    * cardinality grows with the length domain and the probe fan-out
+    * is a fixed 3×, so partitions stay balanced; no window, no
+    * all-pairs. */
+  def editDistanceNearDups(s: SparkSession, dir: String): DataFrame =
+    editDistanceNearDupsOver(Tables.documents(s, dir))
+
+  /** q131 over an injectable (doc_id, lang, text) frame (round-7
+    * rule: specs construct corpora with hand-checkable distances).
+    * `maxDist` must stay ≥ maxLen/10 for the -1 guard to be a pure
+    * optimization; 56 covers texts up to 560 chars (fixture max
+    * 553). */
+  private[graft] def editDistanceNearDupsOver(
+      docs: DataFrame, maxDist: Int = 56): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // Character-bag histogram (letters+digits+space — the pinned-
+    // ASCII fixture alphabet), computed ONCE per doc map-side. Every
+    // edit op changes the char multiset's L1 distance by at most 2
+    // (ins/del by 1, substitution by ≤2), so lev(a,b) ≥ L1(a,b)/2 —
+    // a SOUND lower bound that lets the O(1)-per-pair bag filter
+    // discard most candidates before the O(threshold·n) DP ever
+    // runs. Counting only a char subset keeps the bound sound
+    // (subset L1 ≤ true L1 ⇒ the filter only ever keeps extra
+    // pairs). 66 s → ~4 s at sf0.1 on this filter alone.
+    // SCALAR columns, not an array: zip_with/aggregate are
+    // higher-order functions evaluated by interpreted per-element
+    // lambdas (~0.6 ms/pair for 37 elements — measured 7 s of the
+    // original 13 s at sf0.1); 37 plain int columns keep the whole
+    // L1 computation inside WholeStageCodegen.
+    val alphabet = ('a' to 'z') ++ ('0' to '9') :+ ' '
+    def bagCols(prefix: String): Seq[Column] = alphabet.zipWithIndex.map {
+      case (ch, i) =>
+        (length($"text") - length(translate($"text", ch.toString, "")))
+          .cast("int").as(s"$prefix$i")
+    }
+    // The DP filter below is PUSHED DOWN through the rebalancing
+    // repartition (RepartitionByExpression is transparent to
+    // predicate pushdown), so the verification actually executes in
+    // the JOIN stage — which inherits the scan's partitioning. The
+    // small fixture parquet is a single row-group ⇒ a 1-task join
+    // stage ⇒ the entire O(pairs · threshold · n) DP serialized on
+    // one core (measured: 150 s at sf0.1). Spreading the doc frame
+    // itself keeps every downstream stage at full parallelism no
+    // matter where Catalyst moves the predicate; at 100 TB the scan
+    // arrives multi-partition and this exchange is a no-op-sized
+    // safety net.
+    val d = docs
+      .filter(octet_length($"text") === length($"text"))
+      .select(Seq($"doc_id", $"lang", $"text",
+        length($"text").cast("long").as("len"),
+        expr("length(text) div 64").as("band")) ++ bagCols("bag"): _*)
+      .repartition(s.sparkContext.defaultParallelism)
+    val aBags = alphabet.indices.map(i => col(s"bag$i").as(s"a$i"))
+    val bBags = alphabet.indices.map(i => col(s"bag$i").as(s"b$i"))
+    val build = d.select(Seq($"doc_id".as("doc_a"), $"lang",
+      $"text".as("text_a"), $"len".as("len_a"), $"band".as("key")) ++ aBags: _*)
+    val probe = d.select(Seq($"doc_id".as("doc_b"), $"lang",
+      $"text".as("text_b"), $"len".as("len_b"),
+      explode(array($"band" - 1, $"band", $"band" + 1)).as("key")) ++ bBags: _*)
+    val l1 = alphabet.indices.map(i => abs(col(s"a$i") - col(s"b$i")))
+      .reduce(_ + _)
+    val survivors = build.join(probe, Seq("lang", "key"))
+      .filter($"doc_a" < $"doc_b" &&
+        abs($"len_a" - $"len_b") * 10 <= least($"len_a", $"len_b"))
+      // lev·10 ≤ least AND L1 ≤ 2·lev  ⇒  L1·5 ≤ least
+      .filter(l1 * 5 <= least($"len_a", $"len_b"))
+      // (lang, band) blocks are few and skewed (en carries ~40% of
+      // docs); the cheap stages above tolerate that, the DP below
+      // must not — rebalance the surviving pairs first. The partition
+      // count is pinned EXPLICITLY: the pair rows are only tens of MB
+      // even when the DP behind them is minutes of CPU, so AQE's
+      // size-based coalescing would fold them back into 1-2 tasks
+      // (bytes are the wrong cost model for compute-bound stages) —
+      // a user-specified count is exempt from coalescing.
+      .select($"doc_a", $"doc_b", $"text_a", $"text_b", $"len_a", $"len_b")
+      .repartition(s.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
+    val matches = survivors
+      .withColumn("dist", levenshtein($"text_a", $"text_b", maxDist).cast("long"))
+      .filter($"dist" >= 0 && $"dist" * 10 <= least($"len_a", $"len_b"))
+      .select($"doc_a", $"doc_b", $"len_a", $"len_b", $"dist")
+    // Materialize the (tiny) match set before the global sort: the
+    // RangePartitioner's sampling pass re-executes its child, which
+    // here would re-run the join + bag filter + DP end to end (the
+    // q33/q73 sort-before-project lesson, join-shaped).
+    matches.reliableCheckpoint().orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle: same rule with DuckDB's unbounded levenshtein and a
+    * range-band join (the band arithmetic mirrors the Spark side so
+    * the candidate sets are identical, not just the survivors).
+    * `strlen = length` is the ASCII pin (DuckDB's levenshtein is
+    * byte-based — see the Scala doc). The char-bag L1 prefilter is
+    * mirrored too — it is part of the operator's candidate algebra
+    * (a provable lower bound, zero false negatives), and without it
+    * the oracle pays an unbounded levenshtein on every length-band
+    * candidate (232 s at sf0.1; 4.6× fewer DP calls with it). */
+  val editDistanceNearDupsSql: String = {
+    val alphabet = ('a' to 'z') ++ ('0' to '9')
+    val bagExprs = alphabet.zipWithIndex.map { case (ch, i) =>
+      s"length(text) - length(replace(text, '$ch', '')) AS c$i"
+    }.mkString(",\n         ")
+    val spaceBag = s"length(text) - length(replace(text, ' ', '')) AS c${alphabet.size}"
+    val l1 = (0 to alphabet.size).map(i => s"abs(a.c$i - b.c$i)").mkString(" + ")
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS len,
+      |         length(text) // 64 AS band,
+      |         $bagExprs,
+      |         $spaceBag
+      |  FROM documents WHERE strlen(text) = length(text)),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.len AS len_a, b.len AS len_b, a.text AS text_a, b.text AS text_b
+      |  FROM d a JOIN d b
+      |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |   AND b.band BETWEEN a.band - 1 AND a.band + 1
+      |  WHERE abs(a.len - b.len) * 10 <= least(a.len, b.len)
+      |    AND ($l1) * 5 <= least(a.len, b.len))
+      |SELECT doc_a, doc_b, len_a, len_b,
+      |  CAST(levenshtein(text_a, text_b) AS BIGINT) AS dist
+      |FROM cand
+      |WHERE levenshtein(text_a, text_b) * 10 <= least(len_a, len_b)
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q133: NEAR-SUPERSET DETECTION — gram-set CONTAINMENT via
+    * rare-anchor candidate generation. Jaccard resemblance (q42/q43)
+    * is symmetric: a short document wholly quoted inside a much
+    * longer one scores LOW (the union is dominated by the container)
+    * and every resemblance-based dedup misses it. Containment
+    * `|grams(A) ∩ grams(B)| / min(|A|, |B|)` scores that pair ~1.0 —
+    * the quote-inclusion / boilerplate-wrapping / doc-embeds-doc
+    * class.
+    *
+    * Candidate generation anchors on RARE grams only (2 <= df <=
+    * [[ContainmentRareCap]]): a gram shared by d docs fans out to
+    * O(d²) candidate pairs, so capping df bounds per-anchor fan-out
+    * at cap² while near-supersets — which share many grams, most of
+    * them rare in a large corpus — are still anchored by any one of
+    * them. Pairs whose ONLY shared grams are corpus-common (df >
+    * cap) are not candidates: the documented recall rule (the q43
+    * banding precedent), and exactly the pairs containment is not
+    * for (boilerplate sharing is q122's signal).
+    *
+    * The true intersection is then computed only for candidates:
+    * candidate pairs join to A's grams (doc-keyed) and meet B's on
+    * (doc_b, fp) — cost O(|candidates| × grams/doc), never the fp
+    * df² blow-up of a full fp self-join. Grams ride every exchange
+    * as the 8-byte [[TextQueries.fingerprint]] (the q41/q79/q122
+    * tradeoff); [[graft.queries.TrainQueries.gramFps]] is the ONE
+    * shingle definition shared with q122/q79. */
+  val ContainmentRareCap = 10
+
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairsOver(Tables.documents(s, dir))
+
+  /** q133 over an injectable (doc_id, text) frame; `minGrams`/`cap`
+    * exposed so specs can pin the rare-anchor recall rule itself. */
+  private[graft] def containmentPairsOver(
+      docs0: DataFrame, cap: Int = ContainmentRareCap,
+      minGrams: Int = 20): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    val docs = docs0.select($"doc_id", $"text")
+    val g = TrainQueries.gramFps(docs, n = 8)
+    val sz = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val anchors = g.groupBy($"fp").agg(count(lit(1)).as("d"))
+      .filter($"d" >= 2 && $"d" <= cap)
+      .select($"fp")
+    val anchored = g.join(anchors, Seq("fp"))
+    val cand = anchored.select($"fp", $"doc_id".as("doc_a"))
+      .join(anchored.select($"fp", $"doc_id".as("doc_b")), Seq("fp"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val inter = cand
+      .join(g.select($"doc_id".as("doc_a"), $"fp"), Seq("doc_a"))
+      .join(g.select($"doc_id".as("doc_b"), $"fp"), Seq("doc_b", "fp"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("n_a")), Seq("doc_a"))
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("n_b")), Seq("doc_b"))
+      .filter($"n_a" >= minGrams && $"n_b" >= minGrams &&
+        $"n_shared" * 2 >= least($"n_a", $"n_b"))
+      .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"n_shared",
+        // integer half-up 4 dp (the round-3 rounding rule)
+        (expr("(20000 * n_shared + least(n_a, n_b)) div (2 * least(n_a, n_b))") / 10000.0)
+          .as("containment"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle: the q122 gram CTE verbatim (same fingerprint fold), then
+    * the same anchor/candidate/intersection chain in SQL. */
+  val containmentPairsSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(toks) - 6, 1)),
+      |      i -> ${TextQueries.fingerprintSql("array_to_string(toks[i : i+7], ' ')")}))) AS fp
+      |  FROM t WHERE len(toks) >= 8),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |anchors AS (SELECT fp FROM g GROUP BY fp
+      |            HAVING count(*) >= 2 AND count(*) <= $ContainmentRareCap),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM g a JOIN anchors USING (fp) JOIN g b USING (fp)
+      |  WHERE a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      |  FROM cand c
+      |  JOIN g ga ON ga.doc_id = c.doc_a
+      |  JOIN g gb ON gb.doc_id = c.doc_b AND gb.fp = ga.fp
+      |  GROUP BY c.doc_a, c.doc_b)
+      |SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.n_shared,
+      |  ((20000 * i.n_shared + least(sa.n, sb.n))
+      |    // (2 * least(sa.n, sb.n))) / 10000.0 AS containment
+      |FROM inter i
+      |JOIN sz sa ON sa.doc_id = i.doc_a
+      |JOIN sz sb ON sb.doc_id = i.doc_b
+      |WHERE sa.n >= 20 AND sb.n >= 20
+      |  AND i.n_shared * 2 >= least(sa.n, sb.n)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_editdist_neardups" -> (editDistanceNearDups _),
+    "q133_containment_pairs" -> (containmentPairs _),
     "q106_semantic_dedup" -> (semanticDedup _),
     "q66_dedup_clusters" -> (dedupClusters _),
     "q82_dedup_impact" -> (dedupImpact _),
@@ -731,6 +988,8 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_editdist_neardups" -> editDistanceNearDupsSql,
+    "q133_containment_pairs" -> containmentPairsSql,
     "q40_exact_dedup" -> exactDedupSql,
     "q41_fingerprint_dedup" -> exactDedupByFingerprintSql,
     "q123_normalized_dedup" -> normalizedDedupSql,

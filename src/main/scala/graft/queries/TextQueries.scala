@@ -355,7 +355,92 @@ object TextQueries {
       |  FROM counts CROSS JOIN totals)
       |ORDER BY chi2 DESC, tok LIMIT $k""".stripMargin
 
+  /** q132: PER-SOURCE ADAPTIVE QUALITY FLOOR — exact decile
+    * thresholding via a BOUNDED-DOMAIN HISTOGRAM, no sort and no
+    * window. Fixed quality cutoffs (q27, q127) misfire across
+    * heterogeneous sources: a threshold tuned for encyclopedic text
+    * guts a forum crawl and passes everything in a books corpus. The
+    * adaptive rule drops, per source, the docs STRICTLY BELOW that
+    * source's p10 of the distinct-token-ratio — each source loses
+    * (about) its own worst decile regardless of its absolute level.
+    *
+    * Exactness: the metric is the all-integer
+    * `v = (n_distinct · 10000) div n_tokens` (floor division — no
+    * float boundary), so v lives in the BOUNDED domain [0, 10000].
+    * That makes the EXACT p10 computable without any corpus-wide
+    * sort: per-source histogram `(source, v) → c` (one map-side-
+    * combined aggregate), then the threshold is the smallest v whose
+    * running count reaches `k = ceil(n/10) = (n+9) div 10` — found by
+    * folding the ≤10001-entry sorted histogram with
+    * `aggregate(sort_array(collect_list(...)))`. Aggregation state is
+    * bounded by the VALUE DOMAIN, not the corpus, which is what makes
+    * this the 100 TB exact-quantile pattern (GK/q56 is the companion
+    * for unbounded domains, at ε precision). The ≤|sources| threshold
+    * rows broadcast back onto the doc stream — docs never shuffle.
+    *
+    * Contrast: q56 (GK sketch) answers approximate quantiles over
+    * unbounded domains; this answers EXACT quantiles over bounded
+    * ones — both O(1)-state per group, different trade. */
+  def adaptiveQualityFloor(s: SparkSession, dir: String): DataFrame =
+    adaptiveQualityFloorOver(Tables.documents(s, dir))
+
+  /** q132 over an injectable (doc_id, source, text) frame. */
+  private[graft] def adaptiveQualityFloorOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    val m = docs
+      .select($"doc_id", $"source",
+        size(array_distinct(toks)).cast("long").as("nd"),
+        size(toks).cast("long").as("nt"))
+      .withColumn("v", expr("(nd * 10000) div nt"))
+      .select($"doc_id", $"source", $"v")
+    val hist = m.groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+    val thr = hist.groupBy($"source")
+      .agg(sort_array(collect_list(struct($"v", $"c"))).as("h"),
+        sum($"c").as("n"))
+      .withColumn("k", expr("(n + 9) div 10"))
+      .withColumn("floor_v",
+        aggregate($"h",
+          struct(lit(0L).as("cum"), lit(-1L).as("t")),
+          (acc, x) => {
+            val cum2 = acc("cum") + x("c")
+            struct(cum2.as("cum"),
+              when(acc("t") === -1L && cum2 >= $"k", x("v"))
+                .otherwise(acc("t")).as("t"))
+          },
+          acc => acc("t")))
+      .select($"source", $"floor_v")
+    m.join(broadcast(thr), Seq("source"))
+      .select($"doc_id", $"source", $"v", $"floor_v",
+        ($"v" >= $"floor_v").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: same histogram, thresholded with a cumulative window
+    * over the bounded value domain (the oracle may sort; the engine
+    * may not). */
+  val adaptiveQualityFloorSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    (len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 10000)
+      |      // len(regexp_split_to_array(trim(text), '\s+')) AS v
+      |  FROM documents),
+      |hist AS (SELECT source, v, count(*) AS c FROM m GROUP BY source, v),
+      |tot AS (SELECT source, count(*) AS n FROM m GROUP BY source),
+      |cum AS (
+      |  SELECT h.source, h.v,
+      |    sum(h.c) OVER (PARTITION BY h.source ORDER BY h.v) AS cum, t.n
+      |  FROM hist h JOIN tot t USING (source)),
+      |thr AS (SELECT source, min(v) AS floor_v FROM cum
+      |        WHERE cum >= (n + 9) // 10 GROUP BY source)
+      |SELECT m.doc_id, m.source, m.v, thr.floor_v,
+      |  m.v >= thr.floor_v AS kept
+      |FROM m JOIN thr USING (source)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_adaptive_floor" -> (adaptiveQualityFloor _),
     "q114_token_divergence" -> ((s: SparkSession, dir: String) => tokenDivergence(s, dir)),
     "q27_quality_filter" -> (qualityFilter _),
     "q20_clean_filter" -> (cleanFilter _),
@@ -368,6 +453,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q132_adaptive_floor" -> adaptiveQualityFloorSql,
     "q27_quality_filter" -> qualityFilterSql,
     "q20_clean_filter" -> cleanFilterSql,
     "q21_token_stats" -> tokenStatsSql,

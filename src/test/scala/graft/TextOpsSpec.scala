@@ -258,4 +258,107 @@ class TextOpsSpec extends SparkSpec {
     // lang, batch_docs, admitted, already_known, dropped
     assert(got == Seq(("de", 1L, 1L, 0L, 0L), ("en", 4L, 1L, 2L, 3L)), got.toString)
   }
+
+  // ---- q131 edit-distance near-dups --------------------------------
+
+  private def q131(rows: Seq[(Long, String, String)]) =
+    graft.queries.DedupQueries
+      .editDistanceNearDupsOver(rows.toDF("doc_id", "lang", "text"))
+      .select("doc_a", "doc_b", "dist").as[(Long, Long, Long)]
+      .collect().toSeq
+
+  test("q131: one-char substitution is a near-dup; a 40-char rewrite is not") {
+    val base = (1 to 30).map(i => f"tok$i%02d").mkString(" ") // 179 chars
+    val oneSub = base.updated(2, 'q')                          // dist 1
+    // chars 'Z' never occur in base, so the 40-char overwrite is
+    // exactly distance 40 → 400 > 179 fails the ≤10% rule
+    val rewrite = ("Z" * 40) + base.drop(40)
+    val got = q131(Seq((1L, "en", base), (2L, "en", oneSub), (3L, "en", rewrite)))
+    assert(got == Seq((1L, 2L, 1L)), got.toString)
+  }
+
+  test("q131: over-threshold candidates return -1 and must NOT pass the predicate") {
+    // dist ≈ len (disjoint alphabets) > maxDist=56 → banded DP yields
+    // -1; without the dist >= 0 guard, -1*10 <= len passes vacuously
+    val a = "ab " * 40 // 119 chars
+    val b = "cd " * 40
+    assert(q131(Seq((1L, "en", a.trim), (2L, "en", b.trim))).isEmpty)
+  }
+
+  test("q131: band-straddling pair (len 63 vs 65) is still found — blocking is complete") {
+    val a = "x" * 63               // band 0
+    val b = ("x" * 63) + "yy"      // band 1, dist 2, 20 <= 63
+    val got = q131(Seq((1L, "en", a), (2L, "en", b)))
+    assert(got == Seq((1L, 2L, 2L)), got.toString)
+  }
+
+  test("q131: each qualifying pair appears exactly once despite the 3-band probe fan-out") {
+    val a = "m" * 100
+    val b = ("m" * 99) + "n"
+    val got = q131(Seq((1L, "en", a), (2L, "en", b)))
+    assert(got == Seq((1L, 2L, 1L)), got.toString)
+  }
+
+  test("q131: non-ASCII rows are outside the pinned domain; cross-lang pairs don't meet") {
+    val base = "plain ascii text that is long enough to clear the length gate ok"
+    val got = q131(Seq(
+      (1L, "en", base + "é"), (2L, "en", base + "é"), // identical but non-ASCII
+      (3L, "en", base), (4L, "fr", base)))            // identical but cross-lang
+    assert(got.isEmpty, got.toString)
+  }
+
+  // ---- q132 adaptive quality floor ---------------------------------
+
+  test("q132: floor is the ceil(n/10)-th smallest v; strictly-below dropped; ties kept") {
+    import spark.implicits._
+    // v is the integer (distinct*10000 div tokens):
+    //   "r r r r"  → 2500, "r r s s" → 5000, 4 distinct → 10000
+    def uniq(i: Int) = s"u${i}a u${i}b u${i}c u${i}d"
+    // s1: [2500, 5000, 10000×18] n=20 k=2 → floor 5000 → only 2500 drops
+    // s2: [2500, 2500, 10000×18] n=20 k=2 → floor 2500 → ties kept, none drop
+    val s1 = Seq((1L, "s1", "r r r r"), (2L, "s1", "r r s s")) ++
+      (3L to 20L).map(i => (i, "s1", uniq(i.toInt)))
+    val s2 = Seq((21L, "s2", "r r r r"), (22L, "s2", "r r r r")) ++
+      (23L to 40L).map(i => (i, "s2", uniq(i.toInt)))
+    val got = graft.queries.TextQueries
+      .adaptiveQualityFloorOver((s1 ++ s2).toDF("doc_id", "source", "text"))
+      .select("doc_id", "v", "floor_v", "kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L) == (1L, 2500L, 5000L, false))   // below s1's floor
+    assert(byId(2L) == (2L, 5000L, 5000L, true))    // AT the floor: kept
+    assert(byId(3L)._4 && byId(3L)._2 == 10000L)
+    assert(byId(21L) == (21L, 2500L, 2500L, true))  // tie at floor kept
+    assert(byId(22L) == (22L, 2500L, 2500L, true))
+    assert(got.count(!_._4) == 1, "exactly one doc drops across both sources")
+  }
+
+  // ---- q133 containment pairs --------------------------------------
+
+  test("q133: full gram inclusion scores containment 1.0 with n_shared = |grams(A)|") {
+    import spark.implicits._
+    val aToks = (1 to 27).map(i => s"a$i")          // 20 grams
+    val bText = (aToks ++ (1 to 13).map(i => s"b$i")).mkString(" ")
+    val out = graft.queries.DedupQueries
+      .containmentPairsOver(Seq((1L, aToks.mkString(" ")), (2L, bText)).toDF("doc_id", "text"))
+      .collect()
+    assert(out.length == 1, out.mkString(","))
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("n_a") == 20L && r.getAs[Long]("n_shared") == 20L)
+    assert(r.getAs[Double]("containment") == 1.0)
+  }
+
+  test("q133: pairs sharing only common grams (df > cap) are not candidates — the recall rule") {
+    import spark.implicits._
+    val common = (1 to 30).map(i => s"c$i").mkString(" ")
+    val rare = (1 to 30).map(i => s"d$i").mkString(" ")
+    val docs = Seq((1L, common), (2L, common), (3L, common),
+      (10L, rare), (11L, rare)).toDF("doc_id", "text")
+    val got = graft.queries.DedupQueries.containmentPairsOver(docs, cap = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // c-docs' shared grams all have df=3 > cap → anchorless, invisible;
+    // d-docs' grams have df=2 → anchored and reported
+    assert(got == Set((10L, 11L)), got.toString)
+  }
 }
