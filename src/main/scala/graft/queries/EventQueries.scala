@@ -1047,6 +1047,71 @@ object EventQueries {
       |FROM events WHERE user_id % 20 = 0
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** q135: SCD2 INCREMENTAL MERGE — apply a change-log delta to an
+    * existing SCD2 dimension WITHOUT rebuilding it, and prove the
+    * result identical to the full rebuild. q80 assembles validity
+    * intervals from the whole history in one pass; at 100 TB the
+    * nightly reality is a standing dimension plus a day of new
+    * changes, and re-windowing years of history to absorb a day is
+    * the anti-pattern this operator replaces. The merge touches ONLY
+    * delta-sized state:
+    *   - closed base rows pass through untouched (at scale: not even
+    *     read — they live in the stored dim; here the base is built
+    *     in-plan as the stand-in for that table),
+    *   - each affected user's single OPEN row is closed at that
+    *     user's first delta timestamp (one broadcast-sized join — the
+    *     first-delta frame has one row per AFFECTED user),
+    *   - the delta re-windows ONLY within itself (a window over
+    *     delta-sized data; base events are strictly older than every
+    *     delta event, so the per-user chain composes exactly).
+    * Users with no delta keep their open row (left join ⇒ null close);
+    * users born in the delta get fresh chains with no base row —
+    * both branches are fixture-vacuous (every sampled user has
+    * activity on both sides of the cutoff) and pinned on constructed
+    * corpora in PipelineOpsSpec instead.
+    *
+    * The ORACLE IS THE IDENTITY: q80's full-rebuild SQL verbatim —
+    * DuckDB re-windows the entire history, the engine merges
+    * incrementally, and the interval sets must hash-match. */
+  def scd2IncrementalMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.events(s, dir)
+      .filter($"user_id" % 20 === 0)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+    scd2MergeOver(
+      all.filter($"ts" < lit(Scd2Cutoff).cast("timestamp")),
+      all.filter($"ts" >= lit(Scd2Cutoff).cast("timestamp")))
+  }
+
+  /** The q135 delta-merge core over injectable (user_id, event_id,
+    * event_type, ts) base/delta change logs. Precondition (the SCD2
+    * contract): every base event is strictly older than every delta
+    * event for the same user. */
+  private[graft] val Scd2Cutoff = "2024-01-20 00:00:00"
+  private[graft] def scd2MergeOver(baseEv: DataFrame, deltaEv: DataFrame): DataFrame = {
+    val s = baseEv.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // the standing dimension (in production: a stored table)
+    val base = baseEv.withColumn("next_ts", lead($"ts", 1).over(w))
+    val firstDelta = deltaEv.groupBy($"user_id")
+      .agg(min(struct($"ts", $"event_id")).as("fd"))
+      .select($"user_id", $"fd.ts".as("delta_start"))
+    val closedBase = base.filter($"next_ts".isNotNull)
+    val openBase = base.filter($"next_ts".isNull)
+      .drop("next_ts")
+      .join(broadcast(firstDelta), Seq("user_id"), "left")
+      .withColumn("next_ts", $"delta_start") // null ⇒ user untouched, stays open
+      .drop("delta_start")
+    val deltaRows = deltaEv.withColumn("next_ts", lead($"ts", 1).over(w))
+    closedBase.unionByName(openBase).unionByName(deltaRows)
+      .select($"user_id", $"event_id", $"event_type",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format($"next_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        $"next_ts".isNull.as("is_current"))
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
   /** q77: the SAME as-of query as q59, executed by the NATIVE
     * [[graft.plans.AsOfJoinExec]] operator (custom LogicalPlan +
     * Strategy + physical merge scan) instead of the union+window
@@ -1514,6 +1579,7 @@ object EventQueries {
     "q120_cohort_retention" -> (cohortRetention _),
     "q121_user_activity_histogram" -> (userActivityHistogram _),
     "q80_scd2_intervals" -> (scd2Intervals _),
+    "q135_scd2_merge" -> (scd2IncrementalMerge _),
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
     "q28_sessionize" -> (sessionize _),
@@ -1549,6 +1615,7 @@ object EventQueries {
     "q120_cohort_retention" -> cohortRetentionSql,
     "q121_user_activity_histogram" -> userActivityHistogramSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
+    "q135_scd2_merge" -> scd2IntervalsSql, // the identity IS the oracle
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,
     "q28_sessionize" -> sessionizeSql,

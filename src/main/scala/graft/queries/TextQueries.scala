@@ -439,8 +439,126 @@ object TextQueries {
       |FROM m JOIN thr USING (source)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q134/q136: persisted inverted index + boolean serving -------
+
+  /** Pinned boolean-retrieval query: docs containing ALL of the
+    * required terms and NONE of the excluded one. Constants, not
+    * runtime input — the oracle must reproduce them verbatim. */
+  private[graft] val InvRequiredTerms = Seq("vector", "stream")
+  private[graft] val InvExcludedTerm = "window"
+
+  /** Build the postings artifact: one (term, doc_id) row per DISTINCT
+    * term occurrence, bucketed by term so every serve-time term
+    * lookup is a pruned bucket scan, not a corpus scan. The meta
+    * sidecar stamps the shared source fingerprint (q92/q96/q97
+    * lifecycle) plus posting/vocabulary counts. */
+  private[graft] def buildInvertedIndex(s: SparkSession, dir: String, table: String): Unit = {
+    import s.implicits._
+    val postings = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
+    postings.write.mode("overwrite")
+      .bucketBy(32, "term").sortBy("term", "doc_id")
+      .format("parquet").saveAsTable(table)
+    val (srcRows, srcMaxId) = SimilarityQueries.docsFingerprint(s, dir)
+    postings.agg(count(lit(1)).as("n_postings"),
+        count_distinct($"term").as("n_terms"))
+      .withColumn("src_rows", lit(srcRows))
+      .withColumn("src_max_id", lit(srcMaxId))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  private def invIndexTable(s: SparkSession, dir: String): String = {
+    val tbl = s"graft_inv_q134_${SimilarityQueries.tableSuffix(dir)}"
+    if (SimilarityQueries.needsBuildOrStale(s,
+        SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
+        tbl, s"${tbl}_meta"))
+      buildInvertedIndex(s, dir, tbl)
+    tbl
+  }
+
+  /** Boolean serve from the stored postings only: required terms via
+    * a bucket-pruned scan + doc-keyed count (postings are distinct
+    * per (term, doc), so `count(*) = |required|` IS the AND), the
+    * excluded term via an anti-join. The exchange carries only the
+    * matched posting rows (Σ df of the queried terms — the classic
+    * search-engine cost model), never the corpus. */
+  private def serveBoolean(s: SparkSession, tbl: String): DataFrame = {
+    import s.implicits._
+    val p = s.table(tbl)
+    p.filter($"term".isin(InvRequiredTerms: _*))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter($"n_hits" === InvRequiredTerms.size)
+      .join(p.filter($"term" === InvExcludedTerm).select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+  }
+
+  /** q134: STORED INVERTED INDEX + BOOLEAN RETRIEVAL — the exact-
+    * match serving path of a training-data corpus (membership / "is
+    * this phrase in the training set" tooling, the infini-gram-class
+    * lookup): build the postings artifact once, then answer
+    * `+vector +stream -window` from the stored tables alone. The
+    * DuckDB oracle recomputes the answer from raw documents — so the
+    * build → store → serve chain must preserve exact term-set
+    * semantics end to end. */
+  def invertedIndexServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    serveBoolean(s, invIndexTable(s, dir))
+      .select($"doc_id", $"n_hits").orderBy($"doc_id")
+  }
+
+  val invertedIndexServeSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, count(*) AS n_hits FROM toks
+      |  WHERE term IN (${InvRequiredTerms.map(t => s"'$t'").mkString(", ")})
+      |  GROUP BY doc_id HAVING count(*) = ${InvRequiredTerms.size})
+      |SELECT doc_id, n_hits FROM pos
+      |WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE term = '$InvExcludedTerm')
+      |ORDER BY doc_id""".stripMargin
+
+  /** q136: TOMBSTONED DELETION over the stored index — the
+    * right-to-be-forgotten serving path. A deletion request
+    * (doc_id % 10 = 3, the deterministic stand-in for a GDPR batch)
+    * must take effect at SERVE time without rebuilding the postings
+    * artifact: the serve chain anti-joins a tombstone set, and the
+    * oracle rebuilds the answer from the PURGED corpus — so serving
+    * through tombstones must be indistinguishable from physically
+    * deleting and re-indexing. At 100 TB the tombstone set is
+    * deletion-request-sized (broadcast anti-join); the index rewrite
+    * is deferred to compaction instead of blocking the request. */
+  def invertedIndexPurgeServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tombstones = Tables.documents(s, dir)
+      .filter($"doc_id" % 10 === 3).select($"doc_id")
+    serveBoolean(s, invIndexTable(s, dir))
+      .join(broadcast(tombstones), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_hits").orderBy($"doc_id")
+  }
+
+  /** Oracle: the q134 chain over the corpus WITH the deletion applied
+    * at the source — tombstone-serve ≡ purge-and-rebuild. */
+  val invertedIndexPurgeServeSql: String =
+    s"""WITH purged AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term
+      |  FROM purged),
+      |pos AS (
+      |  SELECT doc_id, count(*) AS n_hits FROM toks
+      |  WHERE term IN (${InvRequiredTerms.map(t => s"'$t'").mkString(", ")})
+      |  GROUP BY doc_id HAVING count(*) = ${InvRequiredTerms.size})
+      |SELECT doc_id, n_hits FROM pos
+      |WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE term = '$InvExcludedTerm')
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_adaptive_floor" -> (adaptiveQualityFloor _),
+    "q134_inverted_index_serve" -> (invertedIndexServe _),
+    "q136_index_tombstone_serve" -> (invertedIndexPurgeServe _),
     "q114_token_divergence" -> ((s: SparkSession, dir: String) => tokenDivergence(s, dir)),
     "q27_quality_filter" -> (qualityFilter _),
     "q20_clean_filter" -> (cleanFilter _),
@@ -454,6 +572,8 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q132_adaptive_floor" -> adaptiveQualityFloorSql,
+    "q134_inverted_index_serve" -> invertedIndexServeSql,
+    "q136_index_tombstone_serve" -> invertedIndexPurgeServeSql,
     "q27_quality_filter" -> qualityFilterSql,
     "q20_clean_filter" -> cleanFilterSql,
     "q21_token_stats" -> tokenStatsSql,

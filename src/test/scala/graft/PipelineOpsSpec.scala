@@ -91,6 +91,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(n == src)
   }
 
+  test("q135 merge: untouched/closed/delta-born branches + identity vs one-pass rebuild") {
+    import graft.queries.EventQueries
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cols = Seq("user_id", "event_id", "event_type", "ts")
+    // user 1: history on both sides of the cutoff (the fixture case)
+    // user 2: base-only (untouched — open row must survive the merge)
+    // user 3: delta-only (born in the delta — fresh chain, no base row)
+    val base = Seq(
+      (1L, 10L, "a", ts("2024-01-01 00:00:00")),
+      (1L, 11L, "b", ts("2024-01-02 00:00:00")),
+      (2L, 20L, "a", ts("2024-01-03 00:00:00"))).toDF(cols: _*)
+    val delta = Seq(
+      (1L, 12L, "c", ts("2024-02-01 00:00:00")),
+      (1L, 13L, "d", ts("2024-02-02 00:00:00")),
+      (3L, 30L, "x", ts("2024-02-03 00:00:00"))).toDF(cols: _*)
+    val merged = EventQueries.scd2MergeOver(base, delta)
+      .select("user_id", "event_id", "valid_to", "is_current")
+      .as[(Long, Long, Option[String], Boolean)].collect().toSeq
+    val byEvent = merged.map(r => r._2 -> r).toMap
+    assert(byEvent(11L)._3.contains("2024-02-01 00:00:00.000000") && !byEvent(11L)._4,
+      "affected user's open row closes at the FIRST delta ts")
+    assert(byEvent(20L)._3.isEmpty && byEvent(20L)._4,
+      "untouched user's open row survives open")
+    assert(byEvent(12L)._3.contains("2024-02-02 00:00:00.000000") && !byEvent(12L)._4,
+      "delta rows chain within the delta")
+    assert(byEvent(13L)._4 && byEvent(30L)._4,
+      "last delta row per user is current; delta-born user gets a fresh chain")
+    // identity: incremental merge ≡ one-pass rebuild over all events
+    // (an empty delta makes scd2MergeOver exactly the q80 assembly)
+    val emptyDelta = Seq.empty[(Long, Long, String, java.sql.Timestamp)].toDF(cols: _*)
+    val rebuild = EventQueries.scd2MergeOver(base.unionByName(delta), emptyDelta)
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged.nonEmpty &&
+      EventQueries.scd2MergeOver(base, delta).collect().map(_.toString).sorted.toSeq == rebuild,
+      "incremental merge must equal the full rebuild")
+  }
+
   test("valueHistogram equals a Scala-computed integer-cents bucketing") {
     val events = Tables.events(spark, sf)
       .select($"event_type", $"value").as[(String, Double)].collect()

@@ -333,6 +333,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got.count(!_._4) == 1, "exactly one doc drops across both sources")
   }
 
+  // ---- q134/q136 stored inverted index -----------------------------
+
+  test("q134/q136: postings artifact reused across serves; tombstone-serve = serve minus tombstones") {
+    import graft.queries.{SimilarityQueries, TextQueries}
+    val r1 = TextQueries.invertedIndexServe(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(r1.nonEmpty, "the pinned boolean query must match docs at sf0.001")
+    val tbl = s"graft_inv_q134_${SimilarityQueries.tableSuffix(sf)}"
+    def createdAt() = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+      .filter($"col_name" === "Created Time").select($"data_type").head().getString(0)
+    val t1 = createdAt()
+    val r2 = TextQueries.invertedIndexServe(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(r2 == r1, "serving is deterministic across calls")
+    assert(createdAt() == t1, "the stored postings must be reused, not rebuilt")
+    // tombstoned serve is EXACTLY the plain serve minus the deletion set
+    val purged = TextQueries.invertedIndexPurgeServe(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(purged == r1.filterNot(_._1 % 10 == 3),
+      "tombstone-serve must equal serve minus tombstoned doc ids")
+  }
+
   // ---- q133 containment pairs --------------------------------------
 
   test("q133: full gram inclusion scores containment 1.0 with n_shared = |grams(A)|") {
