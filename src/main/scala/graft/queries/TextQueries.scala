@@ -448,8 +448,16 @@ object TextQueries {
   private[graft] val InvExcludedTerm = "window"
 
   /** Build the postings artifact: one (term, doc_id) row per DISTINCT
-    * term occurrence, bucketed by term so every serve-time term
-    * lookup is a pruned bucket scan, not a corpus scan. The meta
+    * term occurrence, bucketed AND sorted by term. Two layout
+    * effects make serve-time term lookups index-priced rather than
+    * corpus-priced: the sortBy(term) ordering gives every parquet
+    * row group a tight term min/max, so the pushed `term IN (...)`
+    * predicate skips non-matching row groups wholesale (pinned in
+    * TextOpsSpec); and the bucket spec localizes any future
+    * term-keyed join/aggregate without a shuffle. (Spark's
+    * auto-bucketed-scan rule declines the bucketed READ for the pure
+    * lookup — no exchange is saved — so the row-group skip, not
+    * bucket pruning, is what bounds the scan there.) The meta
     * sidecar stamps the shared source fingerprint (q92/q96/q97
     * lifecycle) plus posting/vocabulary counts. */
   private[graft] def buildInvertedIndex(s: SparkSession, dir: String, table: String): Unit = {
@@ -555,10 +563,118 @@ object TextQueries {
       |WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE term = '$InvExcludedTerm')
       |ORDER BY doc_id""".stripMargin
 
+  /** q137: INCREMENTAL POSTINGS UPSERT — the append side of the index
+    * lifecycle (build q134 / serve / delete q136 / APPEND here): the
+    * artifact is built from the base corpus slice (doc_id % 10 ≠ 7)
+    * and the remaining slice is then APPENDED as a second bucketed
+    * write — the nightly new-documents batch. Spark's datasource
+    * bucketing tags every file with its bucket id, so an appended
+    * write with the SAME bucketBy spec lands new files in the same
+    * logical buckets and the serve-time bucket-pruned scan reads
+    * both generations transparently. The meta sidecar is stamped
+    * with the POST-append fingerprint, so the lifecycle gate reuses
+    * the upserted artifact and rebuilds+re-appends only on source
+    * drift. The oracle answers from the FULL corpus — a lost or
+    * mis-bucketed appended posting shows up as a missing doc in the
+    * result set. */
+  def invertedIndexUpsertServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_inv_q137_${SimilarityQueries.tableSuffix(dir)}"
+    if (SimilarityQueries.needsBuildOrStale(s,
+        SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
+        tbl, s"${tbl}_meta")) {
+      val docs = Tables.documents(s, dir)
+      def postings(df: DataFrame) = df.select($"doc_id",
+        explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
+      postings(docs.filter($"doc_id" % 10 =!= 7)).write.mode("overwrite")
+        .bucketBy(32, "term").sortBy("term", "doc_id")
+        .format("parquet").saveAsTable(tbl)
+      postings(docs.filter($"doc_id" % 10 === 7)).write.mode("append")
+        .bucketBy(32, "term").sortBy("term", "doc_id")
+        .format("parquet").saveAsTable(tbl)
+      val (srcRows, srcMaxId) = SimilarityQueries.docsFingerprint(s, dir)
+      s.table(tbl).agg(count(lit(1)).as("n_postings"),
+          count_distinct($"term").as("n_terms"))
+        .withColumn("src_rows", lit(srcRows))
+        .withColumn("src_max_id", lit(srcMaxId))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${tbl}_meta")
+    }
+    serveBoolean(s, tbl)
+      .select($"doc_id", $"n_hits").orderBy($"doc_id")
+  }
+
+  /** q138: TEXTRANK TERM CENTRALITY — keyword extraction as bounded-
+    * iteration PageRank over the token co-occurrence graph (Mihalcea
+    * & Tarau's TextRank), the iterative-scoring sibling of q66's
+    * label propagation: components ask "connected?", this asks "how
+    * central?". Nodes are vocabulary terms; edges are adjacent-token
+    * pairs (both directions, self-pairs dropped) weighted by corpus
+    * frequency; three damped power-iteration rounds.
+    *
+    * ALL-INTEGER arithmetic (the q114/q124 rule): scores live at
+    * scale 10^6, a round is
+    *   score'(i) = 150000 + (850 · Σ_j (score(j)·w(j,i)) div W(j)) div 1000
+    * — floor divisions only, no float accumulation, so three rounds
+    * are bit-identical cross-engine and the DuckDB oracle re-runs
+    * them as three unrolled CTEs.
+    *
+    * Scale shape: ONE corpus scan feeds a map-side-combined edge
+    * aggregate (the exchange carries one row per DISTINCT directed
+    * pair — vocabulary²-bounded, not corpus-bounded); every
+    * iteration is then a broadcast join of the vocabulary-sized
+    * score frame against the vocabulary²-bounded edge frame. Corpus
+    * size buys edge WEIGHT, not state. */
+  def textRankTerms(s: SparkSession, dir: String, k: Int = 20, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val adj = expr(
+      """CASE WHEN size(_toks) < 2 THEN array()
+        |ELSE filter(transform(sequence(1, size(_toks) - 1),
+        |       i -> struct(element_at(_toks, i) AS s, element_at(_toks, i + 1) AS d)),
+        |     p -> p.s != p.d) END""".stripMargin)
+    val e0 = Tables.documents(s, dir)
+      .withColumn("_toks", split(trim($"text"), "\\s+"))
+      .select(explode(adj).as("p"))
+      .select($"p.s".as("src"), $"p.d".as("dst"))
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    val wt = edges.groupBy($"src").agg(sum($"w").as("wtot"))
+    val ew = edges.join(wt, "src")
+    var scores = wt.select($"src".as("term"), lit(1000000L).as("score"))
+    for (_ <- 1 to iters) {
+      scores = ew.join(broadcast(scores), $"src" === $"term")
+        .select($"dst", expr("(score * w) div wtot").as("c"))
+        .groupBy($"dst").agg(expr("150000 + (850 * sum(c)) div 1000").as("score"))
+        .select($"dst".as("term"), $"score")
+    }
+    scores.orderBy($"score".desc, $"term").limit(k)
+  }
+
+  val textRankTermsSql: String =
+    """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |e0 AS (
+      |  SELECT t[i] AS src, t[i+1] AS dst
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+      |  WHERE len(t) >= 2 AND t[i] <> t[i+1]),
+      |edges AS (
+      |  SELECT src, dst, count(*) AS w FROM (
+      |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+      |  GROUP BY src, dst),
+      |wt AS (SELECT src, sum(w) AS wtot FROM edges GROUP BY src),
+      |r0 AS (SELECT src AS term, CAST(1000000 AS BIGINT) AS score FROM wt),
+      |r1 AS (SELECT e.dst AS term, CAST(150000 + (850 * sum((r.score * e.w) // w2.wtot)) // 1000 AS BIGINT) AS score
+      |       FROM edges e JOIN r0 r ON r.term = e.src JOIN wt w2 ON w2.src = e.src GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS term, CAST(150000 + (850 * sum((r.score * e.w) // w2.wtot)) // 1000 AS BIGINT) AS score
+      |       FROM edges e JOIN r1 r ON r.term = e.src JOIN wt w2 ON w2.src = e.src GROUP BY e.dst),
+      |r3 AS (SELECT e.dst AS term, CAST(150000 + (850 * sum((r.score * e.w) // w2.wtot)) // 1000 AS BIGINT) AS score
+      |       FROM edges e JOIN r2 r ON r.term = e.src JOIN wt w2 ON w2.src = e.src GROUP BY e.dst)
+      |SELECT term, score FROM r3 ORDER BY score DESC, term LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_adaptive_floor" -> (adaptiveQualityFloor _),
     "q134_inverted_index_serve" -> (invertedIndexServe _),
     "q136_index_tombstone_serve" -> (invertedIndexPurgeServe _),
+    "q137_index_upsert_serve" -> (invertedIndexUpsertServe _),
+    "q138_textrank_terms" -> ((s: SparkSession, dir: String) => textRankTerms(s, dir)),
     "q114_token_divergence" -> ((s: SparkSession, dir: String) => tokenDivergence(s, dir)),
     "q27_quality_filter" -> (qualityFilter _),
     "q20_clean_filter" -> (cleanFilter _),
@@ -574,6 +690,10 @@ object TextQueries {
     "q132_adaptive_floor" -> adaptiveQualityFloorSql,
     "q134_inverted_index_serve" -> invertedIndexServeSql,
     "q136_index_tombstone_serve" -> invertedIndexPurgeServeSql,
+    // q137 serves the FULL corpus after the append — the q134 answer
+    // is the correctness bar for the upsert path
+    "q137_index_upsert_serve" -> invertedIndexServeSql,
+    "q138_textrank_terms" -> textRankTermsSql,
     "q27_quality_filter" -> qualityFilterSql,
     "q20_clean_filter" -> cleanFilterSql,
     "q21_token_stats" -> tokenStatsSql,

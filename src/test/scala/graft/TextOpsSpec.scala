@@ -355,6 +355,61 @@ class TextOpsSpec extends SparkSpec {
       "tombstone-serve must equal serve minus tombstoned doc ids")
   }
 
+  test("q137: appended generation is served; term predicate reaches the scan; batch docs present") {
+    import graft.queries.{SimilarityQueries, TextQueries}
+    val r = TextQueries.invertedIndexUpsertServe(spark, sf)
+    val rows = r.as[(Long, Long)].collect().toSeq
+    // the upserted index must answer identically to the single-build
+    // q134 index over the same corpus — including batch-slice docs
+    val plain = TextQueries.invertedIndexServe(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(rows == plain, "upsert-serve must equal single-build serve")
+    val tbl = s"graft_inv_q137_${SimilarityQueries.tableSuffix(sf)}"
+    // both write generations landed (base overwrite + batch append)
+    val nBatch = spark.table(tbl).filter($"doc_id" % 10 === 7).count()
+    assert(nBatch > 0, "appended batch postings must be present in the table")
+    // the term predicate reaches the parquet scan (with the sortBy-
+    // term layout this is what skips non-matching row groups; Spark's
+    // auto-bucketed-scan rule declines the bucketed read here because
+    // no exchange is saved — see the q134 Scaladoc)
+    val served = graft.queries.TextQueries.invertedIndexUpsertServe(spark, sf)
+    served.count()
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term, ") ||
+      plan.contains("PushedFilters: [IsNotNull(term), In(term, "),
+      s"term predicate must be pushed to the postings scan:\n$plan")
+  }
+
+  // ---- q138 TextRank -----------------------------------------------
+
+  test("q138: symmetric 2-node graph is a fixpoint at the scale constant") {
+    // "a b" + "b a" → edges a↔b with equal weight both ways; each round
+    // transfers the full score across, so 10^6 is exactly stationary
+    val docs = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val spark2 = spark
+    val got = {
+      import org.apache.spark.sql.functions._
+      // reuse the registered query path at a fixture dir is not
+      // possible for constructed data; inline the same algebra check
+      // through the public entry by writing a temp dir
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tr").toString
+      docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      graft.queries.TextQueries.textRankTerms(spark2, tmp)
+        .as[(String, Long)].collect().toSeq
+    }
+    assert(got.toSet == Set(("a", 1000000L), ("b", 1000000L)), got.toString)
+  }
+
+  test("q138: fixture scores are bounded below by the damping floor and ranked deterministically") {
+    val got = graft.queries.TextQueries.textRankTerms(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(got.nonEmpty && got.forall(_._2 >= 150000L),
+      "every score carries at least the damping floor")
+    assert(got == got.sortBy(r => (-r._2, r._1)),
+      "output is (score desc, term) ordered")
+  }
+
   // ---- q133 containment pairs --------------------------------------
 
   test("q133: full gram inclusion scores containment 1.0 with n_shared = |grams(A)|") {
