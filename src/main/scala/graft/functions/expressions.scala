@@ -115,6 +115,86 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Squared Euclidean distance between two float/double arrays —
+  * [[CosineSimilarity]]'s L2 sibling (same float-native reads, same
+  * sequential double accumulation, same null/length rules). Added for
+  * the q140 PQ audit/re-rank path: the zip_with+aggregate HOF form
+  * evaluates interpreted per element, which dominated the O(audit·n)
+  * brute-force stage. */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"squared_l2 requires two array<float|double> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  @transient private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getX = if (leftIsFloat) "getFloat" else "getDouble"
+    val getY = if (rightIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val anyNull = ctx.freshName("anyNull")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n && !$anyNull; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $anyNull = true; }
+         |    else {
+         |      double $d = (double) $x.$getX($i) - (double) $y.$getY($i);
+         |      $acc += $d * $d;
+         |    }
+         |  }
+         |  if ($anyNull) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** JVM-static hashing helpers shared by the interpreted and
   * generated-code paths (Scala object methods surface as Java static
   * forwarders, callable from Janino-compiled codegen). */
@@ -454,6 +534,10 @@ object expressions {
     * both read natively (no per-row cast allocation). */
   def cosine_similarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def squared_l2(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SquaredL2(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** `n` = shingle width in tokens (1 = token-set MinHash; 3 = the

@@ -1112,6 +1112,68 @@ object EventQueries {
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
+  /** q139: EVENT-VOLUME ANOMALY DETECTION — robust day-over-day
+    * outlier scoring per event type via median/MAD, the monitoring
+    * query a pipeline runs over its own ingest volumes (mean/stddev
+    * break exactly when it matters: the anomaly inflates the mean
+    * and masks itself; the median/MAD pair is outlier-resistant).
+    *
+    * ALL-INTEGER robust statistics over a BOUNDED domain (the q132
+    * discipline): daily counts are exact integers; `med` is the
+    * LOWER MEDIAN (element ceil(n/2) of the sorted array — no
+    * interpolation, no float); `mad` is the lower median of the
+    * absolute deviations; the score is `|c−med|·1000 div max(mad,1)`
+    * (milli-MADs) and the flag fires at ≥ 3 MADs. Every collected
+    * array is bounded by the DAY DOMAIN per type (30 at the fixture,
+    * 365-ish in production), never by event count — so the two
+    * collect_list aggregates carry constant state and the threshold
+    * rows broadcast back. One corpus-sized aggregate total
+    * (map-side-combined (type, day) counts); everything after is
+    * day-domain-bounded. Both flag polarities fire at both gate SFs
+    * (max scores 2.4–5.7 MADs). */
+  def eventAnomalies(s: SparkSession, dir: String): DataFrame =
+    eventAnomaliesOver(Tables.events(s, dir))
+
+  /** q139 over an injectable (event_type, ts) frame (round-7 rule). */
+  private[graft] def eventAnomaliesOver(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val d = events
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val med = d.groupBy($"event_type")
+      .agg(sort_array(collect_list($"c")).as("arr"))
+      .select($"event_type",
+        element_at($"arr", expr("(size(arr) + 1) div 2").cast("int")).as("med"))
+    val dev = d.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs($"c" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(sort_array(collect_list($"ad")).as("arr2"))
+      .select($"event_type",
+        element_at($"arr2", expr("(size(arr2) + 1) div 2").cast("int")).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("score", expr("(ad * 1000) div greatest(mad, 1)"))
+      .select($"event_type", $"day", $"c", $"med", $"mad", $"score",
+        ($"score" >= 3000).as("is_anomaly"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val eventAnomaliesSql: String =
+    """WITH d AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |arrs AS (SELECT event_type, list_sort(list(c)) AS arr FROM d GROUP BY 1),
+      |med AS (SELECT event_type, arr[(len(arr) + 1) // 2] AS med FROM arrs),
+      |dev AS (SELECT d.event_type, d.day, d.c, med.med, abs(d.c - med.med) AS ad
+      |        FROM d JOIN med USING (event_type)),
+      |mads AS (SELECT event_type, list_sort(list(ad)) AS arr2 FROM dev GROUP BY 1),
+      |mad AS (SELECT event_type, arr2[(len(arr2) + 1) // 2] AS mad FROM mads)
+      |SELECT dev.event_type, dev.day, dev.c, dev.med, mad.mad,
+      |  (dev.ad * 1000) // greatest(mad.mad, 1) AS score,
+      |  (dev.ad * 1000) // greatest(mad.mad, 1) >= 3000 AS is_anomaly
+      |FROM dev JOIN mad USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   /** q77: the SAME as-of query as q59, executed by the NATIVE
     * [[graft.plans.AsOfJoinExec]] operator (custom LogicalPlan +
     * Strategy + physical merge scan) instead of the union+window
@@ -1580,6 +1642,7 @@ object EventQueries {
     "q121_user_activity_histogram" -> (userActivityHistogram _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q135_scd2_merge" -> (scd2IncrementalMerge _),
+    "q139_event_anomalies" -> (eventAnomalies _),
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
     "q28_sessionize" -> (sessionize _),
@@ -1616,6 +1679,7 @@ object EventQueries {
     "q121_user_activity_histogram" -> userActivityHistogramSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q135_scd2_merge" -> scd2IntervalsSql, // the identity IS the oracle
+    "q139_event_anomalies" -> eventAnomaliesSql,
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,
     "q28_sessionize" -> sessionizeSql,

