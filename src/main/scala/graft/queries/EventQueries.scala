@@ -1174,6 +1174,65 @@ object EventQueries {
       |FROM dev JOIN mad USING (event_type)
       |ORDER BY event_type, day""".stripMargin
 
+  /** q142: VOLUME TREND per event type — ordinary-least-squares slope
+    * of daily counts over time, q139's directional companion (q139
+    * flags the outlier day; this reports the drift). Exactness
+    * discipline: x = epoch-day of the date (slope is invariant to the
+    * x origin, so no per-type min-day pass is needed), and the slope
+    * assembles from FIVE EXACT INTEGER SUMS per type
+    * (n, Σx, Σy, Σxy, Σx²) folded in one map-side-combined aggregate:
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * The final division is the one inexact step and it is a SINGLE
+    * IEEE double divide of two exactly-represented integers (both
+    * < 2^53), so round(·, 6) is bit-identical cross-engine — the
+    * q114 rule (÷ is correctly rounded; that is why there is no
+    * `div` here: integer floor-division of a NEGATIVE numerator
+    * truncates toward zero in Spark and floors in DuckDB, a real
+    * cross-engine trap the double divide sidesteps).
+    * Scale: one aggregate over (type, day) counts; 5 longs of state
+    * per type. */
+  def eventTrend(s: SparkSession, dir: String): DataFrame =
+    eventTrendOver(Tables.events(s, dir))
+
+  /** q142 over an injectable (event_type, ts) frame (round-7 rule:
+    * slopes of ±1 and 0 are hand-checkable on constructed days). */
+  private[graft] def eventTrendOver(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val d = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
+    d.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"event_type", $"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("slope_per_day"))
+      .withColumn("rising", $"slope_per_day" > 0.0)
+      .orderBy($"event_type")
+  }
+
+  val eventTrendSql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |x AS (SELECT event_type, y,
+      |        CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+      |      FROM d),
+      |sums AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM x GROUP BY 1)
+      |SELECT event_type, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+      |    AS slope_per_day,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) > 0.0
+      |    AS rising
+      |FROM sums ORDER BY event_type""".stripMargin
+
   /** q77: the SAME as-of query as q59, executed by the NATIVE
     * [[graft.plans.AsOfJoinExec]] operator (custom LogicalPlan +
     * Strategy + physical merge scan) instead of the union+window
@@ -1643,6 +1702,7 @@ object EventQueries {
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q135_scd2_merge" -> (scd2IncrementalMerge _),
     "q139_event_anomalies" -> (eventAnomalies _),
+    "q142_event_trend" -> (eventTrend _),
     "q62_range_join_counts" -> (rangeJoinCounts _),
     "q19_approx_distinct" -> (approxDistinctUsers _),
     "q28_sessionize" -> (sessionize _),
@@ -1680,6 +1740,7 @@ object EventQueries {
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q135_scd2_merge" -> scd2IntervalsSql, // the identity IS the oracle
     "q139_event_anomalies" -> eventAnomaliesSql,
+    "q142_event_trend" -> eventTrendSql,
     "q62_range_join_counts" -> rangeJoinCountsSql,
     "q19_approx_distinct" -> approxDistinctUsersSql,
     "q28_sessionize" -> sessionizeSql,

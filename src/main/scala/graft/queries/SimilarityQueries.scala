@@ -1510,7 +1510,100 @@ object SimilarityQueries {
       |  true AS all_answered, true AS codes_match_model,
       |  true AS recall_ok, true AS audit_nonempty""".stripMargin
 
+  /** Per-source VOCABULARY sketches — q96's artifact pattern with
+    * token fingerprints as the sketched item (q83's universe). HLL
+    * insertion is duplicate-insensitive, so no distinct pass is
+    * needed before the aggregate: ONE corpus scan, constant state
+    * per source. */
+  private[graft] def buildVocabSketches(s: SparkSession, dir: String, table: String): Unit = {
+    import s.implicits._
+    val (srcRows, srcMaxId) = docsFingerprint(s, dir)
+    Tables.documents(s, dir)
+      .select($"source", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .select($"source", TextQueries.fingerprint($"tok").as("fp"))
+      .groupBy($"source")
+      .agg(graft.functions.HllSketch.hll_sketch($"fp").as("sketch"))
+      .withColumn("src_rows", lit(srcRows)).withColumn("src_max_id", lit(srcMaxId))
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** q141: SKETCHED VOCABULARY-OVERLAP MATRIX — q83's exact
+    * cross-source Jaccard needs the distinct (source, fp) self-join:
+    * correct, but the exchange carries the full vocabulary × its
+    * df-fan-out. This is the MERGEABLE-SKETCH path a 100 TB corpus
+    * runs instead: per-source HLL register arrays (2 KB each,
+    * build-once artifact), pairwise union estimates by REUSING the
+    * q96 union aggregate over exploded pair rows (register max is
+    * associative/commutative/idempotent — no new operator needed),
+    * and intersections by inclusion–exclusion
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)`.
+    *
+    * Self-validation prices the estimator against the EXACT q83
+    * answer (oracle-checkable in SQL) on every pair:
+    *  - `union_ok`: |est(A∪B) − exact| ≤ 3σ·exact + 2 (the q96
+    *    bound, precision 11 ⇒ 3σ = 0.069);
+    *  - `inter_ok`: inclusion–exclusion compounds three estimates,
+    *    so the bound is additive over their cardinalities:
+    *    |est∩ − exact∩| ≤ 0.069·(|A| + |B| + |A∪B|) + 6.
+    * At 100 TB: sketches build in one scan; all 190 pair unions
+    * touch 2 KB registers — the exact path's fp self-join is the
+    * audit tier, not the product. */
+  def vocabSketchOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_hll_q141_${tableSuffix(dir)}"
+    if (needsBuildOrStale(s, docsFingerprint(s, dir), tbl, tbl))
+      buildVocabSketches(s, dir, tbl)
+    val sk = s.table(tbl).select($"source", $"sketch")
+    val singles = sk.groupBy($"source")
+      .agg(graft.functions.HllSketch.hll_union_distinct($"sketch").as("est"))
+    val unions = sk.select($"source".as("source_a"), $"sketch")
+      .join(sk.select($"source".as("source_b"), $"sketch".as("sketch_b")),
+        $"source_a" < $"source_b")
+      .select($"source_a", $"source_b",
+        explode(array($"sketch", $"sketch_b")).as("one"))
+      .groupBy($"source_a", $"source_b")
+      .agg(graft.functions.HllSketch.hll_union_distinct($"one").as("est_union"))
+    val exact = graft.queries.TrainQueries.sourceOverlap(s, dir)
+      .select($"source_a", $"source_b", $"n_common", $"n_a", $"n_b")
+    unions
+      .join(broadcast(singles.select($"source".as("source_a"), $"est".as("est_a"))),
+        Seq("source_a"))
+      .join(broadcast(singles.select($"source".as("source_b"), $"est".as("est_b"))),
+        Seq("source_b"))
+      .join(exact, Seq("source_a", "source_b"))
+      .select($"source_a", $"source_b", $"n_common", $"n_a", $"n_b",
+        (abs($"est_union" - ($"n_a" + $"n_b" - $"n_common")) <=
+          ($"n_a" + $"n_b" - $"n_common") * 0.069 + 2.0).as("union_ok"),
+        (abs($"est_a" + $"est_b" - $"est_union" - $"n_common") <=
+          ($"n_a" + $"n_b" + ($"n_a" + $"n_b" - $"n_common")) * 0.069 + 6.0)
+          .as("inter_ok"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  /** Oracle: q83's exact CTEs verbatim; the sketch theorems are
+    * stated as constants (register contents are not
+    * SQL-reproducible — the q96 precedent). */
+  lazy val vocabSketchOverlapSql: String =
+    s"""WITH v AS (
+      |  SELECT DISTINCT source,
+      |    ${TextQueries.fingerprintSql("tok")} AS fp
+      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      |        FROM documents)),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM v a JOIN v b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+      |  true AS union_ok, true AS inter_ok
+      |FROM pairs
+      |JOIN sizes sa ON sa.source = pairs.source_a
+      |JOIN sizes sb ON sb.source = pairs.source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_vocab_sketch_overlap" -> (vocabSketchOverlap _),
     "q140_pq_ann" -> (pqAnn _),
     "q91_pca_ann_pairs" -> (pcaAnnPairs _),
     "q89_pca_validated" -> (pcaValidated _),
@@ -1529,6 +1622,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q141_vocab_sketch_overlap" -> vocabSketchOverlapSql,
     "q140_pq_ann" -> pqAnnSql,
     "q91_pca_ann_pairs" -> pcaAnnPairsSql,
     "q89_pca_validated" -> pcaValidatedSql,

@@ -151,6 +151,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(("B", "2024-01-01")) == (("B", "2024-01-01", 10L, 10L, 0L, 0L, false)))
   }
 
+  test("q142 trend: slopes of +1, -1, and 0 counts/day are exact; negative division is safe") {
+    import graft.queries.EventQueries
+    def burst(tpe: String, d: Int, n: Int) = (1 to n).map(i =>
+      (tpe, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 0${i % 10}:15:00")))
+    // A: [1,2,3] → slope exactly 1.0; B: [5,3,1] → -2.0 (the Spark
+    // `div`-vs-DuckDB-`//` negative-floor trap this query's double
+    // divide sidesteps); C: [4,4,4] → 0.0, not rising
+    val events = (burst("A", 1, 1) ++ burst("A", 2, 2) ++ burst("A", 3, 3) ++
+      burst("B", 1, 5) ++ burst("B", 2, 3) ++ burst("B", 3, 1) ++
+      burst("C", 1, 4) ++ burst("C", 2, 4) ++ burst("C", 3, 4))
+      .toDF("event_type", "ts")
+    val got = EventQueries.eventTrendOver(events)
+      .select("event_type", "n", "slope_per_day", "rising")
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(("A", 3L, 1.0, true), ("B", 3L, -2.0, false),
+      ("C", 3L, 0.0, false)), got.toString)
+  }
+
+  test("q141 sketch overlap: every pair's union and intersection estimates stay in bound") {
+    val rows = graft.queries.SimilarityQueries.vocabSketchOverlap(spark, sf)
+      .select("source_a", "source_b", "union_ok", "inter_ok")
+      .as[(String, String, Boolean, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      s"all ${nSources}C2 pairs present (shared vocabulary ⇒ q83 emits every pair)")
+    assert(rows.forall(r => r._3 && r._4), "3σ union + additive intersection bounds hold")
+  }
+
   test("q140 PQ: codebook geometry, model-encode bounds, and the full report at sf0.001") {
     import graft.queries.SimilarityQueries
     val cb = SimilarityQueries.pqCodebooks(spark, sf)
