@@ -916,21 +916,27 @@ object TrainQueries {
   /** q129 over an injectable (doc_id, source, text) frame — the spec
     * pins the stage-order semantics (a quality-dropped doc must not
     * shadow a kept duplicate) on constructed data. */
-  private[graft] def corpusAssemblyOver(docs: DataFrame, budget: Long = 2048L,
-      shardSize: Long = 1000L): DataFrame = {
+  /** q129/q143's stage 1 — the ONE definition of the assembly's
+    * dedup pass: q41 keeper discipline over the raw corpus
+    * (near-singleton fp groups, the q108 rule — not a corpus
+    * window), materialized once because several downstream branches
+    * consume it. */
+  private[graft] def assemblyDeduped(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"fp").orderBy($"doc_id")
-    // stage 1: q41 keeper discipline over the raw corpus —
-    // near-singleton fp groups (the q108 rule), not a corpus window.
-    // Materialized once (q79's rule): three downstream branches
-    // consume it (gram statistic, signal map, pack join) and would
-    // otherwise each re-run the dedup window.
-    val deduped = graft.operators.Scale.checkpointed(docs
+    graft.operators.Scale.checkpointed(docs
       .withColumn("fp", TextQueries.fingerprint($"text"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"source", $"doc_id", $"text"))
+  }
+
+  private[graft] def corpusAssemblyOver(docs: DataFrame, budget: Long = 2048L,
+      shardSize: Long = 1000L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val deduped = assemblyDeduped(docs)
     // stage 2: the filter stack over the DEDUPED corpus (its dup-gram
     // statistic now measures real boilerplate, not exact copies)
     val kept = filterStackOver(deduped).filter($"keep").select($"doc_id")
@@ -944,6 +950,87 @@ object TrainQueries {
         max($"doc_id").as("last_doc"))
       .orderBy($"source", $"pack_id")
   }
+
+  /** q143: ASSEMBLY FUNNEL REPORT — per-source drop attribution
+    * through the q129 pipeline: raw docs → after exact dedup → after
+    * the quality filter stack → packed tokens and pack count. This
+    * is the provenance table a data team reads before a training
+    * run: WHERE documents disappeared (dedup vs quality), and what
+    * each source actually contributes to the final token budget —
+    * q82 reports dedup's impact alone, q127 reports filter reasons
+    * per doc; this rolls the WHOLE composed pipeline up per source.
+    * Stage definitions are shared with q129 ([[assemblyDeduped]],
+    * [[filterStackOver]], [[packedDocsOver]]) so the funnel can never
+    * drift from the pipeline it audits; the oracle recomposes the
+    * same SQL chain re-rolled per source. Output is |sources| rows;
+    * every stage frame aggregates map-side before the ≤|sources|-row
+    * broadcast joins. */
+  def assemblyFunnel(s: SparkSession, dir: String, budget: Long = 2048L,
+      shardSize: Long = 1000L): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val deduped = assemblyDeduped(docs)
+    val raw = docs.groupBy($"source").agg(count(lit(1)).as("n_raw"))
+    val afterDedup = deduped.groupBy($"source").agg(count(lit(1)).as("n_after_dedup"))
+    val kept = deduped.join(
+      filterStackOver(deduped).filter($"keep").select($"doc_id"), Seq("doc_id"))
+    val afterFilter = kept.groupBy($"source").agg(
+      count(lit(1)).as("n_after_filter"),
+      sum(TextQueries.bpeishTokenCount($"text")).as("n_tokens"))
+    val packs = packedDocsOver(kept, budget, shardSize,
+        TextQueries.bpeishTokenCount(col("text")))
+      .groupBy($"source").agg(countDistinct($"pack_id").as("n_packs"))
+    raw
+      .join(broadcast(afterDedup), Seq("source"), "left")
+      .join(broadcast(afterFilter), Seq("source"), "left")
+      .join(broadcast(packs), Seq("source"), "left")
+      .select($"source", $"n_raw",
+        coalesce($"n_after_dedup", lit(0L)).as("n_after_dedup"),
+        coalesce($"n_after_filter", lit(0L)).as("n_after_filter"),
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_packs", lit(0L)).as("n_packs"))
+      .orderBy($"source")
+  }
+
+  def assemblyFunnelSql(budget: Long = 2048L): String =
+    s"""WITH dd AS (
+      |  SELECT source, doc_id, text FROM (
+      |    SELECT source, doc_id, text,
+      |      row_number() OVER (
+      |        PARTITION BY ${TextQueries.fingerprintSql("text")}
+      |        ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1),
+      |${filterStackCtes("dd")},
+      |surv AS (
+      |  SELECT d.source, d.doc_id,
+      |    len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS n_toks
+      |  FROM dd d JOIN (SELECT doc_id FROM v WHERE reasons = 0) k
+      |    USING (doc_id)),
+      |cum AS (
+      |  SELECT source, doc_id, n_toks,
+      |    CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM surv),
+      |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+      |        FROM documents GROUP BY 1),
+      |ad AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after_dedup
+      |       FROM dd GROUP BY 1),
+      |af AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after_filter,
+      |         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |       FROM surv GROUP BY 1),
+      |pk AS (SELECT source,
+      |         CAST(count(DISTINCT (cum - n_toks) // $budget) AS BIGINT) AS n_packs
+      |       FROM cum GROUP BY 1)
+      |SELECT raw.source, raw.n_raw,
+      |  coalesce(ad.n_after_dedup, 0) AS n_after_dedup,
+      |  coalesce(af.n_after_filter, 0) AS n_after_filter,
+      |  coalesce(af.n_tokens, 0) AS n_tokens,
+      |  coalesce(pk.n_packs, 0) AS n_packs
+      |FROM raw
+      |LEFT JOIN ad USING (source)
+      |LEFT JOIN af USING (source)
+      |LEFT JOIN pk USING (source)
+      |ORDER BY source""".stripMargin
 
   def corpusAssemblySql(budget: Long = 2048L): String =
     s"""WITH dd AS (
@@ -1729,6 +1816,7 @@ object TrainQueries {
     "q73_pii_redact" -> (piiRedact _),
     "q81_rare_token_stats" -> ((s: SparkSession, dir: String) => rareTokenStats(s, dir)),
     "q83_source_overlap" -> (sourceOverlap _),
+    "q143_assembly_funnel" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => assemblyFunnel(s, dir)),
     "q85_budget_select" -> ((s: SparkSession, dir: String) => budgetSelect(s, dir)),
   )
 
@@ -1757,6 +1845,7 @@ object TrainQueries {
     "q73_pii_redact" -> piiRedactSql,
     "q81_rare_token_stats" -> rareTokenStatsSql(),
     "q83_source_overlap" -> sourceOverlapSql,
+    "q143_assembly_funnel" -> assemblyFunnelSql(),
     "q85_budget_select" -> budgetSelectSql(),
   )
 }

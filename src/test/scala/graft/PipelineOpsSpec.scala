@@ -128,6 +128,28 @@ class PipelineOpsSpec extends SparkSpec {
       "incremental merge must equal the full rebuild")
   }
 
+  test("q143 funnel: monotone stages and exact reconciliation with the q129 packs") {
+    import graft.queries.TrainQueries
+    val funnel = TrainQueries.assemblyFunnel(spark, sf)
+      .select("source", "n_raw", "n_after_dedup", "n_after_filter", "n_tokens", "n_packs")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(funnel.nonEmpty)
+    assert(funnel.forall(r => r._2 >= r._3 && r._3 >= r._4),
+      "each stage can only shrink a source")
+    assert(funnel.exists(r => r._2 > r._3) || funnel.exists(r => r._3 > r._4),
+      "at least one stage must bind on the fixture")
+    // the funnel's token and pack columns must reconcile EXACTLY with
+    // the q129 assembly it audits (shared stage definitions)
+    val packs = TrainQueries.corpusAssembly(spark, sf)
+      .groupBy($"source")
+      .agg(sum($"n_tokens").as("t"), count(lit(1)).as("p"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    funnel.filter(_._6 > 0).foreach { r =>
+      assert(packs(r._1) == ((r._5, r._6)),
+        s"source ${r._1}: funnel (${r._5}, ${r._6}) vs q129 ${packs(r._1)}")
+    }
+  }
+
   test("q139 anomalies: lower-median/MAD arithmetic on hand-checkable day counts") {
     import graft.queries.EventQueries
     def day(d: Int, n: Int, tpe: String) = (1 to n).map(i =>
