@@ -47,5 +47,11 @@ object SparkEntry {
     * quadratic form cannot be benched or shipped as a default at
     * scale. See [[graft.queries.Scale.oracleTierGuard]]. */
   val oracleTierQueries: Set[String] =
-    Set("q45_embedding_neardups", "q47_nn_within_label")
+    Set("q45_embedding_neardups", "q47_nn_within_label",
+      // r16 (VERDICT r15 #2): complete (lang, length-band) blocking
+      // is O(n²/blocks) with ~dozens of blocks — exact ≤10% edit
+      // distance has no known subquadratic complete blocking, so the
+      // exact form is pinned to the oracle tier; the recall-bounded
+      // scale path is the token-level LSH family (q42/q44).
+      "q131_editdist_neardups")
 }

@@ -727,8 +727,13 @@ object DedupQueries {
     *
     * Blocking is COMPLETE for that rule, not recall-bounded (unlike
     * q42's same-block-only candidates): any qualifying pair has
-    * `|len_a - len_b| <= dist <= maxLen/10`, so with length bands of
-    * width 64 > ceil(553/10) the pair's bands differ by at most 1.
+    * `|len_a - len_b| <= dist <= maxLen/10`, and both the DP
+    * threshold and the band width are DERIVED from the corpus
+    * (`maxDist = maxLen div 10`, `W = greatest(64, maxDist + 1)` over
+    * the ASCII-pinned domain — one column-pruned length agg; ADVICE
+    * r15: the former hardcoded 56/64 silently dropped qualifying
+    * pairs past 560-char texts), so `W > maxDist >= dist` and the
+    * pair's bands differ by at most 1 at ANY text length.
     * The probe side therefore emits three keys (band-1, band, band+1)
     * and the join stays a pure EQUI-join on (lang, band) — bands are
     * distinct per doc, so each pair matches exactly once and no
@@ -736,7 +741,9 @@ object DedupQueries {
     * (`levenshtein(l, r, threshold)` — O(threshold·n), Spark 3.5+)
     * rather than the O(n·m) full matrix; candidates that blow the
     * threshold return -1 and are filtered by the explicit `dist >= 0`
-    * guard (without it, -1 passes the ≤10% predicate vacuously).
+    * guard (without it, -1 passes the ≤10% predicate vacuously);
+    * `maxDist >= maxLen/10 >=` any qualifying distance keeps that
+    * guard a pure optimization.
     *
     * Cross-engine exactness: Spark's levenshtein counts CHARACTERS
     * while DuckDB's counts UTF-8 BYTES, so the operator pins its
@@ -744,20 +751,22 @@ object DedupQueries {
     * two definitions coincide — the whole fixture qualifies, and at
     * scale non-ASCII rows route through q123's normalization first.
     *
-    * 100 TB shape: one equi-join keyed on (lang, band) — band
-    * cardinality grows with the length domain and the probe fan-out
-    * is a fixed 3×, so partitions stay balanced; no window, no
-    * all-pairs. */
+    * ORACLE TIER (VERDICT r15 #2): the (lang, band) blocks are
+    * COMPLETE but FEW — block cardinality is ~|langs| × maxLen/W, so
+    * candidate pairs grow as O(n²/blocks) and the operator cannot
+    * run as written at 100× corpus. It is gated by
+    * [[graft.operators.Scale.oracleTierGuard]] like q45/q47: past
+    * `spark.graft.oracleTier.maxRows` it refuses and points at the
+    * recall-bounded token-level family (q42/q44) — the exact ≤10%
+    * char-edit rule has no known subquadratic complete blocking. */
   def editDistanceNearDups(s: SparkSession, dir: String): DataFrame =
-    editDistanceNearDupsOver(Tables.documents(s, dir))
+    editDistanceNearDupsOver(graft.operators.Scale.oracleTierGuard(
+      Tables.documents(s, dir), "q131_editdist_neardups",
+      "q44_simhash_pairs (recall-bounded token-level SimHash bands)"))
 
   /** q131 over an injectable (doc_id, lang, text) frame (round-7
-    * rule: specs construct corpora with hand-checkable distances).
-    * `maxDist` must stay ≥ maxLen/10 for the -1 guard to be a pure
-    * optimization; 56 covers texts up to 560 chars (fixture max
-    * 553). */
-  private[graft] def editDistanceNearDupsOver(
-      docs: DataFrame, maxDist: Int = 56): DataFrame = {
+    * rule: specs construct corpora with hand-checkable distances). */
+  private[graft] def editDistanceNearDupsOver(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // Character-bag histogram (letters+digits+space — the pinned-
@@ -791,11 +800,20 @@ object DedupQueries {
     // matter where Catalyst moves the predicate; at 100 TB the scan
     // arrives multi-partition and this exchange is a no-op-sized
     // safety net.
-    val d = docs
-      .filter(octet_length($"text") === length($"text"))
+    val ascii = docs.filter(octet_length($"text") === length($"text"))
+    // One column-pruned scan for the length domain: maxDist and the
+    // band width W are corpus properties, not constants (ADVICE r15).
+    // The single-row collect is the sanctioned bounded-frame pattern;
+    // at 100 TB this is a footer-stats-cheap agg over one column.
+    val maxLen: Long = ascii
+      .agg(coalesce(max(length($"text")), lit(0)).cast("long"))
+      .head().getLong(0) // single-row bounded collect
+    val maxDist: Int = math.max(1L, maxLen / 10).toInt
+    val bandW: Long = math.max(64L, maxDist + 1L)
+    val d = ascii
       .select(Seq($"doc_id", $"lang", $"text",
         length($"text").cast("long").as("len"),
-        expr("length(text) div 64").as("band")) ++ bagCols("bag"): _*)
+        expr(s"length(text) div $bandW").as("band")) ++ bagCols("bag"): _*)
       .repartition(s.sparkContext.defaultParallelism)
     val aBags = alphabet.indices.map(i => col(s"bag$i").as(s"a$i"))
     val bBags = alphabet.indices.map(i => col(s"bag$i").as(s"b$i"))
@@ -834,8 +852,10 @@ object DedupQueries {
   }
 
   /** Oracle: same rule with DuckDB's unbounded levenshtein and a
-    * range-band join (the band arithmetic mirrors the Spark side so
-    * the candidate sets are identical, not just the survivors).
+    * range-band join (the band arithmetic — including the
+    * corpus-derived width `greatest(64, maxLen//10 + 1)` — mirrors
+    * the Spark side so the candidate sets are identical, not just
+    * the survivors).
     * `strlen = length` is the ASCII pin (DuckDB's levenshtein is
     * byte-based — see the Scala doc). The char-bag L1 prefilter is
     * mirrored too — it is part of the operator's candidate algebra
@@ -849,9 +869,13 @@ object DedupQueries {
     }.mkString(",\n         ")
     val spaceBag = s"length(text) - length(replace(text, ' ', '')) AS c${alphabet.size}"
     val l1 = (0 to alphabet.size).map(i => s"abs(a.c$i - b.c$i)").mkString(" + ")
-    s"""WITH d AS (
+    s"""WITH w AS (
+      |  SELECT greatest(64, greatest(1, coalesce(max(length(text)), 0) // 10) + 1)
+      |    AS bw
+      |  FROM documents WHERE strlen(text) = length(text)),
+      |d AS (
       |  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS len,
-      |         length(text) // 64 AS band,
+      |         length(text) // (SELECT bw FROM w) AS band,
       |         $bagExprs,
       |         $spaceBag
       |  FROM documents WHERE strlen(text) = length(text)),

@@ -1177,9 +1177,13 @@ object EventQueries {
   /** q142: VOLUME TREND per event type — ordinary-least-squares slope
     * of daily counts over time, q139's directional companion (q139
     * flags the outlier day; this reports the drift). Exactness
-    * discipline: x = epoch-day of the date (slope is invariant to the
-    * x origin, so no per-type min-day pass is needed), and the slope
-    * assembles from FIVE EXACT INTEGER SUMS per type
+    * discipline: x is CENTERED on the per-type minimum day (slope is
+    * origin-invariant, and with raw epoch-day x (~20000) intermediates
+    * like n·Σxy break past 2^53 — and past Long at ~1e10 events/day
+    * over a year — while centered x is bounded by the type's active
+    * SPAN in days, keeping every product exactly representable for
+    * any realistic domain; ADVICE r15). The slope then assembles from
+    * FIVE EXACT INTEGER SUMS per type
     * (n, Σx, Σy, Σxy, Σx²) folded in one map-side-combined aggregate:
     *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
     * The final division is the one inexact step and it is a SINGLE
@@ -1188,8 +1192,13 @@ object EventQueries {
     * q114 rule (÷ is correctly rounded; that is why there is no
     * `div` here: integer floor-division of a NEGATIVE numerator
     * truncates toward zero in Spark and floors in DuckDB, a real
-    * cross-engine trap the double divide sidesteps).
-    * Scale: one aggregate over (type, day) counts; 5 longs of state
+    * cross-engine trap the double divide sidesteps). A type active on
+    * a single day has denominator 0; its slope is GUARDED to NULL
+    * (n ≥ 2) — without the guard Spark's non-ANSI divide yields NULL
+    * while DuckDB's IEEE divide yields NaN and `rising` diverges
+    * (ADVICE r15).
+    * Scale: one aggregate over (type, day) counts (the per-type
+    * min-day frame is |types|-bounded, broadcast); 5 longs of state
     * per type. */
   def eventTrend(s: SparkSession, dir: String): DataFrame =
     eventTrendOver(Tables.events(s, dir))
@@ -1202,13 +1211,17 @@ object EventQueries {
     val d = events
       .groupBy($"event_type", to_date($"ts").as("day"))
       .agg(count(lit(1)).as("y"))
-      .withColumn("x", datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
-    d.groupBy($"event_type")
+      .withColumn("xd", datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
+    val x0 = d.groupBy($"event_type").agg(min($"xd").as("x0"))
+    d.join(broadcast(x0), Seq("event_type"))
+      .withColumn("x", $"xd" - $"x0")
+      .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
       .select($"event_type", $"n",
-        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("slope_per_day"))
+        when($"n" >= 2,
+          round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx"), 6)).as("slope_per_day"))
       .withColumn("rising", $"slope_per_day" > 0.0)
       .orderBy($"event_type")
   }
@@ -1218,19 +1231,24 @@ object EventQueries {
       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
       |    CAST(count(*) AS BIGINT) AS y
       |  FROM events GROUP BY 1, 2),
-      |x AS (SELECT event_type, y,
-      |        CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+      |xd AS (SELECT event_type, y,
+      |        CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS xd
       |      FROM d),
+      |x0 AS (SELECT event_type, min(xd) AS x0 FROM xd GROUP BY 1),
+      |x AS (SELECT xd.event_type, xd.y, xd.xd - x0.x0 AS x
+      |      FROM xd JOIN x0 USING (event_type)),
       |sums AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
       |  FROM x GROUP BY 1)
       |SELECT event_type, n,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
-      |    AS slope_per_day,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) > 0.0
-      |    AS rising
+      |  CASE WHEN n >= 2 THEN
+      |    round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+      |  END AS slope_per_day,
+      |  CASE WHEN n >= 2 THEN
+      |    round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+      |  END > 0.0 AS rising
       |FROM sums ORDER BY event_type""".stripMargin
 
   /** q77: the SAME as-of query as q59, executed by the NATIVE

@@ -621,9 +621,14 @@ object TextQueries {
     * Scale shape: ONE corpus scan feeds a map-side-combined edge
     * aggregate (the exchange carries one row per DISTINCT directed
     * pair — vocabulary²-bounded, not corpus-bounded); every
-    * iteration is then a broadcast join of the vocabulary-sized
-    * score frame against the vocabulary²-bounded edge frame. Corpus
-    * size buys edge WEIGHT, not state. */
+    * iteration then joins the vocabulary-sized score frame against
+    * the vocabulary²-bounded edge frame WITHOUT a broadcast hint
+    * (VERDICT r15 #3: the score frame has one row per distinct
+    * token — at web-corpus vocabulary a forced broadcast ships
+    * multi-GB to every executor, 3×; size-aware planning/AQE
+    * broadcasts it only while it actually fits, and both sides hash
+    * on the term key otherwise). PlanSpec pins the absence of the
+    * hint. Corpus size buys edge WEIGHT, not state. */
   def textRankTerms(s: SparkSession, dir: String, k: Int = 20, iters: Int = 3): DataFrame = {
     import s.implicits._
     val adj = expr(
@@ -641,7 +646,7 @@ object TextQueries {
     val ew = edges.join(wt, "src")
     var scores = wt.select($"src".as("term"), lit(1000000L).as("score"))
     for (_ <- 1 to iters) {
-      scores = ew.join(broadcast(scores), $"src" === $"term")
+      scores = ew.join(scores, $"src" === $"term")
         .select($"dst", expr("(score * w) div wtot").as("c"))
         .groupBy($"dst").agg(expr("150000 + (850 * sum(c)) div 1000").as("score"))
         .select($"dst".as("term"), $"score")

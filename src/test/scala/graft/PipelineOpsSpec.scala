@@ -179,16 +179,20 @@ class PipelineOpsSpec extends SparkSpec {
       (tpe, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 0${i % 10}:15:00")))
     // A: [1,2,3] → slope exactly 1.0; B: [5,3,1] → -2.0 (the Spark
     // `div`-vs-DuckDB-`//` negative-floor trap this query's double
-    // divide sidesteps); C: [4,4,4] → 0.0, not rising
+    // divide sidesteps); C: [4,4,4] → 0.0, not rising; D: active one
+    // day only → zero denominator, slope GUARDED to NULL and rising
+    // NULL (not the NULL-vs-NaN cross-engine divergence; ADVICE r15)
     val events = (burst("A", 1, 1) ++ burst("A", 2, 2) ++ burst("A", 3, 3) ++
       burst("B", 1, 5) ++ burst("B", 2, 3) ++ burst("B", 3, 1) ++
-      burst("C", 1, 4) ++ burst("C", 2, 4) ++ burst("C", 3, 4))
+      burst("C", 1, 4) ++ burst("C", 2, 4) ++ burst("C", 3, 4) ++
+      burst("D", 2, 7))
       .toDF("event_type", "ts")
     val got = EventQueries.eventTrendOver(events)
       .select("event_type", "n", "slope_per_day", "rising")
-      .as[(String, Long, Double, Boolean)].collect().toSeq
-    assert(got == Seq(("A", 3L, 1.0, true), ("B", 3L, -2.0, false),
-      ("C", 3L, 0.0, false)), got.toString)
+      .as[(String, Long, Option[Double], Option[Boolean])].collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, Some(1.0), Some(true)), ("B", 3L, Some(-2.0), Some(false)),
+      ("C", 3L, Some(0.0), Some(false)), ("D", 1L, None, None)), got.toString)
   }
 
   test("q141 sketch overlap: every pair's union and intersection estimates stay in bound") {

@@ -313,6 +313,20 @@ class PlanSpec extends SparkSpec {
     }.flatten
   }
 
+  test("q138: no forced broadcast of the vocabulary-sized score frame (VERDICT r15 #3)") {
+    // The score frame carries one row per distinct token, so a
+    // broadcast HINT on it grows with vocabulary — at web scale a
+    // multi-GB forced ship per iteration. Size-aware planning may
+    // still CHOOSE a broadcast while the frame fits (fine — that
+    // decision re-evaluates at scale); what must not exist is the
+    // hint. Pinned on the analyzed plan: hints are erased by the
+    // optimizer, so the physical plan can't witness their absence.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = graft.queries.TextQueries.textRankTerms(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"broadcast hint(s) in the TextRank loop:\n$hints")
+  }
+
   test("lint: no registered query plans a window partitioned solely on a low-card key") {
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       lowCardWindows(fn(spark, sf)).map(w => s"$name: $w")

@@ -89,6 +89,18 @@ class ScaleSpec extends SparkSpec {
     assert(graft.queries.SimilarityQueries.nnWithinLabel(spark, sf).limit(1).count() === 1)
   }
 
+  test("q131 exact edit-distance form is oracle-tier gated (VERDICT r15 #2)") {
+    spark.conf.set("spark.graft.oracleTier.maxRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.queries.DedupQueries.editDistanceNearDups(spark, sf)
+      }
+      assert(e.getMessage.contains("q44_simhash_pairs"))
+    } finally spark.conf.unset("spark.graft.oracleTier.maxRows")
+    assert(graft.queries.DedupQueries.editDistanceNearDups(spark, sf)
+      .limit(1).count() === 1)
+  }
+
   test("bucketed tables join with zero Exchange") {
     val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast

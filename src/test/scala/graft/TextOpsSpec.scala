@@ -278,8 +278,9 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("q131: over-threshold candidates return -1 and must NOT pass the predicate") {
-    // dist ≈ len (disjoint alphabets) > maxDist=56 → banded DP yields
-    // -1; without the dist >= 0 guard, -1*10 <= len passes vacuously
+    // dist ≈ len (disjoint alphabets) > the derived maxDist
+    // (maxLen/10 = 11 here) → banded DP yields -1; without the
+    // dist >= 0 guard, -1*10 <= len passes vacuously
     val a = "ab " * 40 // 119 chars
     val b = "cd " * 40
     assert(q131(Seq((1L, "en", a.trim), (2L, "en", b.trim))).isEmpty)
@@ -297,6 +298,17 @@ class TextOpsSpec extends SparkSpec {
     val b = ("m" * 99) + "n"
     val got = q131(Seq((1L, "en", a), (2L, "en", b)))
     assert(got == Seq((1L, 2L, 1L)), got.toString)
+  }
+
+  test("q131: threshold and band width derive from the corpus — long texts qualify") {
+    // 1000-char pair at distance exactly 90 (90 substitutions):
+    // 90*10 <= 1000 qualifies, but the former hardcoded maxDist=56
+    // returned -1 for it (ADVICE r15 — silent false negative past
+    // 560 chars). Derived maxDist = 1000/10 = 100 >= 90 keeps it.
+    val a = "x" * 1000
+    val b = ("x" * 910) + ("y" * 90)
+    val got = q131(Seq((1L, "en", a), (2L, "en", b)))
+    assert(got == Seq((1L, 2L, 90L)), got.toString)
   }
 
   test("q131: non-ASCII rows are outside the pinned domain; cross-lang pairs don't meet") {
