@@ -32,6 +32,8 @@ class ArtifactFreshnessSpec extends SparkSpec {
       writeSnapshot(orig, src)
       SimilarityQueries.buildIvfIndex(spark, src, ivfTbl)
       SimilarityQueries.buildPcaModel(spark, src, pcaTbl)
+      // q144's lifecycle artifact, built from the ORIGINAL snapshot
+      assert(SimilarityQueries.ivfPqServe(spark, src).head().getBoolean(1))
       // fresh: both verifying reads answer
       assert(SimilarityQueries.ivfNnFromIndex(spark, ivfTbl, src).limit(1).count() == 1)
       val emb = Tables.embeddings(spark, src).select($"vec_id", $"embedding")
@@ -57,11 +59,23 @@ class ArtifactFreshnessSpec extends SparkSpec {
       val q93 = SimilarityQueries.pcaStoredProjection(spark, src).head()
       assert(q93.getAs[Long]("n_vectors") == orig.count() - 1, s"q93 after rebuild: $q93")
       assert(q93.getAs[Boolean]("stored_matches_fresh"), s"q93 after rebuild: $q93")
+      // q144 detects the stale stamp through its lifecycle gate,
+      // rebuilds the composed index, and its theorems hold over the
+      // NEW snapshot (slice count reproduced independently)
+      val q144 = SimilarityQueries.ivfPqServe(spark, src).head()
+      val newSlice = Tables.embeddings(spark, src)
+        .filter($"vec_id" % 7 === 3).count()
+      assert(q144.getAs[Long]("n_queries") == newSlice, s"q144 after rebuild: $q144")
+      assert(q144.getAs[Boolean]("all_answered") &&
+        q144.getAs[Boolean]("restricted_recall_ok"), s"q144 after rebuild: $q144")
     } finally {
       Seq(ivfTbl, s"${ivfTbl}_centroids", pcaTbl,
         s"graft_ivf_q92_${SimilarityQueries.tableSuffix(src)}",
         s"graft_ivf_q92_${SimilarityQueries.tableSuffix(src)}_centroids",
-        s"graft_pca_q93_${SimilarityQueries.tableSuffix(src)}")
+        s"graft_pca_q93_${SimilarityQueries.tableSuffix(src)}",
+        s"graft_ivfpq_q144_${SimilarityQueries.tableSuffix(src)}",
+        s"graft_ivfpq_q144_${SimilarityQueries.tableSuffix(src)}_centroids",
+        s"graft_ivfpq_q144_${SimilarityQueries.tableSuffix(src)}_pq")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       FileUtils.deleteDirectory(new File(src))
     }

@@ -72,6 +72,46 @@ class IvfIndexSpec extends SparkSpec {
     assert(createdAt1 == createdAt2, "the stored index must be reused, not rebuilt")
   }
 
+  test("q144: composed IVF-PQ index — codes-only artifact, sidecar-served, audit-exact, reused") {
+    val tbl = s"graft_ivfpq_q144_${SimilarityQueries.tableSuffix(sf)}"
+    try {
+      val r = SimilarityQueries.ivfPqServe(spark, sf).head()
+      assert(r.getBoolean(1), "all_answered must hold")
+      assert(r.getBoolean(2), "restricted_recall_ok must hold")
+      assert(r.getBoolean(3), "audit_nonempty must hold")
+      // the index table stores key + cell + M codes ONLY — no raw
+      // vectors (the RAM-residency contract of PQ)
+      val cols = spark.table(tbl).columns.toSeq
+      assert(cols == Seq("vec_id", "cell") ++ (0 until 8).map(i => s"code$i"),
+        s"unexpected index schema: $cols")
+      // catalog-bucketed by cell like q92's index (the serve join's
+      // home side arrives pre-partitioned)
+      val ddl = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+        .map(row => row.getString(0) + " " + row.getString(1)).mkString("\n")
+      assert(ddl.contains("Num Buckets") && ddl.contains("[`cell`]"),
+        s"index must be bucketed on cell:\n$ddl")
+      // fixture regime: the probed cells hold fewer candidates than
+      // the ADC sieve keeps, so serve ≡ probe-restricted brute force
+      // EXACTLY (measured 100% at sf0.01 AND sf0.1 — the 80% floor's
+      // margin; the sieve only becomes lossy past rerank-depth
+      // candidates per probe set)
+      val (nq, ns, na, nh) = SimilarityQueries.ivfPqStats(spark, sf)
+      assert(nq == ns && na > 0 && nh == na,
+        s"exact-regime audit: n_queries=$nq n_served=$ns n_audited=$na n_hit=$nh")
+      // build-once/serve-many: second call reuses the artifact
+      val createdAt1 = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+        .filter($"col_name" === "Created Time").select($"data_type").head().getString(0)
+      val r2 = SimilarityQueries.ivfPqServe(spark, sf).head()
+      assert(r2.toString == r.toString, "serving is deterministic across calls")
+      val createdAt2 = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+        .filter($"col_name" === "Created Time").select($"data_type").head().getString(0)
+      assert(createdAt1 == createdAt2, "the stored index must be reused, not rebuilt")
+    } finally {
+      Seq(tbl, s"${tbl}_centroids", s"${tbl}_pq")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("tableSuffix: distinct dataset dirs never collide (ADVICE r11)") {
     // the slug alone collapses these to the same name — one dataset's
     // persisted index would shadow the other's within a session
