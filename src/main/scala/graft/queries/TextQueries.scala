@@ -460,11 +460,18 @@ object TextQueries {
     * bucket pruning, is what bounds the scan there.) The meta
     * sidecar stamps the shared source fingerprint (q92/q96/q97
     * lifecycle) plus posting/vocabulary counts. */
+  /** THE postings definition — one (term, doc_id) row per DISTINCT
+    * term occurrence. Single definition shared by the batch build
+    * (q134), the batch upsert (q137), and the streaming maintenance
+    * sibling ([[graft.streaming.Pipeline.upsertPostingsBatch]]), so
+    * stream ≡ batch parity is structural, not coincidental. */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+
   private[graft] def buildInvertedIndex(s: SparkSession, dir: String, table: String): Unit = {
     import s.implicits._
-    val postings = Tables.documents(s, dir)
-      .select($"doc_id",
-        explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
+    val postings = postingsOf(Tables.documents(s, dir))
     postings.write.mode("overwrite")
       .bucketBy(32, "term").sortBy("term", "doc_id")
       .format("parquet").saveAsTable(table)
@@ -584,12 +591,10 @@ object TextQueries {
         SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
         tbl, s"${tbl}_meta")) {
       val docs = Tables.documents(s, dir)
-      def postings(df: DataFrame) = df.select($"doc_id",
-        explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
-      postings(docs.filter($"doc_id" % 10 =!= 7)).write.mode("overwrite")
+      postingsOf(docs.filter($"doc_id" % 10 =!= 7)).write.mode("overwrite")
         .bucketBy(32, "term").sortBy("term", "doc_id")
         .format("parquet").saveAsTable(tbl)
-      postings(docs.filter($"doc_id" % 10 === 7)).write.mode("append")
+      postingsOf(docs.filter($"doc_id" % 10 === 7)).write.mode("append")
         .bucketBy(32, "term").sortBy("term", "doc_id")
         .format("parquet").saveAsTable(tbl)
       val (srcRows, srcMaxId) = SimilarityQueries.docsFingerprint(s, dir)

@@ -301,6 +301,66 @@ object Pipeline {
   def readTweets(s: SparkSession, tweetsPath: String): DataFrame =
     s.read.parquet(tweetsPath).drop("_batch_id")
 
+  /** STREAMING INVERTED-INDEX MAINTENANCE (VERDICT r15 #6) — one
+    * micro-batch's (doc_id, text) documents upserted into the SAME
+    * bucketed postings artifact the batch lifecycle builds (q134) and
+    * appends (q137): postings come from the ONE shared definition
+    * ([[TextQueries.postingsOf]]), land via an append with the
+    * identical bucketBy(32, term)/sortBy spec — so new files join the
+    * same logical buckets and the serve-time scan reads all
+    * generations transparently — and the meta sidecar is re-stamped
+    * after every batch.
+    *
+    * Effectively-once: foreachBatch is at-least-once, so the batch is
+    * ANTI-JOINED against the doc_ids already indexed before writing —
+    * a replayed batch (and any cross-batch duplicate document) adds
+    * nothing. The probe reads only the artifact's doc_id column; at
+    * 100 TB the doc-membership side would be q84's standing
+    * fingerprint index rather than a postings scan.
+    *
+    * Meta re-stamp: src_rows/src_max_id are the INDEXED-doc count
+    * and max id recomputed from the artifact, so after a full corpus
+    * replay the stamp equals the batch build's source fingerprint —
+    * the q94/q97 stamp discipline that makes stream ≡ batch parity
+    * checkable on the sidecar, not just the postings. The
+    * count_distinct(term) leg is bucket-local (the artifact is
+    * term-bucketed — no exchange); the doc-side legs shuffle only
+    * posting keys. */
+  def upsertPostingsBatch(batch: DataFrame, table: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val docs =
+      if (s.catalog.tableExists(table))
+        batch.join(s.table(table).select($"doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+      else batch
+    TextQueries.postingsOf(docs).write.mode("append")
+      .bucketBy(32, "term").sortBy("term", "doc_id")
+      .format("parquet").saveAsTable(table)
+    val m = s.table(table).agg(
+      count(lit(1)).as("n_postings"),
+      count_distinct($"term").as("n_terms"),
+      count_distinct($"doc_id").as("src_rows"),
+      max($"doc_id").as("src_max_id")).head()
+    Seq((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)))
+      .toDF("n_postings", "n_terms", "src_rows", "src_max_id")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** The streaming writer over [[upsertPostingsBatch]]: documents
+    * stream in, the postings artifact and its stamp stay current —
+    * the nightly q137 append running continuously. */
+  def postingsWriter(docs: DataFrame, table: String, checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+  : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertPostingsBatch(batch, table)
+      }
+
   /** Compaction: rewrite the streaming sink's per-batch layout into
     * the analytical hour-partitioned table (K2's intended layout).
     * F3 time-range queries over the compacted table partition-prune —

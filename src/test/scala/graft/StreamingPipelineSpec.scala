@@ -359,6 +359,55 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming postings maintenance ≡ the q134 batch build on full fixture replay") {
+    // VERDICT r15 #6: the inverted-index lifecycle's streaming
+    // sibling — replay the whole documents fixture in three
+    // micro-batches through postingsWriter and require the artifact
+    // (postings AND meta stamp) to equal the q134 batch build's,
+    // then prove replay idempotence.
+    implicit val sqlCtx = spark.sqlContext
+    val streamTbl = s"graft_inv_stream_${System.nanoTime()}"
+    val batchTbl = s"graft_inv_batchref_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft-postings-ckpt").toString
+    try {
+      val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.Pipeline.postingsWriter(
+        mem.toDF().toDF("doc_id", "text"), streamTbl, ckpt,
+        Trigger.ProcessingTime("1 second")).start()
+      try {
+        val third = math.max(1, docs.size / 3)
+        docs.grouped(third).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+
+      graft.queries.TextQueries.buildInvertedIndex(spark, sf, batchTbl)
+      val sp = spark.table(streamTbl)
+      val bp = spark.table(batchTbl)
+      assert(sp.exceptAll(bp).isEmpty && bp.exceptAll(sp).isEmpty,
+        "streamed postings must equal the batch build's")
+      // meta stamp parity — after full replay the streamed sidecar
+      // carries the batch build's source fingerprint (q94/q97 stamp
+      // discipline), so the q134/q137 freshness gate accepts it
+      val sm = spark.table(s"${streamTbl}_meta")
+        .select("n_postings", "n_terms", "src_rows", "src_max_id").head()
+      val bm = spark.table(s"${batchTbl}_meta")
+        .select("n_postings", "n_terms", "src_rows", "src_max_id").head()
+      assert(sm == bm, s"meta stamp drift: stream=$sm batch=$bm")
+
+      // replay hardening: re-upserting an already-indexed batch (the
+      // at-least-once case) must change nothing
+      val before = sp.count()
+      graft.streaming.Pipeline.upsertPostingsBatch(
+        docs.take(10).toDF("doc_id", "text"), streamTbl)
+      assert(spark.table(streamTbl).count() == before,
+        "replayed batch must be a no-op")
+    } finally {
+      Seq(streamTbl, s"${streamTbl}_meta", batchTbl, s"${batchTbl}_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("quality verdict: stream == q127 stateless bits on the full documents fixture") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")

@@ -311,6 +311,37 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 90L)), got.toString)
   }
 
+  // ---- q145 LSH tier for char-level near-dups ----------------------
+
+  private def q145raw(rows: Seq[(Long, String, String)]) =
+    graft.queries.DedupQueries
+      .editDistanceNearDupsLshRaw(rows.toDF("doc_id", "lang", "text"))
+      .select("doc_a", "doc_b", "dist").as[(Long, Long, Long)]
+      .collect().toSeq
+
+  test("q145: a near-identical pair is found; survivors satisfy the exact rule") {
+    val base = (1 to 30).map(i => f"tok$i%02d").mkString(" ") // 179 chars
+    val oneSub = base.updated(2, 'q') // dist 1 → ~4 gram churn of ~176
+    val rewrite = ("Z" * 40) + base.drop(40) // dist 40 > 17 — fails the rule
+    val got = q145raw(Seq((1L, "en", base), (2L, "en", oneSub), (3L, "en", rewrite)))
+    assert(got == Seq((1L, 2L, 1L)), got.toString)
+  }
+
+  test("q145: band collisions emit each pair once; disjoint-alphabet pairs never qualify") {
+    // identical texts collide in ALL bands — the distinct() must
+    // still emit the pair exactly once (dist 0 qualifies)
+    val a = "the quick brown fox jumps over the lazy dog again and again ok"
+    val got = q145raw(Seq((1L, "en", a), (2L, "en", a), (3L, "en", "zz " * 21)))
+    assert(got == Seq((1L, 2L, 0L)), got.toString)
+  }
+
+  test("q145: the validated report row holds on the fixture and audits real pairs") {
+    val row = graft.queries.DedupQueries.editDistanceNearDupsLsh(spark, sf).head()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(row.getLong(0) == nDocs, s"n_docs: $row") // whole fixture is ASCII
+    (1 to 6).foreach(i => assert(row.getBoolean(i), s"check $i false: $row"))
+  }
+
   test("q131: non-ASCII rows are outside the pinned domain; cross-lang pairs don't meet") {
     val base = "plain ascii text that is long enough to clear the length gate ok"
     val got = q131(Seq(
