@@ -989,28 +989,42 @@ object DedupQueries {
         (length($"text") - length(translate($"text", ch.toString, "")))
           .cast("int").as(s"$prefix$i")
     }
+    // Repartition BEFORE the projection, then materialize ONCE: the
+    // gram explode + murmur SimHash + 37-bag projection is the
+    // per-doc heavy step here, and projected after the scan it
+    // inherits the scan's partitioning — the fixture's single
+    // row-group would serialize ~4 s of shingle work on one core
+    // (measured; the q131 pushdown lesson, projection-shaped). The
+    // checkpoint then feeds BOTH join sides and the late text fetch
+    // without recomputing the shingle scan.
     val d = ascii
+      .repartition(s.sparkContext.defaultParallelism)
       .select(Seq($"doc_id", $"lang", $"text",
         length($"text").cast("long").as("len"),
         expr(s"length(text) div $bandW").as("lband"),
         simhash64(grams).as("fp")) ++ bagCols("bag"): _*)
-      .repartition(s.sparkContext.defaultParallelism)
+      .reliableCheckpoint()
     val simBands = array((0 until nBands).map(b =>
       struct(lit(b).as("sbi"),
         shiftrightunsigned($"fp", b * bandBits).bitwiseAND(lit(mask)).as("sbv"))): _*)
+    // LATE TEXT MATERIALIZATION: the explode → join → distinct chain
+    // carries ids, lengths, and the 37 int bag columns ONLY — at
+    // 100 TB the candidate exchange must never ship documents. Texts
+    // are fetched BY KEY from the checkpointed doc frame just before
+    // the DP, once per surviving pair.
     val aBags = alphabet.indices.map(i => col(s"bag$i").as(s"a$i"))
     val bBags = alphabet.indices.map(i => col(s"bag$i").as(s"b$i"))
     val build = d
-      .select(Seq($"doc_id".as("doc_a"), $"lang", $"text".as("text_a"),
+      .select(Seq($"doc_id".as("doc_a"), $"lang",
         $"len".as("len_a"), $"lband".as("lkey"),
         explode(simBands).as("sb")) ++ aBags: _*)
-      .select(Seq(col("doc_a"), col("lang"), col("text_a"), col("len_a"),
+      .select(Seq(col("doc_a"), col("lang"), col("len_a"),
         col("lkey"), col("sb.sbi").as("sbi"), col("sb.sbv").as("sbv")) ++
         alphabet.indices.map(i => col(s"a$i")): _*)
     val probe = d
-      .select(Seq($"doc_id".as("doc_b"), $"lang", $"text".as("text_b"),
+      .select(Seq($"doc_id".as("doc_b"), $"lang",
         $"len".as("len_b"), $"lband", explode(simBands).as("sb")) ++ bBags: _*)
-      .select(Seq(col("doc_b"), col("lang"), col("text_b"), col("len_b"),
+      .select(Seq(col("doc_b"), col("lang"), col("len_b"),
         col("sb.sbi").as("sbi"), col("sb.sbv").as("sbv"),
         explode(array(col("lband") - 1, col("lband"), col("lband") + 1))
           .as("lkey")) ++
@@ -1022,13 +1036,16 @@ object DedupQueries {
         abs($"len_a" - $"len_b") * 10 <= least($"len_a", $"len_b"))
       .filter(l1 * 5 <= least($"len_a", $"len_b"))
       // a pair can collide in up to nBands band indexes — dedup the
-      // candidate PAIRS (ids + payload), then rebalance for the DP
-      // like q131 (bytes are the wrong cost model for the DP stage)
-      .select($"doc_a", $"doc_b", $"text_a", $"text_b", $"len_a", $"len_b")
+      // candidate PAIRS (8-byte id pairs + lengths), then rebalance
+      // for the DP like q131 (bytes are the wrong cost model for the
+      // DP stage)
+      .select($"doc_a", $"doc_b", $"len_a", $"len_b")
       .distinct()
       .repartition(s.sparkContext.defaultParallelism,
         col("doc_a"), col("doc_b"))
     cand
+      .join(d.select($"doc_id".as("doc_a"), $"text".as("text_a")), Seq("doc_a"))
+      .join(d.select($"doc_id".as("doc_b"), $"text".as("text_b")), Seq("doc_b"))
       .withColumn("dist", levenshtein($"text_a", $"text_b", maxDist).cast("long"))
       .filter($"dist" >= 0 && $"dist" * 10 <= least($"len_a", $"len_b"))
       .select($"doc_a", $"doc_b", $"len_a", $"len_b", $"dist")
