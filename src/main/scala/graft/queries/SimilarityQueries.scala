@@ -1537,10 +1537,8 @@ object SimilarityQueries {
     import s.implicits._
     val cent = trainCentroids(s, dir)
     val cb = pqCodebooks(s, dir)
-    val (cell, _) = ivfCells(s, cent)
-    Tables.embeddings(s, dir)
-      .select(Seq($"vec_id", cell.as("cell")) ++
-        cb.indices.map(m => pqCode(cb, m).as(s"code$m")): _*)
+    ivfPqCodeRows(Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+        cent, cb)
       .write.mode("overwrite")
       .bucketBy(ivfK(s), "cell").sortBy("cell")
       .format("parquet")
@@ -1594,8 +1592,7 @@ object SimilarityQueries {
   def ivfPqServe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (nQueries, nServed, nAudited, nHit) = ivfPqStats(s, dir)
-    val floor = s.conf.getOption("spark.graft.ivfpq.recallFloor")
-      .map(_.toInt).getOrElse(80)
+    val floor = ivfPqRecallFloor(s)
     Seq((nQueries, nServed == nQueries,
         nAudited > 0 && nHit * 100L >= nAudited * floor, nAudited > 0))
       .toDF("n_queries", "all_answered", "restricted_recall_ok",
@@ -1607,13 +1604,22 @@ object SimilarityQueries {
     * pqStats pattern, so specs pin exact counts and the recall
     * floor's margin is measurable. */
   private[graft] def ivfPqStats(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
-    import s.implicits._
     val tbl = s"graft_ivfpq_q144_${tableSuffix(dir)}"
     if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
         tbl, s"${tbl}_centroids", s"${tbl}_pq"))
       buildIvfPqIndex(s, dir, tbl)
-    // coarse centroids + codebooks from the SIDECARS only — all a
-    // serving tier holds (k + M·K' rows, constant driver state)
+    val st = ivfPqServeStats(s, dir, tbl, tombstones = None)
+    (st._1, st._2, st._3, st._4)
+  }
+
+  /** IVF-PQ sidecar loader — the complete state a serving tier holds:
+    * coarse centroids + PQ codebooks (k + M·K' rows, constant driver
+    * state), read from the stored tables only. Shared by the q144/
+    * q146/q147 serving paths and the streaming vector upsert
+    * ([[graft.streaming.Pipeline.upsertVectorsBatch]]). */
+  private[graft] def loadIvfPqSidecars(s: SparkSession, tbl: String)
+  : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import s.implicits._
     val cent: Array[Array[Double]] = s.table(s"${tbl}_centroids")
       .select($"cell", $"centroid").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
@@ -1621,6 +1627,34 @@ object SimilarityQueries {
       .select($"m", $"j", $"centroid").collect()
       .groupBy(_.getInt(0)).toArray.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+    (cent, cb)
+  }
+
+  /** The (vec_id, cell, code0..code{M-1}) encode projection over an
+    * embedding frame, given sidecar state — ONE definition shared by
+    * the batch build, the incremental upsert, and the streaming
+    * sibling, so append-generation codes are structurally identical
+    * to build-generation codes. */
+  private[graft] def ivfPqCodeRows(emb: DataFrame,
+      cent: Array[Array[Double]], cb: Array[Array[Array[Double]]]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val (cell, _) = ivfCells(s, cent)
+    emb.select(Seq($"vec_id", cell.as("cell")) ++
+      cb.indices.map(m => pqCode(cb, m).as(s"code$m")): _*)
+  }
+
+  /** Shared q144/q146/q147 serving + audit core over an ALREADY-FRESH
+    * artifact: returns (n_queries, n_served, n_audited, n_audit_hits,
+    * served_all_live). `tombstones` is the q147 deletion set — a
+    * broadcast anti-join applied to BOTH the serve scan and the audit
+    * reference, so the audit answers from the PURGED index like the
+    * serve does; `served_all_live` pins that no tombstoned vector was
+    * ever served (vacuously true without tombstones). */
+  private[graft] def ivfPqServeStats(s: SparkSession, dir: String, tbl: String,
+      tombstones: Option[DataFrame]): (Long, Long, Long, Long, Boolean) = {
+    import s.implicits._
+    val (cent, cb) = loadIvfPqSidecars(s, tbl)
     val (_, probeCol) = ivfCells(s, cent)
     val queries = Tables.embeddings(s, dir)
       .filter($"vec_id" % 7 === 3)
@@ -1634,7 +1668,11 @@ object SimilarityQueries {
     val probe = assignedQ.select(Seq($"q_id", $"src_id",
       explode($"probe_cells").as("cell")) ++
       cb.indices.map(m => col(s"qt$m")): _*)
-    val index = s.table(tbl)
+    def live(df: DataFrame, key: String): DataFrame = tombstones match {
+      case Some(t) => df.join(broadcast(t.select($"vec_id".as(key))), Seq(key), "left_anti")
+      case None    => df
+    }
+    val index = live(s.table(tbl), "vec_id")
     val adc = probe.hint("shuffle_hash").join(index, Seq("cell"))
       .filter($"src_id" =!= $"vec_id")
       .withColumn("approx",
@@ -1657,7 +1695,8 @@ object SimilarityQueries {
     // plan — cells come from the stored index rows, vectors by key
     val auditQ = assignedQ.filter($"src_id" % 5 === 0 && $"src_id" < 2500)
       .select($"q_id", $"src_id", $"q_emb", $"probe_cells")
-    val idx = s.table(tbl).select($"vec_id".as("b_id"), $"cell".as("cell_b"))
+    val idx = live(s.table(tbl), "vec_id")
+      .select($"vec_id".as("b_id"), $"cell".as("cell_b"))
       .join(emb.select($"vec_id".as("b_id"), $"embedding".as("b_emb")),
         Seq("b_id"))
     val ref = auditQ.join(idx, $"src_id" =!= $"b_id")
@@ -1670,13 +1709,124 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_audited"),
         sum(when($"served_nn" === $"ref_nn", 1L).otherwise(0L)).as("n_hit"))
       .head()
-    (queries.count(), served.count(), audit.getLong(0), audit.getLong(1))
+    val allLive = tombstones match {
+      case Some(t) =>
+        served.join(broadcast(t.select($"vec_id".as("served_nn"))),
+          Seq("served_nn"), "left_semi").count() == 0L
+      case None => true
+    }
+    (queries.count(), served.count(), audit.getLong(0), audit.getLong(1), allLive)
   }
 
   val ivfPqServeSql: String =
     """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
       |  true AS all_answered, true AS restricted_recall_ok,
       |  true AS audit_nonempty""".stripMargin
+
+  private def ivfPqRecallFloor(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ivfpq.recallFloor").map(_.toInt).getOrElse(80)
+
+  /** q146: IVF-PQ INCREMENTAL UPSERT — the append side of the ANN
+    * index lifecycle (build q144 / serve / APPEND here / delete
+    * q147), q137's vector sibling: the artifact is built from the
+    * base corpus slice (vec_id % 10 ≠ 7) and the remaining slice is
+    * then APPENDED as a second bucketed write generation — the
+    * nightly new-vectors batch, encoded through the SAME
+    * [[ivfPqCodeRows]] projection under the SIDECARS' state (a
+    * production upsert never retrains; new vectors quantize under
+    * the frozen codebooks, the standard IVFADC maintenance rule).
+    * Spark's datasource bucketing tags every file with its bucket
+    * id, so the appended generation lands in the same logical cells
+    * and the serve-time scan reads both transparently. The sidecar
+    * stamp carries the POST-append fingerprint, so the lifecycle
+    * gate reuses the upserted artifact and rebuilds only on source
+    * drift.
+    *
+    * The report adds `n_indexed` — the stored table's row count,
+    * which DuckDB reproduces as the FULL corpus count: a lost or
+    * mis-bucketed appended generation surfaces as a count mismatch
+    * (the q137 loss-detection rule), on top of the q144 serving
+    * theorems running over the two-generation artifact. */
+  def ivfPqUpsertServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_ivfpq_q146_${tableSuffix(dir)}"
+    if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
+        tbl, s"${tbl}_centroids", s"${tbl}_pq")) {
+      val cent = trainCentroids(s, dir)
+      val cb = pqCodebooks(s, dir)
+      val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      ivfPqCodeRows(emb.filter($"vec_id" % 10 =!= 7), cent, cb)
+        .write.mode("overwrite")
+        .bucketBy(ivfK(s), "cell").sortBy("cell")
+        .format("parquet").saveAsTable(tbl)
+      // sidecars BEFORE the append: the append generation must encode
+      // from the STORED state, as a nightly job would
+      val (srcRows, srcMaxId) = sourceFingerprint(s, dir)
+      cent.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .withColumn("src_rows", lit(srcRows)).withColumn("src_max_id", lit(srcMaxId))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${tbl}_centroids")
+      (for { m <- cb.indices; j <- cb(m).indices }
+        yield (m, j, cb(m)(j).toSeq)).toDF("m", "j", "centroid")
+        .withColumn("src_rows", lit(srcRows)).withColumn("src_max_id", lit(srcMaxId))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${tbl}_pq")
+      val (storedCent, storedCb) = loadIvfPqSidecars(s, tbl)
+      ivfPqCodeRows(emb.filter($"vec_id" % 10 === 7), storedCent, storedCb)
+        .write.mode("append")
+        .bucketBy(ivfK(s), "cell").sortBy("cell")
+        .format("parquet").saveAsTable(tbl)
+    }
+    val nIndexed = s.table(tbl).count()
+    val (nQ, nServed, nAudited, nHit, _) =
+      ivfPqServeStats(s, dir, tbl, tombstones = None)
+    val floor = ivfPqRecallFloor(s)
+    Seq((nQ, nIndexed, nServed == nQ,
+        nAudited > 0 && nHit * 100L >= nAudited * floor, nAudited > 0))
+      .toDF("n_queries", "n_indexed", "all_answered",
+        "restricted_recall_ok", "audit_nonempty")
+  }
+
+  val ivfPqUpsertServeSql: String =
+    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
+      |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_indexed,
+      |  true AS all_answered, true AS restricted_recall_ok,
+      |  true AS audit_nonempty""".stripMargin
+
+  /** q147: IVF-PQ TOMBSTONED DELETION — the right-to-be-forgotten
+    * path for the vector index, q136's ANN sibling: a deletion set
+    * (vec_id % 9 = 4) takes effect AT SERVE TIME via a broadcast
+    * anti-join over q144's stored artifact — no rebuild, compaction
+    * deferred, exactly how production ANN systems mask deletions
+    * between index rebuilds (FAISS IDSelector / Vespa's remove-list).
+    * Both the serve scan AND the audit's probe-restricted brute force
+    * run over the purged index, so tombstone-serve ≡ purge-and-
+    * rebuild on the audited slice; `no_tombstone_served` additionally
+    * pins that no deleted vector ever reaches an answer. The oracle
+    * reproduces the deletion-set size independently. */
+  def ivfPqTombstoneServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_ivfpq_q144_${tableSuffix(dir)}" // share q144's artifact
+    if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
+        tbl, s"${tbl}_centroids", s"${tbl}_pq"))
+      buildIvfPqIndex(s, dir, tbl)
+    val tombstones = Tables.embeddings(s, dir)
+      .filter($"vec_id" % 9 === 4).select($"vec_id")
+    val nTomb = tombstones.count()
+    val (nQ, nServed, nAudited, nHit, allLive) =
+      ivfPqServeStats(s, dir, tbl, Some(tombstones))
+    val floor = ivfPqRecallFloor(s)
+    Seq((nQ, nTomb, nServed == nQ, allLive,
+        nAudited > 0 && nHit * 100L >= nAudited * floor, nAudited > 0))
+      .toDF("n_queries", "n_tombstoned", "all_answered",
+        "no_tombstone_served", "restricted_recall_ok", "audit_nonempty")
+  }
+
+  val ivfPqTombstoneServeSql: String =
+    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 9 = 4) AS BIGINT)
+      |    AS n_tombstoned,
+      |  true AS all_answered, true AS no_tombstone_served,
+      |  true AS restricted_recall_ok, true AS audit_nonempty""".stripMargin
 
   /** Per-source VOCABULARY sketches — q96's artifact pattern with
     * token fingerprints as the sketched item (q83's universe). HLL
@@ -1774,6 +1924,8 @@ object SimilarityQueries {
     "q141_vocab_sketch_overlap" -> (vocabSketchOverlap _),
     "q140_pq_ann" -> (pqAnn _),
     "q144_ivfpq_serve" -> (ivfPqServe _),
+    "q146_ivfpq_upsert_serve" -> (ivfPqUpsertServe _),
+    "q147_ivfpq_tombstone_serve" -> (ivfPqTombstoneServe _),
     "q91_pca_ann_pairs" -> (pcaAnnPairs _),
     "q89_pca_validated" -> (pcaValidated _),
     "q76_quantize_embeddings" -> (quantizeEmbeddings _),
@@ -1794,6 +1946,8 @@ object SimilarityQueries {
     "q141_vocab_sketch_overlap" -> vocabSketchOverlapSql,
     "q140_pq_ann" -> pqAnnSql,
     "q144_ivfpq_serve" -> ivfPqServeSql,
+    "q146_ivfpq_upsert_serve" -> ivfPqUpsertServeSql,
+    "q147_ivfpq_tombstone_serve" -> ivfPqTombstoneServeSql,
     "q91_pca_ann_pairs" -> pcaAnnPairsSql,
     "q89_pca_validated" -> pcaValidatedSql,
     "q46_cosine_topk" -> cosineTopKSql,

