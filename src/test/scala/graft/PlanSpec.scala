@@ -327,6 +327,28 @@ class PlanSpec extends SparkSpec {
     assert(hints.isEmpty, s"broadcast hint(s) in the TextRank loop:\n$hints")
   }
 
+  test("q145: the candidate chain carries ids+ints only — text joins in after the distinct") {
+    // Late-materialization pin (round 16): the explode/join/distinct
+    // candidate chain must never ship document text; texts are
+    // fetched by key just before the DP. Regression witness: the
+    // pair-rebalancing RepartitionByExpression and the distinct
+    // Aggregate both output only ids + lengths.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, RepartitionByExpression}
+    val df = graft.queries.DedupQueries
+      .editDistanceNearDupsLshRaw(Tables.documents(spark, sf))
+    val lp = df.queryExecution.optimizedPlan
+    val reps = lp.collect { case r: RepartitionByExpression => r.output.map(_.name) }
+      .filter(_.contains("doc_a"))
+    assert(reps.nonEmpty, "pair-rebalance repartition missing")
+    reps.foreach(o => assert(!o.exists(_.startsWith("text")),
+      s"candidate repartition must not carry text: $o"))
+    val dist = lp.collect { case a: Aggregate => a.output.map(_.name) }
+      .filter(o => o.contains("doc_a") && o.contains("doc_b"))
+    assert(dist.nonEmpty, "candidate distinct missing")
+    dist.foreach(o => assert(!o.exists(_.startsWith("text")),
+      s"candidate distinct must not carry text: $o"))
+  }
+
   test("lint: no registered query plans a window partitioned solely on a low-card key") {
     val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       lowCardWindows(fn(spark, sf)).map(w => s"$name: $w")
