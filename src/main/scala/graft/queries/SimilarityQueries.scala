@@ -1821,6 +1821,61 @@ object SimilarityQueries {
         "no_tombstone_served", "restricted_recall_ok", "audit_nonempty")
   }
 
+  /** q148: IVF-PQ COMPACTION — the deferred physical half of q147's
+    * deletion lifecycle (q149's ANN sibling): the code table is
+    * rewritten WITHOUT the tombstoned vectors into a new artifact
+    * generation (same cell-bucketed layout; sidecars copied with a
+    * fresh stamp — compaction never retrains), and serving then runs
+    * the plain q144 path with NO tombstone anti-join. The report's
+    * `n_live` is the compacted table's row count, which DuckDB
+    * reproduces as corpus − deletions: a compaction that loses or
+    * resurrects rows is a hash mismatch. IvfIndexSpec additionally
+    * pins compact-serve ≡ mask-serve (identical audit profiles on
+    * the same query slice). At 100 TB the rewrite is one bucketed
+    * anti-join scheduled off the request path. */
+  def ivfPqCompactServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"graft_ivfpq_q144_${tableSuffix(dir)}"
+    if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${base}_centroids",
+        base, s"${base}_centroids", s"${base}_pq"))
+      buildIvfPqIndex(s, dir, base)
+    val tbl = s"graft_ivfpq_q148_${tableSuffix(dir)}"
+    if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
+        tbl, s"${tbl}_centroids", s"${tbl}_pq")) {
+      val tombstones = Tables.embeddings(s, dir)
+        .filter($"vec_id" % 9 === 4).select($"vec_id")
+      s.table(base).join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite")
+        .bucketBy(ivfK(s), "cell").sortBy("cell")
+        .format("parquet").saveAsTable(tbl)
+      val (srcRows, srcMaxId) = sourceFingerprint(s, dir)
+      val (cent, cb) = loadIvfPqSidecars(s, base)
+      cent.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .withColumn("src_rows", lit(srcRows)).withColumn("src_max_id", lit(srcMaxId))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${tbl}_centroids")
+      (for { m <- cb.indices; j <- cb(m).indices }
+        yield (m, j, cb(m)(j).toSeq)).toDF("m", "j", "centroid")
+        .withColumn("src_rows", lit(srcRows)).withColumn("src_max_id", lit(srcMaxId))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${tbl}_pq")
+    }
+    val nLive = s.table(tbl).count()
+    val (nQ, nServed, nAudited, nHit, _) =
+      ivfPqServeStats(s, dir, tbl, tombstones = None)
+    val floor = ivfPqRecallFloor(s)
+    Seq((nQ, nLive, nServed == nQ,
+        nAudited > 0 && nHit * 100L >= nAudited * floor, nAudited > 0))
+      .toDF("n_queries", "n_live", "all_answered",
+        "restricted_recall_ok", "audit_nonempty")
+  }
+
+  val ivfPqCompactServeSql: String =
+    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 9 <> 4) AS BIGINT)
+      |    AS n_live,
+      |  true AS all_answered, true AS restricted_recall_ok,
+      |  true AS audit_nonempty""".stripMargin
+
   val ivfPqTombstoneServeSql: String =
     """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 9 = 4) AS BIGINT)
@@ -1926,6 +1981,7 @@ object SimilarityQueries {
     "q144_ivfpq_serve" -> (ivfPqServe _),
     "q146_ivfpq_upsert_serve" -> (ivfPqUpsertServe _),
     "q147_ivfpq_tombstone_serve" -> (ivfPqTombstoneServe _),
+    "q148_ivfpq_compact_serve" -> (ivfPqCompactServe _),
     "q91_pca_ann_pairs" -> (pcaAnnPairs _),
     "q89_pca_validated" -> (pcaValidated _),
     "q76_quantize_embeddings" -> (quantizeEmbeddings _),
@@ -1948,6 +2004,7 @@ object SimilarityQueries {
     "q144_ivfpq_serve" -> ivfPqServeSql,
     "q146_ivfpq_upsert_serve" -> ivfPqUpsertServeSql,
     "q147_ivfpq_tombstone_serve" -> ivfPqTombstoneServeSql,
+    "q148_ivfpq_compact_serve" -> ivfPqCompactServeSql,
     "q91_pca_ann_pairs" -> pcaAnnPairsSql,
     "q89_pca_validated" -> pcaValidatedSql,
     "q46_cosine_topk" -> cosineTopKSql,

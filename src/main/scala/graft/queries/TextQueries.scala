@@ -570,6 +570,44 @@ object TextQueries {
       |WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE term = '$InvExcludedTerm')
       |ORDER BY doc_id""".stripMargin
 
+  /** q149: INDEX COMPACTION — the deferred physical half of q136's
+    * deletion lifecycle (mask at serve time → COMPACT when
+    * convenient): the stored postings are rewritten WITHOUT the
+    * tombstoned docs into a new artifact generation (same bucketed
+    * layout, meta re-stamped with the compacted counts + the shared
+    * source fingerprint), and serving then needs NO tombstone
+    * anti-join at all — the masked rows are physically gone. The
+    * ORACLE IS THE IDENTITY: q136's purge-and-rebuild SQL verbatim,
+    * so mask-serve ≡ compact-serve ≡ rebuild is hash-checked at both
+    * SFs — the deletion lifecycle's three forms must be
+    * indistinguishable. At 100 TB compaction is one bucketed
+    * anti-join rewrite scheduled off the request path; the
+    * tombstone set stays broadcast-sized. */
+  def invertedIndexCompactServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_inv_q149_${SimilarityQueries.tableSuffix(dir)}"
+    if (SimilarityQueries.needsBuildOrStale(s,
+        SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
+        tbl, s"${tbl}_meta")) {
+      val base = invIndexTable(s, dir) // ensure the live artifact is fresh
+      val tombstones = Tables.documents(s, dir)
+        .filter($"doc_id" % 10 === 3).select($"doc_id")
+      val compacted = s.table(base)
+        .join(broadcast(tombstones), Seq("doc_id"), "left_anti")
+      compacted.write.mode("overwrite")
+        .bucketBy(32, "term").sortBy("term", "doc_id")
+        .format("parquet").saveAsTable(tbl)
+      val (srcRows, srcMaxId) = SimilarityQueries.docsFingerprint(s, dir)
+      s.table(tbl).agg(count(lit(1)).as("n_postings"),
+          count_distinct($"term").as("n_terms"))
+        .withColumn("src_rows", lit(srcRows))
+        .withColumn("src_max_id", lit(srcMaxId))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${tbl}_meta")
+    }
+    serveBoolean(s, tbl) // no anti-join: the deletions are physical now
+      .select($"doc_id", $"n_hits").orderBy($"doc_id")
+  }
+
   /** q137: INCREMENTAL POSTINGS UPSERT — the append side of the index
     * lifecycle (build q134 / serve / delete q136 / APPEND here): the
     * artifact is built from the base corpus slice (doc_id % 10 ≠ 7)
@@ -683,6 +721,7 @@ object TextQueries {
     "q132_adaptive_floor" -> (adaptiveQualityFloor _),
     "q134_inverted_index_serve" -> (invertedIndexServe _),
     "q136_index_tombstone_serve" -> (invertedIndexPurgeServe _),
+    "q149_index_compact_serve" -> (invertedIndexCompactServe _),
     "q137_index_upsert_serve" -> (invertedIndexUpsertServe _),
     "q138_textrank_terms" -> ((s: SparkSession, dir: String) => textRankTerms(s, dir)),
     "q114_token_divergence" -> ((s: SparkSession, dir: String) => tokenDivergence(s, dir)),
@@ -700,6 +739,9 @@ object TextQueries {
     "q132_adaptive_floor" -> adaptiveQualityFloorSql,
     "q134_inverted_index_serve" -> invertedIndexServeSql,
     "q136_index_tombstone_serve" -> invertedIndexPurgeServeSql,
+    // q149 compacts the SAME deletion set q136 masks — the oracle is
+    // the identity: mask-serve ≡ compact-serve ≡ purge-and-rebuild
+    "q149_index_compact_serve" -> invertedIndexPurgeServeSql,
     // q137 serves the FULL corpus after the append — the q134 answer
     // is the correctness bar for the upsert path
     "q137_index_upsert_serve" -> invertedIndexServeSql,

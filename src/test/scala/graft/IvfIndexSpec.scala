@@ -143,8 +143,27 @@ class IvfIndexSpec extends SparkSpec {
       val purged = SimilarityQueries.ivfPqServeStats(spark, sf, tbl144, Some(tomb))
       assert(full._5 && purged._5, "allLive vacuous on full, pinned on purged")
       assert(full._1 == purged._1, "same query slice")
+
+      // q148: compaction physically removes what q147 masks — the
+      // compacted table holds exactly the live rows, and serving it
+      // WITHOUT an anti-join produces the same audit profile as
+      // mask-serving the base artifact
+      val r148 = SimilarityQueries.ivfPqCompactServe(spark, sf).head()
+      val tbl148 = s"graft_ivfpq_q148_${SimilarityQueries.tableSuffix(sf)}"
+      val nEmb2 = Tables.embeddings(spark, sf).count()
+      assert(r148.getAs[Long]("n_live") == nEmb2 - tomb.count(),
+        s"compacted row count: $r148")
+      assert(spark.table(tbl148)
+        .join(tomb, Seq("vec_id"), "left_semi").count() == 0,
+        "no tombstoned vector survives compaction")
+      val compacted = SimilarityQueries.ivfPqServeStats(spark, sf, tbl148, None)
+      assert(compacted == purged,
+        s"compact-serve ≡ mask-serve: compacted=$compacted masked=$purged")
     } finally {
-      Seq(tbl146, s"${tbl146}_centroids", s"${tbl146}_pq")
+      Seq(tbl146, s"${tbl146}_centroids", s"${tbl146}_pq",
+        s"graft_ivfpq_q148_${SimilarityQueries.tableSuffix(sf)}",
+        s"graft_ivfpq_q148_${SimilarityQueries.tableSuffix(sf)}_centroids",
+        s"graft_ivfpq_q148_${SimilarityQueries.tableSuffix(sf)}_pq")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }

@@ -311,6 +311,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 90L)), got.toString)
   }
 
+  test("q149: compaction physically removes the q136 tombstones; serve equals mask-serve") {
+    val tbl = s"graft_inv_q149_${graft.queries.SimilarityQueries.tableSuffix(sf)}"
+    try {
+      val compactRows = graft.queries.TextQueries
+        .invertedIndexCompactServe(spark, sf)
+        .as[(Long, Long)].collect().toSeq
+      val maskRows = graft.queries.TextQueries
+        .invertedIndexPurgeServe(spark, sf)
+        .as[(Long, Long)].collect().toSeq
+      assert(compactRows == maskRows, "compact-serve must equal mask-serve")
+      // the tombstoned docs are physically gone from the artifact
+      val survivors = spark.table(tbl).filter($"doc_id" % 10 === 3).count()
+      assert(survivors == 0, s"$survivors tombstoned postings survived compaction")
+      // and the compacted artifact is genuinely smaller
+      val base = spark.table(
+        s"graft_inv_q134_${graft.queries.SimilarityQueries.tableSuffix(sf)}").count()
+      assert(spark.table(tbl).count() < base, "compaction must shrink the index")
+    } finally {
+      Seq(tbl, s"${tbl}_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   // ---- q145 LSH tier for char-level near-dups ----------------------
 
   private def q145raw(rows: Seq[(Long, String, String)]) =
