@@ -717,7 +717,246 @@ object TextQueries {
       |       FROM edges e JOIN r2 r ON r.term = e.src JOIN wt w2 ON w2.src = e.src GROUP BY e.dst)
       |SELECT term, score FROM r3 ORDER BY score DESC, term LIMIT 20""".stripMargin
 
+  // ---- q150: stored BM25 index + ranked retrieval ------------------
+
+  /** Pinned ranked-retrieval query terms (constants, not runtime
+    * input — the oracle must reproduce them verbatim). */
+  private[graft] val Bm25Terms = Seq("vector", "stream", "spark")
+  private[graft] val Bm25K = 20
+
+  /** q150: STORED BM25 INDEX + RANKED RETRIEVAL — the ranked sibling
+    * of q134's boolean serve, and the retrieval operator a
+    * training-data pipeline runs for corpus search, contamination
+    * triage and hard-negative mining. Three stored artifacts make
+    * serving index-priced: term-frequency postings
+    * (term, doc_id, tf, dl) — dl DENORMALIZED onto the posting row
+    * (the impact-ordered-postings layout) so scoring never joins a
+    * doc-length table; a lexicon (term, df) so idf needs |q| rows,
+    * not a corpus pass; and the meta sidecar carrying (n_docs,
+    * sum_dl) so avgdl is two stored integers. Serve-time exchanges
+    * carry Σ df of the queried terms — the search-engine cost model —
+    * never the corpus.
+    *
+    * SCORING IS EXACT CROSS-ENGINE: BM25 with the RATIONAL idf
+    * `(N − df + 0.5)/(df + 0.5)` (q65's rule — ln is not
+    * correctly-rounded; +,−,×,÷ are), k1 = 1.2, b = 0.75; each
+    * per-(term,doc) partial is floored to ppm fixed point BEFORE the
+    * per-doc sum, so the sum is BIGINT — exact and order-independent
+    * (a double Σ would round differently under Spark's partial
+    * aggregation than under DuckDB's serial sum). The oracle
+    * recomputes from raw documents with the identical association
+    * order, so build → store → serve must preserve tf/df/dl/avgdl
+    * end to end. */
+  def bm25TopkServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_bm25_q150_${SimilarityQueries.tableSuffix(dir)}"
+    if (SimilarityQueries.needsBuildOrStale(s,
+        SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
+        tbl, s"${tbl}_vocab", s"${tbl}_meta")) {
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      // per-doc token total rides along as a window-free rollup: sum
+      // of tf within doc (vocabulary-per-doc-bounded aggregate)
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      tf.join(dl, "doc_id")
+        .select($"term", $"doc_id", $"tf", $"dl")
+        .write.mode("overwrite")
+        .bucketBy(32, "term").sortBy("term", "doc_id")
+        .format("parquet").saveAsTable(tbl)
+      // lexicon: postings are one row per (term, doc) ⇒ count IS df
+      s.table(tbl).groupBy($"term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite")
+        .bucketBy(32, "term").sortBy("term")
+        .format("parquet").saveAsTable(s"${tbl}_vocab")
+      val (srcRows, srcMaxId) = SimilarityQueries.docsFingerprint(s, dir)
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+        .withColumn("src_rows", lit(srcRows))
+        .withColumn("src_max_id", lit(srcMaxId))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${tbl}_meta")
+    }
+    // corpus stats from the 1-row meta sidecar (bounded collect);
+    // sum_dl/n_docs are exact integers < 2^53 so the double division
+    // is correctly rounded — bit-identical to the oracle's
+    val m = s.table(s"${tbl}_meta").select($"n_docs", $"sum_dl").head()
+    val nDocs = m.getLong(0)
+    val avgdl = m.getLong(1).toDouble / nDocs
+    val p = s.table(tbl).filter($"term".isin(Bm25Terms: _*))
+    val v = s.table(s"${tbl}_vocab").filter($"term".isin(Bm25Terms: _*))
+    // every arithmetic step below mirrors the oracle's association
+    // order exactly (the q114 textual discipline)
+    val idf = (($"df" * lit(-1L) + lit(nDocs)) + lit(0.5)) / ($"df" + lit(0.5))
+    val tfn = ($"tf" * lit(2.2)) /
+      ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / lit(avgdl))))
+    p.join(broadcast(v), "term")
+      .select($"doc_id",
+        floor(lit(1000000.0) * idf * tfn).cast("long").as("sc"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum($"sc").as("score_bm25"))
+      .orderBy($"score_bm25".desc, $"doc_id")
+      .limit(Bm25K)
+  }
+
+  val bm25TopkServeSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      |  FROM documents),
+      |tfall AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dl AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfall GROUP BY doc_id),
+      |stats AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |df AS (
+      |  SELECT term, count(*) AS df FROM tfall
+      |  WHERE term IN ($terms) GROUP BY term),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(floor(1000000.0
+      |      * (((t.df * -1 + s.n_docs) + 0.5) / (t.df + 0.5))
+      |      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))))
+      |      AS BIGINT) AS sc
+      |  FROM (SELECT f.doc_id, f.tf, l.dl, d.df
+      |        FROM tfall f
+      |        JOIN df d USING (term)
+      |        JOIN dl l ON l.doc_id = f.doc_id
+      |        WHERE f.term IN ($terms)) t
+      |  CROSS JOIN stats s)
+      |SELECT doc_id, count(*) AS n_terms_hit, CAST(sum(sc) AS BIGINT) AS score_bm25
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score_bm25 DESC, doc_id LIMIT $Bm25K""".stripMargin
+  }
+
+  // ---- q151: positional index + exact phrase retrieval -------------
+
+  /** Pinned phrase (constants — the oracle reproduces them). */
+  private[graft] val PhraseTerms = Seq("hash", "join")
+
+  /** q151: POSITIONAL INVERTED INDEX + EXACT PHRASE RETRIEVAL — the
+    * membership query q134's bag-of-terms postings cannot answer:
+    * "which documents contain this exact PHRASE, and how often" (the
+    * infini-gram / training-set-membership lookup, and the exactness
+    * tier of contamination checking: q79 flags n-gram overlap,
+    * this proves verbatim adjacency). The stored artifact extends
+    * postings with the token POSITION — (term, doc_id, pos), one row
+    * per OCCURRENCE — same bucketed-by-term, sorted layout as q134,
+    * so term lookups stay row-group-skip-priced. A k-term phrase is
+    * answered entirely from the index: k term-pruned scans joined on
+    * (doc_id, pos − offset) — each side df-sized, never the corpus —
+    * then a per-doc occurrence count. The oracle recomputes adjacency
+    * from raw text, so stored positions must survive the round trip
+    * exactly (an off-by-one in pos shows up as zero matches). */
+  def phraseIndexServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_pos_q151_${SimilarityQueries.tableSuffix(dir)}"
+    if (SimilarityQueries.needsBuildOrStale(s,
+        SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
+        tbl, s"${tbl}_meta")) {
+      Tables.documents(s, dir)
+        .select($"doc_id", posexplode(split(trim($"text"), "\\s+")))
+        .select($"doc_id", $"col".as("term"), ($"pos" + 1).cast("long").as("pos"))
+        .write.mode("overwrite")
+        .bucketBy(32, "term").sortBy("term", "doc_id")
+        .format("parquet").saveAsTable(tbl)
+      val (srcRows, srcMaxId) = SimilarityQueries.docsFingerprint(s, dir)
+      s.table(tbl).agg(count(lit(1)).as("n_postings"),
+          count_distinct($"term").as("n_terms"))
+        .withColumn("src_rows", lit(srcRows))
+        .withColumn("src_max_id", lit(srcMaxId))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${tbl}_meta")
+    }
+    val p = s.table(tbl)
+    // anchor on the first term; each later term joins on
+    // (doc_id, pos + offset) — df-sized scans, index-priced serve
+    val anchor = p.filter($"term" === PhraseTerms.head)
+      .select($"doc_id", $"pos")
+    val matched = PhraseTerms.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        val pi = p.filter($"term" === t)
+          .select($"doc_id", ($"pos" - lit(i.toLong)).as("pos"))
+        acc.join(pi, Seq("doc_id", "pos"))
+    }
+    matched.groupBy($"doc_id").agg(count(lit(1)).as("n_occ"))
+      .orderBy($"doc_id")
+  }
+
+  val phraseIndexServeSql: String = {
+    val joins = PhraseTerms.zipWithIndex.tail.map { case (t, i) =>
+      s"JOIN toks p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '$t'"
+    }.mkString("\n  |  ")
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(t) AS term,
+      |    unnest(range(1, len(t) + 1)) AS pos
+      |  FROM t)
+      |SELECT p0.doc_id, count(*) AS n_occ
+      |FROM toks p0
+      |  $joins
+      |WHERE p0.term = '${PhraseTerms.head}'
+      |GROUP BY p0.doc_id ORDER BY p0.doc_id""".stripMargin
+  }
+
+  // ---- q153: inverse-frequency surprisal scoring --------------------
+
+  /** q153: PER-DOCUMENT SURPRISAL — rank documents by how RARE their
+    * tokens are corpus-wide: the integer surrogate of unigram-LM
+    * perplexity that data-pruning passes use to surface unusual /
+    * high-information documents (and, at the top of the ranking,
+    * boilerplate-free candidates for curriculum tail stages). The
+    * per-token weight is `tot div cnt(t)` — the floored inverse
+    * unigram probability — and the doc score is the token-count-
+    * normalized sum `(Σ c·w) div n_tokens`. ALL-BIGINT (the
+    * q114/q124 rule): no ln, no float accumulation, exact
+    * cross-engine. (q119 scores novelty AGAINST A TRAINING ORDER;
+    * q81 reports corpus-level rare-token stats; this scores each
+    * document's rarity unconditionally.)
+    *
+    * Plan at 100 TB: explode compacts map-side to (doc, tok, c) —
+    * the q81 discipline — then ONE tok-keyed join against the
+    * vocabulary-bounded count frame WITHOUT a broadcast hint (the
+    * q138 rule: at web-corpus vocabulary a forced broadcast ships
+    * multi-GB; AQE broadcasts only while it fits), then a per-doc
+    * rollup and a TakeOrderedAndProject top-k. The 1-row total
+    * crosses in as a broadcast. */
+  def surprisalScore(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import s.implicits._
+    val tc = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val vocab = tc.groupBy($"tok").agg(sum($"c").as("cnt"))
+    val tot = vocab.agg(sum($"cnt").as("tot"))
+    tc.join(vocab, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        sum($"c" * expr("tot div cnt")).as("wsum"))
+      .select($"doc_id", $"n_tokens",
+        expr("wsum div n_tokens").as("surprisal"))
+      .orderBy($"surprisal".desc, $"doc_id")
+      .limit(k)
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def surprisalScoreSql(k: Int = 50): String =
+    s"""WITH tc AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      |    FROM documents)
+      |  GROUP BY doc_id, tok),
+      |vocab AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cnt FROM tc GROUP BY tok),
+      |stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vocab)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(sum(c * (s.tot // v.cnt)) // sum(c) AS BIGINT) AS surprisal
+      |FROM tc JOIN vocab v USING (tok) CROSS JOIN stats s
+      |GROUP BY doc_id
+      |ORDER BY surprisal DESC, doc_id LIMIT $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_bm25_topk" -> (bm25TopkServe _),
+    "q151_phrase_index_serve" -> (phraseIndexServe _),
+    "q153_surprisal_score" -> ((s: SparkSession, dir: String) => surprisalScore(s, dir)),
     "q132_adaptive_floor" -> (adaptiveQualityFloor _),
     "q134_inverted_index_serve" -> (invertedIndexServe _),
     "q136_index_tombstone_serve" -> (invertedIndexPurgeServe _),
@@ -736,6 +975,9 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_bm25_topk" -> bm25TopkServeSql,
+    "q151_phrase_index_serve" -> phraseIndexServeSql,
+    "q153_surprisal_score" -> surprisalScoreSql(),
     "q132_adaptive_floor" -> adaptiveQualityFloorSql,
     "q134_inverted_index_serve" -> invertedIndexServeSql,
     "q136_index_tombstone_serve" -> invertedIndexPurgeServeSql,

@@ -1350,6 +1350,73 @@ object TrainQueries {
       |FROM c WHERE cum_tokens <= $budget
       |ORDER BY source, doc_id""".stripMargin
 
+  /** q152: CROSS-SOURCE CALIBRATED SELECTION — the fairness step in
+    * front of any global data-selection pass: raw quality scores are
+    * NOT comparable across sources (a web-scrape's "high quality" and
+    * a curated corpus's "low quality" can be the same number), so
+    * selecting globally on the raw score starves whole sources.
+    * Calibration rank-normalizes each document WITHIN its source to a
+    * ppm percentile — `cal_ppm = ((rk − 1)·10⁶) div (n_src − 1)` with
+    * rk ordered (quality asc, doc_id) — and the global top-k then
+    * selects on the CALIBRATED score, interleaving every source's
+    * best documents regardless of raw-scale differences. ALL-INTEGER
+    * (the q114/q124 rule): ranks and floor divisions only, exact
+    * cross-engine; single-document sources pin cal to 10⁶ (both
+    * engines via the same CASE).
+    *
+    * The per-source rank uses q70/q85's TWO-LEVEL construction with
+    * quality as the shard key: row_number within each
+    * (source, quality) band + band-count running offsets over the
+    * tiny per-band aggregate — a naive Window.partitionBy(source)
+    * would cap parallelism at the source count and sort each
+    * source's full corpus slice on one task; this form keeps
+    * sources × bands partitions and the offsets frame is bounded by
+    * the QUALITY DOMAIN (distinct-token-count values), not the
+    * corpus. Global top-k plans as TakeOrderedAndProject. */
+  def calibratedSelect(s: SparkSession, dir: String, k: Int = 500): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"source", $"doc_id",
+        size(array_distinct(split(trim($"text"), "\\s+"))).cast("long").as("quality"))
+    val wLocal = Window.partitionBy($"source", $"quality").orderBy($"doc_id")
+    val wBand = Window.partitionBy($"source").orderBy($"quality")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bands = base.groupBy($"source", $"quality")
+      .agg(count(lit(1)).as("band_n"))
+    val offsets = bands
+      .withColumn("offset", sum($"band_n").over(wBand) - $"band_n")
+      .select($"source", $"quality", $"offset")
+    val nSrc = bands.groupBy($"source").agg(sum($"band_n").as("n_src"))
+    base
+      .withColumn("local_rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("source", "quality"))
+      .join(broadcast(nSrc), Seq("source"))
+      .withColumn("rk", $"local_rn" + $"offset")
+      .withColumn("cal_ppm",
+        when($"n_src" === 1L, lit(1000000L))
+          .otherwise(expr("((rk - 1) * 1000000) div (n_src - 1)")))
+      .select($"source", $"doc_id", $"quality", $"cal_ppm")
+      .orderBy($"cal_ppm".desc, $"source", $"doc_id")
+      .limit(k)
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def calibratedSelectSql(k: Int = 500): String =
+    s"""WITH q AS (
+      |  SELECT source, doc_id,
+      |    len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS quality
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, quality,
+      |    row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n_src
+      |  FROM q)
+      |SELECT source, doc_id, CAST(quality AS BIGINT) AS quality,
+      |  CAST(CASE WHEN n_src = 1 THEN 1000000
+      |       ELSE ((rk - 1) * 1000000) // (n_src - 1) END AS BIGINT) AS cal_ppm
+      |FROM r
+      |ORDER BY cal_ppm DESC, source, doc_id LIMIT $k""".stripMargin
+
   /** q94: DETERMINISTIC TRAIN/VAL/TEST SPLIT ASSIGNMENT — the
     * split step every training pipeline runs before anything touches
     * the data. Membership is a pure function of the PRIMARY KEY
@@ -1818,6 +1885,7 @@ object TrainQueries {
     "q83_source_overlap" -> (sourceOverlap _),
     "q143_assembly_funnel" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => assemblyFunnel(s, dir)),
     "q85_budget_select" -> ((s: SparkSession, dir: String) => budgetSelect(s, dir)),
+    "q152_calibrated_select" -> ((s: SparkSession, dir: String) => calibratedSelect(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1831,6 +1899,7 @@ object TrainQueries {
     "q95_shuffle_order" -> shuffleOrderSql,
     "q75_source_mix" -> sourceMixSql,
     "q124_mixture_allocation" -> mixtureAllocationSql(),
+    "q152_calibrated_select" -> calibratedSelectSql(),
     "q78_doc_chunks" -> docChunksSql,
     "q108_chunk_dedup" -> chunkDedupSql,
     "q126_split_chunk_leakage" -> splitChunkLeakageSql,

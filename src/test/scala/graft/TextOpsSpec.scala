@@ -503,4 +503,86 @@ class TextOpsSpec extends SparkSpec {
     // d-docs' grams have df=2 → anchored and reported
     assert(got == Set((10L, 11L)), got.toString)
   }
+
+  // ---- q150: BM25 ranked retrieval --------------------------------
+
+  /** Test-side reference model of the q150 scoring chain (same
+    * association order as the Spark/oracle expressions). */
+  private def refBm25(): Seq[(Long, Long, Long)] = {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val nDocs = docs.length.toLong
+    val dl = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val terms = TextQueries.Bm25Terms
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    docs.flatMap { case (id, ts) =>
+      val scs = terms.flatMap { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0) None else {
+          val idf = ((df(t) * -1L + nDocs) + 0.5) / (df(t) + 0.5)
+          val tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl(id) / avgdl)))
+          Some(math.floor(1000000.0 * idf * tfn).toLong)
+        }
+      }
+      if (scs.isEmpty) None else Some((id, scs.length.toLong, scs.sum))
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(TextQueries.Bm25K).toSeq
+  }
+
+  test("q150: served ranking matches the reference BM25 model exactly") {
+    val got = TextQueries.bm25TopkServe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == refBm25(), s"got ${got.take(3)}… want ${refBm25().take(3)}…")
+  }
+
+  test("q150: serve runs from the stored artifacts alone (no corpus rescan)") {
+    TextQueries.bm25TopkServe(spark, sf).collect() // ensure built
+    val plan = TextQueries.bm25TopkServe(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "serve plan must not scan the raw corpus:\n" + plan)
+  }
+
+  // ---- q151: positional phrase retrieval --------------------------
+
+  test("q151: phrase hits match exact adjacency recomputed from raw text") {
+    val want = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+      .map { case (id, ts) =>
+        id -> ts.sliding(TextQueries.PhraseTerms.length)
+          .count(_ == TextQueries.PhraseTerms)
+      }
+      .filter(_._2 > 0).sortBy(_._1).map { case (id, n) => (id, n.toLong) }.toSeq
+    val got = TextQueries.phraseIndexServe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"got ${got.take(5)} want ${want.take(5)}")
+    assert(got.nonEmpty, "fixture must contain the pinned phrase")
+  }
+
+  test("q151: serve runs from the stored artifact alone (no corpus rescan)") {
+    TextQueries.phraseIndexServe(spark, sf).collect() // ensure built
+    val plan = TextQueries.phraseIndexServe(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "serve plan must not scan the raw corpus:\n" + plan)
+  }
+
+  // ---- q153: inverse-frequency surprisal --------------------------
+
+  test("q153: scores match the all-integer reference model") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    val cnt = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val tot = cnt.values.sum
+    val want = docs.map { case (id, ts) =>
+      val wsum = ts.map(t => tot / cnt(t)).sum
+      (id, ts.length.toLong, wsum / ts.length)
+    }.sortBy { case (id, _, sp) => (-sp, id) }.take(50).toSeq
+    val got = TextQueries.surprisalScore(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+  }
 }

@@ -774,4 +774,33 @@ class TrainOpsSpec extends SparkSpec {
       if (g == 0) assert(d == 0L && f == 0.0, s"short doc $id must report zeros")
     }
   }
+
+  // ---- q152: cross-source calibrated selection ---------------------
+
+  test("q152: two-level rank matches the naive single-window reference model") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).trim.split("\\s+").distinct.length.toLong))
+    val bySrc = docs.groupBy(_._1)
+    val want = bySrc.toSeq.flatMap { case (src, rows) =>
+      val n = rows.length.toLong
+      rows.sortBy { case (_, id, q) => (q, id) }.zipWithIndex.map {
+        case ((_, id, q), i) =>
+          val cal = if (n == 1) 1000000L else (i.toLong * 1000000L) / (n - 1)
+          (src, id, q, cal)
+      }
+    }.sortBy { case (src, id, _, cal) => (-cal, src, id) }.take(500)
+    val got = TrainQueries.calibratedSelect(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+  }
+
+  test("q152: the calibrated top-k interleaves every source (the fairness property)") {
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    val srcs = TrainQueries.calibratedSelect(spark, sf)
+      .select("source").distinct().count()
+    assert(srcs == nSources,
+      s"calibrated top-k covers $srcs of $nSources sources — raw-score starvation leaked through")
+  }
 }
