@@ -177,6 +177,55 @@ object SimilarityQueries {
       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
       |WHERE rn = 1 ORDER BY id_a""".stripMargin
 
+  /** q156: HARD-NEGATIVE MINING — the contrastive-pair primitive of
+    * embedding-model training data prep: for every anchor vector,
+    * the most similar vector with a DIFFERENT label (the negative
+    * that is actually hard — a random negative teaches nothing).
+    * q47/q55 find the nearest SAME-label neighbor; this is the
+    * complement, and the pair (anchor, hard negative) is what a
+    * triplet/InfoNCE loss consumes.
+    *
+    * Same scale discipline as q55: candidates from the DETERMINISTIC
+    * 8-hyperplane LSH bucket (one bucket-keyed shuffle, never an
+    * all-pairs or label-block product — labels DON'T partition the
+    * join, they only filter inside the bucket), exact cosine re-rank,
+    * and the per-anchor argmax as a partial-aggregating struct max —
+    * the exchange carries ONE row per anchor, nothing sorts. Anchors
+    * whose bucket holds no other label are absent (an index answers
+    * from its own cell — q55's documented semantics). The buckets
+    * are integer-derived, so the ORACLE reproduces them exactly and
+    * the whole query is hash-checked, not rows-only. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", $"embedding",
+        hyperplane_bucket($"embedding", 8, 0).as("bucket"))
+    val a = e.select($"vec_id".as("id_a"), $"label".as("label_a"), $"bucket",
+      $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("id_b"), $"label".as("label_b"), $"bucket",
+      $"embedding".as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter($"label_a" =!= $"label_b") // id inequality is implied
+      .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
+      .groupBy($"id_a")
+      .agg(max(struct($"cosine", (-$"id_b").as("neg_id"), $"id_b".as("id"),
+        $"label_a".as("la"), $"label_b".as("lb"))).as("best"))
+      .select($"id_a", $"best.la".as("label_a"), $"best.id".as("hard_neg_id"),
+        $"best.lb".as("neg_label"), $"best.cosine".as("cosine"))
+      .orderBy($"id_a")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH b AS ($bucketSql)
+      |SELECT id_a, label_a, hard_neg_id, neg_label, cosine FROM (
+      |  SELECT a.vec_id AS id_a, a.label AS label_a, c.vec_id AS hard_neg_id,
+      |    c.label AS neg_label,
+      |    round(list_cosine_similarity(a.e, c.e), 6) AS cosine,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY round(list_cosine_similarity(a.e, c.e), 6) DESC, c.vec_id) AS rn
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.label <> c.label)
+      |WHERE rn = 1 ORDER BY id_a""".stripMargin
+
   /** IVF-style ANN with LEARNED centroids (the upgrade over q48's
     * data-independent hyperplanes; VERDICT r01 noted q47 as the IVF
     * stand-in): spherical k-means (k=16, 5 Lloyd iterations) trained
@@ -1990,6 +2039,7 @@ object SimilarityQueries {
     "q47_nn_within_label" -> (nnWithinLabel _),
     "q48_ann_lsh" -> (annLsh _),
     "q55_nn_lsh" -> (nnLsh _),
+    "q156_hard_negatives" -> (hardNegatives _),
     "q58_ivf_nn" -> (ivfNnValidated _),
     "q74_ivf_topk" -> (ivfTopk _),
     "q92_ivf_stored_nn" -> (ivfStoredNn _),
@@ -2012,6 +2062,7 @@ object SimilarityQueries {
     "q48_ann_lsh" -> annLshSql,
     "q49_embedding_dim_stats" -> embeddingDimStatsSql,
     "q55_nn_lsh" -> nnLshSql,
+    "q156_hard_negatives" -> hardNegativesSql,
     "q58_ivf_nn" -> ivfNnValidatedSql,
     "q76_quantize_embeddings" -> quantizeEmbeddingsSql,
     "q92_ivf_stored_nn" -> ivfStoredNnSql,

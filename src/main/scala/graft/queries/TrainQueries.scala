@@ -1417,6 +1417,234 @@ object TrainQueries {
       |FROM r
       |ORDER BY cal_ppm DESC, source, doc_id LIMIT $k""".stripMargin
 
+  /** One-task exclusive prefix sum over a tiny keyed aggregate — the
+    * q95/q105 offsets construction factored out: rows arrive as
+    * (key, n), leave as (key, offset) with offset = Σ n of all
+    * SMALLER keys. The single deliberate task is bounded by the KEY
+    * DOMAIN (shards, token-length values), never the corpus. */
+  private def prefixOffsets(grouped: DataFrame): DataFrame = {
+    val s = grouped.sparkSession
+    import s.implicits._
+    grouped.coalesce(1).sortWithinPartitions($"key")
+      .select($"key", $"n").as[(Long, Long)]
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (k, n) => val off = acc; acc += n; (k, off) }
+      }.toDF("key", "offset")
+  }
+
+  /** q154: PADDING-WASTE DIAGNOSTIC of batch construction — the
+    * training-efficiency question every fixed-shape trainer asks:
+    * how many pad tokens does a batching policy burn? Documents are
+    * grouped into fixed-size batches of 32 under two policies —
+    * ARRIVAL order (doc_id) and LENGTH-SORTED order (n_tokens,
+    * doc_id), the standard bucketed-batching remedy — and each
+    * batch pads every member to its longest doc. Output: one row per
+    * policy with batch count, total pad tokens, and the pad fraction
+    * in ppm (`pad·10⁶ div (pad + real)`) — ALL-INTEGER, exact
+    * cross-engine. The length-sorted row quantifies exactly how much
+    * compute length-bucketing recovers on this corpus.
+    *
+    * Scale shape: each policy's global rank uses the q95/q105
+    * two-level construction — arrival shards by doc_id RANGE (range,
+    * not hash, so shard order IS id order; step from the footer-stats
+    * max id), length-sorted bands by the n_tokens value itself (the
+    * q85 rule) — local row_number within shard/band + one-task
+    * prefix offsets over the tiny aggregate. NO corpus-wide window
+    * at any scale; the per-batch rollup exchanges corpus/32 keys. */
+  def paddingWaste(s: SparkSession, dir: String, batch: Int = 32): DataFrame = {
+    import s.implicits._
+    val shards = shuffleShards(s)
+    val (_, maxId) = SimilarityQueries.docsFingerprint(s, dir)
+    val step = (maxId + shards.toLong) / shards.toLong // ceil((maxId+1)/shards)
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", TextQueries.tokenCount($"text").as("n_tokens"))
+
+    def ranked(withKey: DataFrame, order: Seq[Column]): DataFrame = {
+      val wLocal = Window.partitionBy($"key").orderBy(order: _*)
+      val offs = prefixOffsets(withKey.groupBy($"key").agg(count(lit(1)).as("n")))
+      withKey.withColumn("local", row_number().over(wLocal).cast("long"))
+        .join(broadcast(offs), Seq("key"))
+        .select($"n_tokens", expr(s"(offset + local - 1) div $batch").as("batch"))
+    }
+    val arrival = ranked(base.withColumn("key", expr(s"doc_id div $step")),
+      Seq($"doc_id"))
+    val bylen = ranked(base.withColumn("key", $"n_tokens"), Seq($"doc_id"))
+
+    def rollup(r: DataFrame, name: String): DataFrame =
+      r.groupBy($"batch")
+        .agg(count(lit(1)).as("cnt"), max($"n_tokens").as("mx"),
+          sum($"n_tokens").as("sm"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum($"cnt" * $"mx" - $"sm").as("total_pad"),
+          sum($"sm").as("tot"))
+        .select(lit(name).as("policy"), $"n_batches", $"total_pad",
+          expr("(total_pad * 1000000) div (total_pad + tot)").as("pad_ppm"))
+    rollup(arrival, "arrival").unionByName(rollup(bylen, "length_sorted"))
+      .orderBy($"policy")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def paddingWasteSql(batch: Int = 32): String =
+    s"""WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |ra AS (
+      |  SELECT n_tokens,
+      |    (row_number() OVER (ORDER BY doc_id) - 1) // $batch AS batch FROM q),
+      |rl AS (
+      |  SELECT n_tokens,
+      |    (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // $batch AS batch FROM q),
+      |ba AS (
+      |  SELECT batch, count(*) AS cnt, max(n_tokens) AS mx,
+      |    CAST(sum(n_tokens) AS BIGINT) AS sm FROM ra GROUP BY batch),
+      |bl AS (
+      |  SELECT batch, count(*) AS cnt, max(n_tokens) AS mx,
+      |    CAST(sum(n_tokens) AS BIGINT) AS sm FROM rl GROUP BY batch),
+      |ta AS (
+      |  SELECT 'arrival' AS policy, count(*) AS n_batches,
+      |    CAST(sum(cnt * mx - sm) AS BIGINT) AS total_pad,
+      |    CAST(sum(sm) AS BIGINT) AS tot FROM ba),
+      |tl AS (
+      |  SELECT 'length_sorted' AS policy, count(*) AS n_batches,
+      |    CAST(sum(cnt * mx - sm) AS BIGINT) AS total_pad,
+      |    CAST(sum(sm) AS BIGINT) AS tot FROM bl)
+      |SELECT policy, n_batches, total_pad,
+      |  CAST((total_pad * 1000000) // (total_pad + tot) AS BIGINT) AS pad_ppm
+      |FROM (SELECT * FROM ta UNION ALL SELECT * FROM tl)
+      |ORDER BY policy""".stripMargin
+
+  /** q155: DATA-CONSTRAINED EPOCH ALLOCATION (waterfilling) — the
+    * "how many epochs of each source" step of a token-budgeted run
+    * when repetition is capped (the data-constrained-scaling recipe:
+    * repeating data helps up to a few epochs, then stops): allocate a
+    * token budget B = (19·T) div 10 (1.9 corpus passes — derived from
+    * the corpus so the op binds at every SF, and close enough to the
+    * 2-epoch cap that the SMALLEST sources hit it under the
+    * temperature upweighting — both branches fire on the fixture,
+    * checked at both gate SFs) across sources under
+    * sqrt-temperature weights (q124's rule, upweighting small
+    * sources) with a HARD per-source cap of `rep` = 2 epochs. Exact
+    * integer waterfilling: sources sorted by the pinned ratio key
+    * `(cap·10⁹) div w` fill until their cap binds — a source is
+    * capped iff its fair share of the remaining budget exceeds its
+    * cap ((B − Cprev)·w > cap·Wfrom, exact BIGINT cross-products),
+    * and the capped set is the running-AND prefix (min-over-flag
+    * window) of that test in ratio order; the remaining budget
+    * splits among uncapped sources by largest remainder (q124's
+    * apportionment), so Σ alloc = B EXACTLY. `epochs_milli` =
+    * (alloc·1000) div n_tokens is the per-source repetition factor
+    * the training loader consumes. ALL-INTEGER except the correctly-
+    * rounded `floor(sqrt)` weight (the q124 surrogate rule).
+    *
+    * Scale shape: ONE map-side-combined per-source token aggregate
+    * is the only corpus-sized step; every window below it runs over
+    * the ≤|sources|-row frame (the q70/q124 bounded-frame rule).
+    * (At extreme corpora the BIGINT cross-products bound the token
+    * unit: T^1.5 must stay below 2⁶³ — beyond ~4·10¹² tokens,
+    * express budgets in kilo-tokens; semantics unchanged.) */
+  def epochAllocation(s: SparkSession, dir: String, rep: Long = 2L): DataFrame = {
+    import s.implicits._
+    epochAllocationOver(
+      Tables.documents(s, dir)
+        .select($"source", TextQueries.tokenCount($"text").as("nt"))
+        .groupBy($"source").agg(sum($"nt").as("n_tokens")),
+      rep)
+  }
+
+  /** q155's waterfilling core over an injectable (source, n_tokens)
+    * frame — specs pin the capped/uncapped split, sum-to-budget, and
+    * cap-respect theorems on hand-built counts (the q124 rule). */
+  private[graft] def epochAllocationOver(src0: DataFrame, rep: Long): DataFrame = {
+    val s = src0.sparkSession
+    import s.implicits._
+    val src = src0
+      .withColumn("w", floor(sqrt($"n_tokens".cast("double"))).cast("long"))
+      .withColumn("cap", $"n_tokens" * rep)
+    val keyed = src.crossJoin(broadcast(src.agg(sum($"n_tokens").as("t"))))
+      .withColumn("budget", expr("(19 * t) div 10"))
+      .withColumn("ratio_key", expr("(cap * 1000000000) div w"))
+    // every window below runs over the ≤|sources|-row frame — the
+    // empty partition spec is deliberate (the q124 rule)
+    val wOrd = Window.orderBy($"ratio_key", $"source")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wFrom = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val marked = keyed
+      .withColumn("cprev", coalesce(sum($"cap").over(wPrev), lit(0L)))
+      .withColumn("wfrom", sum($"w").over(wFrom))
+      .withColumn("flag",
+        when($"cap" * $"wfrom" < ($"budget" - $"cprev") * $"w", 1L).otherwise(0L))
+      .withColumn("capped", min($"flag").over(wRun))
+      .withColumn("ccap", coalesce(sum(when($"capped" === 1L, $"cap")).over(wAll), lit(0L)))
+      .withColumn("wun", coalesce(sum(when($"capped" === 0L, $"w")).over(wAll), lit(0L)))
+      .withColumn("brem", $"budget" - $"ccap")
+      .withColumn("base",
+        when($"capped" === 1L, $"cap").otherwise(expr("(brem * w) div wun")))
+      .withColumn("rem",
+        when($"capped" === 1L, lit(-1L)).otherwise(expr("(brem * w) % wun")))
+    val wRem = Window.orderBy($"rem".desc, $"source")
+    marked
+      .withColumn("rk", row_number().over(wRem).cast("long"))
+      .withColumn("leftover",
+        $"brem" - sum(when($"capped" === 0L, $"base").otherwise(lit(0L))).over(wAll))
+      .withColumn("alloc_tokens",
+        when($"capped" === 1L, $"cap")
+          .otherwise($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L)))
+      .select($"source", $"n_tokens", $"cap".as("cap_tokens"), $"alloc_tokens",
+        expr("(alloc_tokens * 1000) div n_tokens").as("epochs_milli"))
+      .orderBy($"source")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def epochAllocationSql(rep: Long = 2L): String =
+    s"""WITH c AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |k AS (
+      |  SELECT source, n_tokens, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w,
+      |    n_tokens * $rep AS cap, CAST(sum(n_tokens) OVER () AS BIGINT) AS t
+      |  FROM c),
+      |b AS (
+      |  SELECT *, (19 * t) // 10 AS budget, (cap * 1000000000) // w AS ratio_key FROM k),
+      |m AS (
+      |  SELECT *,
+      |    CAST(coalesce(sum(cap) OVER (ORDER BY ratio_key, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cprev,
+      |    CAST(sum(w) OVER (ORDER BY ratio_key, source
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS wfrom
+      |  FROM b),
+      |f AS (
+      |  SELECT *, CASE WHEN cap * wfrom < (budget - cprev) * w THEN 1 ELSE 0 END AS flag
+      |  FROM m),
+      |g AS (
+      |  SELECT *, min(flag) OVER (ORDER BY ratio_key, source
+      |    ROWS UNBOUNDED PRECEDING) AS capped FROM f),
+      |t2 AS (
+      |  SELECT *,
+      |    CAST(coalesce(sum(CASE WHEN capped = 1 THEN cap END) OVER (), 0) AS BIGINT) AS ccap,
+      |    CAST(coalesce(sum(CASE WHEN capped = 0 THEN w END) OVER (), 0) AS BIGINT) AS wun
+      |  FROM g),
+      |a AS (
+      |  SELECT *, budget - ccap AS brem,
+      |    CASE WHEN capped = 1 THEN cap ELSE ((budget - ccap) * w) // wun END AS base,
+      |    CASE WHEN capped = 1 THEN -1 ELSE ((budget - ccap) * w) % wun END AS rem
+      |  FROM t2),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+      |    CAST(brem - sum(CASE WHEN capped = 0 THEN base ELSE 0 END) OVER () AS BIGINT) AS leftover
+      |  FROM a)
+      |SELECT source, n_tokens, cap AS cap_tokens,
+      |  CAST(CASE WHEN capped = 1 THEN cap
+      |       ELSE base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
+      |  CAST((CASE WHEN capped = 1 THEN cap
+      |        ELSE base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END END * 1000) // n_tokens
+      |    AS BIGINT) AS epochs_milli
+      |FROM r ORDER BY source""".stripMargin
+
   /** q94: DETERMINISTIC TRAIN/VAL/TEST SPLIT ASSIGNMENT — the
     * split step every training pipeline runs before anything touches
     * the data. Membership is a pure function of the PRIMARY KEY
@@ -1886,6 +2114,8 @@ object TrainQueries {
     "q143_assembly_funnel" -> ((s: org.apache.spark.sql.SparkSession, dir: String) => assemblyFunnel(s, dir)),
     "q85_budget_select" -> ((s: SparkSession, dir: String) => budgetSelect(s, dir)),
     "q152_calibrated_select" -> ((s: SparkSession, dir: String) => calibratedSelect(s, dir)),
+    "q154_padding_waste" -> ((s: SparkSession, dir: String) => paddingWaste(s, dir)),
+    "q155_epoch_allocation" -> ((s: SparkSession, dir: String) => epochAllocation(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1900,6 +2130,8 @@ object TrainQueries {
     "q75_source_mix" -> sourceMixSql,
     "q124_mixture_allocation" -> mixtureAllocationSql(),
     "q152_calibrated_select" -> calibratedSelectSql(),
+    "q154_padding_waste" -> paddingWasteSql(),
+    "q155_epoch_allocation" -> epochAllocationSql(),
     "q78_doc_chunks" -> docChunksSql,
     "q108_chunk_dedup" -> chunkDedupSql,
     "q126_split_chunk_leakage" -> splitChunkLeakageSql,

@@ -418,4 +418,34 @@ class ExpressionsSpec extends SparkSpec {
       (4L, 2L, 4L, true), (5L, 2L, 4L, false),
       (6L, 1L, 6L, true)))
   }
+
+  test("q156 hard negatives: argmax output equals the naive window form, labels differ") {
+    import org.apache.spark.sql.functions.{round => rnd}
+    val got = SimilarityQueries.hardNegatives(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { case (la, _, lb, cos) =>
+      assert(la != lb, "a hard negative must carry a different label")
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+    // reference: the same bucket-candidate set ranked by the naive
+    // row_number window (the form the argmax rewrite replaces)
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding",
+        hyperplane_bucket($"embedding", 8, 0).as("bucket"))
+    val a = e.select($"vec_id".as("id_a"), $"label".as("label_a"), $"bucket",
+      $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("id_b"), $"label".as("label_b"), $"bucket",
+      $"embedding".as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id_a").orderBy($"cosine".desc, $"id_b")
+    val want = a.join(b, Seq("bucket"))
+      .filter($"label_a" =!= $"label_b")
+      .withColumn("cosine", rnd(cosine_similarity($"emb_a", $"emb_b"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"id_a", $"label_a", $"id_b", $"label_b", $"cosine").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(got == want, "argmax rewrite must equal the window form exactly")
+  }
 }

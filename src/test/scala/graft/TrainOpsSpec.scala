@@ -775,6 +775,73 @@ class TrainOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q154: padding-waste diagnostic ------------------------------
+
+  test("q154: both policies match the naive-window reference model") {
+    val lens = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+    def model(ordered: Seq[Long], name: String): (String, Long, Long, Long) = {
+      val batches = ordered.grouped(32).toSeq
+      val pad = batches.map(b => b.length * b.max - b.sum).sum
+      val tot = ordered.sum
+      (name, batches.length.toLong, pad, pad * 1000000L / (pad + tot))
+    }
+    val want = Seq(
+      model(lens.sortBy(_._1).map(_._2).toSeq, "arrival"),
+      model(lens.sortBy(x => (x._2, x._1)).map(_._2).toSeq, "length_sorted"))
+    val got = TrainQueries.paddingWaste(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("q154: length-sorted batching never pads more than arrival order") {
+    val rows = TrainQueries.paddingWaste(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows("length_sorted") <= rows("arrival"),
+      s"length bucketing should reduce padding: $rows")
+  }
+
+  // ---- q155: data-constrained epoch allocation ----------------------
+
+  test("q155: constructed waterfill — small source caps, big source absorbs the rest") {
+    // a: 100 tokens (w=10, cap 200), b: 10000 (w=100, cap 20000);
+    // T=10100, B=19190. In ratio order a fills first: fair share
+    // 19190*10/110 > 200 => capped at 200; b takes 18990 < cap.
+    val src = Seq(("a", 100L), ("b", 10000L)).toDF("source", "n_tokens")
+    val got = TrainQueries.epochAllocationOver(src, rep = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("a", 200L, 2000L), ("b", 18990L, 1899L)), got.toString)
+  }
+
+  test("q155: largest-remainder keeps the sum exactly at budget across uncapped ties") {
+    // three equal sources, none capped: B = (19*300) div 10 = 570;
+    // base = 570*17 div 51 = 190 each, leftover 0 — then a fourth
+    // tiny source forces remainders: T=310, B=589, w=(10,10,10,3),
+    // caps (200,200,200,20): tiny caps (fair 589*3/33=53>20);
+    // Brem=569, W=30 → base 189 rem 17 each, leftover 569-567=2 →
+    // first two sources by (rem desc, source) get +1.
+    val src = Seq(("s1", 100L), ("s2", 100L), ("s3", 100L), ("tiny", 10L))
+      .toDF("source", "n_tokens")
+    val got = TrainQueries.epochAllocationOver(src, rep = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(got("tiny") == 20L, got.toString)
+    assert(got("s1") == 190L && got("s2") == 190L && got("s3") == 189L, got.toString)
+    assert(got.values.sum == 589L, s"sum must hit budget exactly: $got")
+  }
+
+  test("q155 fixture: every source present, alloc <= cap, sum-to-budget exact") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.select(explode(split(trim($"text"), "\\s+"))).count()
+    val rows = TrainQueries.epochAllocation(spark, sf).collect()
+    assert(rows.length == docs.select("source").distinct().count())
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"alloc beats cap: $r")
+    }
+    assert(rows.map(_.getLong(3)).sum == (19L * total) / 10L,
+      "allocations must sum exactly to the derived budget")
+  }
+
   // ---- q152: cross-source calibrated selection ---------------------
 
   test("q152: two-level rank matches the naive single-window reference model") {
