@@ -1122,6 +1122,125 @@ object DedupQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // ---- q158: stored near-dup index + batch screening serve ----------
+
+  /** Pinned constants of the standing near-dup index (the oracle
+    * reproduces all three verbatim). */
+  private[graft] val NdiRareCap = 10
+  private[graft] val NdiBatchSource = "src19"
+  private[graft] val NdiThresholdPermille = 300L
+
+  /** q158: NEAR-DUP SCREENING AGAINST A STANDING INDEX — q84's
+    * near-duplicate sibling, and the ingest-time question a running
+    * pipeline actually asks: "which documents of TONIGHT'S batch
+    * near-duplicate something already in the corpus?" — without
+    * rescanning the corpus. The standing artifact is the history's
+    * 8-gram fingerprint postings (fp, df, doc_id) — df DENORMALIZED
+    * onto the row (q150's layout rule) so serve-time anchor pruning
+    * (df ≤ $NdiRareCap, q133's rare-anchor recall contract: common
+    * boilerplate grams are stop-listed as candidate sources, per-
+    * anchor fan-out capped at df·|batch-side|) is a row predicate,
+    * not a join — plus a (doc_id, n_grams) counts sidecar for exact
+    * Jaccard denominators. Serve computes the batch slice's grams
+    * fresh (the batch is NOT in the index), probes rare anchors on
+    * the 8-byte key, then computes the TRUE intersection only for
+    * candidates via doc-keyed joins (q133's verify shape) and
+    * reports pairs with Jaccard ≥ 0.3 in the integer half-up 4 dp
+    * rule. Exchanges carry gram fingerprints and candidate ids —
+    * never texts, never the corpus (the index is build-once,
+    * fingerprint-stamped, rebuild-on-drift like q92/q134).
+    *
+    * The ORACLE recomputes the whole thing from raw documents with
+    * the same gram fold, anchor cap, and threshold — so the stored
+    * postings, the denormalized df, and the counts sidecar must all
+    * round-trip exactly. */
+  def neardupIndexServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_ndi_q158_${SimilarityQueries.tableSuffix(dir)}"
+    if (SimilarityQueries.needsBuildOrStale(s,
+        SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
+        tbl, s"${tbl}_counts", s"${tbl}_meta")) {
+      val hist = Tables.documents(s, dir)
+        .filter($"source" =!= NdiBatchSource).select($"doc_id", $"text")
+      val g = TrainQueries.gramFps(hist, n = 8)
+      val dfs = g.groupBy($"fp").agg(count(lit(1)).as("df"))
+      g.join(dfs, Seq("fp")).select($"fp", $"df", $"doc_id")
+        .write.mode("overwrite")
+        .bucketBy(32, "fp").sortBy("fp", "doc_id")
+        .format("parquet").saveAsTable(tbl)
+      g.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+        .write.mode("overwrite")
+        .bucketBy(32, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(s"${tbl}_counts")
+      val (srcRows, srcMaxId) = SimilarityQueries.docsFingerprint(s, dir)
+      s.table(tbl).agg(count(lit(1)).as("n_postings"),
+          count_distinct($"fp").as("n_grams"))
+        .withColumn("src_rows", lit(srcRows))
+        .withColumn("src_max_id", lit(srcMaxId))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${tbl}_meta")
+    }
+    val p = s.table(tbl)
+    val cnt = s.table(s"${tbl}_counts")
+    val batch = Tables.documents(s, dir)
+      .filter($"source" === NdiBatchSource).select($"doc_id", $"text")
+    val bg = TrainQueries.gramFps(batch, n = 8)
+    val bsz = bg.groupBy($"doc_id").agg(count(lit(1)).as("nb"))
+    val cand = bg.select($"fp", $"doc_id".as("batch_id"))
+      .join(p.filter($"df" <= NdiRareCap).select($"fp", $"doc_id".as("hist_id")), Seq("fp"))
+      .select($"batch_id", $"hist_id").distinct()
+    val inter = cand
+      .join(bg.select($"doc_id".as("batch_id"), $"fp"), Seq("batch_id"))
+      .join(p.select($"doc_id".as("hist_id"), $"fp"), Seq("hist_id", "fp"))
+      .groupBy($"batch_id", $"hist_id").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(bsz.select($"doc_id".as("batch_id"), $"nb"), Seq("batch_id"))
+      .join(cnt.select($"doc_id".as("hist_id"), $"n_grams".as("nh")), Seq("hist_id"))
+      .filter($"n_shared" * 1000L >= lit(NdiThresholdPermille) * ($"nb" + $"nh" - $"n_shared"))
+      .select($"batch_id", $"hist_id", $"nb", $"nh", $"n_shared",
+        (expr("(20000 * n_shared + (nb + nh - n_shared)) div (2 * (nb + nh - n_shared))") / 10000.0)
+          .as("jaccard"))
+      .orderBy($"batch_id", $"hist_id")
+  }
+
+  /** Oracle: the q133 gram CTE split by source, the same anchor cap,
+    * true-intersection chain, and threshold — recomputed from raw
+    * documents so the stored artifact must round-trip exactly. */
+  val neardupIndexServeSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(toks) - 6, 1)),
+      |      i -> ${TextQueries.fingerprintSql("array_to_string(toks[i : i+7], ' ')")}))) AS fp
+      |  FROM t WHERE len(toks) >= 8),
+      |hg AS (SELECT doc_id, fp FROM g WHERE source <> '$NdiBatchSource'),
+      |bg AS (SELECT doc_id, fp FROM g WHERE source = '$NdiBatchSource'),
+      |hdf AS (SELECT fp, count(*) AS df FROM hg GROUP BY fp),
+      |hsz AS (SELECT doc_id, count(*) AS nh FROM hg GROUP BY doc_id),
+      |bsz AS (SELECT doc_id, count(*) AS nb FROM bg GROUP BY doc_id),
+      |cand AS (
+      |  SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+      |  FROM bg b JOIN hg h USING (fp) JOIN hdf USING (fp)
+      |  WHERE hdf.df <= $NdiRareCap),
+      |inter AS (
+      |  SELECT c.batch_id, c.hist_id, count(*) AS n_shared
+      |  FROM cand c
+      |  JOIN bg ON bg.doc_id = c.batch_id
+      |  JOIN hg ON hg.doc_id = c.hist_id AND hg.fp = bg.fp
+      |  GROUP BY c.batch_id, c.hist_id)
+      |SELECT i.batch_id, i.hist_id,
+      |  CAST(b.nb AS BIGINT) AS nb, CAST(h.nh AS BIGINT) AS nh,
+      |  CAST(i.n_shared AS BIGINT) AS n_shared,
+      |  ((20000 * i.n_shared + (b.nb + h.nh - i.n_shared))
+      |    // (2 * (b.nb + h.nh - i.n_shared))) / 10000.0 AS jaccard
+      |FROM inter i
+      |JOIN bsz b ON b.doc_id = i.batch_id
+      |JOIN hsz h ON h.doc_id = i.hist_id
+      |WHERE i.n_shared * 1000 >= $NdiThresholdPermille * (b.nb + h.nh - i.n_shared)
+      |ORDER BY batch_id, hist_id""".stripMargin
+
   /** Oracle: the q122 gram CTE verbatim (same fingerprint fold), then
     * the same anchor/candidate/intersection chain in SQL. */
   val containmentPairsSql: String =
@@ -1165,6 +1284,7 @@ object DedupQueries {
     "q66_dedup_clusters" -> (dedupClusters _),
     "q82_dedup_impact" -> (dedupImpact _),
     "q84_incremental_ingest" -> (incrementalIngest _),
+    "q158_neardup_index_serve" -> (neardupIndexServe _),
     "q40_exact_dedup" -> (exactDedup _),
     "q41_fingerprint_dedup" -> (exactDedupByFingerprint _),
     "q123_normalized_dedup" -> (normalizedDedup _),
@@ -1187,6 +1307,7 @@ object DedupQueries {
     "q106_semantic_dedup" -> semanticDedupSql,
     "q82_dedup_impact" -> dedupImpactSql,
     "q84_incremental_ingest" -> incrementalIngestSql,
+    "q158_neardup_index_serve" -> neardupIndexServeSql,
     "q43_minhash_dedup" -> minhashDedupValidatedSql,
     "q44_simhash_pairs" -> simhashPairsValidatedSql,
     "q45_embedding_neardups" -> embeddingNearDupsSql,

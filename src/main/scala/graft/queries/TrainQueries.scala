@@ -1417,6 +1417,63 @@ object TrainQueries {
       |FROM r
       |ORDER BY cal_ppm DESC, source, doc_id LIMIT $k""".stripMargin
 
+  /** q157: CLUSTER-CONSISTENT SPLIT ASSIGNMENT — the leakage-SAFE
+    * split: q126 DETECTS near-duplicate chunks straddling train/test;
+    * this PREVENTS the document-level version by keying the q94
+    * hash-threshold split on the dedup CLUSTER representative
+    * (q66's min-label component id) instead of the doc's own id — a
+    * document and all its near-duplicates land in the same split BY
+    * CONSTRUCTION, so an eval doc can never have a training-set twin.
+    * Keeps q94's virtues (disjoint+exhaustive, growth-stable,
+    * retry-stable) at cluster granularity. Output is the integrity
+    * report: per split, docs, clusters, and how many docs MOVED
+    * relative to the naive per-doc split — the measured cost of
+    * leakage-safety.
+    *
+    * Plan: the pair graph + components are q66's established cost
+    * (O(log d) label-propagation rounds); the report adds one
+    * 3-key aggregate with a map-side-combined distinct on 8-byte
+    * cluster ids. Oracle composes q66's recursive-CTE closure with
+    * q94's split CASE — engine components and oracle closure must
+    * agree on every label for the 3-row report to hash-match. */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame =
+    clusterSplitOver(DedupQueries.clusterLabels(s, dir))
+
+  /** q157's report core over any (doc_id, cluster_id) label frame —
+    * specs pin the straddle-prevention theorem on constructed
+    * clusters whose members' naive splits disagree. */
+  private[graft] def clusterSplitOver(labels: DataFrame): DataFrame = {
+    val s = labels.sparkSession
+    import s.implicits._
+    labels
+      .withColumn("split", splitOf($"cluster_id"))
+      .withColumn("moved", splitOf($"doc_id") =!= $"split")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct($"cluster_id").as("n_clusters"),
+        sum(when($"moved", 1L).otherwise(0L)).as("n_moved"))
+      .orderBy($"split")
+  }
+
+  /** Oracle COMPOSES q66's closure + q94's split CASE (the one
+    * definition of each — a change to either updates this too). */
+  lazy val clusterSplitSql: String = {
+    def splitCase(k: String): String =
+      s"""CASE WHEN ($k % 1000000007) * 2654435761 % 1000000007 % 1000 < 980 THEN 'train'
+         |         WHEN ($k % 1000000007) * 2654435761 % 1000000007 % 1000 < 990 THEN 'val'
+         |         ELSE 'test' END""".stripMargin
+    s"""WITH labels AS (SELECT * FROM (${DedupQueries.dedupClustersSql})),
+      |a AS (
+      |  SELECT doc_id, cluster_id,
+      |    ${splitCase("cluster_id")} AS split,
+      |    ${splitCase("doc_id")} AS naive
+      |  FROM labels)
+      |SELECT split, count(*) AS n_docs,
+      |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+      |  CAST(sum(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+      |FROM a GROUP BY split ORDER BY split""".stripMargin
+  }
+
   /** One-task exclusive prefix sum over a tiny keyed aggregate — the
     * q95/q105 offsets construction factored out: rows arrive as
     * (key, n), leave as (key, offset) with offset = Σ n of all
@@ -2116,6 +2173,7 @@ object TrainQueries {
     "q152_calibrated_select" -> ((s: SparkSession, dir: String) => calibratedSelect(s, dir)),
     "q154_padding_waste" -> ((s: SparkSession, dir: String) => paddingWaste(s, dir)),
     "q155_epoch_allocation" -> ((s: SparkSession, dir: String) => epochAllocation(s, dir)),
+    "q157_cluster_split" -> (clusterSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2132,6 +2190,7 @@ object TrainQueries {
     "q152_calibrated_select" -> calibratedSelectSql(),
     "q154_padding_waste" -> paddingWasteSql(),
     "q155_epoch_allocation" -> epochAllocationSql(),
+    "q157_cluster_split" -> clusterSplitSql,
     "q78_doc_chunks" -> docChunksSql,
     "q108_chunk_dedup" -> chunkDedupSql,
     "q126_split_chunk_leakage" -> splitChunkLeakageSql,

@@ -775,6 +775,35 @@ class TrainOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q157: cluster-consistent split -------------------------------
+
+  test("q157: a cluster straddling naive splits lands whole in the rep's split") {
+    // find a doc id whose NAIVE split is not train (sampleKey >= 980)
+    val ids = (0L until 5000L)
+    val naive = ids.toDF("doc_id")
+      .select($"doc_id", TrainQueries.splitOf($"doc_id").as("s"))
+      .as[(Long, String)].collect().toMap
+    val heldOut = ids.find(i => naive(i) != "train").get
+    val trainId = ids.find(i => naive(i) == "train").get
+    // cluster {trainId, heldOut} with rep = min — every member must
+    // take the REP's split, and exactly the disagreeing member moves
+    val rep = math.min(trainId, heldOut)
+    val labels = Seq((trainId, rep), (heldOut, rep)).toDF("doc_id", "cluster_id")
+    val got = TrainQueries.clusterSplitOver(labels)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((naive(rep), 2L, 1L, 1L)),
+      s"cluster must land whole in ${naive(rep)}: $got")
+  }
+
+  test("q157 fixture: doc counts conserve and moved docs are a strict minority") {
+    val rows = TrainQueries.clusterSplit(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs, "every document gets exactly one split")
+    val moved = rows.map(_._4).sum
+    assert(moved < nDocs / 10, s"only cluster-minority members should move: $moved of $nDocs")
+  }
+
   // ---- q154: padding-waste diagnostic ------------------------------
 
   test("q154: both policies match the naive-window reference model") {
