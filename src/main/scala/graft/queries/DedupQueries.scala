@@ -1179,11 +1179,23 @@ object DedupQueries {
         .withColumn("src_max_id", lit(srcMaxId))
         .write.mode("overwrite").format("parquet").saveAsTable(s"${tbl}_meta")
     }
-    val p = s.table(tbl)
-    val cnt = s.table(s"${tbl}_counts")
-    val batch = Tables.documents(s, dir)
-      .filter($"source" === NdiBatchSource).select($"doc_id", $"text")
-    val bg = TrainQueries.gramFps(batch, n = 8)
+    screenAgainstIndex(
+      Tables.documents(s, dir)
+        .filter($"source" === NdiBatchSource).select($"doc_id", $"text"),
+      s.table(tbl), s.table(s"${tbl}_counts"))
+  }
+
+  /** q158's serve chain over any (doc_id, text) batch frame and the
+    * stored (fp, df, doc_id) postings + (doc_id, n_grams) counts —
+    * ONE definition shared by the registered batch query and the
+    * streaming ingest guard ([[graft.streaming.Pipeline
+    * .screenNeardupBatch]]), so stream ≡ batch screening is
+    * structural, not coincidental (the postingsOf rule). */
+  private[graft] def screenAgainstIndex(batchDocs: DataFrame,
+      p: DataFrame, cnt: DataFrame): DataFrame = {
+    val s = batchDocs.sparkSession
+    import s.implicits._
+    val bg = TrainQueries.gramFps(batchDocs, n = 8)
     val bsz = bg.groupBy($"doc_id").agg(count(lit(1)).as("nb"))
     val cand = bg.select($"fp", $"doc_id".as("batch_id"))
       .join(p.filter($"df" <= NdiRareCap).select($"fp", $"doc_id".as("hist_id")), Seq("fp"))

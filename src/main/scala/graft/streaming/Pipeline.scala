@@ -417,6 +417,47 @@ object Pipeline {
         upsertVectorsBatch(batch, table)
       }
 
+  /** STREAMING NEAR-DUP SCREENING — q158's ingest-time guard running
+    * continuously: each micro-batch of (doc_id, text) documents is
+    * screened against the STANDING gram index through the ONE shared
+    * serve chain ([[graft.queries.DedupQueries.screenAgainstIndex]] —
+    * stream ≡ batch screening is structural), and flagged pairs
+    * append to a report table. Effectively-once: the report is
+    * anti-joined on the (batch_id, hist_id) pair key before the
+    * append, so an at-least-once replay cannot double-report (the
+    * upsertPostingsBatch rule). The index itself is NOT mutated —
+    * screening is a read-side guard; admission/indexing of survivors
+    * is the separate postingsWriter/upsert path. */
+  def screenNeardupBatch(batch: DataFrame, indexTable: String,
+      reportTable: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val hits = graft.queries.DedupQueries.screenAgainstIndex(
+      batch.select(col("doc_id"), col("text")),
+      s.table(indexTable), s.table(s"${indexTable}_counts"))
+    val fresh =
+      if (s.catalog.tableExists(reportTable))
+        hits.join(s.table(reportTable).select($"batch_id", $"hist_id"),
+          Seq("batch_id", "hist_id"), "left_anti")
+      else hits
+    fresh.write.mode("append").format("parquet").saveAsTable(reportTable)
+  }
+
+  /** The streaming writer over [[screenNeardupBatch]]: documents
+    * stream in, near-dup flags against the standing corpus append to
+    * the report — the q158 screen as a continuous ingest guard. */
+  def neardupScreenWriter(docs: DataFrame, indexTable: String,
+      reportTable: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+  : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        screenNeardupBatch(batch, indexTable, reportTable)
+      }
+
   /** Compaction: rewrite the streaming sink's per-batch layout into
     * the analytical hour-partitioned table (K2's intended layout).
     * F3 time-range queries over the compacted table partition-prune —

@@ -501,4 +501,42 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(streamMap.values.exists(_._2) && streamMap.values.exists(!_._2))
     } finally q.stop()
   }
+
+  test("streaming near-dup screen ≡ the q158 batch screen; replay cannot double-report") {
+    // q158's ingest guard running continuously: the batch slice
+    // streams through neardupScreenWriter in three micro-batches
+    // against the standing index; the appended report must equal the
+    // registered batch query's rows (shared serve chain — structural
+    // parity), and re-screening a seen batch must add nothing.
+    implicit val sqlCtx = spark.sqlContext
+    val reportTbl = s"graft_ndi_report_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft-ndi-ckpt").toString
+    val indexTbl = s"graft_ndi_q158_${graft.queries.SimilarityQueries.tableSuffix(sf)}"
+    try {
+      val want = graft.queries.DedupQueries.neardupIndexServe(spark, sf)
+        .collect() // also guarantees the standing index is built
+      val batchDocs = Tables.documents(spark, sf)
+        .filter($"source" === graft.queries.DedupQueries.NdiBatchSource)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.Pipeline.neardupScreenWriter(
+        mem.toDF().toDF("doc_id", "text"), indexTbl, reportTbl, ckpt,
+        Trigger.ProcessingTime("1 second")).start()
+      try {
+        val third = math.max(1, batchDocs.size / 3)
+        batchDocs.grouped(third).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(reportTbl).collect()
+      assert(got.map(_.toSeq).toSet == want.map(_.toSeq).toSet,
+        s"stream report (${got.length}) must equal batch screen (${want.length})")
+      assert(want.nonEmpty, "fixture must yield at least one screened pair")
+      // at-least-once replay: re-screening the full batch adds nothing
+      graft.streaming.Pipeline.screenNeardupBatch(
+        batchDocs.toDF("doc_id", "text"), indexTbl, reportTbl)
+      assert(spark.table(reportTbl).count() == got.length,
+        "replayed screen must be a no-op")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $reportTbl")
+    }
+  }
 }
