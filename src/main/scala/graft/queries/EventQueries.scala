@@ -1702,7 +1702,116 @@ object EventQueries {
       |FROM events
       |GROUP BY 1, 2, 3 ORDER BY event_type, bucket""".stripMargin
 
+  /** Pinned recency anchor + half-life (the oracle reproduces both).
+    * The anchor is a constant, not now(): sampling membership must be
+    * a PURE function of (event_id, event date) so refreshes are
+    * incremental and retries deterministic (the q94 rule); a
+    * production run re-pins the anchor per snapshot. */
+  private[graft] val RecencyAnchor = "2024-01-31"
+
+  /** q159: RECENCY-WEIGHTED SAMPLING — the freshness-biased draw a
+    * training pipeline runs over event/telemetry history: keep-rate
+    * HALVES per 7-day age bucket (800‰ this week, 400‰ last week, …,
+    * 50‰ at 4 weeks, 0 past the 5-bucket horizon — stale data ages
+    * out entirely). Membership is hash-threshold (q94's sampleKey)
+    * against the bucket rate — deterministic, growth-stable (new
+    * events never flip an old event's membership), retry/AQE-stable,
+    * no rand(). Output is the per-bucket admission report. ALL-
+    * INTEGER; the age→rate CASE is pinned verbatim in the oracle.
+    * Scale: stateless map-side predicate + one ≤6-key aggregate. */
+  def recencySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id",
+        datediff(lit(RecencyAnchor).cast("date"), to_date($"ts")).cast("long").as("age_days"))
+      .filter($"age_days" >= 0L) // events after the anchor are out of scope
+      .withColumn("bucket", expr("age_days div 7"))
+      .withColumn("rate_permille",
+        when($"bucket" === 0L, 800L).when($"bucket" === 1L, 400L)
+          .when($"bucket" === 2L, 200L).when($"bucket" === 3L, 100L)
+          .when($"bucket" === 4L, 50L).otherwise(0L))
+      .withColumn("h", TrainQueries.sampleKey($"event_id"))
+      .groupBy($"bucket", $"rate_permille")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"h" < $"rate_permille", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"bucket")
+  }
+
+  val recencySampleSql: String =
+    s"""WITH e AS (
+      |  SELECT event_id,
+      |    date_diff('day', CAST(ts AS DATE), DATE '$RecencyAnchor') AS age_days
+      |  FROM events),
+      |b AS (
+      |  SELECT age_days // 7 AS bucket,
+      |    CASE age_days // 7 WHEN 0 THEN 800 WHEN 1 THEN 400 WHEN 2 THEN 200
+      |         WHEN 3 THEN 100 WHEN 4 THEN 50 ELSE 0 END AS rate_permille,
+      |    (event_id % 1000000007) * 2654435761 % 1000000007 % 1000 AS h
+      |  FROM e WHERE age_days >= 0)
+      |SELECT bucket, CAST(rate_permille AS BIGINT) AS rate_permille,
+      |  count(*) AS n_events,
+      |  CAST(sum(CASE WHEN h < rate_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM b GROUP BY bucket, rate_permille ORDER BY bucket""".stripMargin
+
+  /** q161: VALUE-DISTRIBUTION DRIFT — the monitoring sibling of q114
+    * (which drifts TOKENS between corpus slices): which (event_type,
+    * value-bucket) cells shifted most between the month's first and
+    * second half, ranked by the two-sample chi-square statistic. The
+    * distribution-drift check a pipeline runs over its own metric
+    * stream before trusting a new data window. Buckets are q86's
+    * integer-cents rule (exact — a double value/5.0 boundary could
+    * round differently across engines); the chi-square needs no
+    * logarithm: counts exact integers, expected counts and the
+    * statistic +,−,×,÷ only — IEEE-exact per CELL with no double
+    * summation anywhere (the q114 contract, including its na>0
+    * precondition: every fixture type has events in both halves).
+    * Scale: one (type, bucket) partial-agg exchange (≤ types×20 rows
+    * out), per-type totals broadcast back, top-k as
+    * TakeOrderedAndProject. */
+  def valueDrift(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .select($"event_type",
+        least(expr("CAST(round(value * 100, 0) AS BIGINT) div 500"), lit(19L)).as("bucket"),
+        when($"ts" < lit("2024-01-16").cast("timestamp"), 1L).otherwise(0L).as("isa"))
+      .groupBy($"event_type", $"bucket")
+      .agg(sum($"isa").as("ca"), sum(lit(1L) - $"isa").as("cb"))
+    val totals = cells.groupBy($"event_type").agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("ea", ($"ca" + $"cb") * $"na" / ($"na" + $"nb"))
+      .withColumn("eb", ($"ca" + $"cb") * $"nb" / ($"na" + $"nb"))
+      .withColumn("chi2", round(
+        ($"ca" - $"ea") * ($"ca" - $"ea") / $"ea" +
+        ($"cb" - $"eb") * ($"cb" - $"eb") / $"eb", 4))
+      .select($"event_type", $"bucket", $"ca", $"cb", $"chi2")
+      .orderBy($"chi2".desc, $"event_type", $"bucket")
+      .limit(k)
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def valueDriftSql(k: Int = 20): String =
+    s"""WITH cells AS (
+      |  SELECT event_type,
+      |    least(CAST(round(value * 100, 0) AS BIGINT) // 500, 19) AS bucket,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM cells GROUP BY 1),
+      |x AS (
+      |  SELECT c.event_type, c.bucket, c.ca, c.cb,
+      |    (c.ca + c.cb) * t.na / (t.na + t.nb) AS ea,
+      |    (c.ca + c.cb) * t.nb / (t.na + t.nb) AS eb
+      |  FROM cells c JOIN tot t USING (event_type))
+      |SELECT event_type, bucket, ca, cb,
+      |  round((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb, 4) AS chi2
+      |FROM x ORDER BY chi2 DESC, event_type, bucket LIMIT $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_recency_sample" -> (recencySample _),
+    "q161_value_drift" -> ((s: SparkSession, dir: String) => valueDrift(s, dir)),
     "q72_bloom_semijoin" -> (bloomSemiJoin _),
     "q57_heavy_hitters" -> (heavyHitters _),
     "q88_cms_frequency" -> (cmsFrequency _),
@@ -1741,6 +1850,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q159_recency_sample" -> recencySampleSql,
+    "q161_value_drift" -> valueDriftSql(),
     "q86_value_histogram" -> valueHistogramSql,
     "q72_bloom_semijoin" -> bloomSemiJoinSql,
     "q57_heavy_hitters" -> heavyHittersSql,

@@ -177,6 +177,61 @@ object SimilarityQueries {
       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
       |WHERE rn = 1 ORDER BY id_a""".stripMargin
 
+  /** Pinned threshold grid of the q160 sweep (permille; the oracle
+    * reproduces it verbatim) — brackets q106's committed 0.4 so the
+    * sweep answers "what would moving the production knob cost". */
+  private[graft] val CurveThresholds = Seq(300, 350, 400, 450, 500)
+
+  /** q160: DEDUP-THRESHOLD CALIBRATION CURVE — the knob-tuning sweep
+    * an operator runs BEFORE committing a semantic-dedup threshold
+    * (q106 hardcodes cosine ≥ 0.4; this answers "what would each
+    * choice cost?"): for each candidate threshold, how many LSH-
+    * candidate pairs qualify and how many distinct vectors they
+    * touch. One bucket-keyed candidate pass (q54's shape — never
+    * all-pairs), each pair replicated against the 5-row broadcast
+    * threshold dim, two tiny per-threshold aggregates, zero-filled so
+    * every grid point reports even when empty. Integer-derived
+    * buckets keep the sweep fully oracle-HASH-checked. */
+  def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", hyperplane_bucket($"embedding", 8, 0).as("bucket"))
+    val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("id_b"), $"bucket", $"embedding".as("emb_b"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        round(cosine_similarity($"emb_a", $"emb_b"), 6).as("cosine"))
+    val thr = CurveThresholds.toDF("thr")
+    val cand = pairs.join(broadcast(thr), $"cosine" >= $"thr" / 1000.0)
+    val np = cand.groupBy($"thr").agg(count(lit(1)).as("p"))
+    val nd = cand.select($"thr", explode(array($"id_a", $"id_b")).as("id"))
+      .groupBy($"thr").agg(count_distinct($"id").as("d"))
+    thr.join(np, Seq("thr"), "left").join(nd, Seq("thr"), "left")
+      .select($"thr", coalesce($"p", lit(0L)).as("n_pairs"),
+        coalesce($"d", lit(0L)).as("n_docs"))
+      .orderBy($"thr")
+  }
+
+  val dedupThresholdCurveSql: String =
+    s"""WITH b AS ($bucketSql),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+      |    round(list_cosine_similarity(a.e, c.e), 6) AS cosine
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+      |thr AS (SELECT unnest([${CurveThresholds.mkString(", ")}]) AS thr),
+      |cand AS (
+      |  SELECT t.thr, p.id_a, p.id_b FROM pairs p
+      |  JOIN thr t ON p.cosine >= t.thr / 1000.0),
+      |np AS (SELECT thr, count(*) AS p FROM cand GROUP BY thr),
+      |nd AS (SELECT thr, count(DISTINCT id) AS d FROM (
+      |  SELECT thr, id_a AS id FROM cand
+      |  UNION ALL SELECT thr, id_b FROM cand) GROUP BY thr)
+      |SELECT t.thr, CAST(coalesce(np.p, 0) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(nd.d, 0) AS BIGINT) AS n_docs
+      |FROM thr t LEFT JOIN np USING (thr) LEFT JOIN nd USING (thr)
+      |ORDER BY thr""".stripMargin
+
   /** q156: HARD-NEGATIVE MINING — the contrastive-pair primitive of
     * embedding-model training data prep: for every anchor vector,
     * the most similar vector with a DIFFERENT label (the negative
@@ -2040,6 +2095,7 @@ object SimilarityQueries {
     "q48_ann_lsh" -> (annLsh _),
     "q55_nn_lsh" -> (nnLsh _),
     "q156_hard_negatives" -> (hardNegatives _),
+    "q160_dedup_threshold_curve" -> (dedupThresholdCurve _),
     "q58_ivf_nn" -> (ivfNnValidated _),
     "q74_ivf_topk" -> (ivfTopk _),
     "q92_ivf_stored_nn" -> (ivfStoredNn _),
@@ -2063,6 +2119,7 @@ object SimilarityQueries {
     "q49_embedding_dim_stats" -> embeddingDimStatsSql,
     "q55_nn_lsh" -> nnLshSql,
     "q156_hard_negatives" -> hardNegativesSql,
+    "q160_dedup_threshold_curve" -> dedupThresholdCurveSql,
     "q58_ivf_nn" -> ivfNnValidatedSql,
     "q76_quantize_embeddings" -> quantizeEmbeddingsSql,
     "q92_ivf_stored_nn" -> ivfStoredNnSql,

@@ -195,6 +195,65 @@ class PipelineOpsSpec extends SparkSpec {
       ("C", 3L, Some(0.0), Some(false)), ("D", 1L, None, None)), got.toString)
   }
 
+  test("q159 recency sample: rates halve per bucket; membership matches the hash model") {
+    import graft.queries.EventQueries
+    val rows = EventQueries.recencySample(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // buckets contiguous from 0; the rate schedule is the pinned CASE
+    val rates = Map(0L -> 800L, 1L -> 400L, 2L -> 200L, 3L -> 100L, 4L -> 50L)
+    rows.foreach { case (b, r, n, k) =>
+      assert(r == rates.getOrElse(b, 0L), s"bucket $b rate $r")
+      assert(k <= n)
+    }
+    // reference model: recompute membership from raw events with the
+    // same pure-function arithmetic
+    val p = 1000000007L
+    val anchor = java.time.LocalDate.parse("2024-01-31")
+    val want = Tables.events(spark, sf)
+      .select($"event_id", to_date($"ts").cast("string")).as[(Long, String)].collect()
+      .map { case (id, d) =>
+        val age = java.time.temporal.ChronoUnit.DAYS.between(java.time.LocalDate.parse(d), anchor)
+        val rate = rates.getOrElse(age / 7, 0L)
+        (age / 7, rate, if ((id % p) * 2654435761L % p % 1000L < rate) 1L else 0L)
+      }.groupBy(x => (x._1, x._2))
+      .map { case ((b, r), xs) => (b, r, xs.length.toLong, xs.map(_._3).sum) }
+      .toSeq.sortBy(_._1)
+    assert(rows == want, s"got $rows want $want")
+  }
+
+  test("q160 threshold curve: all grid points present, counts monotone non-increasing") {
+    val rows = graft.queries.SimilarityQueries.dedupThresholdCurve(spark, sf)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq(300, 350, 400, 450, 500), rows.toString)
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"tightening the threshold must shrink the set: $a → $b")
+    }
+    rows.foreach { case (_, np, nd) => assert(nd <= 2 * np || (np == 0 && nd == 0)) }
+    assert(rows.head._2 > 0, "the loosest grid point must bind on the fixture")
+  }
+
+  test("q161 value drift: chi-square cells reproduce a hand-built two-slice shift") {
+    // construct a corpus where type X's values move from bucket 0 to
+    // bucket 19 across the cut — the top drift cells must be X's
+    import graft.queries.EventQueries
+    val early = (1 to 40).map(i => ("X", java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 1.0))
+    val late = (1 to 40).map(i => ("X", java.sql.Timestamp.valueOf("2024-01-25 10:00:00"), 99.0))
+    val stable = (1 to 40).flatMap(i => Seq(
+      ("Y", java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 50.0),
+      ("Y", java.sql.Timestamp.valueOf("2024-01-25 10:00:00"), 50.0)))
+    val df = (early ++ late ++ stable).toDF("event_type", "ts", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("drift_fixture").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.valueDrift(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // X: cell (0): ca=40 cb=0, ea=20 → chi2 = 20+20 = 40.0; cell (19)
+    // symmetric; Y's single cell: ca=cb=40, ea=40 → chi2 0
+    assert(got.take(2).map(r => (r._1, r._5)).toSet == Set(("X", 40.0)), got.toString)
+    assert(got.find(_._1 == "Y").forall(_._5 == 0.0), got.toString)
+  }
+
   test("q141 sketch overlap: every pair's union and intersection estimates stay in bound") {
     val rows = graft.queries.SimilarityQueries.vocabSketchOverlap(spark, sf)
       .select("source_a", "source_b", "union_ok", "inter_ok")
