@@ -1702,6 +1702,155 @@ object EventQueries {
       |FROM events
       |GROUP BY 1, 2, 3 ORDER BY event_type, bucket""".stripMargin
 
+  /** q162: SESSION SEQUENCE MINING — frequent event-type trigrams
+    * within q28's 30-minute-gap sessions (process mining / "what do
+    * users actually do" path analysis), the ORDERED sibling of
+    * q107's unordered co-presence. Each session's events collapse to
+    * one ordered type list (the per-session `collect_list` state is
+    * SESSION-BOUNDED — the same bound the streaming SessionState
+    * carries; a gap closes the session, so state never grows with
+    * history), trigrams explode out, and the count aggregate
+    * exchanges at most |types|³ distinct sequences regardless of
+    * corpus size. Ordering inside a session is (t, event_id) — the
+    * q28/q90 tiebreak — so both engines assemble identical lists. */
+  def sessionSequences(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    sessionSequencesOver(Tables.events(s, dir), k)
+
+  /** q162 over an injectable (user_id, event_id, event_type, ts)
+    * frame — specs pin trigram extraction and session-boundary
+    * non-crossing on constructed sessions. */
+  private[graft] def sessionSequencesOver(ev: DataFrame, k: Int): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapFlag = when(
+      unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 1800000000L, 1)
+      .otherwise(0)
+    val seqs = ev
+      .withColumn("new_session", gapFlag)
+      .withColumn("session_idx", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(sort_array(collect_list(struct(
+        unix_micros($"ts").as("t"), $"event_id".as("e"), $"event_type".as("y")))).as("evs"))
+    val tri = expr(
+      """CASE WHEN size(evs) < 3 THEN array()
+        |ELSE transform(sequence(1, size(evs) - 2),
+        |  i -> concat_ws('>', element_at(evs, i).y,
+        |                      element_at(evs, i + 1).y,
+        |                      element_at(evs, i + 2).y)) END""".stripMargin)
+    seqs.select(explode(tri).as("seq3"))
+      .groupBy($"seq3").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"seq3").limit(k)
+  }
+
+  /** Parameterized like the Spark side (the q81 rule); sessions are
+    * q90's g/s CTEs verbatim. */
+  def sessionSequencesSql(k: Int = 20): String =
+    s"""WITH g AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS t,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM g),
+      |seqs AS (
+      |  SELECT user_id, session_idx,
+      |    list(event_type ORDER BY t, event_id) AS evs
+      |  FROM s GROUP BY 1, 2),
+      |tri AS (
+      |  SELECT unnest(list_transform(range(1, len(evs) - 1),
+      |    i -> evs[i] || '>' || evs[i+1] || '>' || evs[i+2])) AS seq3
+      |  FROM seqs WHERE len(evs) >= 3)
+      |SELECT seq3, count(*) AS n FROM tri GROUP BY 1
+      |ORDER BY n DESC, seq3 LIMIT $k""".stripMargin
+
+  /** q163: FUNNEL TIME-TO-CONVERT QUANTILES — how long the
+    * view → click → purchase chain takes when it completes: exact
+    * p50/p90/p99 of (t_purchase − t_view) in integer seconds over
+    * q90's converted sessions. Quantiles are EXACT without a corpus
+    * sort via the q132/q139 bounded-domain discipline: durations are
+    * session-bounded integers, so the (value, count) histogram is
+    * domain-sized, one sorted fold reads all three positions
+    * (position ceil(q·n/100), the lower-quantile rule — no
+    * interpolation, no float), and the oracle re-derives the same
+    * positions with a row_number window. Zero converted sessions
+    * yields NULL quantiles on both engines. */
+  def funnelTimeToConvert(s: SparkSession, dir: String): DataFrame =
+    funnelTimeToConvertOver(Tables.events(s, dir))
+
+  /** q163 over an injectable events frame (shares q90's
+    * [[sessionSteps]] strict-order chain — one definition). */
+  private[graft] def funnelTimeToConvertOver(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val durs = sessionSteps(ev)
+      .filter($"t_purchase".isNotNull)
+      .select(expr("(t_purchase - t_view) div 1000000").as("v"))
+    durs.groupBy($"v").agg(count(lit(1)).as("c"))
+      .agg(sort_array(collect_list(struct($"v", $"c"))).as("h"), sum($"c").as("n"))
+      .withColumn("k50", expr("(50 * n + 99) div 100"))
+      .withColumn("k90", expr("(90 * n + 99) div 100"))
+      .withColumn("k99", expr("(99 * n + 99) div 100"))
+      .withColumn("q", aggregate($"h",
+        struct(lit(0L).as("cum"), lit(-1L).as("p50"), lit(-1L).as("p90"), lit(-1L).as("p99")),
+        (acc, x) => {
+          val cum2 = acc("cum") + x("c")
+          struct(cum2.as("cum"),
+            when(acc("p50") === -1L && cum2 >= $"k50", x("v")).otherwise(acc("p50")).as("p50"),
+            when(acc("p90") === -1L && cum2 >= $"k90", x("v")).otherwise(acc("p90")).as("p90"),
+            when(acc("p99") === -1L && cum2 >= $"k99", x("v")).otherwise(acc("p99")).as("p99"))
+        },
+        acc => acc))
+      .select(coalesce($"n", lit(0L)).as("n_converted"),
+        when($"q.p50" === -1L, lit(null).cast("long")).otherwise($"q.p50").as("p50_s"),
+        when($"q.p90" === -1L, lit(null).cast("long")).otherwise($"q.p90").as("p90_s"),
+        when($"q.p99" === -1L, lit(null).cast("long")).otherwise($"q.p99").as("p99_s"))
+  }
+
+  /** Oracle: q90's session/step CTEs verbatim, then row_number
+    * positions instead of the fold — same lower-quantile rule. */
+  val funnelTimeToConvertSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS t,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM g),
+      |w1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+      |    OVER (PARTITION BY user_id, session_idx) AS t_view FROM s),
+      |w2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND t > t_view THEN t END)
+      |    OVER (PARTITION BY user_id, session_idx) AS t_click FROM w1),
+      |w3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t > t_click THEN t END)
+      |    OVER (PARTITION BY user_id, session_idx) AS t_purchase FROM w2),
+      |per AS (
+      |  SELECT user_id, session_idx, max(t_view) AS t_view,
+      |    max(t_purchase) AS t_purchase
+      |  FROM w3 GROUP BY 1, 2),
+      |conv AS (
+      |  SELECT (t_purchase - t_view) // 1000000 AS v FROM per
+      |  WHERE t_purchase IS NOT NULL),
+      |r AS (
+      |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+      |    count(*) OVER () AS n FROM conv)
+      |SELECT CAST(coalesce(max(n), 0) AS BIGINT) AS n_converted,
+      |  CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS BIGINT) AS p50_s,
+      |  CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS BIGINT) AS p90_s,
+      |  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS BIGINT) AS p99_s
+      |FROM r""".stripMargin
+
   /** Pinned recency anchor + half-life (the oracle reproduces both).
     * The anchor is a constant, not now(): sampling membership must be
     * a PURE function of (event_id, event date) so refreshes are
@@ -1812,6 +1961,8 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_recency_sample" -> (recencySample _),
     "q161_value_drift" -> ((s: SparkSession, dir: String) => valueDrift(s, dir)),
+    "q162_session_sequences" -> ((s: SparkSession, dir: String) => sessionSequences(s, dir)),
+    "q163_funnel_latency" -> (funnelTimeToConvert _),
     "q72_bloom_semijoin" -> (bloomSemiJoin _),
     "q57_heavy_hitters" -> (heavyHitters _),
     "q88_cms_frequency" -> (cmsFrequency _),
@@ -1852,6 +2003,8 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q159_recency_sample" -> recencySampleSql,
     "q161_value_drift" -> valueDriftSql(),
+    "q162_session_sequences" -> sessionSequencesSql(),
+    "q163_funnel_latency" -> funnelTimeToConvertSql,
     "q86_value_histogram" -> valueHistogramSql,
     "q72_bloom_semijoin" -> bloomSemiJoinSql,
     "q57_heavy_hitters" -> heavyHittersSql,

@@ -254,6 +254,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.find(_._1 == "Y").forall(_._5 == 0.0), got.toString)
   }
 
+  test("q162 sequences: trigram extraction is ordered; a session gap breaks the chain") {
+    import graft.queries.EventQueries
+    def ev(id: Long, u: Long, tpe: String, t: String) =
+      (u, id, tpe, java.sql.Timestamp.valueOf(t))
+    val events = Seq(
+      // user 1, one session: A B C D → trigrams A>B>C, B>C>D
+      ev(1, 1L, "A", "2024-01-01 10:00:00"), ev(2, 1L, "B", "2024-01-01 10:01:00"),
+      ev(3, 1L, "C", "2024-01-01 10:02:00"), ev(4, 1L, "D", "2024-01-01 10:03:00"),
+      // user 2: X Y then a 31-minute gap then Z — NO trigram may cross
+      ev(5, 2L, "X", "2024-01-01 10:00:00"), ev(6, 2L, "Y", "2024-01-01 10:01:00"),
+      ev(7, 2L, "Z", "2024-01-01 10:32:30"),
+      // user 3: two-event session — too short for any trigram
+      ev(8, 3L, "P", "2024-01-01 10:00:00"), ev(9, 3L, "Q", "2024-01-01 10:01:00")
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventQueries.sessionSequencesOver(events, k = 20)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("A>B>C", 1L), ("B>C>D", 1L)), got.toString)
+  }
+
+  test("q163 latency quantiles: lower-quantile positions on constructed durations; empty → NULL") {
+    import graft.queries.EventQueries
+    def conv(u: Long, base: Long, durS: Int) = Seq(
+      (u, base, "view", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (u, base + 1, "click", new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + durS * 500L)),
+      (u, base + 2, "purchase", new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + durS * 1000L)))
+    // 10 users converting in 10,20,…,100 s: n=10 → p50 pos 5 (50 s),
+    // p90 pos 9 (90 s), p99 pos 10 (100 s)
+    val events = (1 to 10).flatMap(i => conv(i.toLong, i * 100L, i * 10))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventQueries.funnelTimeToConvertOver(events)
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+    assert(got == ((10L, Some(50L), Some(90L), Some(100L))), got.toString)
+    // no conversions: views only → n 0, quantiles NULL (both engines)
+    val none = Seq((1L, 1L, "view", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val empty = EventQueries.funnelTimeToConvertOver(none)
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+    assert(empty == ((0L, None, None, None)), empty.toString)
+  }
+
   test("q141 sketch overlap: every pair's union and intersection estimates stay in bound") {
     val rows = graft.queries.SimilarityQueries.vocabSketchOverlap(spark, sf)
       .select("source_a", "source_b", "union_ok", "inter_ok")
