@@ -898,6 +898,76 @@ object TextQueries {
       |GROUP BY p0.doc_id ORDER BY p0.doc_id""".stripMargin
   }
 
+  // ---- q165: collocation extraction (chi-square) -------------------
+
+  /** q165: COLLOCATION EXTRACTION — which adjacent token pairs are
+    * statistically BOUND (occur together far more than independence
+    * predicts), ranked by the chi-square of observed vs expected
+    * bigram count (the Manning–Schütze collocation test; q87 ranks
+    * bigrams by RAW count, which just surfaces frequent words — this
+    * normalizes away unigram frequency and surfaces genuine
+    * multiword units, the phrase-vocabulary candidates a tokenizer/
+    * dictionary builder consumes). Expected count
+    * e = (n_first · n_second) / N is computed DOUBLE-FIRST
+    * (`CAST(n_first AS DOUBLE) · n_second / N` — each IEEE op
+    * correctly rounded, bit-identical cross-engine, and the double
+    * product cannot overflow where a BIGINT product would at
+    * web-corpus counts); the statistic (n_ab − e)²/e follows the
+    * q114 per-cell contract (no double summation anywhere). A
+    * min-count floor (n_ab ≥ 5) keeps hapax noise out.
+    *
+    * Plan at 100 TB: one bigram explode → map-side-combined
+    * (first, second) count (the exchange carries DISTINCT bigrams);
+    * the two marginal frames aggregate from the bigram frame itself
+    * (vocabulary-bounded) and join back on their token keys WITHOUT
+    * broadcast hints (the q138 vocabulary rule); the 1-row total
+    * broadcasts; top-k is TakeOrderedAndProject. */
+  def collocations(s: SparkSession, dir: String, k: Int = 30, minCount: Long = 5L): DataFrame = {
+    import s.implicits._
+    val pairs = expr(
+      """CASE WHEN size(_toks) < 2 THEN array()
+        |ELSE transform(sequence(1, size(_toks) - 1),
+        |       i -> struct(element_at(_toks, i) AS a, element_at(_toks, i + 1) AS b))
+        |END""".stripMargin)
+    val bi = Tables.documents(s, dir)
+      .withColumn("_toks", split(trim($"text"), "\\s+"))
+      .select(explode(pairs).as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val nFirst = bi.groupBy($"a").agg(sum($"n_ab").as("n_first"))
+    val nSecond = bi.groupBy($"b").agg(sum($"n_ab").as("n_second"))
+    val tot = bi.agg(sum($"n_ab").as("n"))
+    bi.filter($"n_ab" >= minCount)
+      .join(nFirst, Seq("a"))
+      .join(nSecond, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", $"n_first".cast("double") * $"n_second" / $"n")
+      .withColumn("chi2", round(($"n_ab" - $"e") * ($"n_ab" - $"e") / $"e", 4))
+      .select(concat_ws(" ", $"a", $"b").as("bigram"), $"n_ab", $"chi2")
+      .orderBy($"chi2".desc, $"bigram")
+      .limit(k)
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def collocationsSql(k: Int = 30, minCount: Long = 5L): String =
+    s"""WITH t AS (
+      |  SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+      |bi AS (
+      |  SELECT t[i] AS a, t[i+1] AS b, count(*) AS n_ab
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+      |  WHERE len(t) >= 2 GROUP BY 1, 2),
+      |nf AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_first FROM bi GROUP BY a),
+      |ns AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_second FROM bi GROUP BY b),
+      |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM bi),
+      |x AS (
+      |  SELECT bi.a, bi.b, bi.n_ab,
+      |    CAST(nf.n_first AS DOUBLE) * ns.n_second / tot.n AS e
+      |  FROM bi JOIN nf USING (a) JOIN ns USING (b) CROSS JOIN tot
+      |  WHERE bi.n_ab >= $minCount)
+      |SELECT a || ' ' || b AS bigram, CAST(n_ab AS BIGINT) AS n_ab,
+      |  round((n_ab - e) * (n_ab - e) / e, 4) AS chi2
+      |FROM x ORDER BY chi2 DESC, bigram LIMIT $k""".stripMargin
+
   // ---- q153: inverse-frequency surprisal scoring --------------------
 
   /** q153: PER-DOCUMENT SURPRISAL — rank documents by how RARE their
@@ -957,6 +1027,7 @@ object TextQueries {
     "q150_bm25_topk" -> (bm25TopkServe _),
     "q151_phrase_index_serve" -> (phraseIndexServe _),
     "q153_surprisal_score" -> ((s: SparkSession, dir: String) => surprisalScore(s, dir)),
+    "q165_collocations" -> ((s: SparkSession, dir: String) => collocations(s, dir)),
     "q132_adaptive_floor" -> (adaptiveQualityFloor _),
     "q134_inverted_index_serve" -> (invertedIndexServe _),
     "q136_index_tombstone_serve" -> (invertedIndexPurgeServe _),
@@ -978,6 +1049,7 @@ object TextQueries {
     "q150_bm25_topk" -> bm25TopkServeSql,
     "q151_phrase_index_serve" -> phraseIndexServeSql,
     "q153_surprisal_score" -> surprisalScoreSql(),
+    "q165_collocations" -> collocationsSql(),
     "q132_adaptive_floor" -> adaptiveQualityFloorSql,
     "q134_inverted_index_serve" -> invertedIndexServeSql,
     "q136_index_tombstone_serve" -> invertedIndexPurgeServeSql,

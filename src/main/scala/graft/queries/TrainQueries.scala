@@ -1474,6 +1474,70 @@ object TrainQueries {
       |FROM a GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** q164: DIVERSIFIED TOP-K SELECTION — global best-k with a hard
+    * per-source cap (≤ m per source in the final k): the balanced-
+    * batch / search-diversification rule that keeps one prolific
+    * source from filling the whole selection even when its raw
+    * quality dominates (q152 fixes CALIBRATION; this fixes
+    * REPRESENTATION — both are needed and they compose). The
+    * per-source cap uses the bounded [[graft.functions.TopKBy]]
+    * aggregate — each map partition keeps ≤ m candidates per source,
+    * the exchange carries ≤ m·sources·partitions structs, NO
+    * rank-window sort-shuffle (the q104 shape) — and the global k is
+    * a TakeOrderedAndProject. */
+  def diversifiedTopk(s: SparkSession, dir: String, m: Int = 5, k: Int = 50): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id",
+        size(array_distinct(split(trim($"text"), "\\s+"))).cast("long").as("quality"))
+      .groupBy($"source")
+      .agg(graft.functions.TopKBy.top_k_by($"quality", $"doc_id", m, strict = true).as("top"))
+      .select($"source", explode($"top").as("t"))
+      .select($"source", $"t.tie".as("doc_id"), $"t.ord".cast("long").as("quality"))
+      .orderBy($"quality".desc, $"source", $"doc_id")
+      .limit(k)
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def diversifiedTopkSql(m: Int = 5, k: Int = 50): String =
+    s"""WITH q AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS quality
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, quality,
+      |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+      |  FROM q)
+      |SELECT source, doc_id, quality FROM r WHERE rn <= $m
+      |ORDER BY quality DESC, source, doc_id LIMIT $k""".stripMargin
+
+  /** q166: K-ANONYMITY GROUP SUPPRESSION REPORT — the pre-release
+    * governance check: which (lang, source) cells are too small to
+    * publish (a cell with < k members risks re-identification /
+    * membership inference, the small-cell suppression rule every data
+    * release applies)? One map-side-combined aggregate, one row per
+    * cell with its keep verdict and the token mass a suppression
+    * would cost — ALL-INTEGER, ≤ |langs|·|sources| rows out at any
+    * corpus size. (q73 redacts PII INSIDE text; this governs which
+    * SLICES may ship at all — the two privacy layers compose.) */
+  def kanonSuppress(s: SparkSession, dir: String, k: Long = 20L): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", $"source", TextQueries.tokenCount($"text").as("nt"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+      .withColumn("kept", $"n_docs" >= k)
+      .orderBy($"lang", $"source")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def kanonSuppressSql(k: Long = 20L): String =
+    s"""SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+      |  count(*) >= $k AS kept
+      |FROM documents GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   /** One-task exclusive prefix sum over a tiny keyed aggregate — the
     * q95/q105 offsets construction factored out: rows arrive as
     * (key, n), leave as (key, offset) with offset = Σ n of all
@@ -2174,6 +2238,8 @@ object TrainQueries {
     "q154_padding_waste" -> ((s: SparkSession, dir: String) => paddingWaste(s, dir)),
     "q155_epoch_allocation" -> ((s: SparkSession, dir: String) => epochAllocation(s, dir)),
     "q157_cluster_split" -> (clusterSplit _),
+    "q164_diversified_topk" -> ((s: SparkSession, dir: String) => diversifiedTopk(s, dir)),
+    "q166_kanon_suppress" -> ((s: SparkSession, dir: String) => kanonSuppress(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2191,6 +2257,8 @@ object TrainQueries {
     "q154_padding_waste" -> paddingWasteSql(),
     "q155_epoch_allocation" -> epochAllocationSql(),
     "q157_cluster_split" -> clusterSplitSql,
+    "q164_diversified_topk" -> diversifiedTopkSql(),
+    "q166_kanon_suppress" -> kanonSuppressSql(),
     "q78_doc_chunks" -> docChunksSql,
     "q108_chunk_dedup" -> chunkDedupSql,
     "q126_split_chunk_leakage" -> splitChunkLeakageSql,

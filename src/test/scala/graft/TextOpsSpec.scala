@@ -504,6 +504,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Set((10L, 11L)), got.toString)
   }
 
+  // ---- q165: collocation extraction ---------------------------------
+
+  test("q165: a bound pair outranks an equally frequent independent pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("colloc_fixture").toString
+    // 'aa bb' always adjacent (10×); 'cc'/'dd' each appear 10× but
+    // adjacent only 5× — same n_ab floor cleared, weaker binding
+    val bound = (1 to 10).map(i => (i.toLong, s"aa bb x$i y$i"))
+    val indep = (1 to 5).map(i => (100L + i, s"cc dd p$i q$i")) ++
+      (1 to 5).map(i => (200L + i, s"cc z$i dd w$i"))
+    (bound ++ indep).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.collocations(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.contains("aa bb") && got.contains("cc dd"), got.keys.toString)
+    assert(got("aa bb")._1 == 10L && got("cc dd")._1 == 5L)
+    assert(got("aa bb")._2 > got("cc dd")._2,
+      s"binding must outrank frequency: ${got("aa bb")} vs ${got("cc dd")}")
+    // hapax pairs (every 'x_i y_i') fall under the min-count floor
+    assert(!got.keys.exists(_.startsWith("x")), got.keys.toString)
+  }
+
   // ---- q158: standing near-dup index serve -------------------------
 
   test("q158: batch near-dup reported exactly; common-gram-only overlap invisible (recall rule)") {

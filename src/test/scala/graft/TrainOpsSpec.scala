@@ -775,6 +775,33 @@ class TrainOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q164/q166: diversified top-k + k-anonymity -------------------
+
+  test("q164: per-source cap holds and output equals the naive window model") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).trim.split("\\s+").distinct.length.toLong))
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (_, id, q) => (-q, id) }.take(5)
+    }.sortBy { case (src, id, q) => (-q, src, id) }.take(50)
+    val got = TrainQueries.diversifiedTopk(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= 5, s"source $src exceeds the cap: ${rows.length}")
+    }
+  }
+
+  test("q166: cells conserve the corpus and the keep verdict is the k rule") {
+    val rows = TrainQueries.kanonSuppress(spark, sf)
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(rows.map(_._3).sum == Tables.documents(spark, sf).count())
+    rows.foreach { case (l, s0, n, _, kept) =>
+      assert(kept == (n >= 20L), s"cell ($l,$s0) n=$n kept=$kept")
+    }
+  }
+
   // ---- q157: cluster-consistent split -------------------------------
 
   test("q157: a cluster straddling naive splits lands whole in the rep's split") {
