@@ -42,30 +42,37 @@ def duck_baseline(oracle_path):
     return out
 
 
-def spark_bench():
-    # Since round 9 Bench prints only a compact totals line on stdout
-    # (the driver's retained output tail is small) and writes the full
-    # per-query map to the file named by SPARK_GRAFT_BENCH_FULL.
+def run_leg(sf):
+    """Run ONE Spark bench leg and return its parsed full record.
+    The stale /tmp copy is removed first so a Bench binary that fails
+    to WRITE the file (stale classes) can't silently reuse a previous
+    run's numbers."""
     cp = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
-    runs = {}
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        full_path = f"/tmp/bench_full_{sf}.json"
-        # a Bench binary that fails to WRITE the file (stale classes)
-        # must not silently reuse a previous run's numbers — the
-        # exists() check below only detects a missing write if the
-        # stale copy is gone first
-        if os.path.exists(full_path):
-            os.remove(full_path)
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}",
-                   SPARK_GRAFT_BENCH_FULL=full_path)
-        cmd = (f"java {OPENS} -Xmx16g -Dspark.ui.enabled=false "
-               f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' graft.Bench")
-        res = subprocess.run(cmd, shell=True, env=env, capture_output=True, text=True)
-        if res.returncode != 0 or not os.path.exists(full_path):
-            sys.stderr.write(f"bench failed for {sf} (rc={res.returncode}); stderr tail:\n"
-                             + "\n".join(res.stderr.splitlines()[-20:]) + "\n")
-            raise SystemExit(1)
-        runs[sf] = json.load(open(full_path))
+    full_path = f"/tmp/bench_full_{sf}.json"
+    if os.path.exists(full_path):
+        os.remove(full_path)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}",
+               SPARK_GRAFT_BENCH_FULL=full_path)
+    cmd = (f"java {OPENS} -Xmx16g -Dspark.ui.enabled=false "
+           f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' graft.Bench")
+    res = subprocess.run(cmd, shell=True, env=env, capture_output=True, text=True)
+    if res.returncode != 0 or not os.path.exists(full_path):
+        sys.stderr.write(f"bench failed for {sf} (rc={res.returncode}); stderr tail:\n"
+                         + "\n".join(res.stderr.splitlines()[-20:]) + "\n")
+        raise SystemExit(1)
+    return json.load(open(full_path))
+
+
+def assemble(runs):
+    """Write BENCH_FULL.json + BENCH_SCALING.json from three leg
+    records. Guards the record-of-record's internal consistency: a
+    partial rerun mixing legs from DIFFERENT binaries/query sets
+    (e.g. a query added between legs) must fail loudly, not commit a
+    silently inconsistent benchmark."""
+    keysets = {sf: frozenset(d["queries"]) for sf, d in runs.items()}
+    if len(set(keysets.values())) != 1:
+        counts = {sf: len(k) for sf, k in keysets.items()}
+        raise SystemExit(f"leg query sets disagree (stale /tmp leg?): {counts}")
     art = {"_meta": {
         "harness": "graft.Bench — noop-sink full materialization; per-query cold (first run, incl. Catalyst planning + Janino codegen compile) and warm (median of 3 re-runs, codegen cache hot) seconds; local[32], AQE on, shuffle.partitions=32",
         "duckdb_baseline": "BASELINE_DUCK.json — best-of-2 seconds per oracle statement on the same parquet",
@@ -80,6 +87,13 @@ def spark_bench():
             json.dump(d, open(os.path.join(REPO, "BENCH_FULL.json"), "w"), indent=1)
     json.dump(art, open(os.path.join(REPO, "BENCH_SCALING.json"), "w"), indent=1)
     return art
+
+
+def spark_bench():
+    # Since round 9 Bench prints only a compact totals line on stdout
+    # (the driver's retained output tail is small) and writes the full
+    # per-query map to the file named by SPARK_GRAFT_BENCH_FULL.
+    return assemble({sf: run_leg(sf) for sf in ("sf0.001", "sf0.01", "sf0.1")})
 
 
 def summarize(duck, art):

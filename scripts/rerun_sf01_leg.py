@@ -1,43 +1,28 @@
 #!/usr/bin/env python3
-"""Re-run ONLY the sf0.1 Spark bench leg (the other two /tmp legs are
-already sentinel-clean from the same binary), then reassemble
-BENCH_FULL.json + BENCH_SCALING.json exactly as make_artifacts.py does.
-Use after a mid-flight kill of the sf0.1 leg so the two completed legs
-aren't wastefully re-measured."""
-import json, os, subprocess, sys
+"""Re-run ONLY the given Spark bench legs (default: sf0.1) and
+reassemble BENCH_FULL.json + BENCH_SCALING.json from the three
+/tmp legs. Use after a mid-flight kill so completed sentinel-clean
+legs aren't wastefully re-measured. The shared `assemble` refuses
+mixed-query-set legs (a stale /tmp leg from an older binary), so a
+partial rerun can't commit an internally inconsistent record.
+Usage: python3 scripts/rerun_sf01_leg.py [sf0.001 sf0.01 sf0.1]
+"""
+import json, os, sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
-from make_artifacts import OPENS
+from make_artifacts import run_leg, assemble
 
-cp = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
-full_path = "/tmp/bench_full_sf0.1.json"
-if os.path.exists(full_path):
-    os.remove(full_path)
-env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
-           SPARK_GRAFT_BENCH_FULL=full_path)
-cmd = (f"java {OPENS} -Xmx16g -Dspark.ui.enabled=false "
-       f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' graft.Bench")
-res = subprocess.run(cmd, shell=True, env=env, capture_output=True, text=True)
-if res.returncode != 0 or not os.path.exists(full_path):
-    sys.stderr.write(f"bench failed (rc={res.returncode}); stderr tail:\n"
-                     + "\n".join(res.stderr.splitlines()[-20:]) + "\n")
-    raise SystemExit(1)
+ALL = ("sf0.001", "sf0.01", "sf0.1")
+rerun = sys.argv[1:] or ["sf0.1"]
+bad = [sf for sf in rerun if sf not in ALL]
+if bad:
+    raise SystemExit(f"unknown legs {bad}; choose from {ALL}")
 
-runs = {sf: json.load(open(f"/tmp/bench_full_{sf}.json"))
-        for sf in ("sf0.001", "sf0.01", "sf0.1")}
-art = {"_meta": {
-    "harness": "graft.Bench — noop-sink full materialization; per-query cold (first run, incl. Catalyst planning + Janino codegen compile) and warm (median of 3 re-runs, codegen cache hot) seconds; local[32], AQE on, shuffle.partitions=32",
-    "duckdb_baseline": "BASELINE_DUCK.json — best-of-2 seconds per oracle statement on the same parquet",
-    "n_queries_bench": len(runs["sf0.1"]["queries"])}}
-for sf, d in runs.items():
-    art[sf] = {"total_cold": round(d["value"], 2), "total_warm": round(d["value_warm"], 2),
-               "n_failed": d["n_failed"],
-               "cold": {k: round(v["cold"], 3) for k, v in d["queries"].items()},
-               "warm": {k: round(v["warm"], 3) for k, v in d["queries"].items()}}
-    if sf == "sf0.1":
-        json.dump(d, open(os.path.join(REPO, "BENCH_FULL.json"), "w"), indent=1)
-json.dump(art, open(os.path.join(REPO, "BENCH_SCALING.json"), "w"), indent=1)
+for sf in rerun:
+    run_leg(sf)
+runs = {sf: json.load(open(f"/tmp/bench_full_{sf}.json")) for sf in ALL}
+art = assemble(runs)
 print(json.dumps({sf: {"cold": art[sf]["total_cold"], "warm": art[sf]["total_warm"],
                        "clean": runs[sf].get("sentinel_clean"),
-                       "load": runs[sf].get("loadavg_start")} for sf in runs}, indent=1))
+                       "load": runs[sf].get("loadavg_start")} for sf in ALL}, indent=1))

@@ -1910,10 +1910,16 @@ object EventQueries {
     * stream before trusting a new data window. Buckets are q86's
     * integer-cents rule (exact — a double value/5.0 boundary could
     * round differently across engines); the chi-square needs no
-    * logarithm: counts exact integers, expected counts and the
-    * statistic +,−,×,÷ only — IEEE-exact per CELL with no double
-    * summation anywhere (the q114 contract, including its na>0
-    * precondition: every fixture type has events in both halves).
+    * logarithm: counts exact integers, expected counts computed
+    * DOUBLE-FIRST (`CAST(ca+cb AS DOUBLE)·na/(na+nb)` — q165's rule;
+    * a BIGINT-first product would wrap past ~3·10⁹ events per type)
+    * and the statistic +,−,×,÷ only — IEEE-exact per CELL with no
+    * double summation anywhere. Types active on only ONE side of the
+    * cut are EXCLUDED on both engines (na>0 AND nb>0): their
+    * chi-square is 0/0, where Spark's NaN would sort to the TOP of
+    * the report while DuckDB's NULL sorts last — and "new event type
+    * appeared" is a different alert than "distribution shifted"
+    * (q139's volume anomaly catches it).
     * Scale: one (type, bucket) partial-agg exchange (≤ types×20 rows
     * out), per-type totals broadcast back, top-k as
     * TakeOrderedAndProject. */
@@ -1926,9 +1932,10 @@ object EventQueries {
       .groupBy($"event_type", $"bucket")
       .agg(sum($"isa").as("ca"), sum(lit(1L) - $"isa").as("cb"))
     val totals = cells.groupBy($"event_type").agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      .filter($"na" > 0L && $"nb" > 0L)
     cells.join(broadcast(totals), Seq("event_type"))
-      .withColumn("ea", ($"ca" + $"cb") * $"na" / ($"na" + $"nb"))
-      .withColumn("eb", ($"ca" + $"cb") * $"nb" / ($"na" + $"nb"))
+      .withColumn("ea", ($"ca" + $"cb").cast("double") * $"na" / ($"na" + $"nb"))
+      .withColumn("eb", ($"ca" + $"cb").cast("double") * $"nb" / ($"na" + $"nb"))
       .withColumn("chi2", round(
         ($"ca" - $"ea") * ($"ca" - $"ea") / $"ea" +
         ($"cb" - $"eb") * ($"cb" - $"eb") / $"eb", 4))
@@ -1948,11 +1955,12 @@ object EventQueries {
       |tot AS (
       |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
       |    CAST(sum(cb) AS BIGINT) AS nb
-      |  FROM cells GROUP BY 1),
+      |  FROM cells GROUP BY 1
+      |  HAVING sum(ca) > 0 AND sum(cb) > 0),
       |x AS (
       |  SELECT c.event_type, c.bucket, c.ca, c.cb,
-      |    (c.ca + c.cb) * t.na / (t.na + t.nb) AS ea,
-      |    (c.ca + c.cb) * t.nb / (t.na + t.nb) AS eb
+      |    CAST(c.ca + c.cb AS DOUBLE) * t.na / (t.na + t.nb) AS ea,
+      |    CAST(c.ca + c.cb AS DOUBLE) * t.nb / (t.na + t.nb) AS eb
       |  FROM cells c JOIN tot t USING (event_type))
       |SELECT event_type, bucket, ca, cb,
       |  round((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb, 4) AS chi2

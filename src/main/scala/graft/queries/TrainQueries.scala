@@ -1562,9 +1562,13 @@ object TrainQueries {
     * doc_id), the standard bucketed-batching remedy — and each
     * batch pads every member to its longest doc. Output: one row per
     * policy with batch count, total pad tokens, and the pad fraction
-    * in ppm (`pad·10⁶ div (pad + real)`) — ALL-INTEGER, exact
-    * cross-engine. The length-sorted row quantifies exactly how much
-    * compute length-bucketing recovers on this corpus.
+    * in ppm — counts are exact integers; the ppm ratio multiplies
+    * DOUBLE-FIRST (`floor(pad·10⁶.0 / (pad + real))` — q165's
+    * overflow rule: a BIGINT `pad·10⁶` would wrap past ~9·10¹² pad
+    * tokens, inside the 100 TB range; the double path is
+    * correctly-rounded IEEE, bit-identical cross-engine). The
+    * length-sorted row quantifies exactly how much compute
+    * length-bucketing recovers on this corpus.
     *
     * Scale shape: each policy's global rank uses the q95/q105
     * two-level construction — arrival shards by doc_id RANGE (range,
@@ -1600,7 +1604,7 @@ object TrainQueries {
           sum($"cnt" * $"mx" - $"sm").as("total_pad"),
           sum($"sm").as("tot"))
         .select(lit(name).as("policy"), $"n_batches", $"total_pad",
-          expr("(total_pad * 1000000) div (total_pad + tot)").as("pad_ppm"))
+          expr("CAST(floor(total_pad * 1000000.0 / (total_pad + tot)) AS BIGINT)").as("pad_ppm"))
     rollup(arrival, "arrival").unionByName(rollup(bylen, "length_sorted"))
       .orderBy($"policy")
   }
@@ -1632,7 +1636,7 @@ object TrainQueries {
       |    CAST(sum(cnt * mx - sm) AS BIGINT) AS total_pad,
       |    CAST(sum(sm) AS BIGINT) AS tot FROM bl)
       |SELECT policy, n_batches, total_pad,
-      |  CAST((total_pad * 1000000) // (total_pad + tot) AS BIGINT) AS pad_ppm
+      |  CAST(floor(total_pad * 1000000.0 / (total_pad + tot)) AS BIGINT) AS pad_ppm
       |FROM (SELECT * FROM ta UNION ALL SELECT * FROM tl)
       |ORDER BY policy""".stripMargin
 
@@ -1648,7 +1652,10 @@ object TrainQueries {
     * sqrt-temperature weights (q124's rule, upweighting small
     * sources) with a HARD per-source cap of `rep` = 2 epochs. Exact
     * integer waterfilling: sources sorted by the pinned ratio key
-    * `(cap·10⁹) div w` fill until their cap binds — a source is
+    * `(cap·10³) div w` (milli-precision; scale 10³ keeps the product
+    * below 2⁶³ up to ~9·10¹⁵ tokens per source — a 10⁹ scale would
+    * silently wrap at ~4.6·10⁹, inside the operating range) fill
+    * until their cap binds — a source is
     * capped iff its fair share of the remaining budget exceeds its
     * cap ((B − Cprev)·w > cap·Wfrom, exact BIGINT cross-products),
     * and the capped set is the running-AND prefix (min-over-flag
@@ -1685,7 +1692,7 @@ object TrainQueries {
       .withColumn("cap", $"n_tokens" * rep)
     val keyed = src.crossJoin(broadcast(src.agg(sum($"n_tokens").as("t"))))
       .withColumn("budget", expr("(19 * t) div 10"))
-      .withColumn("ratio_key", expr("(cap * 1000000000) div w"))
+      .withColumn("ratio_key", expr("(cap * 1000) div w"))
     // every window below runs over the ≤|sources|-row frame — the
     // empty partition spec is deliberate (the q124 rule)
     val wOrd = Window.orderBy($"ratio_key", $"source")
@@ -1730,7 +1737,7 @@ object TrainQueries {
       |    n_tokens * $rep AS cap, CAST(sum(n_tokens) OVER () AS BIGINT) AS t
       |  FROM c),
       |b AS (
-      |  SELECT *, (19 * t) // 10 AS budget, (cap * 1000000000) // w AS ratio_key FROM k),
+      |  SELECT *, (19 * t) // 10 AS budget, (cap * 1000) // w AS ratio_key FROM k),
       |m AS (
       |  SELECT *,
       |    CAST(coalesce(sum(cap) OVER (ORDER BY ratio_key, source

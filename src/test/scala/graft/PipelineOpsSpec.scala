@@ -241,7 +241,11 @@ class PipelineOpsSpec extends SparkSpec {
     val stable = (1 to 40).flatMap(i => Seq(
       ("Y", java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 50.0),
       ("Y", java.sql.Timestamp.valueOf("2024-01-25 10:00:00"), 50.0)))
-    val df = (early ++ late ++ stable).toDF("event_type", "ts", "value")
+    // type Z exists ONLY after the cut (a newly introduced event type):
+    // its chi-square is 0/0 — must be EXCLUDED, not ranked as NaN
+    val oneSided = (1 to 40).map(i =>
+      ("Z", java.sql.Timestamp.valueOf("2024-01-25 10:00:00"), 10.0))
+    val df = (early ++ late ++ stable ++ oneSided).toDF("event_type", "ts", "value")
       .withColumn("event_id", monotonically_increasing_id())
       .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
     val dir = java.nio.file.Files.createTempDirectory("drift_fixture").toString
@@ -252,6 +256,8 @@ class PipelineOpsSpec extends SparkSpec {
     // symmetric; Y's single cell: ca=cb=40, ea=40 → chi2 0
     assert(got.take(2).map(r => (r._1, r._5)).toSet == Set(("X", 40.0)), got.toString)
     assert(got.find(_._1 == "Y").forall(_._5 == 0.0), got.toString)
+    assert(!got.exists(_._1 == "Z"),
+      s"one-sided types must be excluded (NaN-vs-NULL ordering trap): $got")
   }
 
   test("q162 sequences: trigram extraction is ordered; a session gap breaks the chain") {
