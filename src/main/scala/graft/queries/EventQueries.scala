@@ -1545,6 +1545,60 @@ object EventQueries {
       |  min(n) AS min_events, max(n) AS max_events
       |FROM ua GROUP BY 1, 2 ORDER BY event_type, band""".stripMargin
 
+  /** q169: INTER-ARRIVAL GAP HISTOGRAM — the cadence profile of the
+    * event stream: per event type, the distribution of gaps between a
+    * user's CONSECUTIVE events of that type, in power-of-two second
+    * bands (q121's banding discipline on the TIME axis — the signal
+    * behind bot detection (impossibly regular sub-second cadence),
+    * session-gap calibration (where does the q28 30-min threshold sit
+    * in the real gap distribution?) and retention-window tuning).
+    * Gap = floor(µs diff / 10⁶) whole seconds (integer division of
+    * exact integer micros — cross-engine exact, the q110 micros
+    * rule); band = floor(log2(gap+1)) via the binary-string-length
+    * trick (no floating-point log, q121's rule), so band 0 is the
+    * sub-second bucket and the 30-min boundary falls in band 10.
+    * Scale: ONE corpus exchange — the (user, type) window shuffle;
+    * per-group state is one lag value, groups are per-user-per-type
+    * (millions of small groups, no low-cardinality serialization);
+    * the band rollup partial-aggregates map-side to ≤ types×64 rows. */
+  def interarrivalHistogram(s: SparkSession, dir: String): DataFrame =
+    interarrivalHistogramOver(Tables.events(s, dir))
+
+  /** The q169 pipeline over any (user_id, event_type, ts, event_id)
+    * frame — injectable for hand-checkable gap specs (the q135
+    * rule). */
+  private[graft] def interarrivalHistogramOver(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    events
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .filter($"prev".isNotNull)
+      .withColumn("gap_s", expr("(unix_micros(ts) - unix_micros(prev)) div 1000000"))
+      .withColumn("band", (length(bin($"gap_s" + 1L)) - 1L).cast("long"))
+      .groupBy($"event_type", $"band")
+      .agg(count(lit(1)).as("n_gaps"),
+        min($"gap_s").as("min_gap_s"),
+        max($"gap_s").as("max_gap_s"))
+      .orderBy($"event_type", $"band")
+  }
+
+  val interarrivalHistogramSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    lag(ts) OVER (PARTITION BY user_id, event_type
+      |                  ORDER BY ts, event_id) AS prev, ts
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap_s
+      |  FROM e WHERE prev IS NOT NULL)
+      |SELECT event_type, CAST(length(bin(gap_s + 1)) - 1 AS BIGINT) AS band,
+      |  count(*) AS n_gaps, min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+      |FROM g GROUP BY 1, 2 ORDER BY event_type, band""".stripMargin
+
   val cohortRetentionSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -1985,6 +2039,7 @@ object EventQueries {
     "q113_asof_strict" -> (asofStrict _),
     "q120_cohort_retention" -> (cohortRetention _),
     "q121_user_activity_histogram" -> (userActivityHistogram _),
+    "q169_interarrival_histogram" -> (interarrivalHistogram _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q135_scd2_merge" -> (scd2IncrementalMerge _),
     "q139_event_anomalies" -> (eventAnomalies _),
@@ -2027,6 +2082,7 @@ object EventQueries {
     "q113_asof_strict" -> asofStrictSql,
     "q120_cohort_retention" -> cohortRetentionSql,
     "q121_user_activity_histogram" -> userActivityHistogramSql,
+    "q169_interarrival_histogram" -> interarrivalHistogramSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q135_scd2_merge" -> scd2IntervalsSql, // the identity IS the oracle
     "q139_event_anomalies" -> eventAnomaliesSql,

@@ -291,6 +291,75 @@ object TextQueries {
       |SELECT bigram, count(*) AS n FROM b
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $k""".stripMargin
 
+  /** q168: HEAD-MASS CONCENTRATION — how top-heavy is the token
+    * distribution? For k ∈ {1, 10, 100}: the share of all token
+    * OCCURRENCES covered by the k most frequent types (the Zipf-head
+    * diagnostic of corpus diversity — a boilerplate-heavy or
+    * template-generated corpus concentrates mass in a tiny head,
+    * which q71/q122 measure per-document but nothing measured
+    * corpus-wide). No logarithms, no slope fit: exact integer masses,
+    * with the final ppm share multiplied DOUBLE-FIRST
+    * (`floor(mass·10⁶.0/total)` — the q165 overflow rule; a BIGINT
+    * `mass·10⁶` would wrap past ~9·10¹² tokens, inside the 100 TB
+    * range).
+    *
+    * Plan at 100 TB: explode → ONE map-side-combined groupBy(token)
+    * (the exchange carries one row per DISTINCT type — the only
+    * corpus-bounded shuffle); top-max(k) plans as
+    * TakeOrderedAndProject (per-partition top-100 + bounded merge, no
+    * vocabulary-wide sort); ranking/joins/rollups all run on that
+    * ≤100-row frame (the bounded-frame window rule) with the 1-row
+    * totals broadcast in. Tie-break (count desc, token asc) is pinned
+    * on both engines so rank — and therefore every head set — is
+    * deterministic. */
+  def headMass(s: SparkSession, dir: String, ks: Seq[Long] = Seq(1L, 10L, 100L)): DataFrame =
+    headMassOver(Tables.documents(s, dir), ks)
+
+  /** The q168 pipeline over any (text) frame — injectable for
+    * hand-checkable constructed-corpus specs (the q135 rule). */
+  private[graft] def headMassOver(docs: DataFrame, ks: Seq[Long] = Seq(1L, 10L, 100L)): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // checkpoint the vocabulary-bounded count frame: both the totals
+    // aggregate and the top-k consume it, and without the lineage cut
+    // each would re-run the corpus scan + explode (the q140
+    // shared-frame rule; state is O(|vocab|), never the corpus)
+    val counts = graft.operators.Scale.checkpointed(docs
+      .select(explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n")))
+    val totals = counts.agg(sum($"n").as("total_mass"), count(lit(1)).as("n_types"))
+    // TakeOrderedAndProject: ≤ max(k) rows survive; the empty-spec
+    // window below runs on that bounded frame only (the q124 rule)
+    val top = counts.orderBy($"n".desc, $"tok").limit(ks.max.toInt)
+      .withColumn("rk", row_number().over(Window.orderBy($"n".desc, $"tok")).cast("long"))
+    top.crossJoin(broadcast(ks.toDF("k")))
+      .filter($"rk" <= $"k")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("head_types"), sum($"n").as("head_mass"))
+      .crossJoin(broadcast(totals))
+      .withColumn("head_ppm",
+        expr("CAST(floor(head_mass * 1000000.0 / total_mass) AS BIGINT)"))
+      .select($"k", $"head_types", $"head_mass", $"total_mass", $"n_types", $"head_ppm")
+      .orderBy($"k")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def headMassSql(ks: Seq[Long] = Seq(1L, 10L, 100L)): String = {
+    val kvals = ks.map(k => s"($k)").mkString(", ")
+    s"""WITH tk AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_mass, count(*) AS n_types FROM c),
+      |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM c),
+      |h AS (
+      |  SELECT k, count(*) AS head_types, CAST(sum(n) AS BIGINT) AS head_mass
+      |  FROM r JOIN (VALUES $kvals) AS ks(k) ON r.rk <= ks.k
+      |  GROUP BY k)
+      |SELECT CAST(k AS BIGINT) AS k, head_types, head_mass, total_mass, n_types,
+      |  CAST(floor(head_mass * 1000000.0 / total_mass) AS BIGINT) AS head_ppm
+      |FROM h CROSS JOIN t ORDER BY k""".stripMargin
+  }
+
   /** q114: TOKEN-DISTRIBUTION DIVERGENCE between two corpus slices —
     * the domain-shift / domain-mix diagnostic of a training-data
     * pipeline: which tokens are most over- or under-represented in
@@ -1043,6 +1112,7 @@ object TextQueries {
     "q24_doc_fingerprint" -> (docFingerprint _),
     "q65_tfidf_top_terms" -> (tfidfTopTerms _),
     "q87_top_bigrams" -> ((s: SparkSession, dir: String) => topBigrams(s, dir)),
+    "q168_head_mass" -> ((s: SparkSession, dir: String) => headMass(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1069,5 +1139,6 @@ object TextQueries {
     "q65_tfidf_top_terms" -> tfidfTopTermsSql,
     "q114_token_divergence" -> tokenDivergenceSql(),
     "q87_top_bigrams" -> topBigramsSql(),
+    "q168_head_mass" -> headMassSql(),
   )
 }

@@ -1538,6 +1538,103 @@ object TrainQueries {
       |FROM documents GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** q167: SPLIT REPRESENTATIVENESS AUDIT — is the held-out data
+    * DISTRIBUTED like the training data? q94 guarantees the split is
+    * disjoint/exhaustive/growth-stable, but a hash split can still
+    * leave an eval band unrepresentative by chance (tiny val/test
+    * slices); this audits each eval split against train on the
+    * token-LENGTH distribution: docs bucket by `least(n_tokens div
+    * bucketW, cap)` (all-integer, q86's fixed-bucket discipline) and
+    * each (eval split, bucket) cell gets the two-sample chi-square
+    * contribution vs train — PER-CELL doubles only, no double
+    * summation anywhere (the q114/q161 contract: +,−,×,÷ over
+    * exactly-represented integers, expected counts DOUBLE-FIRST per
+    * the q165 overflow rule). Buckets observed in train but absent
+    * from the eval split DO appear (ca=0 — under-representation is
+    * exactly the signal), via the distinct-bucket grid; eval splits
+    * empty at tiny SFs are excluded whole (na>0∧nb>0, q161's
+    * one-sided rule), and grid cells empty in BOTH sides of a pair
+    * carry no signal and are dropped on both engines.
+    * Scale: one corpus scan → one ≤3·(cap+1)-row partial-agg
+    * exchange; the grid/totals/chi-square all run on that bounded
+    * frame. */
+  def splitBalance(s: SparkSession, dir: String, bucketW: Long = 16L,
+                   cap: Long = 9L): DataFrame =
+    splitBalanceOver(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextQueries.tokenCount(col("text")).as("nt")),
+      bucketW, cap)
+
+  /** The q167 pipeline over any (doc_id, nt) frame — injectable so
+    * the empty-split exclusion and zero-cell rules have constructed
+    * specs (the q135 rule). */
+  private[graft] def splitBalanceOver(docs: DataFrame, bucketW: Long = 16L,
+                                      cap: Long = 9L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // checkpoint the ≤3·(cap+1)-row cell frame: four downstream
+    // consumers (buckets, train, eval grid, totals) must not each
+    // re-derive it from the corpus scan (the q140 shared-frame rule)
+    val counts = graft.operators.Scale.checkpointed(docs
+      .select(splitOf($"doc_id").as("split"),
+        expr(s"least(nt div $bucketW, $cap)").as("bucket"))
+      .groupBy($"split", $"bucket").agg(count(lit(1)).as("c")))
+    // bounded from here: ≤ 3·(cap+1) rows
+    val buckets = counts.select($"bucket").distinct()
+    val train = counts.filter($"split" === "train").select($"bucket", $"c".as("cb"))
+    val evals = buckets
+      .crossJoin(Seq("test", "val").toDF("split"))
+      .join(counts, Seq("split", "bucket"), "left")
+      .withColumn("ca", coalesce($"c", lit(0L))).drop("c")
+      .join(train, Seq("bucket"), "left")
+      .withColumn("cb", coalesce($"cb", lit(0L)))
+    val totals = evals.groupBy($"split")
+      .agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      .filter($"na" > 0L && $"nb" > 0L)
+    evals.join(broadcast(totals), Seq("split"))
+      .filter($"ca" + $"cb" > 0L)
+      .withColumn("ea", ($"ca" + $"cb").cast("double") * $"na" / ($"na" + $"nb"))
+      .withColumn("eb", ($"ca" + $"cb").cast("double") * $"nb" / ($"na" + $"nb"))
+      .withColumn("chi2", round(
+        ($"ca" - $"ea") * ($"ca" - $"ea") / $"ea" +
+        ($"cb" - $"eb") * ($"cb" - $"eb") / $"eb", 4))
+      .select($"split", $"bucket", $"ca", $"cb", $"chi2")
+      .orderBy($"split", $"bucket")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def splitBalanceSql(bucketW: Long = 16L, cap: Long = 9L): String = {
+    def splitCase: String =
+      """CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 980
+        |         THEN 'train'
+        |       WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 990
+        |         THEN 'val'
+        |       ELSE 'test' END""".stripMargin
+    s"""WITH t AS (
+      |  SELECT $splitCase AS split,
+      |    least(len(regexp_split_to_array(trim(text), '\\s+')) // $bucketW, $cap) AS bucket
+      |  FROM documents),
+      |c AS (SELECT split, bucket, count(*) AS c FROM t GROUP BY 1, 2),
+      |bk AS (SELECT DISTINCT bucket FROM c),
+      |ev AS (
+      |  SELECT s.split, bk.bucket,
+      |    coalesce(e.c, 0) AS ca, coalesce(tr.c, 0) AS cb
+      |  FROM bk CROSS JOIN (VALUES ('test'), ('val')) AS s(split)
+      |  LEFT JOIN c e ON e.split = s.split AND e.bucket = bk.bucket
+      |  LEFT JOIN c tr ON tr.split = 'train' AND tr.bucket = bk.bucket),
+      |tot AS (
+      |  SELECT split, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM ev GROUP BY 1 HAVING sum(ca) > 0 AND sum(cb) > 0),
+      |x AS (
+      |  SELECT ev.split, ev.bucket, ev.ca, ev.cb,
+      |    CAST(ev.ca + ev.cb AS DOUBLE) * t.na / (t.na + t.nb) AS ea,
+      |    CAST(ev.ca + ev.cb AS DOUBLE) * t.nb / (t.na + t.nb) AS eb
+      |  FROM ev JOIN tot t USING (split) WHERE ev.ca + ev.cb > 0)
+      |SELECT split, bucket, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+      |  round((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb, 4) AS chi2
+      |FROM x ORDER BY split, bucket""".stripMargin
+  }
+
   /** One-task exclusive prefix sum over a tiny keyed aggregate — the
     * q95/q105 offsets construction factored out: rows arrive as
     * (key, n), leave as (key, offset) with offset = Σ n of all
@@ -2247,6 +2344,7 @@ object TrainQueries {
     "q157_cluster_split" -> (clusterSplit _),
     "q164_diversified_topk" -> ((s: SparkSession, dir: String) => diversifiedTopk(s, dir)),
     "q166_kanon_suppress" -> ((s: SparkSession, dir: String) => kanonSuppress(s, dir)),
+    "q167_split_balance" -> ((s: SparkSession, dir: String) => splitBalance(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2266,6 +2364,7 @@ object TrainQueries {
     "q157_cluster_split" -> clusterSplitSql,
     "q164_diversified_topk" -> diversifiedTopkSql(),
     "q166_kanon_suppress" -> kanonSuppressSql(),
+    "q167_split_balance" -> splitBalanceSql(),
     "q78_doc_chunks" -> docChunksSql,
     "q108_chunk_dedup" -> chunkDedupSql,
     "q126_split_chunk_leakage" -> splitChunkLeakageSql,

@@ -260,6 +260,50 @@ class PipelineOpsSpec extends SparkSpec {
       s"one-sided types must be excluded (NaN-vs-NULL ordering trap): $got")
   }
 
+  test("q169 inter-arrival: bands follow floor(log2(gap+1)) on hand-built gaps") {
+    import graft.queries.EventQueries
+    def ev(id: Long, u: Long, tpe: String, t: String) =
+      (id, u, tpe, java.sql.Timestamp.valueOf(t))
+    // user 1 "view": gaps 0s (band 0), 1s (band 1), 3s (band 2),
+    // 1800s (band 10 — the 30-min session threshold's band); a
+    // single-event (user 2) and a cross-user boundary produce NO gap
+    val df = Seq(
+      ev(1, 1, "view", "2024-01-01 10:00:00"),
+      ev(2, 1, "view", "2024-01-01 10:00:00"), // same-second: gap 0
+      ev(3, 1, "view", "2024-01-01 10:00:01"),
+      ev(4, 1, "view", "2024-01-01 10:00:04"),
+      ev(5, 1, "view", "2024-01-01 10:30:04"),
+      ev(6, 2, "view", "2024-01-01 23:59:59"), // singleton user: no gap
+      ev(7, 3, "click", "2024-01-01 00:00:00"),
+      ev(8, 3, "click", "2024-01-01 00:00:02") // gap 2 → band 1
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventQueries.interarrivalHistogramOver(df)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 1L, 1L, 2L, 2L),
+      ("view", 0L, 1L, 0L, 0L),
+      ("view", 1L, 1L, 1L, 1L),
+      ("view", 2L, 1L, 3L, 3L),
+      ("view", 10L, 1L, 1800L, 1800L)), got.toString)
+  }
+
+  test("q169 fixture: gap counts conserve (events minus one per (user,type) group)") {
+    import graft.queries.EventQueries
+    val events = Tables.events(spark, sf)
+    val nEvents = events.count()
+    val nGroups = events.select("user_id", "event_type").distinct().count()
+    val rows = EventQueries.interarrivalHistogram(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._3).sum == nEvents - nGroups,
+      s"every non-first event contributes exactly one gap")
+    rows.foreach { case (t, b, _, mn, mx) =>
+      assert(mn >= 0L && mn <= mx, s"($t,$b) gap range [$mn,$mx]")
+      // the band invariant itself: 2^b - 1 <= gap < 2^(b+1) - 1
+      assert(mn + 1 >= (1L << b) && mx + 1 < (1L << (b + 1)),
+        s"($t,$b) gaps [$mn,$mx] outside the band")
+    }
+  }
+
   test("q162 sequences: trigram extraction is ordered; a session gap breaks the chain") {
     import graft.queries.EventQueries
     def ev(id: Long, u: Long, tpe: String, t: String) =

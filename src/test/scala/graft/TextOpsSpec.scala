@@ -646,4 +646,35 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
   }
+
+  // ---- q168: head-mass concentration -------------------------------
+
+  test("q168: hand-checkable constructed corpus, saturation past the vocabulary") {
+    // counts: a=5, b=2, c=1, d=1 → total 9, types 4
+    val docs = Seq("a a a a", "a b b c", "d").toDF("text")
+    val got = TextQueries.headMassOver(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 5L, 9L, 4L, 555555L),        // floor(5e6/9)
+      (10L, 4L, 9L, 9L, 4L, 1000000L),      // k past vocab saturates
+      (100L, 4L, 9L, 9L, 4L, 1000000L)), got.toString)
+  }
+
+  test("q168 fixture: head mass is monotone in k and matches the reference model") {
+    val toks = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.trim.split("\\s+"))
+    val byTok = toks.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }
+    val total = toks.length.toLong
+    val rows = TextQueries.headMass(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    rows.foreach { case (k, ht, hm, tm, nt, ppm) =>
+      val head = byTok.take(k.toInt)
+      assert(tm == total && nt == byTok.size.toLong, s"totals drifted at k=$k")
+      assert(ht == head.size.toLong && hm == head.map(_._2).sum, s"head set at k=$k")
+      assert(ppm == math.floor(hm * 1000000.0 / tm).toLong, s"ppm at k=$k")
+    }
+    assert(rows.map(_._3) == rows.map(_._3).sorted, "head mass must be monotone in k")
+  }
 }

@@ -926,4 +926,69 @@ class TrainOpsSpec extends SparkSpec {
     assert(srcs == nSources,
       s"calibrated top-k covers $srcs of $nSources sources — raw-score starvation leaked through")
   }
+
+  // ---- q167: split representativeness audit ------------------------
+
+  /** Ids 0..4999 grouped by their q94 split — enough mass that the
+    * 1%-bands populate (the q94-spec corpus-size rule). */
+  private lazy val splitIds: Map[String, Seq[Long]] = {
+    val assigned = (0L until 5000L).toDF("doc_id")
+      .select($"doc_id", TrainQueries.splitOf($"doc_id").as("s"))
+      .as[(Long, String)].collect()
+    assigned.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
+  }
+
+  test("q167: identical length profiles across splits give chi2 = 0 cells") {
+    val docs = splitIds.values.flatten.toSeq.toDF("doc_id")
+      .withColumn("nt", lit(40L)) // one bucket, same everywhere
+    val got = TrainQueries.splitBalanceOver(docs)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1).sorted == Seq("test", "val"), got.toString)
+    got.foreach { case (sp, b, ca, cb, chi2) =>
+      assert(b == 2L && chi2 == 0.0, s"($sp,$b) ca=$ca cb=$cb chi2=$chi2")
+    }
+  }
+
+  test("q167: a band missing from an eval split appears with ca=0 (the under-representation signal)") {
+    // train docs in two bands (nt 10 → bucket 0, nt 200 → bucket 9);
+    // val/test docs only in band 0 — the audit must still emit the
+    // (eval, band 9) cells with ca = 0 and a positive chi-square
+    val train = splitIds("train").map((_, 10L)) ++ splitIds("train").map(id => (id + 1000000L, 200L))
+    val evalDocs = (splitIds("val") ++ splitIds("test")).map((_, 10L))
+    // the shifted train ids must stay in train for the premise to hold
+    val shifted = train.map(_._1).toDF("doc_id")
+      .select(TrainQueries.splitOf($"doc_id").as("s")).as[String].collect()
+    val keep = train.zip(shifted).collect { case (d, "train") => d }
+    val got = TrainQueries.splitBalanceOver((keep ++ evalDocs).toDF("doc_id", "nt"))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    Seq("val", "test").foreach { sp =>
+      val cell = got.find(r => r._1 == sp && r._2 == 9L)
+      assert(cell.exists(c => c._3 == 0L && c._4 > 0L && c._5 > 0.0),
+        s"missing-band cell for $sp must surface with ca=0: $got")
+    }
+  }
+
+  test("q167: an empty eval split is excluded whole (q161's one-sided rule)") {
+    val docs = splitIds("train").toDF("doc_id").withColumn("nt", lit(40L))
+    val got = TrainQueries.splitBalanceOver(docs).collect()
+    assert(got.isEmpty, s"train-only corpus must yield no auditable pair: ${got.toSeq}")
+  }
+
+  test("q167 fixture: cells are bounded by the bucket grid and chi2 matches a recompute") {
+    val rows = TrainQueries.splitBalance(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.size <= 20, s"≤ 2 pairs × 10 buckets: ${rows.size}")
+    val (na, nb) = (rows.filter(_._1 == "val"), rows.filter(_._1 == "test"))
+    Seq(na, nb).filter(_.nonEmpty).foreach { pair =>
+      val totA = pair.map(_._3).sum.toDouble
+      val totB = pair.map(_._4).sum.toDouble
+      pair.foreach { case (sp, b, ca, cb, chi2) =>
+        val ea = (ca + cb).toDouble * totA / (totA + totB)
+        val eb = (ca + cb).toDouble * totB / (totA + totB)
+        val want = BigDecimal((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(chi2 == want, s"($sp,$b): $chi2 != $want")
+      }
+    }
+  }
 }
