@@ -1599,6 +1599,71 @@ object EventQueries {
       |  count(*) AS n_gaps, min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
       |FROM g GROUP BY 1, 2 ORDER BY event_type, band""".stripMargin
 
+  /** q170: HOUR-OF-DAY ACTIVITY PROFILE — the diurnal shape of each
+    * event type, with a per-cell chi-square against the type's own
+    * uniform expectation (the cron/bot detector q169 cannot express:
+    * a batch job concentrates its whole volume in one or two clock
+    * hours — a flat inter-arrival profile with a spiked diurnal one —
+    * while organic traffic spreads; the same profile also calibrates
+    * traffic-shaped sampling windows). Every (type, hour) cell of the
+    * full 24-hour grid is emitted, INCLUDING empty hours (n=0 — the
+    * dead-hours signal; its chi-square contribution is exactly the
+    * expected count), per the q167 missing-cell rule. Arithmetic is
+    * the q114/q161 per-cell IEEE contract: counts are exact integers,
+    * the expectation `total/24.0` is ONE double divide of an
+    * exactly-represented integer, each cell's statistic is an
+    * identical short double sequence on both engines, and there is NO
+    * double summation anywhere (per-cell rows, never a per-type Σ of
+    * doubles, which would be order-dependent).
+    * Scale: ONE map-side-combined exchange carrying ≤ |types|×24
+    * partial rows; the grid cross-join, totals, and chi-square all
+    * run on that bounded frame with the |types|-row totals broadcast
+    * back in. */
+  def hourProfile(s: SparkSession, dir: String): DataFrame =
+    hourProfileOver(Tables.events(s, dir))
+
+  /** The q170 pipeline over any (event_type, ts) frame — injectable
+    * for hand-checkable uniform/spiked constructed specs (the q135
+    * rule). */
+  private[graft] def hourProfileOver(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val counts = events
+      .select($"event_type", hour($"ts").cast("long").as("hr"))
+      .groupBy($"event_type", $"hr").agg(count(lit(1)).as("n"))
+    // bounded from here: ≤ |types|×24 rows
+    val grid = counts.select($"event_type").distinct()
+      .crossJoin(s.range(0L, 24L).toDF("hr"))
+    val filled = grid.join(counts, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce($"n", lit(0L)))
+    val totals = filled.groupBy($"event_type").agg(sum($"n").as("total"))
+    filled.join(broadcast(totals), Seq("event_type"))
+      .withColumn("e", $"total".cast("double") / 24.0)
+      .withColumn("chi2", round(
+        ($"n".cast("double") - $"e") * ($"n".cast("double") - $"e") / $"e", 4))
+      .select($"event_type", $"hr", $"n", $"chi2")
+      .orderBy($"event_type", $"hr")
+  }
+
+  val hourProfileSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT event_type, hr
+      |  FROM (SELECT DISTINCT event_type FROM c)
+      |  CROSS JOIN (SELECT unnest(range(0, 24)) AS hr)),
+      |f AS (
+      |  SELECT g.event_type, g.hr, coalesce(c.n, 0) AS n
+      |  FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.hr = g.hr),
+      |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM f GROUP BY 1),
+      |x AS (
+      |  SELECT f.event_type, f.hr, f.n, CAST(t.total AS DOUBLE) / 24.0 AS e
+      |  FROM f JOIN t USING (event_type))
+      |SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+      |  round((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, 4) AS chi2
+      |FROM x ORDER BY event_type, hr""".stripMargin
+
   val cohortRetentionSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -2040,6 +2105,7 @@ object EventQueries {
     "q120_cohort_retention" -> (cohortRetention _),
     "q121_user_activity_histogram" -> (userActivityHistogram _),
     "q169_interarrival_histogram" -> (interarrivalHistogram _),
+    "q170_hour_profile" -> (hourProfile _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q135_scd2_merge" -> (scd2IncrementalMerge _),
     "q139_event_anomalies" -> (eventAnomalies _),
@@ -2083,6 +2149,7 @@ object EventQueries {
     "q120_cohort_retention" -> cohortRetentionSql,
     "q121_user_activity_histogram" -> userActivityHistogramSql,
     "q169_interarrival_histogram" -> interarrivalHistogramSql,
+    "q170_hour_profile" -> hourProfileSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q135_scd2_merge" -> scd2IntervalsSql, // the identity IS the oracle
     "q139_event_anomalies" -> eventAnomaliesSql,

@@ -360,6 +360,70 @@ object TextQueries {
       |FROM h CROSS JOIN t ORDER BY k""".stripMargin
   }
 
+  /** q171: SIMPSON TOKEN CONCENTRATION per source — the
+    * collision-probability diversity index of each source's token
+    * distribution: λ = Σ nᵢ(nᵢ−1) / (N(N−1)), the chance two tokens
+    * drawn without replacement are the SAME type. The per-source
+    * complement to q168's corpus-wide head mass: q168 says how
+    * top-heavy the whole corpus is; λ ranks SOURCES by internal
+    * repetitiveness (a templated crawl scores high, diverse prose
+    * low) — the source-level mixing signal q124/q75 consume. Chosen
+    * over entropy precisely because it is a RATIONAL statistic:
+    * exact integer numerator and denominator, no logarithms (the
+    * all-integer rule), with ppm formed by an identical 5-step IEEE
+    * sequence (two correctly-rounded casts, ×10⁶, −1, ÷) on both
+    * engines.
+    * Scale: the numerator Σ nᵢ(nᵢ−1) sums squares of per-type counts
+    * — Long wraps past nᵢ ≈ 3·10⁹ occurrences of ONE type, real at
+    * 100 TB — so products and sums ride DECIMAL(38,0) (Spark decimal
+    * ⇄ DuckDB HUGEINT, both exact 128-bit) and only the final
+    * already-bounded ppm leaves as BIGINT. One map-side-combined
+    * groupBy(source, token) exchange (the q114 per-slice vocab
+    * frame), then a |sources|-row rollup. */
+  def simpsonConcentration(s: SparkSession, dir: String): DataFrame =
+    simpsonConcentrationOver(Tables.documents(s, dir))
+
+  /** The q171 pipeline over any (source, text) frame — injectable for
+    * hand-checkable rational-arithmetic specs (the q135 rule). */
+  private[graft] def simpsonConcentrationOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val nDec = $"n".cast("decimal(19,0)")
+    val counts = docs
+      .select($"source", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+    counts
+      .groupBy($"source")
+      .agg(sum($"n").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(nDec * (nDec - lit(1))).as("num"))
+      // the one inexact step, mirrored verbatim in the oracle:
+      // cast(num)→double, cast(N)→double, ×10⁶, (N−1), ÷, floor
+      .withColumn("nd", $"n_tokens".cast("double"))
+      .withColumn("simpson_ppm",
+        when($"n_tokens" >= 2L,
+          floor($"num".cast("double") * 1000000.0 / ($"nd" * ($"nd" - 1.0)))
+            .cast("long")))
+      .select($"source", $"n_tokens", $"n_types", $"simpson_ppm")
+      .orderBy($"source")
+  }
+
+  val simpsonConcentrationSql: String =
+    """WITH tk AS (
+      |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+      |s AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_types,
+      |    sum(CAST(n AS HUGEINT) * (n - 1)) AS num
+      |  FROM c GROUP BY 1)
+      |SELECT source, n_tokens, CAST(n_types AS BIGINT) AS n_types,
+      |  CASE WHEN n_tokens >= 2 THEN CAST(floor(
+      |    CAST(num AS DOUBLE) * 1000000.0 /
+      |    (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))) AS BIGINT)
+      |  END AS simpson_ppm
+      |FROM s ORDER BY source""".stripMargin
+
   /** q114: TOKEN-DISTRIBUTION DIVERGENCE between two corpus slices —
     * the domain-shift / domain-mix diagnostic of a training-data
     * pipeline: which tokens are most over- or under-represented in
@@ -1113,6 +1177,7 @@ object TextQueries {
     "q65_tfidf_top_terms" -> (tfidfTopTerms _),
     "q87_top_bigrams" -> ((s: SparkSession, dir: String) => topBigrams(s, dir)),
     "q168_head_mass" -> ((s: SparkSession, dir: String) => headMass(s, dir)),
+    "q171_simpson_concentration" -> (simpsonConcentration _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1140,5 +1205,6 @@ object TextQueries {
     "q114_token_divergence" -> tokenDivergenceSql(),
     "q87_top_bigrams" -> topBigramsSql(),
     "q168_head_mass" -> headMassSql(),
+    "q171_simpson_concentration" -> simpsonConcentrationSql,
   )
 }

@@ -1158,6 +1158,92 @@ object TrainQueries {
       |LEFT JOIN hits USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q172: LONGEST CONTAMINATED SPAN — q79 counts WHICH held-out
+    * grams the training corpus contains; this measures HOW LONG the
+    * contiguous overlap runs. A held-out doc sharing 20 scattered
+    * 8-grams is boilerplate noise; one sharing a 150-token unbroken
+    * span is verbatim leakage the model can memorize — the standard
+    * decontamination rule keys on span length, not gram count, so
+    * this is the operator that decides what q79 only flags. Grams
+    * are POSITIONAL here (no array_distinct — position is the
+    * signal), hits chain by the gaps-and-islands identity
+    * `pos − row_number()` (consecutive hit positions share an island
+    * key), and a k-island of consecutive hit grams certifies an
+    * unbroken k+n−1-token span. Short (<n tokens) and clean docs
+    * report zeros via the left join (the q79 rule).
+    * Scale: the train side is bloom-thinned before its distinct
+    * exchange exactly as q79 (no-false-negative theorem; false
+    * positives die in the exact semi-join); the islands window
+    * partitions per held-out doc over its HIT positions only — frames
+    * bounded by document length, never corpus-wide (the q63 rule). */
+  def contaminationSpan(s: SparkSession, dir: String, n: Int = 8): DataFrame =
+    contaminationSpanOver(Tables.documents(s, dir), n)
+
+  /** q172 over an injectable documents frame (the round-7 rule: the
+    * island-chaining arithmetic gets hand-built shared-span specs). */
+  private[graft] def contaminationSpanOver(docs: DataFrame, n: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val test = docs.filter($"source" === "src0").select($"doc_id", $"text")
+    val train = docs.filter($"source" =!= "src0").select($"doc_id", $"text")
+    // positional held-out grams; feeds the bloom build AND the probe
+    val testG = graft.operators.Scale.checkpointed(test
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .select($"doc_id",
+        posexplode(when(size($"toks") >= n,
+            transform(sequence(lit(1), size($"toks") - (n - 1)),
+              i => TextQueries.fingerprint(concat_ws(" ", slice($"toks", i, lit(n))))))
+          .otherwise(array().cast("array<long>"))))
+      .withColumnRenamed("col", "fp"))
+    val bloom = Option(testG
+      .agg(graft.functions.BloomFilter.bloom_build($"fp"))
+      .head().getAs[Array[Byte]](0))
+    val trainG = gramFps(train, n)
+    val trainFps = bloom.fold(trainG)(b =>
+        trainG.filter(graft.functions.BloomFilter.bloom_contains($"fp", b)))
+      .select($"fp").distinct()
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = testG
+      .join(trainFps, Seq("fp"), "left_semi")
+      .withColumn("island", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"island").agg(count(lit(1)).as("run"))
+      .groupBy($"doc_id")
+      .agg(sum($"run").as("n_hit"), max($"run").as("max_run"))
+    test.select($"doc_id").join(spans, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_hit", lit(0L)).as("n_hit_grams"),
+        coalesce($"max_run" + (n - 1), lit(0L)).as("max_span_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val contaminationSpanSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, toks,
+      |    unnest(range(1, greatest(len(toks) - 6, 1))) AS pos
+      |  FROM t WHERE len(toks) >= 8),
+      |g AS (
+      |  SELECT doc_id, source, pos,
+      |    ${TextQueries.fingerprintSql("array_to_string(toks[pos : pos+7], ' ')")} AS fp
+      |  FROM p),
+      |train_g AS (SELECT DISTINCT fp FROM g WHERE source <> 'src0'),
+      |h AS (
+      |  SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM g WHERE source = 'src0' AND fp IN (SELECT fp FROM train_g)),
+      |runs AS (SELECT doc_id, island, count(*) AS run FROM h GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_hit, max(run) AS max_run
+      |  FROM runs GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(spans.n_hit, 0) AS n_hit_grams,
+      |  coalesce(spans.max_run + 7, 0) AS max_span_tokens
+      |FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+      |LEFT JOIN spans USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q81: CORPUS-FREQUENCY quality signal — the unigram-LM proxy
     * behind Gopher/FineWeb-style "rare token" filters: per document,
     * how many of its tokens are corpus-rare (total corpus frequency ≤
@@ -2345,6 +2431,7 @@ object TrainQueries {
     "q164_diversified_topk" -> ((s: SparkSession, dir: String) => diversifiedTopk(s, dir)),
     "q166_kanon_suppress" -> ((s: SparkSession, dir: String) => kanonSuppress(s, dir)),
     "q167_split_balance" -> ((s: SparkSession, dir: String) => splitBalance(s, dir)),
+    "q172_contamination_span" -> ((s: SparkSession, dir: String) => contaminationSpan(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2365,6 +2452,7 @@ object TrainQueries {
     "q164_diversified_topk" -> diversifiedTopkSql(),
     "q166_kanon_suppress" -> kanonSuppressSql(),
     "q167_split_balance" -> splitBalanceSql(),
+    "q172_contamination_span" -> contaminationSpanSql,
     "q78_doc_chunks" -> docChunksSql,
     "q108_chunk_dedup" -> chunkDedupSql,
     "q126_split_chunk_leakage" -> splitChunkLeakageSql,

@@ -304,6 +304,47 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q170 hour profile: uniform type scores zero; a spike fills the dead-hour grid") {
+    import graft.queries.EventQueries
+    def ev(id: Long, tpe: String, hr: Int, mn: Int) =
+      (id, 1L, tpe, java.sql.Timestamp.valueOf(f"2024-01-01 $hr%02d:$mn%02d:00"))
+    // "u": one event in every hour (perfectly diurnal-flat);
+    // "b": 24 events all at hour 3 (the cron signature)
+    val df = ((0 until 24).map(h => ev(h.toLong, "u", h, 15)) ++
+      (0 until 24).map(i => ev(100L + i, "b", 3, i)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventQueries.hourProfileOver(df)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.size == 48, s"full 24-hour grid per type: ${got.size}")
+    got.filter(_._1 == "u").foreach { case (_, _, n, chi2) =>
+      assert(n == 1L && chi2 == 0.0, s"uniform type must score 0: $n $chi2")
+    }
+    // spiked type: e = 1.0; hit cell (24-1)^2/1 = 529, dead cells (0-1)^2/1 = 1
+    got.filter(_._1 == "b").foreach { case (_, hr, n, chi2) =>
+      if (hr == 3L) assert(n == 24L && chi2 == 529.0, s"spike cell: $n $chi2")
+      else assert(n == 0L && chi2 == 1.0, s"dead cell $hr must still appear: $n $chi2")
+    }
+  }
+
+  test("q170 fixture: grid is exactly types x 24, totals conserve, chi2 recomputes") {
+    import graft.queries.EventQueries
+    val rows = EventQueries.hourProfile(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val types = rows.map(_._1).distinct
+    assert(rows.size == types.size * 24, s"${rows.size} cells for ${types.size} types")
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == nEvents, "every event lands in exactly one cell")
+    types.foreach { t =>
+      val cells = rows.filter(_._1 == t)
+      val e = cells.map(_._3).sum.toDouble / 24.0
+      cells.foreach { case (_, hr, n, chi2) =>
+        val want = BigDecimal((n.toDouble - e) * (n.toDouble - e) / e)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(chi2 == want, s"($t,$hr): $chi2 != $want")
+      }
+    }
+  }
+
   test("q162 sequences: trigram extraction is ordered; a session gap breaks the chain") {
     import graft.queries.EventQueries
     def ev(id: Long, u: Long, tpe: String, t: String) =

@@ -660,6 +660,40 @@ class TextOpsSpec extends SparkSpec {
       (100L, 4L, 9L, 9L, 4L, 1000000L)), got.toString)
   }
 
+  // ---- q171: Simpson token concentration ----------------------------
+
+  test("q171: hand-checkable rational arithmetic; N<2 source gets a NULL index") {
+    // s1: counts a=2, b=1 → N=3, num = 2·1 = 2, den = 3·2 = 6 → 333333 ppm
+    // s2: all-distinct → num 0 → 0 ppm;  s3: single token → N=1 → NULL
+    val docs = Seq(("a a", "s1"), ("b", "s1"), ("x y z", "s2"), ("q", "s3"))
+      .toDF("text", "source")
+    val got = TextQueries.simpsonConcentrationOver(docs)
+      .select($"source", $"n_tokens", $"n_types", $"simpson_ppm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq(("s1", 3L, 2L, 333333L), ("s2", 3L, 3L, 0L),
+      ("s3", 1L, 1L, -1L)), got.toString)
+  }
+
+  test("q171 fixture: index matches an exact BigInt reference model per source") {
+    val bySource = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+      .groupBy(_._1)
+    val rows = TextQueries.simpsonConcentration(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).sorted == bySource.keys.toSeq.sorted)
+    rows.foreach { case (src, nTok, nTyp, ppm) =>
+      val counts = bySource(src).flatMap(_._2.trim.split("\\s+"))
+        .groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val num = counts.map(c => BigInt(c) * (c - 1)).sum
+      assert(nTok == n && nTyp == counts.size.toLong, s"$src totals")
+      val want = math.floor(num.toDouble * 1000000.0 /
+        (n.toDouble * (n.toDouble - 1.0))).toLong
+      assert(ppm == want, s"$src: $ppm != $want")
+    }
+  }
+
   test("q168 fixture: head mass is monotone in k and matches the reference model") {
     val toks = Tables.documents(spark, sf)
       .select("text").as[String].collect()

@@ -974,6 +974,46 @@ class TrainOpsSpec extends SparkSpec {
     assert(got.isEmpty, s"train-only corpus must yield no auditable pair: ${got.toSeq}")
   }
 
+  // ---- q172: longest contaminated span ------------------------------
+
+  test("q172: island chaining certifies span length; split islands don't merge") {
+    val train20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x1 x2 ${(5 to 16).map(i => s"w$i").mkString(" ")} y1 y2", "src0"), // 12-token run
+      (2L, (1 to 10).map(i => s"q$i").mkString(" "), "src0"),                   // clean
+      (3L, "a b c d e", "src0"),                                                // <8 tokens
+      (4L, s"${(1 to 8).map(i => s"w$i").mkString(" ")} z ${(13 to 20).map(i => s"w$i").mkString(" ")}", "src0"), // two 8-token islands
+      (9L, train20, "src1")
+    ).toDF("doc_id", "text", "source")
+    val got = TrainQueries.contaminationSpanOver(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1: hit grams start where the full 8-gram sits inside w5..w16
+    //   (5 consecutive positions) → one island of 5 → span 5+7 = 12
+    // doc 4: two single-gram islands (w1..w8, w13..w20), separated → span 8
+    assert(got == Seq(
+      (1L, 5L, 12L),
+      (2L, 0L, 0L),
+      (3L, 0L, 0L),
+      (4L, 2L, 8L)), got.toString)
+  }
+
+  test("q172 fixture: agrees with q79 on WHO is contaminated; spans are length-bounded") {
+    val spans = TrainQueries.contaminationSpan(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val q79 = TrainQueries.contamination(spark, sf)
+      .select($"doc_id", $"is_contaminated").as[(Long, Boolean)].collect().toMap
+    val nToks = Tables.documents(spark, sf).filter($"source" === "src0")
+      .select($"doc_id", TextQueries.tokenCount($"text")).as[(Long, Long)]
+      .collect().toMap
+    assert(spans.map(_._1).toSet == q79.keySet, "same held-out universe as q79")
+    spans.foreach { case (id, nHit, span) =>
+      assert((nHit > 0L) == q79(id), s"doc $id: hit-flag disagrees with q79")
+      assert((span == 0L) == (nHit == 0L), s"doc $id: span/hits inconsistent")
+      if (span > 0L)
+        assert(span >= 8L && span <= nToks(id), s"doc $id: span $span out of range")
+    }
+  }
+
   test("q167 fixture: cells are bounded by the bucket grid and chi2 matches a recompute") {
     val rows = TrainQueries.splitBalance(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect().toSeq
