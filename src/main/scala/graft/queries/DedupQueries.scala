@@ -661,6 +661,69 @@ object DedupQueries {
       |  ((20000 * (docs_total - docs_kept) + docs_total) // (2 * docs_total)) / 10000.0 AS dup_frac
       |FROM r ORDER BY source""".stripMargin
 
+  /** q173: QUALITY-AWARE CANONICAL SELECTION — every keeper rule so
+    * far (q40/q43/q66/q108) keeps the MINIMUM id: deterministic, but
+    * id order is crawl order, and the first-crawled copy of a
+    * near-dup cluster is routinely the worst one (truncated fetch,
+    * boilerplate-wrapped mirror). Production dedup keeps the BEST
+    * copy: per q66 component, the member with the most distinct
+    * tokens (q22's richness signal — an exact INTEGER, so the argmax
+    * is cross-engine exact; ratios would reintroduce double ties),
+    * ties broken by min doc_id. One row per cluster: the keeper, its
+    * quality, and the member count — the replacement table a
+    * re-keyed corpus joins against.
+    * Scale: the labels frame is q66's (shared `clusterLabels`, its
+    * O(log d) rounds already priced); downstream is ONE doc_id join
+    * against the narrow (doc_id, ndt) projection and ONE
+    * max(struct)-aggregate — the argmax travels as 16 bytes of
+    * struct state through a map-side-combined exchange, never a
+    * per-cluster window over the corpus. */
+  def canonicalKeepers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quality = Tables.documents(s, dir).select($"doc_id",
+      size(array_distinct(split(trim($"text"), "\\s+"))).cast("long").as("ndt"))
+    canonicalKeepersOver(clusterLabels(s, dir), quality)
+  }
+
+  /** q173 over injectable (doc_id, cluster_id) labels and (doc_id,
+    * ndt) quality frames — the argmax/tie rule gets hand-built specs
+    * (the q135 rule). */
+  private[graft] def canonicalKeepersOver(labels: DataFrame, quality: DataFrame): DataFrame = {
+    val s = labels.sparkSession
+    import s.implicits._
+    labels.join(quality, Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        // lexicographic struct max: highest ndt, then highest -id
+        // (= LOWEST doc_id) — the (quality desc, id asc) rule as one
+        // mergeable aggregate
+        max(struct($"ndt", (-$"doc_id").as("nid"))).as("m"))
+      .select($"cluster_id", $"n_members",
+        (-$"m.nid").as("keeper_id"),
+        $"m.ndt".as("keeper_distinct_tokens"))
+      .orderBy($"cluster_id")
+  }
+
+  /** Keepers COMPOSE q66's oracle (the q82 rule) and re-derive the
+    * argmax by a different mechanism — QUALIFY over a window — so the
+    * hash agreement checks the selection rule, not shared code. */
+  lazy val canonicalKeepersSql: String =
+    s"""WITH labels AS (SELECT * FROM ($dedupClustersSql)),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ndt
+      |  FROM documents),
+      |j AS (SELECT l.cluster_id, l.doc_id, q.ndt
+      |      FROM labels l JOIN q USING (doc_id)),
+      |k AS (
+      |  SELECT cluster_id, doc_id AS keeper_id, ndt AS keeper_distinct_tokens
+      |  FROM j
+      |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+      |                             ORDER BY ndt DESC, doc_id) = 1),
+      |n AS (SELECT cluster_id, count(*) AS n_members FROM j GROUP BY 1)
+      |SELECT n.cluster_id, n.n_members, k.keeper_id, k.keeper_distinct_tokens
+      |FROM n JOIN k USING (cluster_id) ORDER BY cluster_id""".stripMargin
+
   /** Edges COMPOSE q42's oracle SQL — one definition of the pair
     * graph; a change to q42's blocking/threshold updates both. */
   val dedupClustersSql: String =
@@ -1295,6 +1358,7 @@ object DedupQueries {
     "q106_semantic_dedup" -> (semanticDedup _),
     "q66_dedup_clusters" -> (dedupClusters _),
     "q82_dedup_impact" -> (dedupImpact _),
+    "q173_canonical_keepers" -> (canonicalKeepers _),
     "q84_incremental_ingest" -> (incrementalIngest _),
     "q158_neardup_index_serve" -> (neardupIndexServe _),
     "q40_exact_dedup" -> (exactDedup _),
@@ -1318,6 +1382,7 @@ object DedupQueries {
     "q66_dedup_clusters" -> dedupClustersSql,
     "q106_semantic_dedup" -> semanticDedupSql,
     "q82_dedup_impact" -> dedupImpactSql,
+    "q173_canonical_keepers" -> canonicalKeepersSql,
     "q84_incremental_ingest" -> incrementalIngestSql,
     "q158_neardup_index_serve" -> neardupIndexServeSql,
     "q43_minhash_dedup" -> minhashDedupValidatedSql,

@@ -1664,6 +1664,68 @@ object EventQueries {
       |  round((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, 4) AS chi2
       |FROM x ORDER BY event_type, hr""".stripMargin
 
+  /** q174: LAST-TOUCH CONVERSION ATTRIBUTION — the standard
+    * marketing/product question over the event stream: for every
+    * `purchase`, WHICH interaction gets the credit? Rule: the user's
+    * most recent STRICTLY-PRIOR non-purchase event within a 30-minute
+    * window (ties at the same timestamp broken by event_id — the
+    * q169 total-order rule); purchases with no qualifying touch are
+    * `direct`. The rollup prices each touch type by conversions
+    * carried and attributed revenue. Revenue sums in INTEGER CENTS
+    * (the q12/q86 exactness rule — a double Σ would be
+    * order-dependent); the gap check is exact integer micros
+    * (the q110 rule).
+    * Scale: ONE (user) window exchange — the same shuffle q169 pays —
+    * with O(1) running state per user (`last` over an
+    * unbounded-preceding frame is a running value, not a buffered
+    * frame); the rollup is ≤|types|+1 rows, map-side combined. */
+  def lastTouch(s: SparkSession, dir: String): DataFrame =
+    lastTouchOver(Tables.events(s, dir))
+
+  /** The q174 pipeline over any (user_id, event_type, ts, event_id,
+    * value) frame — injectable for hand-built window/tie specs (the
+    * q135 rule). */
+  private[graft] def lastTouchOver(events: DataFrame, windowS: Long = 1800L): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+      .withColumn("prior", last(
+          when($"event_type" =!= "purchase",
+            struct($"ts".as("pts"), $"event_type".as("ptype"))),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("attributed_type",
+        when($"prior".isNull ||
+            expr(s"(unix_micros(ts) - unix_micros(prior.pts)) div 1000000") > windowS,
+          lit("direct")).otherwise($"prior.ptype"))
+      .groupBy($"attributed_type")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("value_cents"))
+      .orderBy($"attributed_type")
+  }
+
+  val lastTouchSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, ts, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pts,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ptype
+      |  FROM events),
+      |p AS (
+      |  SELECT CASE WHEN pts IS NULL
+      |              OR (epoch_us(ts) - epoch_us(pts)) // 1000000 > 1800
+      |         THEN 'direct' ELSE ptype END AS attributed_type, value
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT attributed_type, count(*) AS n_conversions,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM p GROUP BY 1 ORDER BY attributed_type""".stripMargin
+
   val cohortRetentionSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -2106,6 +2168,7 @@ object EventQueries {
     "q121_user_activity_histogram" -> (userActivityHistogram _),
     "q169_interarrival_histogram" -> (interarrivalHistogram _),
     "q170_hour_profile" -> (hourProfile _),
+    "q174_last_touch" -> (lastTouch _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q135_scd2_merge" -> (scd2IncrementalMerge _),
     "q139_event_anomalies" -> (eventAnomalies _),
@@ -2150,6 +2213,7 @@ object EventQueries {
     "q121_user_activity_histogram" -> userActivityHistogramSql,
     "q169_interarrival_histogram" -> interarrivalHistogramSql,
     "q170_hour_profile" -> hourProfileSql,
+    "q174_last_touch" -> lastTouchSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q135_scd2_merge" -> scd2IntervalsSql, // the identity IS the oracle
     "q139_event_anomalies" -> eventAnomaliesSql,

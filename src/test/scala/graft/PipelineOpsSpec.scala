@@ -345,6 +345,51 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q174 last touch: window cutoff, purchase-skipping, same-ts tie, and direct fallback") {
+    import graft.queries.EventQueries
+    def ev(id: Long, u: Long, tpe: String, t: String, v: Double) =
+      (id, u, tpe, java.sql.Timestamp.valueOf(t), v)
+    val df = Seq(
+      // u1: view 10 min before purchase → attributed to view
+      ev(1, 1, "view", "2024-01-01 10:00:00", 0.0),
+      ev(2, 1, "purchase", "2024-01-01 10:10:00", 10.0),
+      // u2: click 40 min before → outside the 30-min window → direct
+      ev(3, 2, "click", "2024-01-01 09:00:00", 0.0),
+      ev(4, 2, "purchase", "2024-01-01 09:40:00", 20.0),
+      // u3: first event is the purchase → direct
+      ev(5, 3, "purchase", "2024-01-01 08:00:00", 5.0),
+      // u4: prior PURCHASE must be skipped, credit reaches the signup
+      ev(6, 4, "signup", "2024-01-01 11:00:00", 0.0),
+      ev(7, 4, "purchase", "2024-01-01 11:05:00", 1.0),
+      ev(8, 4, "purchase", "2024-01-01 11:06:00", 2.0),
+      // u5: same-timestamp touch with SMALLER event_id is prior (gap 0)
+      ev(9, 5, "error", "2024-01-01 12:00:00", 0.0),
+      ev(10, 5, "purchase", "2024-01-01 12:00:00", 3.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = EventQueries.lastTouchOver(df)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("direct", 2L, 2500L),            // u2 (20.00) + u3 (5.00)
+      ("error", 1L, 300L),              // u5 tie at gap 0
+      ("signup", 2L, 300L),             // u4: both purchases reach the signup
+      ("view", 1L, 1000L)), got.toString)
+  }
+
+  test("q174 fixture: conversions and revenue conserve over the purchase set") {
+    import graft.queries.EventQueries
+    val purchases = Tables.events(spark, sf).filter($"event_type" === "purchase")
+    val nPurch = purchases.count()
+    val cents = purchases
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)"))).head().getLong(0)
+    val rows = EventQueries.lastTouch(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.map(_._2).sum == nPurch, "every purchase attributed exactly once")
+    assert(rows.map(_._3).sum == cents, "revenue conserves across attribution")
+    assert(rows.map(_._1).forall(t =>
+      Set("view", "click", "signup", "error", "direct")(t)),
+      s"only touch types and direct may appear: ${rows.map(_._1)}")
+  }
+
   test("q162 sequences: trigram extraction is ordered; a session gap breaks the chain") {
     import graft.queries.EventQueries
     def ev(id: Long, u: Long, tpe: String, t: String) =

@@ -660,6 +660,44 @@ class TextOpsSpec extends SparkSpec {
       (100L, 4L, 9L, 9L, 4L, 1000000L)), got.toString)
   }
 
+  // ---- q173: quality-aware canonical selection ----------------------
+
+  test("q173: keeper is the max-distinct-token member, ties fall to the lowest id") {
+    import graft.queries.DedupQueries
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    // doc 2 and doc 3 tie at ndt=7 → keeper must be 2 (lower id);
+    // the min-id member (doc 1, the q66 keeper) has WORSE quality
+    val quality = Seq((1L, 3L), (2L, 7L), (3L, 7L), (5L, 4L))
+      .toDF("doc_id", "ndt")
+    val got = DedupQueries.canonicalKeepersOver(labels, quality)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 7L), (5L, 1L, 5L, 4L)), got.toString)
+  }
+
+  test("q173 fixture: keepers are cluster members of maximal quality; membership conserves") {
+    import graft.queries.DedupQueries
+    val labels = DedupQueries.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val ndt = Tables.documents(spark, sf)
+      .select($"doc_id",
+        size(array_distinct(split(trim($"text"), "\\s+"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val byCluster = labels.groupBy(_._2)
+    val rows = DedupQueries.canonicalKeepers(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._2).sum == labels.size.toLong, "every doc in exactly one cluster")
+    rows.foreach { case (cid, nm, keeper, kq) =>
+      val members = byCluster(cid).map(_._1)
+      assert(members.size.toLong == nm, s"cluster $cid size")
+      assert(members.contains(keeper), s"keeper $keeper outside cluster $cid")
+      assert(kq == ndt(keeper) && kq == members.map(ndt).max,
+        s"cluster $cid keeper quality $kq")
+      assert(keeper == members.filter(m => ndt(m) == kq).min,
+        s"cluster $cid tie rule")
+    }
+  }
+
   // ---- q171: Simpson token concentration ----------------------------
 
   test("q171: hand-checkable rational arithmetic; N<2 source gets a NULL index") {
