@@ -311,6 +311,68 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(viaStream == viaBatch)
   }
 
+  test("q169 streaming sibling: out-of-order events reorder before gap emission") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.GapState
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val gaps = GapState.gapBands(
+      mem.toDF().toDF("user_id", "event_type", "ts", "event_id"))
+    val q = gaps.writeStream.format("memory").queryName("gap_ooo")
+      .outputMode("append").start()
+    try {
+      // arrival order 10:00:00, 10:00:03, then 10:00:01 LATE (inside
+      // the 1h watermark): emitted gaps must be the SORTED order's
+      // 1s and 2s — never the arrival order's 3s
+      mem.addData((1L, "view", ts("2024-01-01 10:00:00"), 1L),
+        (1L, "view", ts("2024-01-01 10:00:03"), 2L))
+      q.processAllAvailable()
+      mem.addData((1L, "view", ts("2024-01-01 10:00:01"), 3L))
+      q.processAllAvailable()
+      mem.addData((99L, "flush", ts("2024-06-01 00:00:00"), 9L)) // watermark push
+      q.processAllAvailable()
+      val got = spark.table("gap_ooo")
+        .as[(Long, String, Long, Long)].collect().toSeq.sorted
+      assert(got == Seq((1L, "view", 1L, 1L), (1L, "view", 2L, 1L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("q169 streaming sibling: fixture replay reproduces the batch histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.GapState
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .collect().sortBy(e => (e._3.getTime, e._4))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    // TTL wider than the fixture's 30-day span: parity must cover the
+    // longest real gap; the default 24h TTL would purge anchors under
+    // multi-day silences (the documented bounded-state tradeoff)
+    val q = GapState.gapBands(
+        mem.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+        idleTtlMs = 100L * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("gap_fixture")
+      .outputMode("append").start()
+    try {
+      // three ts-ordered batches + a far-future flush to drain buffers
+      events.grouped(math.max(events.length / 3, 1)).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val flushTs = new java.sql.Timestamp(events.last._3.getTime + 200L * 24 * 3600 * 1000)
+      mem.addData((-999L, "flush", flushTs, 0L))
+      q.processAllAvailable()
+      val streamed = spark.table("gap_fixture")
+        .as[(Long, String, Long, Long)].collect().toSeq
+        .groupBy(r => (r._2, r._4))
+        .map { case ((tpe, band), rs) =>
+          (tpe, band, rs.size.toLong, rs.map(_._3).min, rs.map(_._3).max) }
+        .toSeq.sorted
+      val batch = graft.queries.EventQueries.interarrivalHistogram(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch, s"stream ${streamed.take(3)}… vs batch ${batch.take(3)}…")
+    } finally q.stop()
+  }
+
   test("BPE token stamp: streaming ≡ batch, stateless on an unbounded plan") {
     implicit val sqlCtx = spark.sqlContext
     val texts = Seq("the cat sat", "standing forest editor", "", "with that mississippi")
