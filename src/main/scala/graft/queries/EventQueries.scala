@@ -1726,6 +1726,88 @@ object EventQueries {
       |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM p GROUP BY 1 ORDER BY attributed_type""".stripMargin
 
+  /** q176: SESSION TRANSITION MATRIX — the first-order Markov model
+    * of the event stream: for consecutive same-user events within the
+    * 30-minute session window (q28's gap rule, ties by event_id —
+    * the q169/q174 total order), the count and row-probability of
+    * each (from_type → to_type) transition. q162 mines interesting
+    * k-step SEQUENCES; this is the complete one-step matrix a
+    * simulator / next-event predictor / funnel designer reads. The
+    * FULL |types|² grid is emitted, including never-seen transitions
+    * (n=0, ppm=0 — the q167/q170 missing-cell rule); a type never
+    * observed as a FROM (no within-window successor anywhere) has no
+    * defined row distribution and is excluded whole (the q161
+    * one-sided rule). ppm is double-first per cell (q165 rule; the
+    * row total enters each cell as the same exactly-represented
+    * integer).
+    * Scale: ONE (user) window exchange with O(1) lag state (the q169
+    * shuffle), then a map-side-combined rollup to ≤|types|² rows; the
+    * grid/totals run on that bounded frame. */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame =
+    transitionMatrixOver(Tables.events(s, dir))
+
+  /** The q176 pipeline over any (user_id, event_type, ts, event_id)
+    * frame — injectable for hand-built window/grid specs (the q135
+    * rule). */
+  private[graft] def transitionMatrixOver(events: DataFrame, windowS: Long = 1800L): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = events
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev", lag(struct($"ts".as("pts"), $"event_type".as("ptype")), 1).over(w))
+      .filter($"prev".isNotNull &&
+        expr(s"(unix_micros(ts) - unix_micros(prev.pts)) div 1000000") <= windowS)
+      .groupBy($"prev.ptype".as("from_type"), $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    // bounded from here: ≤ |types|² rows
+    transitionGrid(trans, events.select($"event_type").distinct())
+  }
+
+  /** Grid-fill + row-ppm over the bounded transition frame (split out
+    * so the injectable path and the fixture path share it). */
+  private def transitionGrid(trans: DataFrame, typesIn: DataFrame): DataFrame = {
+    val s = trans.sparkSession
+    import s.implicits._
+    val types = typesIn.withColumnRenamed("event_type", "t")
+    val grid = types.select($"t".as("from_type"))
+      .crossJoin(types.select($"t".as("to_type")))
+    val filled = grid.join(trans, Seq("from_type", "to_type"), "left")
+      .withColumn("n", coalesce($"n", lit(0L)))
+    val totals = filled.groupBy($"from_type").agg(sum($"n").as("row_total"))
+      .filter($"row_total" > 0L)
+    filled.join(broadcast(totals), Seq("from_type"))
+      .withColumn("ppm", expr("CAST(floor(n * 1000000.0 / row_total) AS BIGINT)"))
+      .select($"from_type", $"to_type", $"n", $"row_total", $"ppm")
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val transitionMatrixSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ptype
+      |  FROM events),
+      |tr AS (
+      |  SELECT ptype AS from_type, event_type AS to_type, count(*) AS n
+      |  FROM e
+      |  WHERE pts IS NOT NULL
+      |    AND (epoch_us(ts) - epoch_us(pts)) // 1000000 <= 1800
+      |  GROUP BY 1, 2),
+      |ty AS (SELECT DISTINCT event_type AS t FROM events),
+      |grid AS (
+      |  SELECT a.t AS from_type, b.t AS to_type FROM ty a CROSS JOIN ty b),
+      |f AS (
+      |  SELECT g.from_type, g.to_type, coalesce(tr.n, 0) AS n
+      |  FROM grid g LEFT JOIN tr USING (from_type, to_type)),
+      |tot AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM f
+      |  GROUP BY 1 HAVING sum(n) > 0)
+      |SELECT f.from_type, f.to_type, CAST(f.n AS BIGINT) AS n, t.row_total,
+      |  CAST(floor(f.n * 1000000.0 / t.row_total) AS BIGINT) AS ppm
+      |FROM f JOIN tot t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val cohortRetentionSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -2169,6 +2251,7 @@ object EventQueries {
     "q169_interarrival_histogram" -> (interarrivalHistogram _),
     "q170_hour_profile" -> (hourProfile _),
     "q174_last_touch" -> (lastTouch _),
+    "q176_transition_matrix" -> (transitionMatrix _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q135_scd2_merge" -> (scd2IncrementalMerge _),
     "q139_event_anomalies" -> (eventAnomalies _),
@@ -2214,6 +2297,7 @@ object EventQueries {
     "q169_interarrival_histogram" -> interarrivalHistogramSql,
     "q170_hour_profile" -> hourProfileSql,
     "q174_last_touch" -> lastTouchSql,
+    "q176_transition_matrix" -> transitionMatrixSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q135_scd2_merge" -> scd2IntervalsSql, // the identity IS the oracle
     "q139_event_anomalies" -> eventAnomaliesSql,

@@ -424,6 +424,70 @@ object TextQueries {
       |  END AS simpson_ppm
       |FROM s ORDER BY source""".stripMargin
 
+  /** q175: BOILERPLATE PREFIX DETECTION per source — the C4/Gopher
+    * scrub signal the per-doc filters can't see: a scraped source
+    * routinely stamps the SAME leading phrase on every page
+    * ("Subscribe to our newsletter…"), which q71/q122 only notice
+    * once the whole doc is duplicated. Per source: the most frequent
+    * leading 4-token prefix and the ppm of the source's docs carrying
+    * it — a high-coverage prefix is a strip-rule candidate. Argmax
+    * rule pinned to (count DESC, prefix ASC) and realized WITHOUT a
+    * per-source window over the corpus: one groupBy(source, prefix)
+    * exchange (map-side combined; the only corpus-sized shuffle),
+    * then max-count + min-prefix-at-max as two aggregates over that
+    * frame (the oracle re-derives the same pick via a
+    * fully-deterministic ranked window — different mechanism, same
+    * rule). Coverage ppm is double-first (the q165 overflow rule).
+    * Sources whose every doc is shorter than 4 tokens have no prefix
+    * and are absent by design. */
+  def boilerplatePrefix(s: SparkSession, dir: String, n: Int = 4): DataFrame =
+    boilerplatePrefixOver(Tables.documents(s, dir), n)
+
+  /** The q175 pipeline over any (source, text) frame — injectable for
+    * hand-built argmax/tie specs (the q135 rule). */
+  private[graft] def boilerplatePrefixOver(docs: DataFrame, n: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    val counts = docs
+      .select($"source",
+        when(size(toks) >= n, concat_ws(" ", slice(toks, 1, n))).as("prefix"))
+      .filter($"prefix".isNotNull)
+      .groupBy($"source", $"prefix").agg(count(lit(1)).as("n"))
+    val best = counts.groupBy($"source").agg(max($"n").as("n_top"))
+      .withColumnRenamed("source", "src_b") // disambiguate the self-join
+    val pick = counts
+      .join(broadcast(best), $"source" === $"src_b" && $"n" === $"n_top")
+      .groupBy($"source", $"n_top")
+      .agg(min($"prefix").as("prefix"))
+    val totals = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    pick.join(broadcast(totals), Seq("source"))
+      .withColumn("coverage_ppm",
+        expr("CAST(floor(n_top * 1000000.0 / n_docs) AS BIGINT)"))
+      .select($"source", $"prefix", $"n_top".as("n_docs_with_prefix"),
+        $"n_docs", $"coverage_ppm")
+      .orderBy($"source")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def boilerplatePrefixSql(n: Int = 4): String =
+    s"""WITH t AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, array_to_string(toks[1 : $n], ' ') AS prefix
+      |  FROM t WHERE len(toks) >= $n),
+      |c AS (SELECT source, prefix, count(*) AS n FROM p GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, prefix, n,
+      |    row_number() OVER (PARTITION BY source ORDER BY n DESC, prefix) AS rn
+      |  FROM c),
+      |d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT r.source, r.prefix, CAST(r.n AS BIGINT) AS n_docs_with_prefix,
+      |  CAST(d.n_docs AS BIGINT) AS n_docs,
+      |  CAST(floor(r.n * 1000000.0 / d.n_docs) AS BIGINT) AS coverage_ppm
+      |FROM r JOIN d USING (source) WHERE r.rn = 1 ORDER BY r.source""".stripMargin
+
   /** q114: TOKEN-DISTRIBUTION DIVERGENCE between two corpus slices —
     * the domain-shift / domain-mix diagnostic of a training-data
     * pipeline: which tokens are most over- or under-represented in
@@ -1178,6 +1242,7 @@ object TextQueries {
     "q87_top_bigrams" -> ((s: SparkSession, dir: String) => topBigrams(s, dir)),
     "q168_head_mass" -> ((s: SparkSession, dir: String) => headMass(s, dir)),
     "q171_simpson_concentration" -> (simpsonConcentration _),
+    "q175_boilerplate_prefix" -> ((s: SparkSession, dir: String) => boilerplatePrefix(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1206,5 +1271,6 @@ object TextQueries {
     "q87_top_bigrams" -> topBigramsSql(),
     "q168_head_mass" -> headMassSql(),
     "q171_simpson_concentration" -> simpsonConcentrationSql,
+    "q175_boilerplate_prefix" -> boilerplatePrefixSql(),
   )
 }

@@ -390,6 +390,56 @@ class PipelineOpsSpec extends SparkSpec {
       s"only touch types and direct may appear: ${rows.map(_._1)}")
   }
 
+  test("q176 transitions: session window gates edges; excluded rows and zero cells are exact") {
+    import graft.queries.EventQueries
+    def ev(id: Long, u: Long, tpe: String, t: String) =
+      (id, u, tpe, java.sql.Timestamp.valueOf(t))
+    val df = Seq(
+      ev(1, 1, "view", "2024-01-01 10:00:00"),
+      ev(2, 1, "click", "2024-01-01 10:05:00"),     // view→click
+      ev(3, 1, "purchase", "2024-01-01 10:20:00"),  // click→purchase
+      ev(4, 1, "error", "2024-01-01 11:30:00"),     // 70-min gap: NO edge
+      ev(5, 2, "view", "2024-01-01 09:00:00"),
+      ev(6, 2, "view", "2024-01-01 09:10:00")       // view→view
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventQueries.transitionMatrixOver(df)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // only view and click are ever a FROM; purchase/error rows excluded
+    // whole; 4 to-types per surviving row, zeros included
+    assert(got.map(_._1).distinct.sorted == Seq("click", "view"), got.toString)
+    assert(got.size == 8, s"2 from-rows × 4 to-types: ${got.size}")
+    val m = got.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(m(("view", "click")) == ((1L, 2L, 500000L)))
+    assert(m(("view", "view")) == ((1L, 2L, 500000L)))
+    assert(m(("view", "purchase")) == ((0L, 2L, 0L)))
+    assert(m(("click", "purchase")) == ((1L, 1L, 1000000L)))
+    assert(m(("click", "error")) == ((0L, 1L, 0L)))
+  }
+
+  test("q176 fixture: edge mass matches a Scala session-fold; rows sum to their totals") {
+    import graft.queries.EventQueries
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .as[(Long, String, java.sql.Timestamp, Long)].collect()
+    def us(t: java.sql.Timestamp): Long = // exact micros, the q110 rule
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (us(e._3), e._4)).toSeq.sliding(2).collect {
+        case Seq(a, b) if (us(b._3) - us(a._3)) / 1000000L <= 1800L =>
+          (a._2, b._2)
+      }
+    }.groupBy(x => x).map { case (k, xs) => k -> xs.size.toLong }
+    val rows = EventQueries.transitionMatrix(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    rows.filter(_._3 > 0L).foreach { case (f, t, n, _, _) =>
+      assert(want.getOrElse((f, t), 0L) == n, s"($f→$t) edge count")
+    }
+    assert(rows.map(_._3).sum == want.values.sum, "total edge mass conserves")
+    rows.groupBy(_._1).foreach { case (f, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4, s"row $f total")
+    }
+  }
+
   test("q162 sequences: trigram extraction is ordered; a session gap breaks the chain") {
     import graft.queries.EventQueries
     def ev(id: Long, u: Long, tpe: String, t: String) =

@@ -698,6 +698,44 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q175: boilerplate prefix detection ----------------------------
+
+  test("q175: argmax picks the dominant prefix; ties fall to the lexicographic minimum") {
+    val docs = Seq(
+      ("SUBSCRIBE TO OUR NEWSLETTER please", "s1"),
+      ("SUBSCRIBE TO OUR NEWSLETTER now", "s1"),
+      ("other text entirely here", "s1"),
+      ("hi there", "s1"),                       // <4 tokens: no prefix, still a doc
+      ("b b b b tie", "s2"),
+      ("a a a a tie", "s2"),                    // n=1 tie → "a a a a" wins
+      ("x y", "s3")                             // source with NO ≥4-token doc: absent
+    ).toDF("text", "source")
+    val got = TextQueries.boilerplatePrefixOver(docs)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", "SUBSCRIBE TO OUR NEWSLETTER", 2L, 4L, 500000L),
+      ("s2", "a a a a", 1L, 2L, 500000L)), got.toString)
+  }
+
+  test("q175 fixture: the reported prefix IS the per-source modal prefix (Scala recompute)") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val rows = TextQueries.boilerplatePrefix(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val bySource = docs.groupBy(_._1)
+    rows.foreach { case (src, prefix, n, nDocs, ppm) =>
+      val all = bySource(src)
+      val prefixes = all.map(_._2.trim.split("\\s+")).filter(_.length >= 4)
+        .map(_.take(4).mkString(" "))
+      val counts = prefixes.groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }
+      val maxN = counts.values.max
+      assert(nDocs == all.length.toLong, s"$src doc total")
+      assert(n == maxN && prefix == counts.filter(_._2 == maxN).keys.min,
+        s"$src: ($prefix, $n) is not the modal prefix")
+      assert(ppm == math.floor(n * 1000000.0 / nDocs).toLong, s"$src ppm")
+    }
+  }
+
   // ---- q171: Simpson token concentration ----------------------------
 
   test("q171: hand-checkable rational arithmetic; N<2 source gets a NULL index") {
