@@ -724,6 +724,73 @@ object DedupQueries {
       |SELECT n.cluster_id, n.n_members, k.keeper_id, k.keeper_distinct_tokens
       |FROM n JOIN k USING (cluster_id) ORDER BY cluster_id""".stripMargin
 
+  /** q177: SYNDICATION MATRIX — WHICH sources mirror WHICH: for every
+    * source pair, the number of distinct document FINGERPRINTS (q41's
+    * whole-text rolling hash) present in both, with each side's
+    * containment ppm. q40/q41 find the duplicate rows, q82 prices the
+    * per-source impact, q83 compares vocabularies — none of them says
+    * "src3 republishes 40% of src7", which is the signal that decides
+    * whether to DROP A SOURCE rather than dedup row by row (syndicated
+    * mirrors, licensing feeds, scraper overlap). Only pairs sharing
+    * ≥1 fingerprint appear (the q83 sparsity rule).
+    * Scale: distinct (source, fp) is ONE exchange over 8-byte rows
+    * with map-side dedup; the self-equi-join on fp fans out ≤
+    * |sources|² per key regardless of corpus size (the q83 bound);
+    * the |pairs|-row rollup joins the |sources|-row size dim by
+    * broadcast, ppm double-first (q165 rule). The distinct frame is
+    * checkpointed — both join sides and the size dim read it
+    * materialized (the q43 lesson). */
+  def syndicationMatrix(s: SparkSession, dir: String): DataFrame =
+    syndicationMatrixOver(Tables.documents(s, dir))
+
+  /** The q177 pipeline over any (source, text) frame — injectable for
+    * hand-built mirror/containment specs (the q135 rule). */
+  private[graft] def syndicationMatrixOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val fps = docs
+      .select($"source", graft.queries.TextQueries.fingerprint($"text").as("fp"))
+      .distinct()
+      .reliableCheckpoint()
+    val sizes = fps.groupBy($"source").agg(count(lit(1)).as("n"))
+    fps.as("a")
+      .join(fps.as("b"), $"a.fp" === $"b.fp" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_fps_a")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_fps_b")), Seq("source_b"))
+      .withColumn("containment_a_ppm",
+        expr("CAST(floor(n_shared_fps * 1000000.0 / n_fps_a) AS BIGINT)"))
+      .withColumn("containment_b_ppm",
+        expr("CAST(floor(n_shared_fps * 1000000.0 / n_fps_b) AS BIGINT)"))
+      .select($"source_a", $"source_b", $"n_shared_fps", $"n_fps_a", $"n_fps_b",
+        $"containment_a_ppm", $"containment_b_ppm")
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val syndicationMatrixSql: String =
+    s"""WITH f AS (
+      |  SELECT DISTINCT source,
+      |    ${graft.queries.TextQueries.fingerprintSql("text")} AS fp
+      |  FROM documents),
+      |sz AS (SELECT source, count(*) AS n FROM f GROUP BY 1),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    count(*) AS n_shared_fps
+      |  FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b,
+      |  CAST(p.n_shared_fps AS BIGINT) AS n_shared_fps,
+      |  CAST(sa.n AS BIGINT) AS n_fps_a, CAST(sb.n AS BIGINT) AS n_fps_b,
+      |  CAST(floor(p.n_shared_fps * 1000000.0 / sa.n) AS BIGINT) AS containment_a_ppm,
+      |  CAST(floor(p.n_shared_fps * 1000000.0 / sb.n) AS BIGINT) AS containment_b_ppm
+      |FROM p
+      |JOIN sz sa ON sa.source = p.source_a
+      |JOIN sz sb ON sb.source = p.source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** Edges COMPOSE q42's oracle SQL — one definition of the pair
     * graph; a change to q42's blocking/threshold updates both. */
   val dedupClustersSql: String =
@@ -1359,6 +1426,7 @@ object DedupQueries {
     "q66_dedup_clusters" -> (dedupClusters _),
     "q82_dedup_impact" -> (dedupImpact _),
     "q173_canonical_keepers" -> (canonicalKeepers _),
+    "q177_syndication_matrix" -> (syndicationMatrix _),
     "q84_incremental_ingest" -> (incrementalIngest _),
     "q158_neardup_index_serve" -> (neardupIndexServe _),
     "q40_exact_dedup" -> (exactDedup _),
@@ -1383,6 +1451,7 @@ object DedupQueries {
     "q106_semantic_dedup" -> semanticDedupSql,
     "q82_dedup_impact" -> dedupImpactSql,
     "q173_canonical_keepers" -> canonicalKeepersSql,
+    "q177_syndication_matrix" -> syndicationMatrixSql,
     "q84_incremental_ingest" -> incrementalIngestSql,
     "q158_neardup_index_serve" -> neardupIndexServeSql,
     "q43_minhash_dedup" -> minhashDedupValidatedSql,

@@ -1808,6 +1808,68 @@ object EventQueries {
       |FROM f JOIN tot t USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** q178: CONVERSION-LAG SURVIVAL HISTOGRAM — time from a user's
+    * FIRST signup to their FIRST subsequent purchase, in power-of-two
+    * DAY bands, with the users who never convert reported as a
+    * CENSORED row rather than dropped (the survival-analysis
+    * discipline: omitting censored mass overstates conversion — q120
+    * measures activity retention by calendar cohort, q163 measures
+    * within-session step latency; neither answers "how long to
+    * convert, and how many never do"). Days are exact integer
+    * calendar-date diffs; bands are the binary-string floor-log2
+    * (q121/q169 rule); censored rows carry band −1 so the histogram
+    * stays one integer-typed frame.
+    * Scale: two filtered min-aggregates keyed on user (map-side
+    * combined, one exchange each), one user-keyed join, a ≤65-row
+    * rollup. No windows, no corpus-wide sort. */
+  def conversionLag(s: SparkSession, dir: String): DataFrame =
+    conversionLagOver(Tables.events(s, dir))
+
+  /** The q178 pipeline over any (user_id, event_type, ts) frame —
+    * injectable for hand-built censoring/band specs (the q135
+    * rule). */
+  private[graft] def conversionLagOver(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val signups = events.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("ts_s"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("uid_p"), $"ts")
+    // post-signup predicate INSIDE the left join: a user whose only
+    // purchases PRECEDE the signup must survive as censored, not
+    // vanish (a post-join filter would drop their null row too)
+    val firstConv = signups
+      .join(purchases, $"user_id" === $"uid_p" && $"ts" >= $"ts_s", "left")
+      .groupBy($"user_id", $"ts_s").agg(min($"ts").as("ts_p"))
+    firstConv
+      .withColumn("band",
+        when($"ts_p".isNull, lit(-1L)).otherwise(
+          (length(bin(datediff(to_date($"ts_p"), to_date($"ts_s")).cast("long") + 1L)) - 1L)
+            .cast("long")))
+      .withColumn("outcome", when($"band" === -1L, lit("censored")).otherwise(lit("converted")))
+      .groupBy($"outcome", $"band").agg(count(lit(1)).as("n_users"))
+      .orderBy($"outcome", $"band")
+  }
+
+  val conversionLagSql: String =
+    """WITH s AS (
+      |  SELECT user_id, min(ts) AS ts_s FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |p AS (
+      |  SELECT s.user_id, s.ts_s, min(e.ts) AS ts_p
+      |  FROM s LEFT JOIN events e
+      |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+      |   AND e.ts >= s.ts_s
+      |  GROUP BY 1, 2),
+      |b AS (
+      |  SELECT CASE WHEN ts_p IS NULL THEN -1
+      |    ELSE CAST(length(bin(datediff('day', CAST(ts_s AS DATE),
+      |                                  CAST(ts_p AS DATE)) + 1)) - 1 AS BIGINT)
+      |  END AS band FROM p)
+      |SELECT CASE WHEN band = -1 THEN 'censored' ELSE 'converted' END AS outcome,
+      |  CAST(band AS BIGINT) AS band, count(*) AS n_users
+      |FROM b GROUP BY 1, 2 ORDER BY outcome, band""".stripMargin
+
   val cohortRetentionSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -2252,6 +2314,7 @@ object EventQueries {
     "q170_hour_profile" -> (hourProfile _),
     "q174_last_touch" -> (lastTouch _),
     "q176_transition_matrix" -> (transitionMatrix _),
+    "q178_conversion_lag" -> (conversionLag _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q135_scd2_merge" -> (scd2IncrementalMerge _),
     "q139_event_anomalies" -> (eventAnomalies _),
@@ -2298,6 +2361,7 @@ object EventQueries {
     "q170_hour_profile" -> hourProfileSql,
     "q174_last_touch" -> lastTouchSql,
     "q176_transition_matrix" -> transitionMatrixSql,
+    "q178_conversion_lag" -> conversionLagSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q135_scd2_merge" -> scd2IntervalsSql, // the identity IS the oracle
     "q139_event_anomalies" -> eventAnomaliesSql,

@@ -440,6 +440,57 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q178 conversion lag: bands, censoring, pre-signup purchases, and non-signups") {
+    import graft.queries.EventQueries
+    def ev(id: Long, u: Long, tpe: String, t: String) =
+      (id, u, tpe, java.sql.Timestamp.valueOf(t))
+    val df = Seq(
+      ev(1, 1, "signup", "2024-01-01 10:00:00"),
+      ev(2, 1, "purchase", "2024-01-01 18:00:00"),  // same day → band 0
+      ev(3, 2, "signup", "2024-01-01 10:00:00"),
+      ev(4, 2, "purchase", "2024-01-04 09:00:00"),  // 3 days → band 2
+      ev(5, 3, "purchase", "2024-01-01 09:00:00"),  // BEFORE the signup
+      ev(6, 3, "signup", "2024-01-01 12:00:00"),    // → censored, not dropped
+      ev(7, 4, "signup", "2024-01-05 00:00:00"),    // never converts → censored
+      ev(8, 5, "purchase", "2024-01-02 00:00:00"),  // never signs up → absent
+      ev(9, 6, "signup", "2024-01-10 00:00:00"),    // min of two signups counts
+      ev(10, 6, "signup", "2024-01-12 00:00:00"),
+      ev(11, 6, "purchase", "2024-01-11 00:00:00"), // 1 day → band 1
+      ev(12, 6, "purchase", "2024-01-20 00:00:00")
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventQueries.conversionLagOver(df)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("censored", -1L, 2L),
+      ("converted", 0L, 1L),
+      ("converted", 1L, 1L),
+      ("converted", 2L, 1L)), got.toString)
+  }
+
+  test("q178 fixture: user mass conserves over signup users; bands match a Scala model") {
+    import graft.queries.EventQueries
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val signup = events.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3.getTime).min }
+    val wantBands = signup.toSeq.map { case (u, ts) =>
+      val conv = events.filter(e => e._1 == u && e._2 == "purchase" && e._3.getTime >= ts)
+      if (conv.isEmpty) -1L
+      else {
+        val s = java.time.Instant.ofEpochMilli(ts).atZone(java.time.ZoneOffset.UTC).toLocalDate
+        val p = java.time.Instant.ofEpochMilli(conv.map(_._3.getTime).min)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+        val days = java.time.temporal.ChronoUnit.DAYS.between(s, p)
+        63L - java.lang.Long.numberOfLeadingZeros(days + 1L)
+      }
+    }.groupBy(b => b).map { case (b, xs) => b -> xs.size.toLong }
+    val rows = EventQueries.conversionLag(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.map(_._3).sum == signup.size.toLong, "every signup user lands once")
+    assert(rows.map(r => r._2 -> r._3).toMap == wantBands, s"bands: $rows vs $wantBands")
+  }
+
   test("q162 sequences: trigram extraction is ordered; a session gap breaks the chain") {
     import graft.queries.EventQueries
     def ev(id: Long, u: Long, tpe: String, t: String) =

@@ -698,6 +698,41 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q177: syndication matrix --------------------------------------
+
+  test("q177: containment is directional; within-source duplicates collapse; disjoint pairs absent") {
+    import graft.queries.DedupQueries
+    val docs = Seq(
+      ("dup one", "s1"), ("dup two", "s1"), ("only a", "s1"),
+      ("dup one", "s1"),                       // within-source dup: one fp
+      ("dup one", "s2"), ("dup two", "s2"), ("only b", "s2"), ("only b2", "s2"),
+      ("unrelated", "s3")
+    ).toDF("text", "source")
+    val got = DedupQueries.syndicationMatrixOver(docs)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", "s2", 2L, 3L, 4L, 666666L, 500000L)),
+      s"only the overlapping pair, directional ppm: $got")
+  }
+
+  test("q177 fixture: pair counts match a Scala set-intersection model") {
+    import graft.queries.DedupQueries
+    val bySource = Tables.documents(spark, sf)
+      .select($"source", TextQueries.fingerprint($"text")).as[(String, Long)]
+      .collect().groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val rows = DedupQueries.syndicationMatrix(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    val wantPairs = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      shared = (bySource(a) & bySource(b)).size if shared > 0
+    } yield (a, b) -> shared.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == wantPairs)
+    rows.foreach { case (a, b, n, na, nb, ppmA, ppmB) =>
+      assert(na == bySource(a).size.toLong && nb == bySource(b).size.toLong)
+      assert(ppmA == math.floor(n * 1000000.0 / na).toLong &&
+        ppmB == math.floor(n * 1000000.0 / nb).toLong)
+    }
+  }
+
   // ---- q175: boilerplate prefix detection ----------------------------
 
   test("q175: argmax picks the dominant prefix; ties fall to the lexicographic minimum") {
