@@ -1870,6 +1870,158 @@ object EventQueries {
       |  CAST(band AS BIGINT) AS band, count(*) AS n_users
       |FROM b GROUP BY 1, 2 ORDER BY outcome, band""".stripMargin
 
+  /** q179: WINSORIZED VALUE SUMMARY per event type — the robust
+    * preprocessing step every metrics pipeline runs before averaging
+    * a heavy-tailed measure: clamp to the type's own exact [p1, p99]
+    * and report how much mass the clamp moved. All arithmetic rides
+    * the INTEGER-CENTS domain (the q12/q86 rule), and both
+    * percentiles come from the q132 bounded-domain histogram pattern:
+    * per-type (cents → count) histogram, thresholds found by ONE fold
+    * over the ≤domain-sized sorted histogram (p1 = smallest v with
+    * cum ≥ ceil(n/100), p99 = smallest v with cum ≥ ceil(99n/100)) —
+    * no sort, no window, state bounded by the VALUE DOMAIN. The
+    * clamped statistics are then computed from the HISTOGRAM ITSELF
+    * (Σ c·clamp(v)), so the corpus is scanned exactly once.
+    * Scale: one map-side-combined (type, cents) exchange; everything
+    * after runs on the ≤|types|·|domain| histogram frame. */
+  def winsorizedSummary(s: SparkSession, dir: String): DataFrame =
+    winsorizedSummaryOver(Tables.events(s, dir))
+
+  /** The q179 pipeline over any (event_type, value) frame —
+    * injectable for hand-built clamp/threshold specs (the q135
+    * rule). */
+  private[graft] def winsorizedSummaryOver(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val hist = events
+      .select($"event_type", expr("CAST(round(value * 100, 0) AS BIGINT)").as("v"))
+      .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+    val thr = hist.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"v", $"c"))).as("h"),
+        sum($"c").as("n"))
+      .withColumn("k1", expr("(n + 99) div 100"))
+      .withColumn("k99", expr("(99 * n + 99) div 100"))
+      .withColumn("t", aggregate($"h",
+        struct(lit(0L).as("cum"), lit(Long.MinValue).as("lo"), lit(Long.MinValue).as("hi")),
+        (acc, x) => {
+          val cum2 = acc("cum") + x("c")
+          struct(cum2.as("cum"),
+            when(acc("lo") === Long.MinValue && cum2 >= $"k1", x("v"))
+              .otherwise(acc("lo")).as("lo"),
+            when(acc("hi") === Long.MinValue && cum2 >= $"k99", x("v"))
+              .otherwise(acc("hi")).as("hi"))
+        }))
+      .select($"event_type", $"n", $"t.lo".as("lo_cents"), $"t.hi".as("hi_cents"))
+    hist.join(broadcast(thr), Seq("event_type"))
+      .groupBy($"event_type", $"n", $"lo_cents", $"hi_cents")
+      .agg(
+        sum(when($"v" < $"lo_cents", $"c").otherwise(0L)).as("n_clamped_low"),
+        sum(when($"v" > $"hi_cents", $"c").otherwise(0L)).as("n_clamped_high"),
+        sum($"c" * $"v").as("sum_cents"),
+        sum($"c" * greatest(least($"v", $"hi_cents"), $"lo_cents")).as("sum_cents_winsorized"))
+      .select($"event_type", $"n", $"lo_cents", $"hi_cents",
+        $"n_clamped_low", $"n_clamped_high", $"sum_cents", $"sum_cents_winsorized")
+      .orderBy($"event_type")
+  }
+
+  /** Oracle: same histogram, thresholds via a cumulative window over
+    * the bounded domain (the oracle may sort; the engine may not —
+    * the q132 division of labor). */
+  val winsorizedSummarySql: String =
+    """WITH m AS (
+      |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+      |  FROM events),
+      |hist AS (SELECT event_type, v, count(*) AS c FROM m GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+      |cum AS (
+      |  SELECT h.event_type, h.v,
+      |    sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.v) AS cum, t.n
+      |  FROM hist h JOIN tot t USING (event_type)),
+      |lo AS (SELECT event_type, min(v) AS lo_cents FROM cum
+      |       WHERE cum >= (n + 99) // 100 GROUP BY 1),
+      |hi AS (SELECT event_type, min(v) AS hi_cents FROM cum
+      |       WHERE cum >= (99 * n + 99) // 100 GROUP BY 1)
+      |SELECT h.event_type, t.n, lo.lo_cents, hi.hi_cents,
+      |  CAST(sum(CASE WHEN h.v < lo.lo_cents THEN h.c ELSE 0 END) AS BIGINT) AS n_clamped_low,
+      |  CAST(sum(CASE WHEN h.v > hi.hi_cents THEN h.c ELSE 0 END) AS BIGINT) AS n_clamped_high,
+      |  CAST(sum(h.c * h.v) AS BIGINT) AS sum_cents,
+      |  CAST(sum(h.c * greatest(least(h.v, hi.hi_cents), lo.lo_cents)) AS BIGINT)
+      |    AS sum_cents_winsorized
+      |FROM hist h JOIN tot t USING (event_type)
+      |JOIN lo USING (event_type) JOIN hi USING (event_type)
+      |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin
+
+  /** q180: TOP-DECILE CONTRIBUTION — participation concentration per
+    * event type: what share of the type's events do its top 10% most
+    * active users generate (the whale/bot-farm governance signal —
+    * q121 shows the activity HISTOGRAM, this prices the head's share
+    * of the mass; ties at the decile boundary contribute PARTIALLY,
+    * the exact Lorenz-curve rule, so the statistic is well-defined
+    * whatever the tie structure). All-integer: the fold walks the
+    * per-type (count → users) histogram best-first, takes whole tie
+    * groups while they fit inside k = ceil(n_users/10) and the
+    * boundary group pro-rata ((k − taken) · cnt), exactly like the
+    * oracle's windowed closed form cumm − (cumu − k)·cnt.
+    * Scale: one (type, user) map-side-combined exchange, one
+    * (type, cnt) rollup bounded by the distinct-activity domain, one
+    * fold per type — no corpus-wide sort or window. */
+  def topDecileContribution(s: SparkSession, dir: String): DataFrame =
+    topDecileContributionOver(Tables.events(s, dir))
+
+  /** The q180 pipeline over any (user_id, event_type) frame —
+    * injectable for hand-built tie/boundary specs (the q135 rule). */
+  private[graft] def topDecileContributionOver(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val perUser = events.groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val hist = perUser.groupBy($"event_type", $"cnt").agg(count(lit(1)).as("c"))
+    hist.groupBy($"event_type")
+      .agg(reverse(sort_array(collect_list(struct($"cnt", $"c")))).as("h"),
+        sum($"c").as("n_users"), sum($"cnt" * $"c").as("n_events"))
+      .withColumn("k", expr("(n_users + 9) div 10"))
+      .withColumn("top_mass", aggregate($"h",
+        struct(lit(0L).as("taken"), lit(0L).as("mass")),
+        (acc, x) => {
+          val room = $"k" - acc("taken")
+          val take = least(x("c"), room)
+          struct((acc("taken") + when(take > 0L, take).otherwise(0L)).as("taken"),
+            (acc("mass") + when(take > 0L, take * x("cnt")).otherwise(0L)).as("mass"))
+        },
+        acc => acc("mass")))
+      .withColumn("share_ppm",
+        expr("CAST(floor(top_mass * 1000000.0 / n_events) AS BIGINT)"))
+      .select($"event_type", $"n_users", $"n_events", $"k".as("top_users"),
+        $"top_mass", $"share_ppm")
+      .orderBy($"event_type")
+  }
+
+  /** Oracle: the windowed closed form — boundary row where the
+    * descending user cumsum first reaches k; mass = cumm −
+    * (cumu − k)·cnt (the pro-rata tie rule in one expression). */
+  val topDecileContributionSql: String =
+    """WITH u AS (
+      |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+      |h AS (SELECT event_type, cnt, count(*) AS c FROM u GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |        CAST(sum(cnt) AS BIGINT) AS n_events
+      |      FROM u GROUP BY 1),
+      |cum AS (
+      |  SELECT h.event_type, h.cnt,
+      |    sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.cnt DESC) AS cumu,
+      |    sum(h.c * h.cnt) OVER (PARTITION BY h.event_type ORDER BY h.cnt DESC) AS cumm,
+      |    t.n_users, t.n_events, (t.n_users + 9) // 10 AS k
+      |  FROM h JOIN t USING (event_type)),
+      |b AS (
+      |  SELECT event_type, n_users, n_events, k,
+      |    CAST(cumm - (cumu - k) * cnt AS BIGINT) AS top_mass,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC) AS rn
+      |  FROM cum WHERE cumu >= k)
+      |SELECT event_type, n_users, n_events, CAST(k AS BIGINT) AS top_users,
+      |  top_mass,
+      |  CAST(floor(top_mass * 1000000.0 / n_events) AS BIGINT) AS share_ppm
+      |FROM b WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val cohortRetentionSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -2315,6 +2467,8 @@ object EventQueries {
     "q174_last_touch" -> (lastTouch _),
     "q176_transition_matrix" -> (transitionMatrix _),
     "q178_conversion_lag" -> (conversionLag _),
+    "q179_winsorized_summary" -> (winsorizedSummary _),
+    "q180_top_decile_contribution" -> (topDecileContribution _),
     "q80_scd2_intervals" -> (scd2Intervals _),
     "q135_scd2_merge" -> (scd2IncrementalMerge _),
     "q139_event_anomalies" -> (eventAnomalies _),
@@ -2362,6 +2516,8 @@ object EventQueries {
     "q174_last_touch" -> lastTouchSql,
     "q176_transition_matrix" -> transitionMatrixSql,
     "q178_conversion_lag" -> conversionLagSql,
+    "q179_winsorized_summary" -> winsorizedSummarySql,
+    "q180_top_decile_contribution" -> topDecileContributionSql,
     "q80_scd2_intervals" -> scd2IntervalsSql,
     "q135_scd2_merge" -> scd2IntervalsSql, // the identity IS the oracle
     "q139_event_anomalies" -> eventAnomaliesSql,

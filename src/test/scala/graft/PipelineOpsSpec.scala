@@ -491,6 +491,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(r => r._2 -> r._3).toMap == wantBands, s"bands: $rows vs $wantBands")
   }
 
+  test("q179 winsorize: exact p1/p99 thresholds clamp the constructed outliers") {
+    import graft.queries.EventQueries
+    // 200 events: one low outlier (0.00), 198 at 50.00, one high (200.00)
+    // k1 = 2 → p1 = 5000 cents; k99 = 198 → p99 = 5000 cents
+    val df = ((1 to 198).map(_ => 50.0) ++ Seq(0.0, 200.0))
+      .map(v => ("t", v)).toDF("event_type", "value")
+    val got = EventQueries.winsorizedSummaryOver(df)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("t", 200L, 5000L, 5000L, 1L, 1L, 1010000L, 1000000L)),
+      got.toString)
+  }
+
+  test("q179 fixture: thresholds and clamped sums match a Scala sorted-percentile model") {
+    import graft.queries.EventQueries
+    val byType = Tables.events(spark, sf)
+      .select($"event_type", expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    val rows = EventQueries.winsorizedSummary(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    rows.foreach { case (t, n, lo, hi, ncl, nch, sum0, sumW) =>
+      val vs = byType(t).map(_._2).sorted
+      val k1 = ((vs.length + 99) / 100) - 1
+      val k99 = ((99 * vs.length + 99) / 100) - 1
+      assert(n == vs.length.toLong && lo == vs(k1.toInt) && hi == vs(k99.toInt),
+        s"$t thresholds")
+      assert(ncl == vs.count(_ < lo).toLong && nch == vs.count(_ > hi).toLong)
+      assert(sum0 == vs.sum && sumW == vs.map(v => math.max(lo, math.min(hi, v))).sum)
+    }
+  }
+
+  test("q180 top decile: boundary tie group contributes pro-rata (Lorenz rule)") {
+    import graft.queries.EventQueries
+    // 15 users: three with 4 events, twelve with 1 → k = 2, the tie
+    // group at cnt=4 holds 3 users but only 2 fit → mass = 2·4 = 8
+    val rows = (1 to 3).flatMap(u => (1 to 4).map(_ => (u.toLong, "x"))) ++
+      (4 to 15).map(u => (u.toLong, "x"))
+    val got = EventQueries.topDecileContributionOver(
+        rows.toDF("user_id", "event_type"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("x", 15L, 24L, 2L, 8L, 333333L)), got.toString)
+  }
+
+  test("q180 fixture: mass matches a greedy Scala take over descending user counts") {
+    import graft.queries.EventQueries
+    val counts = Tables.events(spark, sf)
+      .select($"event_type", $"user_id").as[(String, Long)].collect()
+      .groupBy(_._1)
+      .map { case (t, xs) =>
+        t -> xs.groupBy(_._2).values.map(_.length.toLong).toSeq.sorted.reverse }
+    val rows = EventQueries.topDecileContribution(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    rows.foreach { case (t, nu, ne, k, mass, ppm) =>
+      val cs = counts(t)
+      assert(nu == cs.size.toLong && ne == cs.sum)
+      val kk = (cs.size + 9) / 10
+      assert(k == kk.toLong && mass == cs.take(kk).sum, s"$t top mass")
+      assert(ppm == math.floor(mass * 1000000.0 / ne).toLong, s"$t ppm")
+    }
+  }
+
   test("q162 sequences: trigram extraction is ordered; a session gap breaks the chain") {
     import graft.queries.EventQueries
     def ev(id: Long, u: Long, tpe: String, t: String) =
