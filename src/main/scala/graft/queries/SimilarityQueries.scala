@@ -2079,7 +2079,92 @@ object SimilarityQueries {
       |JOIN sizes sb ON sb.source = pairs.source_b
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** q181: ANCHOR-ROUTING MARGIN AUDIT — route every vector to its
+    * max-cosine anchor (the 16 pinned vectors vec_id 0–15: a FIXED,
+    * oracle-recomputable codebook, unlike the learned IVF centroids
+    * whose audits must self-validate, q58/q92) and measure how DECISIVE
+    * each routing is: margin = cos(best) − cos(second). A sharded
+    * vector store routed this way (anchor = shard) re-shuffles its
+    * low-margin members on any re-anchoring — the per-anchor boundary
+    * mass is the migration-risk / routing-stability signal, and the
+    * member counts are the shard-balance report. All comparisons run
+    * on round(cos, 6) on BOTH engines (the q46 exactness discipline),
+    * ties to the lower anchor id; anchors with zero members still
+    * appear (the q167/q170 missing-cell rule) with a NULL ppm (q161's
+    * one-sided rule).
+    * Scale: anchors are a 16-row driver sidecar (the sanctioned
+    * bounded collect — the q58 centroid pattern); routing is 16
+    * codegen'd literal-array cosines per row, ONE corpus scan, no
+    * join, no fan-out; the rollup is a ≤16-row map-side-combined
+    * aggregate grid-filled against the anchor range. */
+  def anchorRoutingAudit(s: SparkSession, dir: String, nAnchors: Int = 16,
+                         boundary: Double = 0.02): DataFrame = {
+    import s.implicits._
+    val anchors: Array[Array[Double]] = Tables.embeddings(s, dir)
+      .filter($"vec_id" < nAnchors).orderBy($"vec_id")
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    require(anchors.length == nAnchors, s"expected $nAnchors anchors, got ${anchors.length}")
+    val scored = array(anchors.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct(round(cosine_similarity($"embedding", typedlit(c.toSeq)), 6).as("c"),
+        lit(i.toLong).as("i")) }: _*)
+    // total order: cosine DESC (already 6-dp rounded), anchor id ASC
+    val sorted = array_sort(scored, (l, r) =>
+      when(l("c") > r("c"), -1).otherwise(when(l("c") < r("c"), 1)
+        .otherwise(when(l("i") < r("i"), -1).otherwise(1))))
+    val routed = Tables.embeddings(s, dir)
+      .select($"vec_id", sorted.as("s"))
+      .select($"vec_id",
+        element_at($"s", 1)("i").as("anchor_id"),
+        round(element_at($"s", 1)("c") - element_at($"s", 2)("c"), 6).as("margin"))
+      .groupBy($"anchor_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when($"margin" < boundary, 1L).otherwise(0L)).as("n_boundary"))
+    s.range(0L, nAnchors.toLong).toDF("anchor_id")
+      .join(routed, Seq("anchor_id"), "left")
+      .select($"anchor_id",
+        coalesce($"n_members", lit(0L)).as("n_members"),
+        coalesce($"n_boundary", lit(0L)).as("n_boundary"))
+      .withColumn("boundary_ppm",
+        when($"n_members" > 0L,
+          expr("CAST(floor(n_boundary * 1000000.0 / n_members) AS BIGINT)")))
+      .orderBy($"anchor_id")
+  }
+
+  /** Oracle re-derives the routing from the same 16 pinned rows via a
+    * ranked window — different mechanism, same (cos6 DESC, id ASC)
+    * rule. */
+  def anchorRoutingAuditSql(nAnchors: Int = 16, boundary: Double = 0.02): String =
+    s"""WITH a AS (
+      |  SELECT vec_id AS anchor_id, embedding AS a_emb FROM embeddings
+      |  WHERE vec_id < $nAnchors),
+      |r AS (
+      |  SELECT e.vec_id, a.anchor_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], a.a_emb::DOUBLE[]), 6) AS c,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      round(list_cosine_similarity(e.embedding::DOUBLE[], a.a_emb::DOUBLE[]), 6) DESC,
+      |      a.anchor_id) AS rn
+      |  FROM embeddings e CROSS JOIN a),
+      |m AS (
+      |  SELECT vec_id,
+      |    max(CASE WHEN rn = 1 THEN anchor_id END) AS anchor_id,
+      |    round(max(CASE WHEN rn = 1 THEN c END)
+      |          - max(CASE WHEN rn = 2 THEN c END), 6) AS margin
+      |  FROM r WHERE rn <= 2 GROUP BY vec_id),
+      |g AS (
+      |  SELECT anchor_id, count(*) AS n_members,
+      |    CAST(sum(CASE WHEN margin < $boundary THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
+      |  FROM m GROUP BY 1)
+      |SELECT ar.anchor_id, coalesce(g.n_members, 0) AS n_members,
+      |  coalesce(g.n_boundary, 0) AS n_boundary,
+      |  CASE WHEN coalesce(g.n_members, 0) > 0 THEN
+      |    CAST(floor(g.n_boundary * 1000000.0 / g.n_members) AS BIGINT) END AS boundary_ppm
+      |FROM (SELECT unnest(range(0, $nAnchors)) AS anchor_id) ar
+      |LEFT JOIN g USING (anchor_id)
+      |ORDER BY anchor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_anchor_routing" -> ((s: SparkSession, dir: String) => anchorRoutingAudit(s, dir)),
     "q141_vocab_sketch_overlap" -> (vocabSketchOverlap _),
     "q140_pq_ann" -> (pqAnn _),
     "q144_ivfpq_serve" -> (ivfPqServe _),
@@ -2114,6 +2199,7 @@ object SimilarityQueries {
     "q91_pca_ann_pairs" -> pcaAnnPairsSql,
     "q89_pca_validated" -> pcaValidatedSql,
     "q46_cosine_topk" -> cosineTopKSql,
+    "q181_anchor_routing" -> anchorRoutingAuditSql(),
     "q47_nn_within_label" -> nnWithinLabelSql,
     "q48_ann_lsh" -> annLshSql,
     "q49_embedding_dim_stats" -> embeddingDimStatsSql,

@@ -373,6 +373,61 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q174 streaming sibling: a late touch re-orders before attribution; TTL-free replay ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TouchState
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp, Long, Double)]
+    val q = TouchState.attribute(
+        mem.toDF().toDF("user_id", "event_type", "ts", "event_id", "value"))
+      .writeStream.format("memory").queryName("touch_ooo")
+      .outputMode("append").start()
+    try {
+      // purchase arrives FIRST, its view touch arrives late (inside
+      // the watermark): attribution must credit the view, not direct
+      mem.addData((1L, "purchase", ts("2024-01-01 10:10:00"), 2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, "view", ts("2024-01-01 10:00:00"), 1L, 0.0))
+      q.processAllAvailable()
+      mem.addData((99L, "flush", ts("2024-06-01 00:00:00"), 9L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("touch_ooo")
+        .as[(Long, Long, String, Long)].collect().toSeq
+      assert(got == Seq((1L, 2L, "view", 1000L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("q174 streaming sibling: fixture replay reproduces the batch attribution rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TouchState
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+      .as[(Long, String, java.sql.Timestamp, Long, Double)]
+      .collect().sortBy(e => (e._3.getTime, e._4))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp, Long, Double)]
+    val q = TouchState.attribute(
+        mem.toDF().toDF("user_id", "event_type", "ts", "event_id", "value"),
+        idleTtlMs = 100L * 24 * 3600 * 1000) // TTL past the fixture span
+      .writeStream.format("memory").queryName("touch_fixture")
+      .outputMode("append").start()
+    try {
+      events.grouped(math.max(events.length / 3, 1)).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val flushTs = new java.sql.Timestamp(events.last._3.getTime + 200L * 24 * 3600 * 1000)
+      mem.addData((-999L, "flush", flushTs, 0L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("touch_fixture")
+        .as[(Long, Long, String, Long)].collect().toSeq
+        .groupBy(_._3)
+        .map { case (t, rs) => (t, rs.size.toLong, rs.map(_._4).sum) }
+        .toSeq.sorted
+      val batch = graft.queries.EventQueries.lastTouch(spark, sf)
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("BPE token stamp: streaming ≡ batch, stateless on an unbounded plan") {
     implicit val sqlCtx = spark.sqlContext
     val texts = Seq("the cat sat", "standing forest editor", "", "with that mississippi")
