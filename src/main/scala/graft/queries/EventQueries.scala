@@ -2443,7 +2443,74 @@ object EventQueries {
       |  round((ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb, 4) AS chi2
       |FROM x ORDER BY chi2 DESC, event_type, bucket LIMIT $k""".stripMargin
 
+  /** q184: JOIN-KEY SKEW AUDIT — the pre-flight check every shuffle
+    * plan at 100 TB needs: for each candidate join/aggregation key of
+    * the events stream (`user_id`, `event_type`), the key-cardinality
+    * and hot-key concentration numbers that decide between a plain
+    * shuffle, AQE skew splitting, and explicit salting — plus the
+    * salting factor itself (`rec_salt` = the number of salt buckets
+    * that brings the hottest key down to one partition's fair share
+    * at 32 shuffle partitions: ceil(top1_cnt · 32 / n_rows)). A
+    * `rec_salt` of 1 says the key is shuffle-safe as-is; event_type
+    * (domain of a handful) reports the pathological concentration
+    * that rules it out as a partition key.
+    *
+    * All-integer output (counts, floor average, half-up 4 dp share).
+    * `top10_cnt` is tie-safe cross-engine: equal counts at the rank-10
+    * boundary contribute the same SUM whichever keys the engines pick.
+    * Scale: per key the corpus collapses map-side into a (key, count)
+    * frame (partial agg before the ONE exchange); the scalar rollup
+    * and the `TakeOrderedAndProject` top-10 both read that compacted
+    * frame; the cross join multiplies two ONE-row frames. Nothing
+    * driver-side, nothing corpus-wide — the audit costs one exchange
+    * per audited key. */
+  def skewAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def audit(keyCol: String): DataFrame = {
+      val counts = ev.groupBy(col(keyCol).cast("string").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val scalars = counts.agg(sum($"c").as("n_rows"),
+        count(lit(1)).as("n_keys"), max($"c").as("top1_cnt"))
+      val top10 = counts.orderBy($"c".desc, $"k").limit(10)
+        .agg(sum($"c").as("top10_cnt"))
+      scalars.crossJoin(top10).select(lit(keyCol).as("key_col"),
+        $"n_rows", $"n_keys", $"top1_cnt", $"top10_cnt")
+    }
+    audit("user_id").unionByName(audit("event_type"))
+      .select($"key_col", $"n_rows", $"n_keys",
+        expr("n_rows div n_keys").as("avg_per_key"),
+        $"top1_cnt", $"top10_cnt",
+        (expr("(20000 * top1_cnt + n_rows) div (2 * n_rows)") / 10000.0)
+          .as("top1_share"),
+        expr("greatest(1, (top1_cnt * 32 + n_rows - 1) div n_rows)")
+          .as("rec_salt"))
+      .orderBy($"key_col")
+  }
+
+  val skewAuditSql: String =
+    """WITH c1 AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+      |            FROM events GROUP BY 1),
+      |a1 AS (SELECT 'user_id' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+      |         count(*) AS n_keys, max(c) AS top1_cnt FROM c1),
+      |t1 AS (SELECT CAST(sum(c) AS BIGINT) AS top10_cnt
+      |       FROM (SELECT c FROM c1 ORDER BY c DESC, k LIMIT 10)),
+      |c2 AS (SELECT event_type AS k, count(*) AS c FROM events GROUP BY 1),
+      |a2 AS (SELECT 'event_type' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+      |         count(*) AS n_keys, max(c) AS top1_cnt FROM c2),
+      |t2 AS (SELECT CAST(sum(c) AS BIGINT) AS top10_cnt
+      |       FROM (SELECT c FROM c2 ORDER BY c DESC, k LIMIT 10)),
+      |u AS (SELECT * FROM a1 CROSS JOIN t1
+      |      UNION ALL SELECT * FROM a2 CROSS JOIN t2)
+      |SELECT key_col, n_rows, n_keys,
+      |  n_rows // n_keys AS avg_per_key,
+      |  top1_cnt, top10_cnt,
+      |  ((20000 * top1_cnt + n_rows) // (2 * n_rows)) / 10000.0 AS top1_share,
+      |  greatest(1, (top1_cnt * 32 + n_rows - 1) // n_rows) AS rec_salt
+      |FROM u ORDER BY key_col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_skew_audit" -> (skewAudit _),
     "q159_recency_sample" -> (recencySample _),
     "q161_value_drift" -> ((s: SparkSession, dir: String) => valueDrift(s, dir)),
     "q162_session_sequences" -> ((s: SparkSession, dir: String) => sessionSequences(s, dir)),
@@ -2493,6 +2560,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_skew_audit" -> skewAuditSql,
     "q159_recency_sample" -> recencySampleSql,
     "q161_value_drift" -> valueDriftSql(),
     "q162_session_sequences" -> sessionSequencesSql(),

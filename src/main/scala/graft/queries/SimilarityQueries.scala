@@ -2163,7 +2163,78 @@ object SimilarityQueries {
       |LEFT JOIN g USING (anchor_id)
       |ORDER BY anchor_id""".stripMargin
 
+  /** q186: EMBEDDING CENTROID DRIFT — the covariate-shift audit for
+    * the representation a retrieval/dedup stack depends on: per
+    * label, the L2 distance between the class centroid computed on
+    * the TRAIN slice (q94's hash rule on `vec_id` — the same split
+    * assignment the pipeline ships) and on the HELD-OUT slice. A
+    * label whose two centroids sit far apart is drifting between what
+    * the model trains on and what it is evaluated on — the embedding
+    * analogue of q161's value drift and q183's OOV rate.
+    *
+    * Exactness discipline: per-element values quantize to an integer
+    * 1e-4 grid FIRST (one double multiply + round per element —
+    * bit-identical cross-engine), so the per-(label, split, dim) sums
+    * are exact integers and ORDER-INVARIANT — no float-summation
+    * nondeterminism anywhere (q49 absorbs it with output rounding;
+    * here the means feed further arithmetic, so the sums must be
+    * exact). Each mean is then ONE double division chain, each
+    * per-dim squared diff rounds onto an integer 1e-12 grid, and the
+    * per-label distance is an exact BIGINT sum of those — doubles
+    * only ever pass through single fully-determined expressions.
+    *
+    * Scale: posexplode → map-side partial agg collapses the corpus
+    * into a (label × split × dim)-bounded frame before the ONE
+    * exchange; everything after runs on that bounded frame. */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .withColumn("split",
+        when(TrainQueries.sampleKey($"vec_id") < 980L, "train").otherwise("heldout"))
+      .withColumn("q", expr("CAST(round(CAST(v AS DOUBLE) * 10000, 0) AS BIGINT)"))
+      .groupBy($"label", $"split", $"dim")
+      .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+    val t = agg.filter($"split" === "train").select($"label", $"dim",
+      ($"sq".cast("double") / $"n" / 10000.0).as("mt"), $"n".as("n_train"))
+    val h = agg.filter($"split" === "heldout").select($"label", $"dim",
+      ($"sq".cast("double") / $"n" / 10000.0).as("mh"), $"n".as("n_heldout"))
+    t.join(h, Seq("label", "dim"))
+      .withColumn("c", expr("CAST(round((mt - mh) * (mt - mh) * 1e12, 0) AS BIGINT)"))
+      .groupBy($"label")
+      .agg(max($"n_train").as("n_train"), max($"n_heldout").as("n_heldout"),
+        sum($"c").as("dist2_pico"))
+      .select($"label", $"n_train", $"n_heldout",
+        round(sqrt($"dist2_pico" / 1e12), 6).as("drift_l2"))
+      .orderBy($"label")
+  }
+
+  val centroidDriftSql: String =
+    """WITH x AS (
+      |  SELECT label,
+      |    CASE WHEN (vec_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 980
+      |         THEN 'train' ELSE 'heldout' END AS split,
+      |    i AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+      |  FROM embeddings, range(1, 65) t(i)),
+      |a AS (
+      |  SELECT label, split, dim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS n
+      |  FROM x GROUP BY 1, 2, 3),
+      |t AS (SELECT label, dim, CAST(sq AS DOUBLE) / n / 10000.0 AS mt, n AS n_train
+      |      FROM a WHERE split = 'train'),
+      |h AS (SELECT label, dim, CAST(sq AS DOUBLE) / n / 10000.0 AS mh, n AS n_heldout
+      |      FROM a WHERE split = 'heldout'),
+      |c AS (
+      |  SELECT t.label,
+      |    CAST(round((mt - mh) * (mt - mh) * 1e12, 0) AS BIGINT) AS c,
+      |    n_train, n_heldout
+      |  FROM t JOIN h USING (label, dim))
+      |SELECT label, max(n_train) AS n_train, max(n_heldout) AS n_heldout,
+      |  round(sqrt(CAST(sum(c) AS BIGINT) / 1e12), 6) AS drift_l2
+      |FROM c GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_centroid_drift" -> (centroidDrift _),
     "q181_anchor_routing" -> ((s: SparkSession, dir: String) => anchorRoutingAudit(s, dir)),
     "q141_vocab_sketch_overlap" -> (vocabSketchOverlap _),
     "q140_pq_ann" -> (pqAnn _),
@@ -2203,6 +2274,7 @@ object SimilarityQueries {
     "q47_nn_within_label" -> nnWithinLabelSql,
     "q48_ann_lsh" -> annLshSql,
     "q49_embedding_dim_stats" -> embeddingDimStatsSql,
+    "q186_centroid_drift" -> centroidDriftSql,
     "q55_nn_lsh" -> nnLshSql,
     "q156_hard_negatives" -> hardNegativesSql,
     "q160_dedup_threshold_curve" -> dedupThresholdCurveSql,

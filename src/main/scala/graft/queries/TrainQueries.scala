@@ -1244,6 +1244,205 @@ object TrainQueries {
       |LEFT JOIN spans USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q182: EXACT-SUBSTRING DECONTAMINATION — the third member of the
+    * contamination family, and the one with the strongest contract:
+    * q79 flags APPROXIMATE gram overlap, q172 measures span LENGTH,
+    * this reports byte-exact verbatim hits of an eval probe string
+    * inside a training document — the rule actual benchmark
+    * decontamination uses (a fixed-width probe window from each
+    * held-out doc, any training doc containing it verbatim is a
+    * leak). Probe = the 60-char window starting at len/4 of every
+    * held-out (`src0`) doc of ≥ 80 chars; output = every
+    * (eval_id, train_id) pair where the training text contains the
+    * probe as an exact substring.
+    *
+    * Engine: all probes compile into ONE Aho–Corasick automaton
+    * (driver-side, bounded: the probe frame is the EVAL benchmark
+    * set — thousands of short strings at any corpus scale, the same
+    * bounded-sidecar class as the IVF centroid frames), which rides
+    * to every task as a codegen reference object. The 100 TB train
+    * corpus is then scanned in a SINGLE pass, O(len + hits) per
+    * document regardless of the probe count — no per-pattern scans,
+    * no corpus-sized gram shuffle (q79's shape, wrong for a small
+    * exact probe set), no nested-loop `contains`. The hit frame
+    * (true leaks only) checkpoints before the final sort so the
+    * RangePartitioner's sampling pass re-reads the tiny pair frame,
+    * not the corpus scan. See [[graft.functions.AhoCorasick]].
+    * Cite: decontamination against the reference's cleaned corpus —
+    * sentiment_analysis.py:213-238 feeds model training from the
+    * stored tweets; this is the guard a training pipeline runs ahead
+    * of that read. */
+  def decontamPairs(s: SparkSession, dir: String): DataFrame =
+    decontamPairsOver(Tables.documents(s, dir))
+
+  /** Compile the held-out probe windows of `docs` into ONE automaton.
+    * Bounded collect: the probe side is the held-out EVAL set (the
+    * benchmark being protected), never the corpus — same bounded
+    * sidecar contract as the IVF centroid/codebook collects. */
+  private[graft] def evalProbeAutomaton(docs: DataFrame): graft.functions.AhoCorasick.Automaton = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val probes = docs
+      .filter($"source" === "src0" && length($"text") >= 80)
+      .select($"doc_id",
+        $"text".substr(greatest(lit(1), floor(length($"text") / 4)).cast("int"), lit(60)))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    graft.functions.AhoCorasick.build(probes)
+  }
+
+  /** The ONE scan chain shared by the registered batch query and the
+    * streaming ingest guard ([[graft.streaming.Pipeline
+    * .screenDecontamBatch]]) — stream ≡ batch screening is
+    * structural, not re-implemented. `train` is (doc_id, text). */
+  private[graft] def decontamHits(train: DataFrame,
+      ac: graft.functions.AhoCorasick.Automaton): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    train.select($"doc_id".as("train_id"),
+        explode(graft.functions.AhoCorasick.ac_match_ids($"text", ac)).as("eval_id"))
+      .select($"eval_id", $"train_id")
+  }
+
+  /** q182 over an injectable documents frame (the round-7 rule: the
+    * constructed specs plant probes mid-document and at edit sites). */
+  private[graft] def decontamPairsOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ac = evalProbeAutomaton(docs)
+    val hits = decontamHits(
+      docs.filter($"source" =!= "src0").select($"doc_id", $"text"), ac)
+    graft.operators.Scale.checkpointed(hits).orderBy($"eval_id", $"train_id")
+  }
+
+  val decontamPairsSql: String =
+    """WITH ev AS (
+      |  SELECT doc_id AS eval_id,
+      |    substr(text, greatest(1, length(text) // 4), 60) AS pat
+      |  FROM documents WHERE source = 'src0' AND length(text) >= 80),
+      |tr AS (SELECT doc_id AS train_id, text FROM documents WHERE source <> 'src0')
+      |SELECT e.eval_id, t.train_id
+      |FROM ev e JOIN tr t ON contains(t.text, e.pat)
+      |ORDER BY eval_id, train_id""".stripMargin
+
+  /** q183: TRAIN-VOCABULARY OOV RATE — the held-out coverage check a
+    * tokenizer/vocab decision needs: build the top-`k` token
+    * vocabulary from the TRAIN split only (q94's hash split — the
+    * same assignment rule everywhere, so this composes with the split
+    * the pipeline actually ships), then measure what fraction of
+    * val/test token OCCURRENCES fall outside it, per (split, lang).
+    * The train/eval asymmetry is the point: q117 tracks vocabulary
+    * growth over time and q168 head-mass within one corpus; this is
+    * the generalization question — how well does the training vocab
+    * cover text it will be evaluated on, and which languages suffer.
+    *
+    * Scale: token counting partial-aggregates map-side before the one
+    * corpus-sized exchange (tokens → (tok, count)); the top-k vocab is
+    * `TakeOrderedAndProject` over the VOCAB-sized count frame (no
+    * corpus-wide sort, deterministic (count DESC, tok ASC) tie-break);
+    * the eval probe joins against `broadcast(vocab)` — k rows, a
+    * CONSTANT parameter, never corpus- or vocabulary-scaled (the q138
+    * rule) — so the eval side never shuffles before its bounded
+    * (split, lang) rollup. All-integer arithmetic; half-up 4 dp rate. */
+  def oovRate(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", splitCol.as("split"),
+        explode(split(trim($"text"), "\\s+")).as("tok"))
+    val vocab = toks.filter($"split" === "train")
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(k)
+      .select($"tok", lit(1).as("in_vocab"))
+    toks.filter($"split" =!= "train")
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        expr("(20000 * n_oov + n_tokens) div (2 * n_tokens)") / 10000.0)
+      .orderBy($"split", $"lang")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def oovRateSql(k: Int = 200): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 980
+      |           THEN 'train'
+      |         WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 990
+      |           THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      |  FROM documents),
+      |v AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+      |    FROM t WHERE split = 'train' GROUP BY tok)
+      |  WHERE rn <= $k),
+      |e AS (
+      |  SELECT t.split, t.lang,
+      |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM t LEFT JOIN v ON t.tok = v.tok
+      |  WHERE t.split <> 'train')
+      |SELECT split, lang,
+      |  count(*) AS n_tokens,
+      |  CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  ((20000 * CAST(sum(oov) AS BIGINT) + count(*)) // (2 * count(*))) / 10000.0 AS oov_rate
+      |FROM e GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin
+
+  /** q185: TRUNCATION-LOSS REPORT — q154's complement in the
+    * sequence-length decision: padding waste prices a max-len set TOO
+    * LONG (short docs burn pad tokens), truncation loss prices it TOO
+    * SHORT (long docs lose their tails). For a grid of candidate max
+    * sequence lengths, per source: how many documents would truncate
+    * and what fraction of the corpus token mass falls off the end.
+    * Together the two reports bracket the max-len sweet spot; per
+    * source because a length cap hits long-form sources asymmetrically
+    * (the mixture-shift side effect a global number hides). Same
+    * whitespace token basis as q154 so the two reports compose.
+    *
+    * Counts are exact integers; the ppm ratio multiplies DOUBLE-FIRST
+    * (q165's overflow rule — `tokens_lost · 10⁶` as BIGINT would wrap
+    * inside the 100 TB range; the IEEE double path is
+    * correctly-rounded, bit-identical cross-engine). Scale: one
+    * stateless map to (source, n_tokens), a CONSTANT ×|grid| explode,
+    * one bounded (max_len, source) rollup that partial-aggregates
+    * map-side — the audit costs a single corpus pass. */
+  def truncationLoss(s: SparkSession, dir: String,
+      grid: Seq[Int] = Seq(64, 128, 256, 512)): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", TextQueries.tokenCount($"text").as("n_tokens"))
+      .select($"source", $"n_tokens",
+        explode(array(grid.map(g => lit(g.toLong)): _*)).as("max_len"))
+      .groupBy($"max_len", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_tokens" > $"max_len", 1L).otherwise(0L)).as("n_truncated"),
+        sum(greatest($"n_tokens" - $"max_len", lit(0L))).as("tokens_lost"),
+        sum($"n_tokens").as("total_tokens"))
+      .select($"max_len", $"source", $"n_docs", $"n_truncated", $"tokens_lost",
+        expr("CAST(floor(tokens_lost * 1000000.0 / total_tokens) AS BIGINT)")
+          .as("loss_ppm"))
+      .orderBy($"max_len", $"source")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def truncationLossSql(grid: Seq[Int] = Seq(64, 128, 256, 512)): String =
+    s"""WITH t AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |x AS (
+      |  SELECT g.max_len, t.source, t.n_tokens
+      |  FROM t CROSS JOIN (SELECT unnest([${grid.mkString(", ")}]) AS max_len) g)
+      |SELECT CAST(max_len AS BIGINT) AS max_len, source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_tokens > max_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+      |  CAST(sum(greatest(n_tokens - max_len, 0)) AS BIGINT) AS tokens_lost,
+      |  CAST(floor(sum(greatest(n_tokens - max_len, 0)) * 1000000.0 / sum(n_tokens)) AS BIGINT) AS loss_ppm
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q81: CORPUS-FREQUENCY quality signal — the unigram-LM proxy
     * behind Gopher/FineWeb-style "rare token" filters: per document,
     * how many of its tokens are corpus-rare (total corpus frequency ≤
@@ -2432,6 +2631,9 @@ object TrainQueries {
     "q166_kanon_suppress" -> ((s: SparkSession, dir: String) => kanonSuppress(s, dir)),
     "q167_split_balance" -> ((s: SparkSession, dir: String) => splitBalance(s, dir)),
     "q172_contamination_span" -> ((s: SparkSession, dir: String) => contaminationSpan(s, dir)),
+    "q182_decontam_pairs" -> (decontamPairs _),
+    "q183_oov_rate" -> ((s: SparkSession, dir: String) => oovRate(s, dir)),
+    "q185_truncation_loss" -> ((s: SparkSession, dir: String) => truncationLoss(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2453,6 +2655,9 @@ object TrainQueries {
     "q166_kanon_suppress" -> kanonSuppressSql(),
     "q167_split_balance" -> splitBalanceSql(),
     "q172_contamination_span" -> contaminationSpanSql,
+    "q182_decontam_pairs" -> decontamPairsSql,
+    "q183_oov_rate" -> oovRateSql(),
+    "q185_truncation_loss" -> truncationLossSql(),
     "q78_doc_chunks" -> docChunksSql,
     "q108_chunk_dedup" -> chunkDedupSql,
     "q126_split_chunk_leakage" -> splitChunkLeakageSql,

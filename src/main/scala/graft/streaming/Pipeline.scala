@@ -458,6 +458,47 @@ object Pipeline {
         screenNeardupBatch(batch, indexTable, reportTable)
       }
 
+  /** STREAMING EXACT-DECONTAMINATION GUARD — q182 running at ingest
+    * time: each micro-batch of (doc_id, text) training documents is
+    * scanned by the STANDING eval-probe automaton through the ONE
+    * shared chain ([[graft.queries.TrainQueries.decontamHits]] —
+    * stream ≡ batch is structural), and verbatim-leak pairs append to
+    * a report table. The automaton is compiled once from the held-out
+    * benchmark (bounded by construction) and closed over by every
+    * batch — no per-batch rebuild, no corpus-side state. Effectively
+    * once: the report anti-joins on the (eval_id, train_id) pair key
+    * before the append, so an at-least-once replay cannot
+    * double-report (the screenNeardupBatch rule). */
+  def screenDecontamBatch(batch: DataFrame,
+      ac: graft.functions.AhoCorasick.Automaton, reportTable: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val hits = graft.queries.TrainQueries.decontamHits(
+      batch.select(col("doc_id"), col("text")), ac)
+    val fresh =
+      if (s.catalog.tableExists(reportTable))
+        hits.join(s.table(reportTable).select($"eval_id", $"train_id"),
+          Seq("eval_id", "train_id"), "left_anti")
+      else hits
+    fresh.write.mode("append").format("parquet").saveAsTable(reportTable)
+  }
+
+  /** The streaming writer over [[screenDecontamBatch]]: documents
+    * stream in, verbatim eval-set leaks append to the report — the
+    * q182 decontamination check as a continuous ingest guard. */
+  def decontamScreenWriter(docs: DataFrame,
+      ac: graft.functions.AhoCorasick.Automaton, reportTable: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+  : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        screenDecontamBatch(batch, ac, reportTable)
+      }
+
   /** Compaction: rewrite the streaming sink's per-batch layout into
     * the analytical hour-partitioned table (K2's intended layout).
     * F3 time-range queries over the compacted table partition-prune —

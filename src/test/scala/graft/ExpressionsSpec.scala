@@ -448,4 +448,42 @@ class ExpressionsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4))).toMap
     assert(got == want, "argmax rewrite must equal the window form exactly")
   }
+
+  test("aho-corasick: dictionary-suffix outputs fire (ushers hits she/he/hers)") {
+    val ac = graft.functions.AhoCorasick.build(
+      Seq((1L, "he"), (2L, "she"), (3L, "his"), (4L, "hers")))
+    def ids(t: String): Seq[Long] =
+      ac.matchIds(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .toLongArray().toSeq
+    assert(ids("ushers") == Seq(1L, 2L, 4L),
+      "she at 1, he via suffix output, hers at 2 - the fail-chain merge")
+    assert(ids("this") == Seq(3L))
+    assert(ids("xyz") == Seq.empty)
+  }
+
+  test("aho-corasick: repeated occurrences and shared ids dedup; empty set matches nothing") {
+    val ac = graft.functions.AhoCorasick.build(Seq((7L, "ab"), (7L, "cd"), (9L, "abc")))
+    def ids(t: String): Seq[Long] =
+      ac.matchIds(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .toLongArray().toSeq
+    assert(ids("ab ab cd abc") == Seq(7L, 9L), "two windows of id 7 + two ab hits -> one 7")
+    val empty = graft.functions.AhoCorasick.build(Seq.empty)
+    assert(empty.matchIds(org.apache.spark.unsafe.types.UTF8String.fromString("anything"))
+      .numElements() == 0)
+  }
+
+  test("aho-corasick: column path (codegen) equals a naive contains sweep; null in, null out") {
+    val pats = Seq((1L, "quick"), (2L, "ick br"), (3L, "lazy dog"), (4L, "zzz"),
+      (5L, "the"), (6L, "he quick brown f"))
+    val ac = graft.functions.AhoCorasick.build(pats)
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs", "", "lazy dogged thequick")
+    val df = (texts.map(Option(_)) :+ None).toDF("t")
+    val got = df.select(graft.functions.AhoCorasick.ac_match_ids(col("t"), ac)).collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = pats.collect { case (id, p) if t.contains(p) => id }.distinct.sorted
+      assert(got(i).getSeq[Long](0) == want, s"text $i")
+    }
+    assert(got.last.isNullAt(0), "null text propagates null")
+  }
 }

@@ -727,4 +727,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(scans.length == 1, s"expected one scan, got ${scans.length}")
   }
+
+  test("q184 skew audit: counts, top-10 sum, share and salt factor against a driver model") {
+    val ev = Tables.events(spark, sf).select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0).toString, r.getString(1)))
+    def model(keyCol: String, keys: Seq[String]) = {
+      val counts = keys.groupBy(identity).map { case (k, o) => (k, o.length.toLong) }
+      val nRows = counts.values.sum
+      val nKeys = counts.size.toLong
+      val top1 = counts.values.max
+      val top10 = counts.values.toSeq.sortBy(-_).take(10).sum
+      (keyCol, nRows, nKeys, nRows / nKeys, top1, top10,
+        ((20000 * top1 + nRows) / (2 * nRows)) / 10000.0,
+        math.max(1L, (top1 * 32 + nRows - 1) / nRows))
+    }
+    val want = Seq(model("event_type", ev.map(_._2).toSeq),
+      model("user_id", ev.map(_._1).toSeq))
+    val got = graft.queries.EventQueries.skewAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7))).toSeq
+    assert(got == want)
+    val byKey = got.map(g => g._1 -> g).toMap
+    assert(byKey("event_type")._7 > byKey("user_id")._7,
+      "a handful-domain key must concentrate harder than user_id")
+  }
 }

@@ -656,4 +656,41 @@ class StreamingPipelineSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $reportTbl")
     }
   }
+
+  test("streaming decontam guard ≡ the q182 batch sweep; replay cannot double-report") {
+    // q182's exact-substring guard running continuously: train docs
+    // stream through decontamScreenWriter in three micro-batches
+    // against the standing eval-probe automaton; the appended report
+    // must equal the registered batch query's pair rows (shared scan
+    // chain — structural parity), and re-screening adds nothing.
+    implicit val sqlCtx = spark.sqlContext
+    val reportTbl = s"graft_decontam_report_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft-decontam-ckpt").toString
+    try {
+      val docs = Tables.documents(spark, sf)
+      val ac = graft.queries.TrainQueries.evalProbeAutomaton(docs)
+      val want = graft.queries.TrainQueries.decontamPairs(spark, sf)
+        .as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty, "fixture must plant at least one verbatim leak")
+      val trainDocs = docs.filter($"source" =!= "src0")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.Pipeline.decontamScreenWriter(
+        mem.toDF().toDF("doc_id", "text"), ac, reportTbl, ckpt,
+        Trigger.ProcessingTime("1 second")).start()
+      try {
+        val third = math.max(1, trainDocs.size / 3)
+        trainDocs.grouped(third).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(reportTbl).as[(Long, Long)].collect()
+      assert(got.toSet == want, s"stream report (${got.length}) != batch pairs (${want.size})")
+      // at-least-once replay: re-screening the full train side adds nothing
+      graft.streaming.Pipeline.screenDecontamBatch(
+        trainDocs.toDF("doc_id", "text"), ac, reportTbl)
+      assert(spark.table(reportTbl).count() == got.length,
+        "replayed screen must be a no-op")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $reportTbl")
+    }
+  }
 }

@@ -1031,4 +1031,89 @@ class TrainOpsSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- q182 exact-substring decontamination ----
+
+  test("q182: the len/4 probe window is detected verbatim; clean and short docs stay out") {
+    val evalText = ("E" * 0) + (1 to 40).map(i => s"evaltok$i").mkString(" ") // ~400 chars
+    val L = evalText.length
+    val probe = evalText.substring(math.max(0, L / 4 - 1), math.min(L, L / 4 - 1 + 60))
+    val docs = Seq(
+      (10L, "src0", evalText),                        // eval doc, >= 80 chars
+      (11L, "src0", "short eval"),                    // < 80 chars: no probe emitted
+      (20L, "src1", s"prefix junk $probe suffix junk"), // verbatim leak
+      (21L, "src1", "completely unrelated training text with no overlap at all"),
+      (22L, "src2", probe.drop(5))                    // partial window only: not a hit
+    ).toDF("doc_id", "source", "text")
+    val got = TrainQueries.decontamPairsOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 20L)))
+  }
+
+  test("q182 on the fixture equals the naive per-pattern contains sweep (completeness)") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val probes = rows.collect { case (id, "src0", t) if t.length >= 80 =>
+      val pos = math.max(1, t.length / 4) // 1-based, matching substr semantics
+      (id, t.substring(pos - 1, math.min(t.length, pos - 1 + 60)))
+    }
+    val want = (for {
+      (tid, src, t) <- rows if src != "src0"
+      (eid, p) <- probes if t.contains(p)
+    } yield (eid, tid)).distinct.sorted.toSeq
+    val got = TrainQueries.decontamPairsOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, "automaton scan must equal the exhaustive contains sweep")
+  }
+
+  // ---- q183 OOV rate / q185 truncation loss ----
+
+  test("q183: engine output equals a driver-built reference (vocab tie-break included)") {
+    val rows = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def splitOf(id: Long): String = {
+      val h = (id % 1000000007L) * 2654435761L % 1000000007L % 1000L
+      if (h < 980) "train" else if (h < 990) "val" else "test"
+    }
+    def toks(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    val k = 5 // tiny vocab so ties at the boundary actually bind
+    val trainCounts = rows.filter(r => splitOf(r._1) == "train")
+      .flatMap(r => toks(r._3)).groupBy(identity).map { case (t, o) => (t, o.length) }
+    val vocab = trainCounts.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).map(_._1).toSet
+    val want = rows.filter(r => splitOf(r._1) != "train")
+      .flatMap(r => toks(r._3).map(t => (splitOf(r._1), r._2, t)))
+      .groupBy(x => (x._1, x._2))
+      .map { case ((sp, lg), occ) =>
+        val n = occ.size.toLong
+        val oov = occ.count(o => !vocab.contains(o._3)).toLong
+        (sp, lg, n, oov, ((20000 * oov + n) / (2 * n)) / 10000.0)
+      }.toSeq.sorted
+    val got = TrainQueries.oovRate(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq.sorted
+    assert(got == want)
+    assert(got.exists(_._4 > 0), "a 5-token vocab must leave OOV occurrences")
+  }
+
+  test("q185: per-doc truncation arithmetic equals a driver-built reference") {
+    val rows = Tables.documents(spark, sf)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val grid = Seq(64L, 128L)
+    val want = (for { g <- grid; (src, n) <- rows } yield (g, src, n))
+      .groupBy(x => (x._1, x._2))
+      .map { case ((g, src), xs) =>
+        val lost = xs.map(x => math.max(x._3 - g, 0L)).sum
+        val tot = xs.map(_._3).sum
+        (g, src, xs.size.toLong, xs.count(_._3 > g).toLong, lost,
+          math.floor(lost * 1000000.0 / tot).toLong)
+      }.toSeq.sorted
+    val got = TrainQueries.truncationLoss(spark, sf, grid.map(_.toInt)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sorted
+    assert(got == want)
+    assert(got.exists(_._5 > 0), "the 64-token cap must truncate something")
+  }
 }
