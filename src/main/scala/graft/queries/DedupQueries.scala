@@ -1418,7 +1418,61 @@ object DedupQueries {
       |  AND i.n_shared * 2 >= least(sa.n, sb.n)
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q187: NEAR-DUP SPLIT LEAKAGE — the audit that MOTIVATES q157's
+    * cluster-aware split: under the naive q94 hash split, how many
+    * near-duplicate pairs straddle the train/eval boundary? Each such
+    * pair is an eval document whose near-verbatim twin sits in
+    * training — q126 reports this for EXACT chunk repeats, this for
+    * the ≥ 0.5-Jaccard near-dup class q42 detects (same candidate
+    * chain — the ONE pair-generation definition, so the leakage
+    * report can never disagree with the dedup operator about what a
+    * near-dup is). Output: the crossing pairs with their split
+    * assignments; the count going to zero is the acceptance test for
+    * switching the pipeline from q94 to q157.
+    *
+    * Scale: inherits q42's bounded candidate generation (source +
+    * id-window blocking, no all-pairs); the split columns are
+    * stateless hash maps on ids already in hand; the crossing filter
+    * drops everything else before the tiny output sort. */
+  def splitLeakNeardups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ngramJaccardPairsRaw(s, dir)
+      .withColumn("split_a", TrainQueries.splitOf($"id_a"))
+      .withColumn("split_b", TrainQueries.splitOf($"id_b"))
+      .filter($"split_a" =!= $"split_b")
+      .select($"id_a", $"id_b", $"split_a", $"split_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val splitLeakNeardupsSql: String =
+    """WITH p AS (
+      |  SELECT id_a, id_b, jaccard FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |            / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+      |    FROM (SELECT doc_id, source, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |          FROM documents) a
+      |    JOIN (SELECT doc_id, source, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+      |          FROM documents) b
+      |      ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50)
+      |  WHERE jaccard >= 0.5),
+      |s AS (
+      |  SELECT p.*,
+      |    CASE WHEN (id_a % 1000000007) * 2654435761 % 1000000007 % 1000 < 980
+      |           THEN 'train'
+      |         WHEN (id_a % 1000000007) * 2654435761 % 1000000007 % 1000 < 990
+      |           THEN 'val' ELSE 'test' END AS split_a,
+      |    CASE WHEN (id_b % 1000000007) * 2654435761 % 1000000007 % 1000 < 980
+      |           THEN 'train'
+      |         WHEN (id_b % 1000000007) * 2654435761 % 1000000007 % 1000 < 990
+      |           THEN 'val' ELSE 'test' END AS split_b
+      |  FROM p)
+      |SELECT id_a, id_b, split_a, split_b, jaccard
+      |FROM s WHERE split_a <> split_b
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_split_leak_neardups" -> (splitLeakNeardups _),
     "q131_editdist_neardups" -> (editDistanceNearDups _),
     "q145_editdist_neardups_lsh" -> (editDistanceNearDupsLsh _),
     "q133_containment_pairs" -> (containmentPairs _),
@@ -1440,6 +1494,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q187_split_leak_neardups" -> splitLeakNeardupsSql,
     "q131_editdist_neardups" -> editDistanceNearDupsSql,
     "q145_editdist_neardups_lsh" -> editDistanceNearDupsLshSql,
     "q133_containment_pairs" -> containmentPairsSql,

@@ -2509,7 +2509,56 @@ object EventQueries {
       |  greatest(1, (top1_cnt * 32 + n_rows - 1) // n_rows) AS rec_salt
       |FROM u ORDER BY key_col""".stripMargin
 
+  /** q188: USER TEMPORAL-REGULARITY AUDIT — the bot/automation signal
+    * a training-data pipeline runs before trusting user-generated
+    * text: humans spread activity across the day, schedulers
+    * concentrate it. Per user: event count, how many distinct
+    * hours-of-day they use, the hottest hour's count, and the Simpson
+    * concentration of their 24-bin hour histogram (q171's statistic,
+    * per-user instead of corpus-wide — 1e6/24 ≈ 41,667 ppm is uniform,
+    * 1,000,000 is single-hour automation). Top 25 most-concentrated
+    * users by (simpson DESC, user_id) — the review queue, bounded and
+    * deterministically tie-broken.
+    *
+    * Integer counts; the ppm multiplies DOUBLE-FIRST (q165's overflow
+    * rule — Σc² · 10⁶ as BIGINT wraps inside the 100 TB range).
+    * Scale: events collapse map-side into the (user, hour) frame —
+    * ≤ 24 rows per user — before the one exchange; the per-user
+    * rollup re-aggregates that compacted frame; the output is
+    * `TakeOrderedAndProject` (no corpus-wide sort). */
+  def userRegularity(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", hour($"ts").as("h"))
+      .groupBy($"user_id", $"h").agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(sum($"c").as("n_events"), count(lit(1)).as("n_hours"),
+        max($"c").as("top_hour_cnt"), sum($"c" * $"c").as("ss"))
+      .select($"user_id", $"n_events", $"n_hours", $"top_hour_cnt",
+        expr("CAST(floor(ss * 1000000.0 / (CAST(n_events AS DOUBLE) * n_events)) AS BIGINT)")
+          .as("hour_simpson_ppm"))
+      .orderBy($"hour_simpson_ppm".desc, $"user_id")
+      .limit(k)
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def userRegularitySql(k: Int = 25): String =
+    s"""WITH hb AS (
+      |  SELECT user_id, hour(ts) AS h, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |    count(*) AS n_hours, max(c) AS top_hour_cnt,
+      |    CAST(sum(c * c) AS BIGINT) AS ss
+      |  FROM hb GROUP BY 1)
+      |SELECT user_id, n_events, n_hours, top_hour_cnt,
+      |  CAST(floor(ss * 1000000.0 / (CAST(n_events AS DOUBLE) * n_events)) AS BIGINT)
+      |    AS hour_simpson_ppm
+      |FROM u
+      |ORDER BY hour_simpson_ppm DESC, user_id LIMIT $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_user_regularity" -> ((s: SparkSession, dir: String) => userRegularity(s, dir)),
     "q184_skew_audit" -> (skewAudit _),
     "q159_recency_sample" -> (recencySample _),
     "q161_value_drift" -> ((s: SparkSession, dir: String) => valueDrift(s, dir)),
@@ -2560,6 +2609,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q188_user_regularity" -> userRegularitySql(),
     "q184_skew_audit" -> skewAuditSql,
     "q159_recency_sample" -> recencySampleSql,
     "q161_value_drift" -> valueDriftSql(),

@@ -1346,21 +1346,43 @@ object TrainQueries {
     * (split, lang) rollup. All-integer arithmetic; half-up 4 dp rate. */
   def oovRate(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id", $"lang", splitCol.as("split"),
-        explode(split(trim($"text"), "\\s+")).as("tok"))
-    val vocab = toks.filter($"split" === "train")
+    val docs = Tables.documents(s, dir)
+    val evalToks = docs.withColumn("split", splitCol)
+      .filter($"split" =!= "train")
+      .select($"split", $"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+    oovRollup(evalToks, trainVocab(docs, k), $"split", $"lang")
+      .orderBy($"split", $"lang")
+  }
+
+  /** The top-`k` train-split vocabulary — (count DESC, tok ASC)
+    * tie-break, `TakeOrderedAndProject` over the vocab-sized count
+    * frame. The batch q183 builds it inline; the streaming guard
+    * stores it once as the standing artifact it screens against. */
+  private[graft] def trainVocab(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.filter(splitOf($"doc_id") === "train")
+      .select(explode(split(trim($"text"), "\\s+")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("c"))
-      .orderBy($"c".desc, $"tok").limit(k)
-      .select($"tok", lit(1).as("in_vocab"))
-    toks.filter($"split" =!= "train")
-      .join(broadcast(vocab), Seq("tok"), "left")
-      .groupBy($"split", $"lang")
+      .orderBy($"c".desc, $"tok").limit(k).select($"tok")
+  }
+
+  /** The ONE OOV aggregation shared by the registered batch query and
+    * the streaming vocab-drift guard ([[graft.streaming.Pipeline
+    * .screenOovBatch]]) — stream ≡ batch is structural. `toks` must
+    * carry `tok` plus the grouping keys; the vocab join is
+    * `broadcast(k rows)`, a constant, never corpus-scaled. */
+  private[graft] def oovRollup(toks: DataFrame, vocab: DataFrame,
+      keys: Column*): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    toks.join(broadcast(vocab.select($"tok", lit(1).as("in_vocab"))),
+        Seq("tok"), "left")
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_tokens"),
         sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
         expr("(20000 * n_oov + n_tokens) div (2 * n_tokens)") / 10000.0)
-      .orderBy($"split", $"lang")
   }
 
   /** Parameterized like the Spark side (the q81 rule). */

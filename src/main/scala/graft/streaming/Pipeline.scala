@@ -499,6 +499,47 @@ object Pipeline {
         screenDecontamBatch(batch, ac, reportTable)
       }
 
+  /** STREAMING VOCAB-DRIFT GUARD — q183 running at ingest time: each
+    * micro-batch of (doc_id, lang, text) documents is tokenized and
+    * measured against the STANDING train vocabulary (the stored top-k
+    * artifact, screened through the ONE shared rollup
+    * [[graft.queries.TrainQueries.oovRollup]] — stream ≡ batch is
+    * structural), appending one (batch_id, lang, n_tokens, n_oov,
+    * oov_rate) row per language per batch. A rising per-batch OOV
+    * rate is the earliest signal that incoming data has drifted away
+    * from the tokenizer/vocab the pipeline trained — the guard that
+    * pages before a retrain, not after. Effectively-once: replays of
+    * a batch id anti-join away before the append. */
+  def screenOovBatch(batch: DataFrame, batchId: Long, vocabTable: String,
+      reportTable: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val toks = batch.select(col("lang"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val report = graft.queries.TrainQueries
+      .oovRollup(toks, s.table(vocabTable), $"lang")
+      .withColumn("batch_id", lit(batchId))
+    val fresh =
+      if (s.catalog.tableExists(reportTable))
+        report.join(s.table(reportTable).select($"batch_id").distinct(),
+          Seq("batch_id"), "left_anti")
+      else report
+    fresh.write.mode("append").format("parquet").saveAsTable(reportTable)
+  }
+
+  /** The streaming writer over [[screenOovBatch]]. */
+  def oovScreenWriter(docs: DataFrame, vocabTable: String,
+      reportTable: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+  : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        screenOovBatch(batch, id, vocabTable, reportTable)
+      }
+
   /** Compaction: rewrite the streaming sink's per-batch layout into
     * the analytical hour-partitioned table (K2's intended layout).
     * F3 time-range queries over the compacted table partition-prune —

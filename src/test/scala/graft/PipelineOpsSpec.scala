@@ -751,4 +751,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byKey("event_type")._7 > byKey("user_id")._7,
       "a handful-domain key must concentrate harder than user_id")
   }
+
+  test("q188 user regularity: simpson ppm and ranking against a driver model") {
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", hour($"ts")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val want = ev.groupBy(_._1).map { case (u, xs) =>
+      val byHour = xs.groupBy(_._2).map(_._2.length.toLong)
+      val n = xs.length.toLong
+      val ss = byHour.map(c => c * c).sum
+      (u, n, byHour.size.toLong, byHour.max,
+        math.floor(ss * 1000000.0 / (n.toDouble * n)).toLong)
+    }.toSeq.sortBy(x => (-x._5, x._1)).take(25)
+    val got = graft.queries.EventQueries.userRegularity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.head._5 >= 1000000L / 24, "concentration is bounded below by uniform")
+  }
 }

@@ -693,4 +693,49 @@ class StreamingPipelineSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $reportTbl")
     }
   }
+
+  test("streaming vocab-drift guard: per-batch OOV rollups reconcile with q183; replay cannot double-report") {
+    implicit val sqlCtx = spark.sqlContext
+    val vocabTbl = s"graft_vocab_${System.nanoTime()}"
+    val reportTbl = s"graft_oov_report_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft-oov-ckpt").toString
+    try {
+      val docs = Tables.documents(spark, sf)
+      graft.queries.TrainQueries.trainVocab(docs, 20)
+        .write.format("parquet").saveAsTable(vocabTbl)
+      // stream the held-out slice (what q183 measures) in three batches
+      val evalDocs = docs
+        .filter(graft.queries.TrainQueries.splitOf($"doc_id") =!= "train")
+        .select($"doc_id", $"lang", $"text")
+        .as[(Long, String, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.Pipeline.oovScreenWriter(
+        mem.toDF().toDF("doc_id", "lang", "text"), vocabTbl, reportTbl, ckpt,
+        Trigger.ProcessingTime("1 second")).start()
+      try {
+        val third = math.max(1, evalDocs.size / 3)
+        evalDocs.grouped(third).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val report = spark.table(reportTbl)
+        .select($"lang", $"n_tokens", $"n_oov")
+        .as[(String, Long, Long)].collect()
+      // per-lang sums across batches must equal q183's val+test rows summed
+      val gotByLang = report.groupBy(_._1).map { case (l, xs) =>
+        l -> (xs.map(_._2).sum, xs.map(_._3).sum) }
+      val wantByLang = graft.queries.TrainQueries.oovRate(spark, sf, 20)
+        .select($"lang", $"n_tokens", $"n_oov").as[(String, Long, Long)].collect()
+        .groupBy(_._1).map { case (l, xs) => l -> (xs.map(_._2).sum, xs.map(_._3).sum) }
+      assert(gotByLang == wantByLang,
+        "streamed per-batch OOV must reconcile with the batch q183 rollup")
+      assert(report.map(_._3).sum > 0, "the guard must observe OOV tokens on the fixture")
+      // at-least-once replay of an already-reported batch id: no-op
+      val n0 = spark.table(reportTbl).count()
+      graft.streaming.Pipeline.screenOovBatch(
+        evalDocs.toDF("doc_id", "lang", "text"), 0L, vocabTbl, reportTbl)
+      assert(spark.table(reportTbl).count() == n0, "replayed batch id must be a no-op")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $reportTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $vocabTbl")
+    }
+  }
 }
