@@ -581,17 +581,27 @@ object TextQueries {
   def adaptiveQualityFloor(s: SparkSession, dir: String): DataFrame =
     adaptiveQualityFloorOver(Tables.documents(s, dir))
 
-  /** q132 over an injectable (doc_id, source, text) frame. */
-  private[graft] def adaptiveQualityFloorOver(docs: DataFrame): DataFrame = {
+  /** The all-integer distinct-token-ratio metric on the bounded
+    * [0, 10000] grid — the ONE definition shared by q132 (per-source
+    * floor) and q190 (per-doc quantile normalization), so the two
+    * quality operators can never disagree about the score. */
+  private[graft] def dtrMetric(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val toks = split(trim($"text"), "\\s+")
-    val m = docs
+    docs
       .select($"doc_id", $"source",
         size(array_distinct(toks)).cast("long").as("nd"),
         size(toks).cast("long").as("nt"))
       .withColumn("v", expr("(nd * 10000) div nt"))
       .select($"doc_id", $"source", $"v")
+  }
+
+  /** q132 over an injectable (doc_id, source, text) frame. */
+  private[graft] def adaptiveQualityFloorOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val m = dtrMetric(docs)
     val hist = m.groupBy($"source", $"v").agg(count(lit(1)).as("c"))
     val thr = hist.groupBy($"source")
       .agg(sort_array(collect_list(struct($"v", $"c"))).as("h"),
@@ -1220,7 +1230,62 @@ object TextQueries {
       |GROUP BY doc_id
       |ORDER BY surprisal DESC, doc_id LIMIT $k""".stripMargin
 
+  /** q190: CROSS-SOURCE SCORE QUANTILE NORMALIZATION — the transform
+    * that makes per-source quality scores COMPARABLE before a global
+    * selection: each document's distinct-token-ratio (q132's metric,
+    * the ONE shared [[dtrMetric]] definition) is replaced by its
+    * within-source ECDF percentile. A global budget cut on the raw
+    * score (q85) systematically favors whichever source scores high
+    * in absolute terms; after quantile normalization "top 20%" means
+    * the same thing in every source — q132 picks one cutoff per
+    * source, this re-scores every document onto the common [0,1]
+    * scale those decisions compose over.
+    *
+    * Exactness + scale: the metric lives on the bounded [0, 10000]
+    * integer grid, so the exact ECDF needs NO corpus-wide sort or
+    * per-row window — a (source, v) histogram (map-side combined),
+    * a running sum over the DOMAIN-BOUNDED histogram frame (≤ 10001
+    * rows per source — the q63 bounded-frame rule), and a broadcast
+    * join back (bounded by the same domain, never corpus-scaled).
+    * The percentile is integer half-up 4 dp: (cum ≤ n docs at-or-
+    * below v) / n_source. */
+  def scoreQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    scoreQuantileNormOver(Tables.documents(s, dir))
+
+  /** q190 over an injectable documents frame (the round-7 rule). */
+  private[graft] def scoreQuantileNormOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val m = dtrMetric(docs)
+    val hist = m.groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"source").orderBy($"v")
+    val cum = hist.withColumn("cum", sum($"c").over(w))
+    val n = hist.groupBy($"source").agg(sum($"c").as("n"))
+    m.join(broadcast(cum.join(n, Seq("source"))), Seq("source", "v"))
+      .select($"doc_id", $"source", $"v",
+        (expr("(20000 * cum + n) div (2 * n)") / 10000.0).as("pct"))
+      .orderBy($"doc_id")
+  }
+
+  val scoreQuantileNormSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    (len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 10000)
+      |      // len(regexp_split_to_array(trim(text), '\s+')) AS v
+      |  FROM documents),
+      |hist AS (SELECT source, v, count(*) AS c FROM m GROUP BY source, v),
+      |tot AS (SELECT source, count(*) AS n FROM m GROUP BY source),
+      |cum AS (
+      |  SELECT h.source, h.v,
+      |    sum(h.c) OVER (PARTITION BY h.source ORDER BY h.v) AS cum, t.n
+      |  FROM hist h JOIN tot t USING (source))
+      |SELECT m.doc_id, m.source, m.v,
+      |  ((20000 * cum.cum + cum.n) // (2 * cum.n)) / 10000.0 AS pct
+      |FROM m JOIN cum USING (source, v)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_score_quantile_norm" -> (scoreQuantileNorm _),
     "q150_bm25_topk" -> (bm25TopkServe _),
     "q151_phrase_index_serve" -> (phraseIndexServe _),
     "q153_surprisal_score" -> ((s: SparkSession, dir: String) => surprisalScore(s, dir)),
@@ -1251,6 +1316,7 @@ object TextQueries {
     "q153_surprisal_score" -> surprisalScoreSql(),
     "q165_collocations" -> collocationsSql(),
     "q132_adaptive_floor" -> adaptiveQualityFloorSql,
+    "q190_score_quantile_norm" -> scoreQuantileNormSql,
     "q134_inverted_index_serve" -> invertedIndexServeSql,
     "q136_index_tombstone_serve" -> invertedIndexPurgeServeSql,
     // q149 compacts the SAME deletion set q136 masks — the oracle is

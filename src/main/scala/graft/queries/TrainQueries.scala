@@ -1465,6 +1465,68 @@ object TrainQueries {
       |  CAST(floor(sum(greatest(n_tokens - max_len, 0)) * 1000000.0 / sum(n_tokens)) AS BIGINT) AS loss_ppm
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q189: STORED-VOCAB OOV SERVE — the artifact lifecycle for the
+    * q183 vocabulary, under the q92/q97 build-once/query-many
+    * discipline: the top-k train vocabulary persists as a stamped
+    * table (source fingerprint from parquet footer stats), and the
+    * held-out OOV report is served FROM THE STORE — the nightly
+    * coverage report that must not re-scan and re-rank the training
+    * corpus it already summarized. Build-if-absent-or-stale; the
+    * read side re-verifies freshness and fails loudly on a snapshot
+    * mismatch (the q92 gate). `vocab_k` counts the stored rows the
+    * serve actually read — the oracle recomputes it from raw data,
+    * so a serve that bypassed or truncated the artifact cannot
+    * match. Output otherwise ≡ q183 by construction: store +
+    * round-trip must be lossless. */
+  def vocabStoredOov(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    import s.implicits._
+    val tbl = s"graft_vocab_q189_${SimilarityQueries.tableSuffix(dir)}"
+    val now = SimilarityQueries.docsFingerprint(s, dir)
+    if (SimilarityQueries.needsBuildOrStale(s, now, tbl, tbl)) {
+      trainVocab(Tables.documents(s, dir), k)
+        .withColumn("src_rows", lit(now._1))
+        .withColumn("src_max_id", lit(now._2))
+        .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    }
+    SimilarityQueries.requireFresh(s, tbl, now, dir, "vocab table")
+    val vocab = s.table(tbl).select($"tok")
+    val evalToks = Tables.documents(s, dir).withColumn("split", splitCol)
+      .filter($"split" =!= "train")
+      .select($"split", $"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+    oovRollup(evalToks, vocab, $"split", $"lang")
+      .crossJoin(broadcast(vocab.agg(count(lit(1)).as("vocab_k"))))
+      .orderBy($"split", $"lang")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def vocabStoredOovSql(k: Int = 200): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 980
+      |           THEN 'train'
+      |         WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 990
+      |           THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      |  FROM documents),
+      |v AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+      |    FROM t WHERE split = 'train' GROUP BY tok)
+      |  WHERE rn <= $k),
+      |e AS (
+      |  SELECT t.split, t.lang,
+      |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM t LEFT JOIN v ON t.tok = v.tok
+      |  WHERE t.split <> 'train')
+      |SELECT split, lang,
+      |  count(*) AS n_tokens,
+      |  CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  ((20000 * CAST(sum(oov) AS BIGINT) + count(*)) // (2 * count(*))) / 10000.0 AS oov_rate,
+      |  (SELECT count(*) FROM v) AS vocab_k
+      |FROM e GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin
+
   /** q81: CORPUS-FREQUENCY quality signal — the unigram-LM proxy
     * behind Gopher/FineWeb-style "rare token" filters: per document,
     * how many of its tokens are corpus-rare (total corpus frequency ≤
@@ -2656,6 +2718,7 @@ object TrainQueries {
     "q182_decontam_pairs" -> (decontamPairs _),
     "q183_oov_rate" -> ((s: SparkSession, dir: String) => oovRate(s, dir)),
     "q185_truncation_loss" -> ((s: SparkSession, dir: String) => truncationLoss(s, dir)),
+    "q189_vocab_stored_oov" -> ((s: SparkSession, dir: String) => vocabStoredOov(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2680,6 +2743,7 @@ object TrainQueries {
     "q182_decontam_pairs" -> decontamPairsSql,
     "q183_oov_rate" -> oovRateSql(),
     "q185_truncation_loss" -> truncationLossSql(),
+    "q189_vocab_stored_oov" -> vocabStoredOovSql(),
     "q78_doc_chunks" -> docChunksSql,
     "q108_chunk_dedup" -> chunkDedupSql,
     "q126_split_chunk_leakage" -> splitChunkLeakageSql,

@@ -180,4 +180,37 @@ class ArtifactFreshnessSpec extends SparkSpec {
       assert(fan.contains((5L, -1L)), s"all-null column -> max -1 sentinel, got $fan")
     } finally FileUtils.deleteDirectory(new File(dir))
   }
+
+  test("stale stored vocab is rebuilt by the q189 entry; serve equals the inline q183 + vocab_k") {
+    val src = java.nio.file.Files.createTempDirectory("graft-stale-vocab").toString
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+    val maxId = orig.agg(org.apache.spark.sql.functions.max($"doc_id")).head().getLong(0)
+    def snapshot(df: DataFrame): Unit = {
+      val dst = new File(src, "documents.parquet")
+      val tmp = new File(src, "documents.tmp")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      FileUtils.deleteQuietly(dst)
+      FileUtils.moveDirectory(tmp, dst)
+    }
+    val tbl = s"graft_vocab_q189_${SimilarityQueries.tableSuffix(src)}"
+    try {
+      snapshot(orig)
+      val first = graft.queries.TrainQueries.vocabStoredOov(spark, src).collect()
+      val kWant = graft.queries.TrainQueries
+        .trainVocab(Tables.documents(spark, src), 200).count()
+      assert(first.nonEmpty && first.forall(_.getAs[Long]("vocab_k") == kWant),
+        s"vocab_k must equal the stored vocab size $kWant")
+      // serve ≡ inline build on the same snapshot (store round-trip lossless)
+      val inline = graft.queries.TrainQueries.oovRate(spark, src).collect()
+      assert(first.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq ==
+        inline.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
+      // shrink the corpus: the standing table is stale; the entry rebuilds
+      snapshot(orig.filter($"doc_id" =!= maxId))
+      val rebuilt = graft.queries.TrainQueries.vocabStoredOov(spark, src).collect()
+      assert(rebuilt.nonEmpty, "q189 must rebuild and answer after snapshot change")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      FileUtils.deleteDirectory(new File(src))
+    }
+  }
 }

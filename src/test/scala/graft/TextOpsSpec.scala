@@ -822,4 +822,30 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(rows.map(_._3) == rows.map(_._3).sorted, "head mass must be monotone in k")
   }
+
+  test("q190: ECDF percentiles are monotone in v, tie-consistent, and end at 1.0 per source") {
+    val docs = Seq(
+      (1L, "a", "x x x x"),          // nd=1 nt=4  v=2500
+      (2L, "a", "x y x y"),          // nd=2 nt=4  v=5000
+      (3L, "a", "p q r s"),          // nd=4 nt=4  v=10000
+      (4L, "a", "p q r r"),          // nd=3 nt=4  v=7500
+      (5L, "b", "u u u u"),          // v=2500 (source b: own ECDF)
+      (6L, "b", "u v w z")           // v=10000
+    ).toDF("doc_id", "source", "text")
+    val got = graft.queries.TextQueries.scoreQuantileNormOver(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (("a", 2500L, 0.25)))
+    assert(got(2L) == (("a", 5000L, 0.5)))
+    assert(got(4L) == (("a", 7500L, 0.75)))
+    assert(got(3L) == (("a", 10000L, 1.0)))
+    assert(got(5L) == (("b", 2500L, 0.5)), "source b has its own ECDF")
+    assert(got(6L) == (("b", 10000L, 1.0)))
+    // ties share one percentile: duplicate v in one source
+    val tied = Seq((1L, "a", "x y"), (2L, "a", "p q"), (3L, "a", "z z"))
+      .toDF("doc_id", "source", "text")
+    val t = graft.queries.TextQueries.scoreQuantileNormOver(tied).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(t(1L) == t(2L), "equal scores must normalize identically")
+    assert(t(3L) < t(1L), "v=5000 sits below the tied v=10000 pair")
+  }
 }
