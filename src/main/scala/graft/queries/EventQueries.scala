@@ -2468,8 +2468,13 @@ object EventQueries {
     import s.implicits._
     val ev = Tables.events(s, dir)
     def audit(keyCol: String): DataFrame = {
-      val counts = ev.groupBy(col(keyCol).cast("string").as("k"))
-        .agg(count(lit(1)).as("c"))
+      // the (key, count) frame feeds BOTH the scalar rollup and the
+      // top-10 — checkpoint it so the corpus scans once per key, not
+      // twice (the q79 materialize-once rule; the frame itself is
+      // key-cardinality sized, far below the corpus)
+      val counts = graft.operators.Scale.checkpointed(
+        ev.groupBy(col(keyCol).cast("string").as("k"))
+          .agg(count(lit(1)).as("c")))
       val scalars = counts.agg(sum($"c").as("n_rows"),
         count(lit(1)).as("n_keys"), max($"c").as("top1_cnt"))
       val top10 = counts.orderBy($"c".desc, $"k").limit(10)

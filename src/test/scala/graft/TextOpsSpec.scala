@@ -848,4 +848,32 @@ class TextOpsSpec extends SparkSpec {
     assert(t(1L) == t(2L), "equal scores must normalize identically")
     assert(t(3L) < t(1L), "v=5000 sits below the tied v=10000 pair")
   }
+
+  test("q191: a discriminable twin ranks first; both members of a twin pair are reported") {
+    val base = (1 to 30).map(i => s"uniq$i").mkString(" ") // ~200 chars, distinctive vocab
+    val filler = (1 to 30).map(i => "common").mkString(" ")
+    val docs = Seq(
+      (10L, "src0", base),                    // eval doc
+      (20L, "src1", base),                    // verbatim twin (contains every window)
+      (21L, "src1", base + " tail"),          // second containing twin
+      (30L, "src1", filler),                  // distractors sharing nothing rare
+      (31L, "src1", filler + " extra"),
+      (32L, "src2", filler + " more words here")
+    ).toDF("doc_id", "source", "text")
+    // route through the registered chain on an injectable frame:
+    // truth = q182 pairs over the same docs
+    val truth = graft.queries.TrainQueries.decontamPairsOver(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth == Set((10L, 20L), (10L, 21L)), s"truth was $truth")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q191").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.TextQueries.retrievalEval(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getInt(2).toLong, r.getLong(3)))
+    assert(got.length == 2)
+    val ranks = got.map(x => (x._2, x._3)).toMap
+    // both twins outrank every distractor: ranks 1 and 2 in some order
+    assert(ranks.values.toSet == Set(1L, 2L), s"ranks were $ranks")
+    assert(got.forall(_._4 >= 2), "candidate set must include both twins")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }
