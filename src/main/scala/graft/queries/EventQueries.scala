@@ -2562,7 +2562,83 @@ object EventQueries {
       |FROM u
       |ORDER BY hour_simpson_ppm DESC, user_id LIMIT $k""".stripMargin
 
+  // ---- q195: experiment-arm audit (SRM + conversion) -----------------
+
+  /** q195: EXPERIMENT-ARM AUDIT — split users into two arms by the
+    * q94 hash rule (the assignment an experimentation pipeline ships:
+    * deterministic, reproducible, no rand()) and report per arm the
+    * user count, signup-cohort size, converted count (a purchase AT
+    * OR AFTER the user's first signup — q178's cohort rule), exact
+    * conversion ppm, and the arm's sample-ratio-mismatch chi-square
+    * cell against the 50/50 design. SRM is the FIRST gate every A/B
+    * readout must pass — a skewed assignment invalidates the
+    * experiment before any metric is read — and nothing else in the
+    * suite audits the assignment itself (q94 proves the split
+    * mechanics on documents; this audits an experiment's OUTCOME
+    * shape on the event stream).
+    *
+    * Exactness: counts are exact integers off ONE user-level
+    * aggregate (converted folds into the same pass: max(purchase ts)
+    * ≥ min(signup ts) ⟺ some purchase follows the first signup);
+    * conversion is integer-div ppm (q190's div rule, NULL for a
+    * signup-free arm); the chi-square cell follows the q114 per-cell
+    * IEEE contract (e = CAST(total AS DOUBLE)/2, one mirrored chain,
+    * round 6, no double summation).
+    *
+    * Plan at 100 TB: one map-side-combined (user) exchange → a 2-row
+    * arm rollup; the 1-row total broadcasts. Nothing driver-side. */
+  def experimentArmAudit(s: SparkSession, dir: String): DataFrame =
+    experimentArmAuditOver(Tables.events(s, dir))
+
+  /** The q195 pipeline over any (user_id, event_type, ts) frame —
+    * injectable for hand-built assignment/conversion specs (the q135
+    * rule). */
+  private[graft] def experimentArmAuditOver(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val u = events.groupBy($"user_id")
+      .agg(min(when($"event_type" === "signup", $"ts")).as("ts_s"),
+        max(when($"event_type" === "purchase", $"ts")).as("ts_p"))
+      .withColumn("arm",
+        when(TrainQueries.sampleKey($"user_id") < 500L, "A").otherwise("B"))
+    val a = u.groupBy($"arm").agg(
+      count(lit(1)).as("n_users"),
+      count($"ts_s").as("n_signups"),
+      count(when($"ts_p" >= $"ts_s", lit(1))).as("n_converted"))
+    val tot = a.agg(sum($"n_users").as("n"))
+    a.crossJoin(broadcast(tot))
+      .withColumn("e", $"n".cast("double") / 2)
+      .select($"arm", $"n_users", $"n_signups", $"n_converted",
+        when($"n_signups" > 0,
+          expr("(n_converted * 1000000) div n_signups")).as("conv_ppm"),
+        round(($"n_users" - $"e") * ($"n_users" - $"e") / $"e", 6).as("srm_chi2_cell"))
+      .orderBy($"arm")
+  }
+
+  val experimentArmAuditSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN (user_id % 1000000007) * 2654435761 % 1000000007 % 1000 < 500
+      |         THEN 'A' ELSE 'B' END AS arm,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS ts_s,
+      |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS ts_p
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT arm, count(*) AS n_users, count(ts_s) AS n_signups,
+      |    count(CASE WHEN ts_p >= ts_s THEN 1 END) AS n_converted
+      |  FROM u GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n FROM a)
+      |SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_signups AS BIGINT) AS n_signups,
+      |  CAST(n_converted AS BIGINT) AS n_converted,
+      |  CASE WHEN n_signups > 0
+      |       THEN CAST((n_converted * 1000000) // n_signups AS BIGINT) END AS conv_ppm,
+      |  round((n_users - CAST(tot.n AS DOUBLE) / 2) * (n_users - CAST(tot.n AS DOUBLE) / 2)
+      |        / (CAST(tot.n AS DOUBLE) / 2), 6) AS srm_chi2_cell
+      |FROM a CROSS JOIN tot ORDER BY arm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_experiment_arms" -> (experimentArmAudit _),
     "q188_user_regularity" -> ((s: SparkSession, dir: String) => userRegularity(s, dir)),
     "q184_skew_audit" -> (skewAudit _),
     "q159_recency_sample" -> (recencySample _),

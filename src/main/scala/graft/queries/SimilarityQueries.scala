@@ -2236,7 +2236,188 @@ object SimilarityQueries {
       |  round(sqrt(CAST(sum(c) AS BIGINT) / 1e12), 6) AS drift_l2
       |FROM c GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- q193: label-noise screen (confident-learning lite) -----------
+
+  /** q193: LABEL-NOISE SCREEN — for every labeled vector, its cosine
+    * to its OWN class centroid vs the best FOREIGN class centroid; a
+    * vector measurably closer to another class's centroid than its
+    * own (`suspect = true`) is the mislabel candidate a training-data
+    * pipeline routes to re-annotation (the nearest-centroid member of
+    * the confident-learning family). q186 audits whole-class drift
+    * between splits; this audits INDIVIDUAL examples against the
+    * class structure — the label-quality sibling of q127's text
+    * filters.
+    *
+    * Exactness: centroids come from per-(label, dim) INTEGER-grid
+    * sums (q186's 1e-4 grid — exact and order-invariant, no float-
+    * summation nondeterminism), each mean element is ONE mirrored
+    * double divide, and each cosine is the q46-parity pair
+    * (codegen'd [[CosineSimilarity]] ≡ DuckDB list_cosine_similarity
+    * on ::DOUBLE[]), rounded to 6 dp BEFORE comparison so the
+    * own-vs-foreign verdict and the foreign argmax (cos desc, label
+    * asc via one max(struct)) break ties identically cross-engine.
+    * The own centroid INCLUDES the vector itself — the audit is of
+    * the shipped class structure, not leave-one-out.
+    *
+    * Plan at 100 TB: one posexplode → map-side-combined
+    * (label × dim)-bounded sum frame; the |labels|-row centroid
+    * sidecar broadcasts; the corpus then streams through ONE
+    * stateless ×|labels| fan-out collapsed by partial aggregation
+    * BEFORE its exchange (crossJoin keeps co-partitioning, so the
+    * groupBy's map-side combine folds the fan-out back to one row
+    * per vector). No window, no checkpoint, no driver state. */
+  def labelNoiseScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val cent = e.select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .withColumn("q", expr("CAST(round(CAST(v AS DOUBLE) * 10000, 0) AS BIGINT)"))
+      .groupBy($"label", $"dim")
+      .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+    // reassemble each centroid vector in dim order (array_sort on the
+    // (dim, mean) struct — collect_list order is nondeterministic,
+    // the sort restores determinism on the 64-entry bounded list)
+    val cvec = cent
+      .select($"label".as("c_label"),
+        struct($"dim", ($"sq".cast("double") / $"n").as("m")).as("dm"))
+      .groupBy($"c_label")
+      .agg(array_sort(collect_list($"dm")).as("p"))
+      .select($"c_label", expr("transform(p, x -> x.m)").as("cv"))
+    e.select($"vec_id", $"label", $"embedding")
+      .crossJoin(broadcast(cvec))
+      .withColumn("cos", round(cosine_similarity($"embedding", $"cv"), 6))
+      .groupBy($"vec_id", $"label")
+      .agg(
+        max(when($"label" === $"c_label", $"cos")).as("own_cos"),
+        max(when($"label" =!= $"c_label",
+          struct($"cos".as("c"), (-$"c_label").as("nl")))).as("alt"))
+      .select($"vec_id", $"label", $"own_cos",
+        (-$"alt.nl").as("alt_label"), $"alt.c".as("alt_cos"),
+        ($"alt.c" > $"own_cos").as("suspect"))
+      .orderBy($"vec_id")
+  }
+
+  val labelNoiseScreenSql: String =
+    """WITH x AS (
+      |  SELECT label, i AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+      |  FROM embeddings, range(1, 65) t(i)),
+      |c AS (SELECT label AS c_label, dim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS n
+      |      FROM x GROUP BY 1, 2),
+      |cv AS (SELECT c_label, list(CAST(sq AS DOUBLE) / n ORDER BY dim) AS cv
+      |       FROM c GROUP BY 1),
+      |p AS (
+      |  SELECT e.vec_id, e.label, cv.c_label,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], cv.cv), 6) AS cos
+      |  FROM embeddings e CROSS JOIN cv),
+      |own AS (SELECT vec_id, label, cos AS own_cos FROM p WHERE label = c_label),
+      |alt AS (
+      |  SELECT vec_id, c_label AS alt_label, cos AS alt_cos,
+      |    row_number() OVER (PARTITION BY vec_id
+      |                       ORDER BY cos DESC, c_label ASC) AS rn
+      |  FROM p WHERE label <> c_label)
+      |SELECT own.vec_id, own.label, own.own_cos,
+      |  alt.alt_label, alt.alt_cos, alt.alt_cos > own.own_cos AS suspect
+      |FROM own JOIN alt USING (vec_id) WHERE alt.rn = 1
+      |ORDER BY own.vec_id""".stripMargin
+
+  // ---- q194: k-center coreset selection (farthest-point) ------------
+
+  /** q194: K-CENTER CORESET SELECTION — the greedy farthest-point
+    * traversal (Gonzalez 1985, the 2-approximation for the k-center
+    * objective): seed at vec_id 0, then k−1 times add the vector
+    * farthest from its nearest already-chosen center. The selected
+    * set is the DIVERSITY coreset a training-data pipeline uses to
+    * seed annotation batches, pick few-shot exemplars, or initialize
+    * IVF/k-means centroids (q58/q92 consume exactly such seeds) —
+    * the complement of q105's curriculum (which orders ALL docs) and
+    * q164's per-source diversity cap (which balances GROUPS, not
+    * geometry). Output: one row per center in selection order with
+    * its member count and coverage radius (the k-center cost).
+    *
+    * Exactness: distances are squared L2 on the 1e-4 INTEGER grid
+    * (q186's quantization) — every per-dim square and every partial
+    * sum is an exact integer < 2⁵³ held in a double, so the codegen'd
+    * [[SquaredL2]] accumulation is EXACT and order-invariant: no
+    * rounding, no IEEE divergence anywhere; argmax ties break
+    * (dist desc, vec_id asc) and assignment ties (dist asc, selection
+    * order asc), both mirrored in the oracle's unrolled CTE chain.
+    *
+    * Plan at 100 TB: the traversal is inherently k sequential rounds;
+    * each is ONE stateless scan (the current centers ride in as
+    * LITERAL 64-double arrays — the q181 pinned-sidecar pattern, no
+    * join, no shuffle) topped by TakeOrdered(1); the driver holds
+    * exactly k·64 doubles. Total cost O(k²·n·d) as written (each
+    * round re-evaluates all centers — at k=8 the re-evaluation is
+    * cheaper than caching a running-min column across rounds would
+    * be); the quantized corpus is checkpointed once so the k scans
+    * re-read parquet-local bytes, not re-derive lineage. */
+  def kcenterCoreset(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val g = graft.operators.Scale.checkpointed(
+      Tables.embeddings(s, dir).select($"vec_id",
+        expr("transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000, 0))").as("gv")))
+    val first = g.filter($"vec_id" === 0L).select($"gv").head()
+    var centers = Vector[(Long, Seq[Double])]((0L, first.getSeq[Double](0)))
+    while (centers.size < k) {
+      val mind = centers.map { case (_, cv) =>
+        squared_l2($"gv", typedLit(cv)) }.reduce(least(_, _))
+      val next = g.filter(!$"vec_id".isin(centers.map(_._1): _*))
+        .select($"vec_id", $"gv", mind.as("mind"))
+        .orderBy($"mind".desc, $"vec_id")
+        .limit(1).head()
+      centers = centers :+ ((next.getLong(0), next.getSeq[Double](1)))
+    }
+    val ids = centers.zipWithIndex
+      .map { case ((id, _), i) => (i + 1, id) }
+      .toDF("center_order", "center_id")
+    val best = array_min(array(centers.zipWithIndex.map { case ((_, cv), i) =>
+      struct(squared_l2($"gv", typedLit(cv)).as("d2"), lit(i + 1).as("ord"))
+    }: _*))
+    g.select(best.as("b"))
+      .groupBy($"b.ord".as("center_order"))
+      .agg(count(lit(1)).as("members"), max($"b.d2").cast("long").as("radius2_grid"))
+      .join(broadcast(ids), Seq("center_order"))
+      .select($"center_order", $"center_id", $"members", $"radius2_grid")
+      .orderBy($"center_order")
+  }
+
+  /** Unrolled CTE chain mirroring the k−1 greedy rounds (the q182
+    * oracle-builder pattern: the SQL is GENERATED for the same k the
+    * Spark side runs, each round excluding prior picks explicitly). */
+  def kcenterCoresetSql(k: Int = 8): String = {
+    def d2(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> ($a.gv[i] - $b.gv[i]) * ($a.gv[i] - $b.gv[i])))"
+    val rounds = (2 to k).map { i =>
+      val excl = (1 until i).map(j => s"SELECT vec_id FROM c$j").mkString(" UNION ALL ")
+      val prevM = if (i == 2) "m1" else s"m${i - 1}"
+      s"""c$i AS (SELECT vec_id, gv FROM $prevM
+         |  WHERE vec_id NOT IN ($excl)
+         |  ORDER BY mind DESC, vec_id ASC LIMIT 1),
+         |m$i AS (SELECT m.vec_id, m.gv, least(m.mind, ${d2("m", s"c$i")}) AS mind
+         |        FROM $prevM m, c$i)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to k).map(i => s"SELECT $i AS ord, vec_id AS center_id, gv FROM c$i")
+      .mkString(" UNION ALL ")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 65), i -> round(CAST(embedding[i] AS DOUBLE) * 10000, 0)) AS gv
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id, gv FROM g WHERE vec_id = 0),
+       |m1 AS (SELECT g.vec_id, g.gv, ${d2("g", "c1")} AS mind FROM g, c1),
+       |$rounds,
+       |centers AS ($all),
+       |d AS (SELECT g.vec_id, c.ord, c.center_id, ${d2("g", "c")} AS d2
+       |      FROM g CROSS JOIN centers c),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                   ORDER BY d2 ASC, ord ASC) AS rn FROM d)
+       |SELECT ord AS center_order, center_id, count(*) AS members,
+       |  CAST(max(d2) AS BIGINT) AS radius2_grid
+       |FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_label_noise" -> (labelNoiseScreen _),
+    "q194_kcenter_coreset" -> ((s: SparkSession, dir: String) => kcenterCoreset(s, dir)),
     "q186_centroid_drift" -> (centroidDrift _),
     "q181_anchor_routing" -> ((s: SparkSession, dir: String) => anchorRoutingAudit(s, dir)),
     "q141_vocab_sketch_overlap" -> (vocabSketchOverlap _),
@@ -2264,6 +2445,8 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q193_label_noise" -> labelNoiseScreenSql,
+    "q194_kcenter_coreset" -> kcenterCoresetSql(),
     "q141_vocab_sketch_overlap" -> vocabSketchOverlapSql,
     "q140_pq_ann" -> pqAnnSql,
     "q144_ivfpq_serve" -> ivfPqServeSql,

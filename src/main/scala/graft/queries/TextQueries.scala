@@ -1257,14 +1257,17 @@ object TextQueries {
     val s = docs.sparkSession
     import s.implicits._
     val m = dtrMetric(docs)
-    // hist feeds BOTH the running sum and the per-source totals —
-    // checkpoint the domain-bounded frame so its corpus-scanning
-    // lineage runs once (the q79 materialize-once rule)
-    val hist = graft.operators.Scale.checkpointed(
-      m.groupBy($"source", $"v").agg(count(lit(1)).as("c")))
+    val hist = m.groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+    // the running sum's window partitions on `source` alone, which is
+    // low-card — sanctioned ONLY because its input is the (source, v)
+    // aggregate (the two-level rule the PlanSpec lint enforces); the
+    // checkpoint sits ABOVE the window so the corpus-scanning lineage
+    // runs once (q79 rule) and the per-source total derives from the
+    // cum frame itself (max cum), not a second pass over hist
     val w = Window.partitionBy($"source").orderBy($"v")
-    val cum = hist.withColumn("cum", sum($"c").over(w))
-    val n = hist.groupBy($"source").agg(sum($"c").as("n"))
+    val cum = graft.operators.Scale.checkpointed(
+      hist.withColumn("cum", sum($"c").over(w)))
+    val n = cum.groupBy($"source").agg(max($"cum").as("n"))
     m.join(broadcast(cum.join(n, Seq("source"))), Seq("source", "v"))
       .select($"doc_id", $"source", $"v",
         (expr("(20000 * cum + n) div (2 * n)") / 10000.0).as("pct"))
@@ -1413,7 +1416,84 @@ object TextQueries {
       |LEFT JOIN nc ON nc.eval_id = t.eval_id
       |ORDER BY t.eval_id, t.train_id""".stripMargin
 
+  // ---- q192: characteristic tokens per source (PMI lift) ------------
+
+  /** q192: CHARACTERISTIC TOKENS PER SOURCE — the tokens each source
+    * is DISPROPORTIONATELY made of, ranked by pointwise-mutual-
+    * information lift p(t|s)/p(t) = (n_st·N)/(n_s·n_t). This is the
+    * source-fingerprinting report a mixture designer reads before
+    * weighting sources (q69/q196 consume the decision; q114's
+    * chi-square says HOW MUCH a source diverges, this says BY WHICH
+    * TOKENS — the Damerau "characteristic vocabulary" view), and the
+    * domain-classifier feature list a C4-style pipeline trains on.
+    * Raw frequency (q87) just surfaces globally common words; lift
+    * normalizes the unigram prior away.
+    *
+    * Exactness: all four counts are exact integers off ONE token
+    * exchange; the lift is ONE mirrored IEEE chain
+    * (`CAST(n_st AS DOUBLE) · N / n_s / n_t` — double-first so no
+    * BIGINT product can wrap at web-corpus counts, each op correctly
+    * rounded and bit-identical cross-engine), rounded to 6 dp BEFORE
+    * ranking so ties break identically (q46 discipline; tie → token
+    * asc). A min-count floor (n_st ≥ 5) keeps hapax noise out, the
+    * same floor as q165.
+    *
+    * Plan at 100 TB: one explode → map-side-combined (source, token)
+    * count — the ONLY corpus-sized exchange, carrying one row per
+    * DISTINCT (source, token); it is checkpointed because three
+    * aggregates and the final join all re-read it (the q79
+    * materialize-once rule). The marginals join back size-aware with
+    * NO broadcast hint (the q138 vocabulary rule — n_t is
+    * vocabulary-sized); the 1-row total broadcasts; the per-source
+    * top-k window runs over the vocabulary-bounded joined frame
+    * (two-level rule), never the corpus. */
+  def characteristicTokens(s: SparkSession, dir: String, k: Int = 3,
+                           minCount: Long = 5L): DataFrame = {
+    import s.implicits._
+    val cst = graft.operators.Scale.checkpointed(
+      Tables.documents(s, dir)
+        .select($"source", explode(split(trim($"text"), "\\s+")).as("token"))
+        .groupBy($"source", $"token")
+        .agg(count(lit(1)).as("n_st")))
+    val cs = cst.groupBy($"source").agg(sum($"n_st").as("n_s"))
+    val ct = cst.groupBy($"token").agg(sum($"n_st").as("n_t"))
+    val tot = cst.agg(sum($"n_st").as("n"))
+    val scored = cst.filter($"n_st" >= minCount)
+      .join(cs, Seq("source"))
+      .join(ct, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift", round($"n_st".cast("double") * $"n" / $"n_s" / $"n_t", 6))
+    val w = Window.partitionBy($"source").orderBy($"lift".desc, $"token")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"source", $"token", $"n_st", $"lift", $"rank")
+      .orderBy($"source", $"rank")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). */
+  def characteristicTokensSql(k: Int = 3, minCount: Long = 5L): String =
+    s"""WITH t AS (
+      |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      |  FROM documents),
+      |cst AS (SELECT source, token, count(*) AS n_st FROM t GROUP BY 1, 2),
+      |cs AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM cst GROUP BY 1),
+      |ct AS (SELECT token, CAST(sum(n_st) AS BIGINT) AS n_t FROM cst GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM cst),
+      |scored AS (
+      |  SELECT cst.source, cst.token, cst.n_st,
+      |    round(CAST(cst.n_st AS DOUBLE) * tot.n / cs.n_s / ct.n_t, 6) AS lift
+      |  FROM cst JOIN cs USING (source) JOIN ct USING (token) CROSS JOIN tot
+      |  WHERE cst.n_st >= $minCount),
+      |ranked AS (
+      |  SELECT source, token, n_st, lift,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY lift DESC, token ASC) AS rank
+      |  FROM scored)
+      |SELECT source, token, CAST(n_st AS BIGINT) AS n_st, lift, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= $k ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_characteristic_tokens" -> ((s: SparkSession, dir: String) => characteristicTokens(s, dir)),
     "q191_retrieval_eval" -> ((s: SparkSession, dir: String) => retrievalEval(s, dir)),
     "q190_score_quantile_norm" -> (scoreQuantileNorm _),
     "q150_bm25_topk" -> (bm25TopkServe _),
@@ -1448,6 +1528,7 @@ object TextQueries {
     "q132_adaptive_floor" -> adaptiveQualityFloorSql,
     "q190_score_quantile_norm" -> scoreQuantileNormSql,
     "q191_retrieval_eval" -> retrievalEvalSql(),
+    "q192_characteristic_tokens" -> characteristicTokensSql(),
     "q134_inverted_index_serve" -> invertedIndexServeSql,
     "q136_index_tombstone_serve" -> invertedIndexPurgeServeSql,
     // q149 compacts the SAME deletion set q136 masks — the oracle is
