@@ -45,7 +45,24 @@ import org.apache.spark.sql.SparkSession
   * whose warm median exceeds cold ×1.5 (both load signatures, seen on
   * the r14 driver record) are re-measured once and the better median
   * wins; `sentinel_clean` in both artifacts states whether the final
-  * record is free of load signatures. */
+  * record is free of load signatures.
+  *
+  * CROSS-RECORD SENTINEL (round 17, VERDICT r16 #2): within-run
+  * spread and warm-vs-cold ratios cannot see a UNIFORM slowdown — the
+  * r16 final record passed both while running +24% over the session-3
+  * committed record (q101 11× with zero code change). So the prior
+  * committed `BENCH_FULL.json` (read BEFORE this run overwrites it)
+  * now supplies a third signature: any query whose latest warm median
+  * exceeds 2.5× its last committed clean warm is flagged, retried
+  * like the other signatures, and counted in `n_prior_regressed` if
+  * it never clears — which also sinks `sentinel_clean`, since host
+  * load cannot fake the prior record. Only a prior stamped
+  * `sentinel_clean: true` is trusted as a reference; queries new
+  * since the prior record are exempt. A REAL regression (a deliberate
+  * plan change) will also trip this — that is intended: the builder
+  * attributes it in BENCH_NOTES and the next committed clean record
+  * resets the reference. `SPARK_GRAFT_BENCH_PRIOR=none` disables
+  * (e.g. benching a different SF than the committed record). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -135,6 +152,28 @@ object Bench {
     val loadStart = loadavg()
     val calibStart = calibration()
 
+    // Cross-record reference (VERDICT r16 #2): per-query warm medians
+    // from the prior committed BENCH_FULL.json — read NOW, before this
+    // run overwrites the file. Trusted only if the prior run stamped
+    // itself sentinel-clean AND benched the same SF dir.
+    val benchFullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", benchFullPath)
+    val priorWarm: Map[String, Double] =
+      if (priorPath == "none") Map.empty
+      else try {
+        val f = new java.io.File(priorPath)
+        if (!f.exists()) Map.empty
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          if (node.path("sentinel_clean").asBoolean(false) &&
+              node.path("sf").asText("") == sfDir) {
+            node.path("queries").properties().asScala
+              .map(e => e.getKey -> e.getValue.path("warm").asDouble(-1.0))
+              .filter(_._2 > 0).toMap
+          } else Map.empty
+        }
+      } catch { case _: Throwable => Map.empty } // unreadable prior: no reference
+
     /** Per-query record: cold, warm median, warm min/max (noise
       * band), cold-run GC ms, first error if any run failed. */
     case class QRes(name: String, cold: Double, warm: Double, warmMin: Double,
@@ -204,8 +243,12 @@ object Bench {
         m.warm > math.max(cold, 1e-9) * 1.5)
     var latest: Map[String, Meas] = results.map(r =>
       r.name -> Meas(r.warm, r.warmMin, r.warmMax)).toMap
+    // third signature (r17): >2.5× the prior committed clean warm —
+    // catches the uniform slowdown the within-run tests can't see
+    def priorRegressed(name: String): Boolean =
+      priorWarm.get(name).exists(p => latest(name).warm > p * 2.5)
     def isFlagged(r: QRes): Boolean =
-      r.err.isEmpty && flaggedMeas(r.cold, latest(r.name))
+      r.err.isEmpty && (flaggedMeas(r.cold, latest(r.name)) || priorRegressed(r.name))
     var finalResults = results
     var attemptWon: Map[String, Int] = Map.empty
     val everFlagged = scala.collection.mutable.Set.empty[String]
@@ -245,6 +288,8 @@ object Bench {
       else allCalibs.combinations(2).map(p => ratio(p(0), p(1))).min
     val flaggedNames: Set[String] = everFlagged.toSet
     val stillFlagged = finalResults.count(isFlagged)
+    val nPriorRegressed = finalResults
+      .count(r => r.err.isEmpty && priorRegressed(r.name))
     val sentinelClean = calibFinalRatio <= 1.5 && stillFlagged == 0
 
     // totals sum successful queries only; a failed query cannot fabricate
@@ -265,6 +310,9 @@ object Bench {
         (if (r.gcMs > 0) ",\"gc_ms\":" + r.gcMs else "") +
         (if (flaggedNames.contains(r.name)) ",\"retried\":true" +
           ",\"attempt_won\":" + attemptWon.getOrElse(r.name, 0) else "") +
+        (if (r.err.isEmpty && priorRegressed(r.name))
+          ",\"prior_warm\":" + jnum(priorWarm(r.name)) +
+            ",\"regressed_vs_prior\":true" else "") +
         r.err.map(m => ",\"error\":" + jstr(m.take(300))).getOrElse("") + "}"
     }.mkString(
       "{\n\"metric\":\"total\",\"value\":" + jnum(total) +
@@ -280,10 +328,11 @@ object Bench {
         ",\"n_retried\":" + flaggedNames.size +
         ",\"n_retry_rounds\":" + attempt +
         ",\"n_still_flagged\":" + stillFlagged +
+        ",\"n_prior_regressed\":" + nPriorRegressed +
+        ",\"prior_ref_queries\":" + priorWarm.size +
         ",\"queries\":{\n",
       ",\n", "\n}\n}\n")
-    val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
+    val outPath = java.nio.file.Paths.get(benchFullPath)
     java.nio.file.Files.write(outPath, full.getBytes("UTF-8"))
 
     // stdout: totals + the five slowest (warm) queries only — ≈400

@@ -2690,6 +2690,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q195_experiment_arms" -> experimentArmAuditSql,
     "q188_user_regularity" -> userRegularitySql(),
     "q184_skew_audit" -> skewAuditSql,
     "q159_recency_sample" -> recencySampleSql,

@@ -2290,6 +2290,11 @@ object SimilarityQueries {
         max(when($"label" === $"c_label", $"cos")).as("own_cos"),
         max(when($"label" =!= $"c_label",
           struct($"cos".as("c"), (-$"c_label").as("nl")))).as("alt"))
+      // single-label corpus: max over the empty foreign-when() is
+      // null — drop those rows to match the oracle's INNER join on
+      // the foreign side (both engines then agree: no foreign class,
+      // no noise verdict)
+      .filter($"alt".isNotNull)
       .select($"vec_id", $"label", $"own_cos",
         (-$"alt.nl").as("alt_label"), $"alt.c".as("alt_cos"),
         ($"alt.c" > $"own_cos").as("suspect"))
@@ -2356,16 +2361,24 @@ object SimilarityQueries {
     val g = graft.operators.Scale.checkpointed(
       Tables.embeddings(s, dir).select($"vec_id",
         expr("transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000, 0))").as("gv")))
-    val first = g.filter($"vec_id" === 0L).select($"gv").head()
-    var centers = Vector[(Long, Seq[Double])]((0L, first.getSeq[Double](0)))
-    while (centers.size < k) {
+    // seed at min(vec_id) — NOT a hard-coded id 0, which would throw
+    // on corpora whose ids don't start at 0 while the oracle silently
+    // returned rows; mirrored in the generated SQL's c1 CTE
+    val first = g.orderBy($"vec_id").limit(1).head()
+    var centers =
+      Vector[(Long, Seq[Double])]((first.getLong(0), first.getSeq[Double](1)))
+    var exhausted = false
+    while (centers.size < k && !exhausted) {
       val mind = centers.map { case (_, cv) =>
         squared_l2($"gv", typedLit(cv)) }.reduce(least(_, _))
       val next = g.filter(!$"vec_id".isin(centers.map(_._1): _*))
         .select($"vec_id", $"gv", mind.as("mind"))
         .orderBy($"mind".desc, $"vec_id")
-        .limit(1).head()
-      centers = centers :+ ((next.getLong(0), next.getSeq[Double](1)))
+        .limit(1).take(1)
+      // corpus smaller than k: stop with the centers we have (the
+      // oracle's unrolled rounds go empty past this point too)
+      if (next.isEmpty) exhausted = true
+      else centers = centers :+ ((next(0).getLong(0), next(0).getSeq[Double](1)))
     }
     val ids = centers.zipWithIndex
       .map { case ((id, _), i) => (i + 1, id) }
@@ -2402,7 +2415,7 @@ object SimilarityQueries {
        |  SELECT vec_id,
        |    list_transform(range(1, 65), i -> round(CAST(embedding[i] AS DOUBLE) * 10000, 0)) AS gv
        |  FROM embeddings),
-       |c1 AS (SELECT vec_id, gv FROM g WHERE vec_id = 0),
+       |c1 AS (SELECT vec_id, gv FROM g WHERE vec_id = (SELECT min(vec_id) FROM g)),
        |m1 AS (SELECT g.vec_id, g.gv, ${d2("g", "c1")} AS mind FROM g, c1),
        |$rounds,
        |centers AS ($all),

@@ -1282,12 +1282,24 @@ object TrainQueries {
   private[graft] def evalProbeAutomaton(docs: DataFrame): graft.functions.AhoCorasick.Automaton = {
     val s = docs.sparkSession
     import s.implicits._
-    val probes = docs
+    val probeFrame = docs
       .filter($"source" === "src0" && length($"text") >= 80)
       .select($"doc_id",
         $"text".substr(greatest(lit(1), floor(length($"text") / 4)).cast("int"), lit(60)))
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+    // ENFORCE the bounded-sidecar contract before collecting (the
+    // q45/q47 oracleTierGuard discipline): the probe side must be an
+    // eval benchmark (thousands of rows), never a corpus split. The
+    // limit(cap+1).count() probe stops scanning at cap+1 rows, so the
+    // guard itself never pays a full pass.
+    val cap = s.conf
+      .getOption("spark.graft.decontam.maxProbes").getOrElse("100000").toLong
+    val overCap = probeFrame.limit((cap + 1).toInt).count() > cap
+    require(!overCap,
+      s"decontamination probe set exceeds $cap rows — the probe side must be a " +
+        "bounded eval benchmark, not a corpus split; the compiled automaton is a " +
+        "driver-built broadcast sidecar and grows with it. Shrink the probe set " +
+        "or raise spark.graft.decontam.maxProbes.")
+    val probes = probeFrame.collect().map(r => (r.getLong(0), r.getString(1)))
     graft.functions.AhoCorasick.build(probes)
   }
 

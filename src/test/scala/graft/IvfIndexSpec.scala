@@ -168,6 +168,52 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  /** Write a minimal embeddings.parquet into a temp fixture dir so the
+    * (s, dir)-shaped label-geometry queries can run on constructed
+    * degenerate corpora (the ADVICE r16 cases). */
+  private def embFixture(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q193 degenerate: single-label corpus yields zero rows, not null-alt rows (ADVICE r16)") {
+    // max over the empty foreign-when() used to emit null alt_label /
+    // alt_cos / suspect while the oracle's inner join dropped the rows
+    val dir = embFixture(Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (3L, Seq(0f, 0f, 1f, 0f), 0)))
+    assert(SimilarityQueries.labelNoiseScreen(spark, dir).count() == 0L,
+      "no foreign class => no noise verdicts (oracle inner-join parity)")
+    // two labels: every vector gets exactly one verdict row again
+    val dir2 = embFixture(Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 1),
+      (4L, Seq(0.95f, 0f, 0f, 0f), 1))) // labeled 1, sits in label-0 space
+    val rows = SimilarityQueries.labelNoiseScreen(spark, dir2).collect()
+    assert(rows.length == 4)
+    val byId = rows.map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(byId(4L), "the planted mislabel is flagged suspect")
+    assert(!byId(1L), "a well-placed vector is not flagged")
+  }
+
+  test("q194 degenerate: corpus smaller than k stops early; seed is min(vec_id) (ADVICE r16)") {
+    // ids deliberately NOT starting at 0 — the old vec_id==0 seed threw
+    val dir = embFixture(Seq(
+      (5L, Seq(1f, 0f, 0f, 0f), 0),
+      (7L, Seq(0f, 1f, 0f, 0f), 0),
+      (9L, Seq(0f, 0f, 1f, 0f), 0)))
+    val got = SimilarityQueries.kcenterCoreset(spark, dir, k = 8).collect()
+    assert(got.length == 3, s"3 vectors => 3 centers, not a NoSuchElementException: ${got.length}")
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3), "selection order is dense")
+    assert(got.head.getLong(1) == 5L, "seed is min(vec_id)")
+    assert(got.map(_.getLong(2)).sum == 3L, "every vector is assigned exactly once")
+    assert(got.forall(_.getLong(3) == 0L), "each vector is its own center: radius 0")
+  }
+
   test("tableSuffix: distinct dataset dirs never collide (ADVICE r11)") {
     // the slug alone collapses these to the same name — one dataset's
     // persisted index would shadow the other's within a session

@@ -1067,6 +1067,22 @@ class TrainOpsSpec extends SparkSpec {
     assert(got == want, "automaton scan must equal the exhaustive contains sweep")
   }
 
+  test("q182: an oversized probe set refuses loudly (maxProbes contract is enforced)") {
+    val docs = (1 to 30).map(i =>
+      (i.toLong, "src0", s"held-out probe document number $i " + ("x" * 80)))
+      .toDF("doc_id", "source", "text")
+    spark.conf.set("spark.graft.decontam.maxProbes", "10")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        TrainQueries.evalProbeAutomaton(docs)
+      }
+      assert(ex.getMessage.contains("maxProbes"), ex.getMessage)
+      // at-or-under the cap still builds: the guard bounds, not breaks
+      spark.conf.set("spark.graft.decontam.maxProbes", "30")
+      TrainQueries.evalProbeAutomaton(docs)
+    } finally spark.conf.unset("spark.graft.decontam.maxProbes")
+  }
+
   // ---- q183 OOV rate / q185 truncation loss ----
 
   test("q183: engine output equals a driver-built reference (vocab tie-break included)") {
