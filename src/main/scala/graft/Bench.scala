@@ -157,7 +157,11 @@ object Bench {
     // run overwrites the file. Trusted only if the prior run stamped
     // itself sentinel-clean AND benched the same SF dir.
     val benchFullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
-    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", benchFullPath)
+    // prior defaults to the COMMITTED record in the working directory,
+    // not the output path: the rerun harness writes legs to /tmp (and
+    // deletes stale ones first), which would otherwise leave the
+    // cross-record sentinel referenceless exactly when it matters
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_FULL.json")
     val priorWarm: Map[String, Double] =
       if (priorPath == "none") Map.empty
       else try {

@@ -876,4 +876,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._4 >= 2), "candidate set must include both twins")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
+
+  test("q191 honest negative (VERDICT r16 polish): equal-bag siblings bury the twin that q182's span evidence isolates exactly") {
+    // The q191 scaladoc's documented negative finding, pinned as a
+    // behavioral guarantee: term-bag BM25 cannot separate a VERBATIM
+    // twin from siblings with the identical token bag — only
+    // span-level evidence can. Construction: every train doc carries
+    // the same 20 tokens (same tf, same dl, same df ⇒ exactly equal
+    // BM25 scores), but only the twin preserves the eval doc's token
+    // ORDER, so only it contains the len/4 probe window.
+    val toks = (1 to 20).map(i => f"tok$i%02d")
+    val evalText = toks.mkString(" ")                            // 119 chars ≥ 80
+    val sibText = (toks.drop(10) ++ toks.take(10)).mkString(" ") // same bag, rotated
+    val docs = Seq(
+      (1L, "src0", evalText),
+      (10L, "src1", sibText), (11L, "src1", sibText),
+      (12L, "src1", sibText), (13L, "src1", sibText),
+      (99L, "src1", evalText) // the verbatim twin — LARGEST doc_id
+    ).toDF("doc_id", "source", "text")
+    // span-based decontamination: exactly the twin, zero of the
+    // equal-bag siblings — recall 1.0 AND precision 1.0
+    val pairs = graft.queries.TrainQueries.decontamPairsOver(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 99L)), s"span truth was $pairs")
+    // bag retrieval: all five train docs tie exactly, the
+    // (score desc, doc_id asc) tie-break ranks the twin DEAD LAST —
+    // the honest negative: rank carries no leakage signal here
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q191n").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ev = graft.queries.TextQueries.retrievalEval(spark, tmp).collect()
+    assert(ev.length == 1)
+    assert(ev(0).getLong(0) == 1L && ev(0).getLong(1) == 99L)
+    assert(ev(0).getInt(2) == 5, s"twin buried at rank ${ev(0).getInt(2)} of 5")
+    assert(ev(0).getLong(3) == 5L, "all five equal-bag train docs are candidates")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }
