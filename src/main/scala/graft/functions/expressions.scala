@@ -571,6 +571,13 @@ object expressions {
   /** Unicode canonical form for dedup keys; see [[NormalizeText]]. */
   def normalize_text(c: Column): Column =
     GraftColumnBridge.column(NormalizeText(GraftColumnBridge.expression(c)))
+
+  /** Distinct n-gram rolling-hash fingerprints of a token array; see
+    * [[GramFps]]. Value-identical to
+    * `array_distinct(transform(sequence(...), i ->
+    * codepoint_rolling_hash(concat_ws(" ", slice(toks, i, n)))))`. */
+  def gram_fps(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(GramFps(GraftColumnBridge.expression(tokens), n))
 }
 
 /** Monotone bucket assignment against a small ascending DISTINCT
@@ -781,6 +788,92 @@ object NormalizeText {
       sb.setLength(sb.length - 1)
     UTF8String.fromString(
       Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
+  }
+}
+
+/** Distinct n-gram fingerprints of a token array in ONE fused pass —
+  * the hot inner loop of the dup-gram family (q79/q122/q127/q129/
+  * q143). Produces values BIT-IDENTICAL to the declarative
+  * composition it replaces (`array_distinct(transform(sequence(1,
+  * m−n+1), i → codepoint_rolling_hash(concat_ws(" ", slice(toks, i,
+  * n)))))`, first-occurrence order included), so every oracle keeps
+  * `fingerprintSql` unchanged. The composition's cost model is what
+  * it fixes: Catalyst higher-order lambdas evaluate INTERPRETED, and
+  * each window materializes a sliced array plus a concatenated gram
+  * string before hashing — O(len·n) codepoint work and two
+  * allocations per gram. This expression hashes each token's
+  * codepoints ONCE (also recording 31^len mod p), then composes each
+  * gram hash algebraically from the per-token pairs:
+  * H(a ++ b) = H(a)·31^|b| + H(b) (mod p), with the single-space
+  * separator folded in as one (·31 + 32) step — O(len + m·n)
+  * multiply-adds total, no per-gram strings, and the codegen bridge
+  * keeps the projection inside whole-stage codegen. Both factors stay
+  * < p ≈ 2³⁰, so every product fits a Long with headroom. */
+case class GramFps(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_fps requires array<string> tokens, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GramFps.eval(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramFps.eval($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object GramFps {
+  import CodepointRollingHash.Mod
+
+  /** JVM-static gram-fingerprint fold (callable from codegen). */
+  def eval(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val h = new Array[Long](m)
+    val p = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      // split() never yields null elements, so this branch is
+      // unreachable from gramFps; a null in an injected frame hashes
+      // as the empty token (NOTE: concat_ws would instead SKIP a null
+      // and its separator — callers must not feed null tokens)
+      val s = arr.getUTF8String(j)
+      val str = if (s == null) "" else s.toString
+      var acc = 0L
+      var pw = 1L
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        acc = (acc * 31L + cp) % Mod
+        pw = (pw * 31L) % Mod
+        i += Character.charCount(cp)
+      }
+      h(j) = acc
+      p(j) = pw
+      j += 1
+    }
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var i0 = 0
+    val last = m - n
+    while (i0 <= last) {
+      var acc = h(i0)
+      var k = i0 + 1
+      while (k < i0 + n) {
+        acc = (acc * 31L + 32L) % Mod // the single-space separator
+        acc = (acc * p(k) + h(k)) % Mod
+        k += 1
+      }
+      if (seen.add(acc)) out += acc
+      i0 += 1
+    }
+    new GenericArrayData(out.result())
   }
 }
 

@@ -674,14 +674,16 @@ object TrainQueries {
   private[graft] def gramFps(src: DataFrame, n: Int): DataFrame = {
     val s = src.sparkSession
     import s.implicits._
+    // fused codegen'd expression — value-identical to the former
+    // array_distinct(transform(..., fingerprint(concat_ws(" ",
+    // slice(toks, i, n))))) composition, without the interpreted
+    // lambda + per-gram slice/concat allocations (see [[graft
+    // .functions.GramFps]]); the < n guard lives inside (empty array
+    // → explode drops the row, as before)
     src
       .withColumn("toks", split(trim($"text"), "\\s+"))
       .select($"doc_id",
-        explode(when(size($"toks") >= n,
-            array_distinct(transform(sequence(lit(1), size($"toks") - (n - 1)),
-              i => TextQueries.fingerprint(
-                concat_ws(" ", slice($"toks", i, lit(n)))))))
-          .otherwise(array().cast("array<long>"))).as("fp"))
+        explode(graft.functions.expressions.gram_fps($"toks", n)).as("fp"))
   }
 
   /** q122: CROSS-CORPUS DUPLICATED-NGRAM FRACTION — the Gopher-class
@@ -972,13 +974,18 @@ object TrainQueries {
     val deduped = assemblyDeduped(docs)
     val raw = docs.groupBy($"source").agg(count(lit(1)).as("n_raw"))
     val afterDedup = deduped.groupBy($"source").agg(count(lit(1)).as("n_after_dedup"))
-    val kept = deduped.join(
-      filterStackOver(deduped).filter($"keep").select($"doc_id"), Seq("doc_id"))
+    // materialize-once (the q79 rule): `kept` feeds BOTH the
+    // per-source rollup and the packing branch — without a checkpoint
+    // the filter stack's 8-gram dup statistic (its dominant cost)
+    // executes twice, once per consuming action. Token counts ride in
+    // the checkpoint so neither branch re-tokenizes.
+    val kept = graft.operators.Scale.checkpointed(deduped
+      .join(filterStackOver(deduped).filter($"keep").select($"doc_id"), Seq("doc_id"))
+      .withColumn("n_toks", TextQueries.bpeishTokenCount($"text")))
     val afterFilter = kept.groupBy($"source").agg(
       count(lit(1)).as("n_after_filter"),
-      sum(TextQueries.bpeishTokenCount($"text")).as("n_tokens"))
-    val packs = packedDocsOver(kept, budget, shardSize,
-        TextQueries.bpeishTokenCount(col("text")))
+      sum($"n_toks").as("n_tokens"))
+    val packs = packedDocsOver(kept, budget, shardSize, col("n_toks"))
       .groupBy($"source").agg(countDistinct($"pack_id").as("n_packs"))
     raw
       .join(broadcast(afterDedup), Seq("source"), "left")

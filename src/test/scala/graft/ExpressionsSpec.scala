@@ -486,4 +486,35 @@ class ExpressionsSpec extends SparkSpec {
     }
     assert(got.last.isNullAt(0), "null text propagates null")
   }
+
+  test("gram_fps: bit-identical to the declarative slice/concat_ws/hash composition") {
+    // the fused expression replaces this exact composition in the hot
+    // dup-gram loop (q79/q122/q127/q129/q143) — identity must hold on
+    // every shape: repeats (distinct + first-occurrence order),
+    // multi-codepoint text, single-token, shorter-than-n, empty
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and then the quick brown fox returns",
+      "a b a b a b a b a b a b",          // heavy gram repetition
+      "héllo wörld ünïcode çhars über ålpha ómega ßharp",
+      "日本 語の トーク ンが 八つ 以上 並ぶ 文で す",  // multi-codepoint tokens
+      "one two three four five six seven eight",       // exactly n tokens
+      "short doc", "single", "", "   ",
+      (1 to 200).map(i => s"w${i % 13}").mkString(" ")) // long + collisions
+    val df = texts.toDF("text")
+    for (n <- Seq(3, 8)) {
+      val toks = split(trim(col("text")), "\\s+")
+      val want = df.select(
+        when(size(toks) >= n,
+          array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => graft.functions.expressions.codepoint_rolling_hash(
+              concat_ws(" ", slice(toks, i, lit(n)))))))
+          .otherwise(array().cast("array<long>")).as("fp")).collect()
+      val got = df.select(
+        graft.functions.expressions.gram_fps(toks, n).as("fp")).collect()
+      texts.indices.foreach { i =>
+        assert(got(i).getSeq[Long](0) == want(i).getSeq[Long](0),
+          s"n=$n text $i: fused != composition")
+      }
+    }
+  }
 }
