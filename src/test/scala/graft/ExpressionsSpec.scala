@@ -487,6 +487,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(got.last.isNullAt(0), "null text propagates null")
   }
 
+  test("gram_fps: fixed-seed fuzz — algebraic composition equals hash-of-joined-string on random token arrays") {
+    // JVM-level identity over 500 random arrays (the SentimentSpec
+    // fixed-seed fuzz pattern): the 31-power composition must equal
+    // hashing the space-joined gram outright, for any codepoints
+    // including astral-plane (surrogate-pair) characters
+    val rnd = new scala.util.Random(4217)
+    val pool = "ab z09!?.é中😀ß" // includes an astral emoji
+    def tok(): String = (0 until rnd.nextInt(6)).map(_ =>
+      pool(rnd.nextInt(pool.length))).mkString
+    for (_ <- 1 to 500) {
+      val m = rnd.nextInt(14)
+      val toks = (0 until m).map(_ => tok())
+      val n = 1 + rnd.nextInt(9)
+      val got = graft.functions.GramFps.eval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray),
+        n).toLongArray().toSeq
+      val want =
+        if (m < n) Seq.empty[Long]
+        else (0 to m - n).map(i =>
+          graft.functions.CodepointRollingHash.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              toks.slice(i, i + n).mkString(" ")))).distinct
+      assert(got == want, s"m=$m n=$n toks=$toks")
+    }
+  }
+
   test("gram_fps: bit-identical to the declarative slice/concat_ws/hash composition") {
     // the fused expression replaces this exact composition in the hot
     // dup-gram loop (q79/q122/q127/q129/q143) — identity must hold on

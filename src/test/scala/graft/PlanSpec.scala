@@ -359,6 +359,26 @@ class PlanSpec extends SparkSpec {
         s"(EventQueries.topEventsPerType):\n${hits.mkString("\n")}")
   }
 
+  test("q191: exactly one window (rarest-term pick) — the candidate rank is counted, never sorted (r17)") {
+    val p = planOf("q191_retrieval_eval")
+    // the r17 reshape replaced the per-eval row_number over every
+    // posting-union candidate with a broadcast-count of strictly-
+    // better scores; a second Window reappearing means the candidate
+    // sort crept back
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows <= 1, s"expected at most the qterms window, found $windows:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query-term prune and twin-score joins must broadcast:\n$p")
+  }
+
+  test("q127: the gram fingerprints come from the fused expression, not interpreted lambdas (r17)") {
+    val p = planOf("q127_filter_stack")
+    assert(p.contains("gramfps") || p.contains("GramFps"),
+      s"expected the fused GramFps expression in the plan:\n$p")
+    assert(!p.contains("concat_ws"),
+      s"per-gram string construction must be gone:\n$p")
+  }
+
   test("lint regression case: the old q17 rank-window shape IS flagged") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
