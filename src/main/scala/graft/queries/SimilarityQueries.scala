@@ -367,9 +367,14 @@ object SimilarityQueries {
     val sample: Array[Array[Float]] = Tables.embeddings(s, dir)
       .filter($"vec_id" < 256).orderBy($"vec_id")
       .select($"embedding").as[Array[Float]].collect()
-    require(sample.length >= k,
-      s"ivfNn's bounded sample (vec_id < 256) has ${sample.length} vectors < k=$k; " +
-        "use spark.graft.ivf.trainer=mllib for large k")
+    require(sample.nonEmpty,
+      "cannot train IVF centroids on an empty embeddings corpus")
+    // DEGRADE, don't refuse (r17 degenerate sweep): a sub-k corpus
+    // trains min(k, n) centroids — k-means with more clusters than
+    // points is undefined, fewer cells is the well-defined analogue
+    // (every real SF has n ≥ 256, so kEff == k wherever an oracle
+    // prices this); nprobe slices are length-lenient already
+    val kEff = math.min(k, sample.length)
     val dim = sample.head.length
     def norm(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -381,18 +386,18 @@ object SimilarityQueries {
       s0
     }
     var cent: Array[Array[Double]] =
-      sample.take(k).map(v => norm(v.map(_.toDouble)))
+      sample.take(kEff).map(v => norm(v.map(_.toDouble)))
     for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val cnt = new Array[Int](k)
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val cnt = new Array[Int](kEff)
       sample.foreach { v =>
         val vd = v.map(_.toDouble)
         // centroids are unit-norm, so argmax dot == argmax cosine
-        val c = (0 until k).maxBy(i => dot(cent(i), vd))
+        val c = (0 until kEff).maxBy(i => dot(cent(i), vd))
         var j = 0; while (j < dim) { sums(c)(j) += vd(j); j += 1 }
         cnt(c) += 1
       }
-      cent = (0 until k).map(i =>
+      cent = (0 until kEff).map(i =>
         if (cnt(i) == 0) cent(i) else norm(sums(i))).toArray
     }
     cent
@@ -1434,9 +1439,14 @@ object SimilarityQueries {
     val sample: Array[Array[Float]] = Tables.embeddings(s, dir)
       .filter($"vec_id" < 256).orderBy($"vec_id")
       .select($"embedding").as[Array[Float]].collect()
-    val (mSub, kp) = (pqM(s), pqK(s))
-    require(sample.length >= kp,
-      s"PQ trainer sample has ${sample.length} vectors < K'=$kp")
+    val (mSub, kp0) = (pqM(s), pqK(s))
+    require(sample.nonEmpty,
+      "cannot train PQ codebooks on an empty embeddings corpus")
+    // DEGRADE, don't refuse (r17 degenerate sweep): a sub-K' corpus
+    // trains min(K', n) codewords per subspace — codes simply range
+    // over fewer values; every real SF has n >= 256 so kp == K'
+    // wherever an oracle prices this
+    val kp = math.min(kp0, sample.length)
     val dim = sample.head.length
     require(dim % mSub == 0, s"embedding dim $dim not divisible by M=$mSub")
     val sub = dim / mSub
@@ -1586,7 +1596,11 @@ object SimilarityQueries {
       .select($"q_id", $"best.vec_id".as("exact_nn"))
     val audit = served.join(exact, Seq("q_id"))
       .agg(count(lit(1)).as("n_audited"),
-        sum(when($"served_nn" === $"exact_nn", 1L).otherwise(0L)).as("n_hit"))
+        // coalesce: sum over ZERO audited rows is NULL (degenerate
+        // corpora can have no query in the audit id range), and
+        // getLong on it would throw — r17 degenerate sweep
+        coalesce(sum(when($"served_nn" === $"exact_nn", 1L).otherwise(0L)),
+          lit(0L)).as("n_hit"))
       .head()
     val (nAudited, nHit) = (audit.getLong(0), audit.getLong(1))
 
@@ -1811,7 +1825,10 @@ object SimilarityQueries {
       .select($"q_id", $"r.b_id".as("ref_nn"))
     val audit = served.join(ref, Seq("q_id"))
       .agg(count(lit(1)).as("n_audited"),
-        sum(when($"served_nn" === $"ref_nn", 1L).otherwise(0L)).as("n_hit"))
+        // coalesce: sum over ZERO audited rows is NULL (degenerate
+        // corpora can land no query in the audit id range) — r17
+        coalesce(sum(when($"served_nn" === $"ref_nn", 1L).otherwise(0L)),
+          lit(0L)).as("n_hit"))
       .head()
     val allLive = tombstones match {
       case Some(t) =>
@@ -2100,27 +2117,44 @@ object SimilarityQueries {
   def anchorRoutingAudit(s: SparkSession, dir: String, nAnchors: Int = 16,
                          boundary: Double = 0.02): DataFrame = {
     import s.implicits._
-    val anchors: Array[Array[Double]] = Tables.embeddings(s, dir)
+    // DEGRADE, don't refuse (r17 degenerate sweep): the audit routes
+    // to the anchor rows that EXIST below the id cap — a sparse corpus
+    // yields fewer anchors, a single anchor yields NULL margins, zero
+    // anchors yield the all-empty grid, each exactly the oracle's
+    // window semantics. Anchor ids are the REAL vec_ids (the oracle's
+    // anchor_id) — the former positional index silently diverged on
+    // corpora whose low ids have holes.
+    val anchorRows: Array[(Long, Array[Float])] = Tables.embeddings(s, dir)
       .filter($"vec_id" < nAnchors).orderBy($"vec_id")
-      .select($"embedding").as[Array[Float]].collect()
-      .map(_.map(_.toDouble))
-    require(anchors.length == nAnchors, s"expected $nAnchors anchors, got ${anchors.length}")
-    val scored = array(anchors.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      struct(round(cosine_similarity($"embedding", typedlit(c.toSeq)), 6).as("c"),
-        lit(i.toLong).as("i")) }: _*)
-    // total order: cosine DESC (already 6-dp rounded), anchor id ASC
-    val sorted = array_sort(scored, (l, r) =>
-      when(l("c") > r("c"), -1).otherwise(when(l("c") < r("c"), 1)
-        .otherwise(when(l("i") < r("i"), -1).otherwise(1))))
-    val routed = Tables.embeddings(s, dir)
-      .select($"vec_id", sorted.as("s"))
-      .select($"vec_id",
-        element_at($"s", 1)("i").as("anchor_id"),
-        round(element_at($"s", 1)("c") - element_at($"s", 2)("c"), 6).as("margin"))
-      .groupBy($"anchor_id")
-      .agg(count(lit(1)).as("n_members"),
-        sum(when($"margin" < boundary, 1L).otherwise(0L)).as("n_boundary"))
-    s.range(0L, nAnchors.toLong).toDF("anchor_id")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val grid = s.range(0L, nAnchors.toLong).toDF("anchor_id")
+    val routed = if (anchorRows.isEmpty) {
+      grid.limit(0).select($"anchor_id",
+        lit(0L).as("n_members"), lit(0L).as("n_boundary"))
+    } else {
+      val scored = array(anchorRows.toIndexedSeq.map { case (id, c) =>
+        struct(round(cosine_similarity($"embedding",
+            typedlit(c.map(_.toDouble).toSeq)), 6).as("c"),
+          lit(id).as("i")) }: _*)
+      // total order: cosine DESC (already 6-dp rounded), anchor id ASC
+      val sorted = array_sort(scored, (l, r) =>
+        when(l("c") > r("c"), -1).otherwise(when(l("c") < r("c"), 1)
+          .otherwise(when(l("i") < r("i"), -1).otherwise(1))))
+      Tables.embeddings(s, dir)
+        .select($"vec_id", sorted.as("s"))
+        .select($"vec_id",
+          element_at($"s", 1)("i").as("anchor_id"),
+          // ANSI-safe second-best: a single-anchor corpus has no
+          // runner-up — NULL margin, counted as non-boundary (the
+          // oracle's rn=2-absent CASE)
+          round(element_at($"s", 1)("c") -
+            when(lit(anchorRows.length >= 2), element_at($"s", 2)("c")),
+            6).as("margin"))
+        .groupBy($"anchor_id")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when($"margin" < boundary, 1L).otherwise(0L)).as("n_boundary"))
+    }
+    grid
       .join(routed, Seq("anchor_id"), "left")
       .select($"anchor_id",
         coalesce($"n_members", lit(0L)).as("n_members"),

@@ -516,12 +516,16 @@ object TextQueries {
     counts.crossJoin(broadcast(totals))
       // expected counts under the pooled distribution; the integer
       // product (ca+cb)*na is exact in BIGINT long before the one
-      // division makes it a double
-      .withColumn("ea", ($"ca" + $"cb") * $"na" / ($"na" + $"nb"))
-      .withColumn("eb", ($"ca" + $"cb") * $"nb" / ($"na" + $"nb"))
+      // division makes it a double. try_divide mirrors DuckDB's
+      // NULL-on-zero-divisor rule (r17 degenerate sweep: a one-
+      // language corpus has ea or eb = 0 and its chi2 is NULL on
+      // both engines, never an ANSI error); on nonzero divisors it
+      // is the identical double division
+      .withColumn("ea", try_divide(($"ca" + $"cb") * $"na", $"na" + $"nb"))
+      .withColumn("eb", try_divide(($"ca" + $"cb") * $"nb", $"na" + $"nb"))
       .withColumn("chi2", round(
-        ($"ca" - $"ea") * ($"ca" - $"ea") / $"ea" +
-        ($"cb" - $"eb") * ($"cb" - $"eb") / $"eb", 4))
+        try_divide(($"ca" - $"ea") * ($"ca" - $"ea"), $"ea") +
+        try_divide(($"cb" - $"eb") * ($"cb" - $"eb"), $"eb"), 4))
       .select($"tok", $"ca", $"cb", $"chi2")
       .orderBy($"chi2".desc, $"tok")
       .limit(k)

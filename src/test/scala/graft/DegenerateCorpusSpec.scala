@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input sweep over the ENTIRE registered query surface
+  * (the r17 verification-depth round): every `SparkEntry.queries`
+  * entry must COMPLETE — not throw — on schema-valid but extreme
+  * corpora. The ADVICE r16 finds (q194's `.head()` on a missing seed
+  * row, q193's null-alt rows on a single-label corpus) were exactly
+  * this bug class; this sweep hunts the remaining instances
+  * wholesale instead of one advisory at a time.
+  *
+  * Two fixtures, both derived from the real sf0.001 tables (schema
+  * exactness for free — the sentinel's canonical schema is whatever
+  * the driver wrote, including the events.ts era):
+  *  - `tiny`:  3 rows per table — empty groups, empty joins, empty
+  *    probe sets, sub-k corpora everywhere;
+  *  - `mono`:  one document source, one embedding label, one event
+  *    type — every cross-source/cross-label/cross-type query's
+  *    "other side" is empty.
+  *
+  * The contract is completion + a sane row count (≥ 0 — i.e. the
+  * plan executes), NOT value agreement (the sf0.01 oracle gate owns
+  * values); a query that legitimately needs more data must degrade
+  * to empty output, never to an exception, because at 100 TB a
+  * partition-local slice of ANY operator can be this sparse. */
+class DegenerateCorpusSpec extends SparkSpec {
+
+  private def derive(name: String)(xf: (String, org.apache.spark.sql.DataFrame)
+      => org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_degen_$name").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      // copy the RAW parquet schema (spark.read, not the adaptive
+      // loader) so the derived fixture is byte-era-identical
+      val raw = spark.read.parquet(s"$sf/$t.parquet")
+      xf(t, raw).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private lazy val tinyDir = derive("tiny")((_, df) => df.limit(3))
+
+  private lazy val monoDir = derive("mono") {
+    case ("documents", df)  => df.filter(col("source") === "src1").limit(50)
+    case ("embeddings", df) => df.filter(col("label") === 0).limit(50)
+    case ("events", df)     => df.filter(col("event_type") === "view").limit(50)
+    case (_, df)            => df.limit(5)
+  }
+
+  private def sweep(dir: String): Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, dir).count()
+        assert(n >= 0)
+        None
+      } catch {
+        case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" / ").take(200)}")
+      }
+    }
+
+  test("every registered query completes on a 3-row corpus (no .head()-on-empty class bugs)") {
+    val failures = sweep(tinyDir)
+    assert(failures.isEmpty,
+      s"${failures.size} queries throw on the tiny corpus:\n${failures.mkString("\n")}")
+  }
+
+  test("every registered query completes on a mono-source/mono-label/mono-type corpus") {
+    val failures = sweep(monoDir)
+    assert(failures.isEmpty,
+      s"${failures.size} queries throw on the mono corpus:\n${failures.mkString("\n")}")
+  }
+}
