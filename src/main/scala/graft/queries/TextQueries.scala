@@ -981,7 +981,10 @@ object TextQueries {
         .bucketBy(32, "term").sortBy("term")
         .format("parquet").saveAsTable(s"${tbl}_vocab")
       val (srcRows, srcMaxId) = SimilarityQueries.docsFingerprint(s, dir)
-      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      // coalesce: sum over an EMPTY corpus slice is NULL and would
+      // poison the stored meta (r17 degenerate sweep)
+      dl.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"dl"), lit(0L)).as("sum_dl"))
         .withColumn("src_rows", lit(srcRows))
         .withColumn("src_max_id", lit(srcMaxId))
         .write.mode("overwrite").format("parquet").saveAsTable(s"${tbl}_meta")
@@ -991,7 +994,9 @@ object TextQueries {
     // is correctly rounded — bit-identical to the oracle's
     val m = s.table(s"${tbl}_meta").select($"n_docs", $"sum_dl").head()
     val nDocs = m.getLong(0)
-    val avgdl = m.getLong(1).toDouble / nDocs
+    // empty index: no postings exist, so avgdl never reaches a score —
+    // any finite value avoids the 0/0 NaN (r17 degenerate sweep)
+    val avgdl = if (nDocs == 0L) 1.0 else m.getLong(1).toDouble / nDocs
     val p = s.table(tbl).filter($"term".isin(Bm25Terms: _*))
     val v = s.table(s"${tbl}_vocab").filter($"term".isin(Bm25Terms: _*))
     // every arithmetic step below mirrors the oracle's association
@@ -1348,9 +1353,12 @@ object TextQueries {
       .groupBy($"term").agg(count(lit(1)).as("df"))
     // corpus stats from a 1-row bounded collect (the q150 rule);
     // both integers < 2^53 so the double division is exact
-    val mrow = dl.agg(count(lit(1)).as("n"), sum($"dl").as("s")).head()
+    val mrow = dl
+      .agg(count(lit(1)).as("n"), coalesce(sum($"dl"), lit(0L)).as("s")).head()
     val nDocs = mrow.getLong(0)
-    val avgdl = mrow.getLong(1).toDouble / nDocs
+    // empty train slice: no postings, no candidates — any finite avgdl
+    // avoids the 0/0 NaN (r17 degenerate sweep)
+    val avgdl = if (nDocs == 0L) 1.0 else mrow.getLong(1).toDouble / nDocs
     val evalToks = docs.filter($"source" === "src0")
       .select($"doc_id".as("eval_id"),
         explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))

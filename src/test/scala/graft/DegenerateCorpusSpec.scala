@@ -73,4 +73,22 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} queries throw on the mono corpus:\n${failures.mkString("\n")}")
   }
+
+  private lazy val emptyDocsDir = derive("emptydocs") {
+    case ("documents", df) => df.limit(0)
+    case ("events", df)    => df.limit(0)
+    case (_, df)           => df.limit(3)
+  }
+
+  test("every registered query completes when documents/events are 0-row slices") {
+    // the shape a FILTERED slice takes at scale: the table exists,
+    // the schema is right, and there is simply nothing in this range.
+    // Trainer-style operators over the still-populated embeddings may
+    // refuse loudly on EMPTY input only (their documented contract);
+    // everything over documents/events must degrade to empty output.
+    val failures = sweep(emptyDocsDir)
+      .filterNot(_.contains("empty")) // documented empty-corpus refusals
+    assert(failures.isEmpty,
+      s"${failures.size} queries throw on the empty-docs corpus:\n${failures.mkString("\n")}")
+  }
 }
