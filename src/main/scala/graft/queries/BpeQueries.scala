@@ -302,7 +302,8 @@ object BpeQueries {
        |  ${TextQueries.fingerprintSql("m.canon")} AS merges_fp,
        |  CAST(COALESCE(sum(${Bpe.tokenCountSqlWith("s.text", "m.ms")}), 0) AS BIGINT)
        |    AS trained_tokens
-       |FROM (SELECT text FROM documents WHERE doc_id % 5 = 0) s CROSS JOIN mlrow m
+       |FROM mlrow m
+       |LEFT JOIN (SELECT text FROM documents WHERE doc_id % 5 = 0) s ON true
        |GROUP BY m.n_merges, m.canon""".stripMargin
 
   /** q98: q85's QUALITY-RANKED BUDGET SELECTION budgeted in BPE

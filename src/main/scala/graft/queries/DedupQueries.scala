@@ -405,9 +405,11 @@ object DedupQueries {
     val pairs = simhashPairsRaw(s, dir)
     val checks = pairs.agg(
       (count(lit(1)) > 0).as("has_pairs"),
-      expr("bool_and(id_a < id_b)").as("all_ordered"),
+      // vacuous truth over an empty pair frame (the q145 discipline) —
+      // bool_and over zero rows is NULL, not a contract violation
+      coalesce(expr("bool_and(id_a < id_b)"), lit(true)).as("all_ordered"),
       (count(lit(1)) === countDistinct($"id_a", $"id_b")).as("no_dup_pairs"),
-      expr("bool_and(hamming <= 3)").as("hamming_bound"))
+      coalesce(expr("bool_and(hamming <= 3)"), lit(true)).as("hamming_bound"))
     val sub = Tables.documents(s, dir)
       .filter($"doc_id" % 50 === 0 && $"doc_id" < 50000)
       .select($"doc_id", simhash64(tokens($"text")).as("fp"))

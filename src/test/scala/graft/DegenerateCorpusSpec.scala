@@ -23,7 +23,19 @@ import org.apache.spark.sql.functions._
   * plan executes), NOT value agreement (the sf0.01 oracle gate owns
   * values); a query that legitimately needs more data must degrade
   * to empty output, never to an exception, because at 100 TB a
-  * partition-local slice of ANY operator can be this sparse. */
+  * partition-local slice of ANY operator can be this sparse.
+  *
+  * Cross-engine agreement WAS additionally measured out-of-band (r17:
+  * `graft.Verify` + `scripts/check.py` over these same fixture
+  * recipes): tiny 183/191 MATCH, mono 187/191 MATCH, every remaining
+  * mismatch a self-validating report whose oracle pins a CONSTANT
+  * `true` audit assertion (`audit_nonempty`, q44's `has_pairs`) that
+  * only binds at the real SFs — the Spark side honestly reports
+  * `false` when the degenerate corpus leaves the audit slice empty.
+  * Real divergences that run found and fixed: q101's oracle collapsed
+  * to zero rows on an empty encode sample (CROSS JOIN → LEFT JOIN ON
+  * true), q44's vacuous bool_and, and the q150/q191 NULL corpus-stats
+  * sums. */
 class DegenerateCorpusSpec extends SparkSpec {
 
   private def derive(name: String)(xf: (String, org.apache.spark.sql.DataFrame)
