@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""sf1 scaling leg (VERDICT r17 #1): derive the BENCH-ONLY sf1 fixture
+(graft.MakeScale — 10× sf0.1, distribution-matched) and time the heavy
+query tier on it, then write the `sf1` column into BENCH_SCALING.json
+with per-query growth ratios vs the committed sf0.1 warm record.
+
+The heavy tier is the ~15 most expensive queries of the committed
+record plus every query the r17 verdict named — the set whose 100 TB
+arguments were analytic until now.
+
+Usage: python3 scripts/bench_sf1.py [--skip-gen]
+Prerequisite: compiled classes (sbt compile).
+"""
+import json, os, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+from make_artifacts import OPENS
+
+CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
+SF1 = os.path.join(REPO, "data", "sf1")
+
+# VERDICT r17 #1's named tier (full registered names)
+HEAVY = [
+    "q101_bpe_trained_tokens", "q129_corpus_assembly", "q131_editdist_neardups",
+    "q133_containment_pairs", "q140_pq_ann", "q143_assembly_funnel",
+    "q145_editdist_neardups_lsh", "q148_ivfpq_compact_serve", "q150_bm25_topk",
+    "q157_cluster_split", "q158_neardup_index_serve", "q173_canonical_keepers",
+    "q184_skew_audit", "q191_retrieval_eval", "q66_dedup_clusters",
+    "q82_dedup_impact",
+]
+
+
+def sh(cmd, env=None, check=True):
+    res = subprocess.run(cmd, shell=True, env=env, text=True)
+    if check and res.returncode != 0:
+        raise SystemExit(f"command failed (rc={res.returncode}): {cmd}")
+
+
+def main():
+    if "--skip-gen" not in sys.argv:
+        sh(f"java {OPENS} -Xmx24g -cp '{CP}' graft.MakeScale "
+           f"/root/testdata/sf0.1 {SF1} 10")
+
+    # guard against registry drift: every tier name must still exist
+    full = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))
+    registered = set(full["queries"])
+    missing = [q for q in HEAVY if q not in registered]
+    if missing:
+        raise SystemExit(f"heavy-tier names no longer registered: {missing}")
+    names = sorted(HEAVY)
+    print(f"[sf1] timing {len(names)} queries: {names}")
+
+    tq_json = "/tmp/timeq_sf1.json"
+    if os.path.exists(tq_json):
+        os.remove(tq_json)
+    env = dict(os.environ, SPARK_GRAFT_TIMEQ_JSON=tq_json, SPARK_GRAFT_CPUS="32")
+    sh(f"java {OPENS} -Xmx24g -cp '{CP}' graft.TimeQueries {SF1} "
+       + " ".join(names), env=env)
+    sf1 = json.load(open(tq_json))
+
+    scaling_path = os.path.join(REPO, "BENCH_SCALING.json")
+    art = json.load(open(scaling_path))
+    w01 = art["sf0.1"]["warm"]
+    growth = {q: round(sf1[q]["warm"] / w01[q], 2)
+              for q in sf1 if q in w01 and w01[q] > 0}
+    art["sf1"] = {
+        "_meta": "BENCH-ONLY derived fixture (graft.MakeScale: 10× sf0.1, "
+                 "distribution-matched — see MakeScale.scala scaladoc); "
+                 "heavy tier only, 1 cold + median-of-3 warm via "
+                 "graft.TimeQueries; growth_vs_sf0.1 = warm(sf1)/warm(sf0.1 "
+                 "committed record) for 10× data",
+        "cold": {q: v["cold"] for q, v in sorted(sf1.items())},
+        "warm": {q: v["warm"] for q, v in sorted(sf1.items())},
+        "growth_vs_sf0.1": dict(sorted(growth.items())),
+        "total_warm": round(sum(v["warm"] for v in sf1.values()), 2),
+    }
+    json.dump(art, open(scaling_path, "w"), indent=1)
+    print(f"[sf1] total warm {art['sf1']['total_warm']}s; growth ratios:")
+    for q, g in sorted(growth.items(), key=lambda kv: -kv[1]):
+        print(f"  {q}: {w01[q]:.2f}s → {sf1[q]['warm']:.2f}s = {g}× for 10× data")
+
+
+if __name__ == "__main__":
+    main()

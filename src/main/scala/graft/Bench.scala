@@ -62,7 +62,22 @@ import org.apache.spark.sql.SparkSession
   * plan change) will also trip this — that is intended: the builder
   * attributes it in BENCH_NOTES and the next committed clean record
   * resets the reference. `SPARK_GRAFT_BENCH_PRIOR=none` disables
-  * (e.g. benching a different SF than the committed record). */
+  * (e.g. benching a different SF than the committed record).
+  * `SPARK_GRAFT_BENCH_ACCEPT=q101,q157` exempts NAMED queries from
+  * the cross-record check (an attributed, deliberate regression —
+  * BENCH_NOTES carries the why) WITHOUT dropping the sentinel for
+  * every other query; accepted names are stamped in the artifact.
+  *
+  * RECORD PROVENANCE (round 18, VERDICT r17 #2): the r16/r17 rounds
+  * each produced TWO sf0.1 records — the driver's end-of-round leg
+  * (run concurrently with whatever else the host is doing) and the
+  * builder's quiet-host record (scripts/rerun_sf01_leg.py on a rested
+  * machine) — that disagreed by 10–12% purely on host load. Both
+  * artifacts now stamp `record_source` (`SPARK_GRAFT_BENCH_SOURCE`,
+  * default "end-of-round-leg"; the rerun harness stamps
+  * "quiet-host") so the two can never be misread as a regression:
+  * the quiet-host record is the artifact of record, the driver leg
+  * is the snapshot. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,6 +166,10 @@ object Bench {
     } catch { case _: Throwable => -1.0 } // sentinel must never sink the bench
     val loadStart = loadavg()
     val calibStart = calibration()
+    // provenance stamp (VERDICT r17 #2): which measurement protocol
+    // produced this record — the rerun harness stamps "quiet-host"
+    val recordSource =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SOURCE", "end-of-round-leg")
 
     // Cross-record reference (VERDICT r16 #2): per-query warm medians
     // from the prior committed BENCH_FULL.json — read NOW, before this
@@ -248,9 +267,17 @@ object Bench {
     var latest: Map[String, Meas] = results.map(r =>
       r.name -> Meas(r.warm, r.warmMin, r.warmMax)).toMap
     // third signature (r17): >2.5× the prior committed clean warm —
-    // catches the uniform slowdown the within-run tests can't see
+    // catches the uniform slowdown the within-run tests can't see.
+    // SPARK_GRAFT_BENCH_ACCEPT names queries whose regression is
+    // DELIBERATE (a plan change, attributed in BENCH_NOTES): they are
+    // exempted individually so the cross-record check keeps guarding
+    // everything else (r17 ADVICE: the only escape used to be
+    // PRIOR=none, which dropped the sentinel wholesale).
+    val accepted: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ACCEPT")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     def priorRegressed(name: String): Boolean =
-      priorWarm.get(name).exists(p => latest(name).warm > p * 2.5)
+      !accepted.contains(name) &&
+        priorWarm.get(name).exists(p => latest(name).warm > p * 2.5)
     def isFlagged(r: QRes): Boolean =
       r.err.isEmpty && (flaggedMeas(r.cold, latest(r.name)) || priorRegressed(r.name))
     var finalResults = results
@@ -334,6 +361,10 @@ object Bench {
         ",\"n_still_flagged\":" + stillFlagged +
         ",\"n_prior_regressed\":" + nPriorRegressed +
         ",\"prior_ref_queries\":" + priorWarm.size +
+        ",\"record_source\":" + jstr(recordSource) +
+        (if (accepted.nonEmpty)
+          ",\"accepted_regressions\":" +
+            accepted.toSeq.sorted.map(jstr).mkString("[", ",", "]") else "") +
         ",\"queries\":{\n",
       ",\n", "\n}\n}\n")
     val outPath = java.nio.file.Paths.get(benchFullPath)
@@ -345,6 +376,7 @@ object Bench {
       .map(r => jstr(r.name) + ":" + jnum(r.warm)).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","value_warm":${jnum(totalWarm)},""" +
       s""""n_failed":$nFailed,"sentinel_clean":$sentinelClean,"n_retried":${flaggedNames.size},""" +
+      s""""record_source":${jstr(recordSource)},""" +
       s""""queries":$slowest,"sf":${jstr(sfDir)},"full":${jstr(outPath.toString)}}""")
     spark.stop()
   }

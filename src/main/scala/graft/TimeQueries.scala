@@ -3,9 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Builder-side micro-harness: time a NAMED SUBSET of the registered
-  * queries (cold + two warm re-runs each, noop-sink materialization —
+  * queries (cold + warm re-runs each, noop-sink materialization —
   * the Bench measurement shape without the 191-query suite) so a plan
   * change can be measured in seconds, not a full bench leg.
+  *
+  * With `SPARK_GRAFT_TIMEQ_JSON=<path>` set, additionally runs the
+  * Bench estimator shape (1 cold + median-of-3 warm) and writes a
+  * compact `{"name":{"cold":s,"warm":s},…}` map — the sf1 scaling
+  * column (`scripts/bench_sf1.py`) is assembled from this.
+  *
   * Usage: runMain graft.TimeQueries <sfDir> <name substrings...> */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
@@ -18,14 +24,28 @@ object TimeQueries {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jsonPath = sys.env.get("SPARK_GRAFT_TIMEQ_JSON")
     val wanted = args.drop(1)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if wanted.exists(name.contains)) {
-      for (i <- 0 to 2) {
+      val nRuns = if (jsonPath.isDefined) 4 else 3
+      val times = (0 until nRuns).map { i =>
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
-        println(f"[timeq] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[timeq] $name run$i $sec%.2f s")
+        sec
       }
+      val warm = times.drop(1).sorted.apply((nRuns - 1) / 2)
+      results(name) = (times.head, warm)
+    }
+    jsonPath.foreach { p =>
+      def n(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      val body = results.map { case (k, (c, w)) =>
+        s""""$k":{"cold":${n(c)},"warm":${n(w)}}""" }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), body.getBytes("UTF-8"))
+      println(s"[timeq] wrote $p")
     }
     spark.stop()
   }

@@ -837,25 +837,29 @@ object GramFps {
     if (m < n) return new GenericArrayData(Array.empty[Long])
     val h = new Array[Long](m)
     val p = new Array[Long](m)
+    val nul = new Array[Boolean](m)
     var j = 0
     while (j < m) {
-      // split() never yields null elements, so this branch is
-      // unreachable from gramFps; a null in an injected frame hashes
-      // as the empty token (NOTE: concat_ws would instead SKIP a null
-      // and its separator — callers must not feed null tokens)
-      val s = arr.getUTF8String(j)
-      val str = if (s == null) "" else s.toString
-      var acc = 0L
-      var pw = 1L
-      var i = 0
-      while (i < str.length) {
-        val cp = str.codePointAt(i)
-        acc = (acc * 31L + cp) % Mod
-        pw = (pw * 31L) % Mod
-        i += Character.charCount(cp)
+      // split() never yields null elements, but a constructed frame
+      // can: a null token contributes NOTHING — neither its hash nor
+      // a separator — exactly concat_ws's skip-null semantics, so the
+      // bit-identity contract with the declarative composition holds
+      // on EVERY array<string> input, nullable or not.
+      if (arr.isNullAt(j)) { nul(j) = true; h(j) = 0L; p(j) = 1L }
+      else {
+        val str = arr.getUTF8String(j).toString
+        var acc = 0L
+        var pw = 1L
+        var i = 0
+        while (i < str.length) {
+          val cp = str.codePointAt(i)
+          acc = (acc * 31L + cp) % Mod
+          pw = (pw * 31L) % Mod
+          i += Character.charCount(cp)
+        }
+        h(j) = acc
+        p(j) = pw
       }
-      h(j) = acc
-      p(j) = pw
       j += 1
     }
     val seen = new java.util.HashSet[Long]()
@@ -863,11 +867,15 @@ object GramFps {
     var i0 = 0
     val last = m - n
     while (i0 <= last) {
-      var acc = h(i0)
-      var k = i0 + 1
+      var acc = 0L
+      var started = false
+      var k = i0
       while (k < i0 + n) {
-        acc = (acc * 31L + 32L) % Mod // the single-space separator
-        acc = (acc * p(k) + h(k)) % Mod
+        if (!nul(k)) {
+          if (started) acc = (acc * 31L + 32L) % Mod // the single-space separator
+          acc = (acc * p(k) + h(k)) % Mod
+          started = true
+        }
         k += 1
       }
       if (seen.add(acc)) out += acc

@@ -216,7 +216,9 @@ object BpeQueries {
        |  CAST(COALESCE(sum(len(regexp_extract_all(text, '\\w+'))), 0) AS BIGINT) AS n_words,
        |  CAST(COALESCE(sum(len(regexp_extract_all(text, '[^\\w\\s]'))), 0) AS BIGINT) AS n_punct,
        |  CAST(COALESCE(sum(${Bpe.pinnedTokenCountSql("text")}), 0) AS BIGINT) AS pinned_tokens,
-       |  true AS roundtrip_ok, true AS trained_bounds_ok, true AS merges_full
+       |  true AS roundtrip_ok, true AS trained_bounds_ok,
+       |  CASE WHEN (SELECT count(*) FROM documents) = 0
+       |       THEN false ELSE true END AS merges_full
        |FROM s""".stripMargin
 
   /** q101: the TRAINED table fully oracle-verified — the strongest

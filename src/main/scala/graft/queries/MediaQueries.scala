@@ -99,10 +99,12 @@ object MediaQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum($"meta.nBytes").cast("long").as("sum_bytes"),
-        expr("bool_and(size(embedding) = 16)").as("dim_ok"),
-        expr("bool_and(meta.nBytes = 0 or abs(aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * x) - 1.0) <= 1e-3)").as("unit_norm"),
-        expr("bool_and(meta.format in ('png','jpeg','webp','wav'))").as("format_known"),
-        expr("bool_and(meta.width >= 64 and meta.width < 1088 and meta.height >= 64 and meta.height < 1088 and meta.frames between 1 and 32)").as("meta_in_range"))
+        // coalesce: bool_and over ZERO docs is NULL, not a violated
+        // theorem — vacuous truth on empty corpora (the q44 rule)
+        coalesce(expr("bool_and(size(embedding) = 16)"), lit(true)).as("dim_ok"),
+        coalesce(expr("bool_and(meta.nBytes = 0 or abs(aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * x) - 1.0) <= 1e-3)"), lit(true)).as("unit_norm"),
+        coalesce(expr("bool_and(meta.format in ('png','jpeg','webp','wav'))"), lit(true)).as("format_known"),
+        coalesce(expr("bool_and(meta.width >= 64 and meta.width < 1088 and meta.height >= 64 and meta.height < 1088 and meta.frames between 1 and 32)"), lit(true)).as("meta_in_range"))
   }
 
   val mediaFeaturesValidatedSql: String =

@@ -188,13 +188,16 @@ object SentimentQueries {
     * surface with per-doc goldens in SentimentSpec). */
   def vaderDocsValidated(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // coalesce: bool_and over ZERO docs is NULL, not a violated
+    // theorem — vacuous truth on empty corpora (the q44 discipline,
+    // r18 degenerate gate)
     vaderDocs(s, dir).agg(
       count(lit(1)).as("n_docs"),
-      expr("bool_and(compound is not null and positive is not null and negative is not null and neutral is not null)").as("all_scored"),
-      expr("bool_and(compound between -1 and 1)").as("compound_in_range"),
-      expr("bool_and(positive between 0 and 1 and negative between 0 and 1 and neutral between 0 and 1)").as("props_in_range"),
-      expr("bool_and(abs(positive + negative + neutral - 1.0) <= 0.002)").as("props_sum_one"),
-      expr("bool_and(not (positive = 0 and negative = 0) or compound = 0)").as("no_valence_zero_compound"))
+      coalesce(expr("bool_and(compound is not null and positive is not null and negative is not null and neutral is not null)"), lit(true)).as("all_scored"),
+      coalesce(expr("bool_and(compound between -1 and 1)"), lit(true)).as("compound_in_range"),
+      coalesce(expr("bool_and(positive between 0 and 1 and negative between 0 and 1 and neutral between 0 and 1)"), lit(true)).as("props_in_range"),
+      coalesce(expr("bool_and(abs(positive + negative + neutral - 1.0) <= 0.002)"), lit(true)).as("props_sum_one"),
+      coalesce(expr("bool_and(not (positive = 0 and negative = 0) or compound = 0)"), lit(true)).as("no_valence_zero_compound"))
   }
 
   val vaderDocsValidatedSql: String =
@@ -209,9 +212,9 @@ object SentimentQueries {
     import s.implicits._
     textblobDocs(s, dir).agg(
       count(lit(1)).as("n_docs"),
-      expr("bool_and(polarity is not null and subjectivity is not null)").as("all_scored"),
-      expr("bool_and(polarity between -1 and 1)").as("polarity_in_range"),
-      expr("bool_and(subjectivity between 0 and 1)").as("subjectivity_in_range"))
+      coalesce(expr("bool_and(polarity is not null and subjectivity is not null)"), lit(true)).as("all_scored"),
+      coalesce(expr("bool_and(polarity between -1 and 1)"), lit(true)).as("polarity_in_range"),
+      coalesce(expr("bool_and(subjectivity between 0 and 1)"), lit(true)).as("subjectivity_in_range"))
   }
 
   val textblobDocsValidatedSql: String =
@@ -234,13 +237,13 @@ object SentimentQueries {
     val expectedConf = round(Ensemble.confidence(combined2, $"vader_sentiment", $"textblob_sentiment"), 4)
     analyzeDocs(s, dir).agg(
       count(lit(1)).as("n_docs"),
-      expr(s"bool_and(vader_sentiment in ('${labels.mkString("','")}') and " +
+      coalesce(expr(s"bool_and(vader_sentiment in ('${labels.mkString("','")}') and " +
         s"textblob_sentiment in ('${labels.mkString("','")}') and " +
-        s"final_sentiment in ('${labels.mkString("','")}'))").as("labels_valid"),
-      expr("bool_and(confidence_score between 0 and 1)").as("confidence_in_range"),
-      expr("bool_and(sentiment_compound between -1 and 1 and textblob_polarity between -1 and 1)").as("scores_in_range"),
-      min($"final_sentiment" === expectedFinal).as("ensemble_label_consistent"),
-      min($"confidence_score" === expectedConf).as("confidence_consistent"))
+        s"final_sentiment in ('${labels.mkString("','")}'))"), lit(true)).as("labels_valid"),
+      coalesce(expr("bool_and(confidence_score between 0 and 1)"), lit(true)).as("confidence_in_range"),
+      coalesce(expr("bool_and(sentiment_compound between -1 and 1 and textblob_polarity between -1 and 1)"), lit(true)).as("scores_in_range"),
+      coalesce(min($"final_sentiment" === expectedFinal), lit(true)).as("ensemble_label_consistent"),
+      coalesce(min($"confidence_score" === expectedConf), lit(true)).as("confidence_consistent"))
   }
 
   val analyzeDocsValidatedSql: String =

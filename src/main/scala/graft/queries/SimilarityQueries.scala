@@ -763,8 +763,10 @@ object SimilarityQueries {
         struct($"cosine", (-$"b_id").as("neg_id"), $"b_id".as("id")))).as("r"))
     val checks = served.join(ref, Seq("q_id"))
       .agg(
-        min(coalesce($"nearest_id" === $"r.id" && $"cosine" === $"r.cosine",
-          lit(false))).as("serve_exact"),
+        // outer coalesce: min over ZERO audited rows is NULL —
+        // vacuous truth; audit_nonempty says whether it bound
+        coalesce(min(coalesce($"nearest_id" === $"r.id" && $"cosine" === $"r.cosine",
+          lit(false))), lit(true)).as("serve_exact"),
         (count(lit(1)) > 0L).as("audit_nonempty"))
     nQueries.crossJoin(nServed).crossJoin(checks)
       .select($"n_queries",
@@ -772,10 +774,20 @@ object SimilarityQueries {
         $"serve_exact", $"audit_nonempty")
   }
 
+  /** The audit-slice witness, COMPUTED (VERDICT r17 #3): DuckDB
+    * reproduces "the audit audited something" from the slice
+    * predicates instead of pinning a literal, so the oracle matches
+    * the engine's honest `false` on degenerate corpora too. (The
+    * residual gap — a nonempty slice whose every query has zero live
+    * probe-cell candidates — cannot arise on the priced or degenerate
+    * fixtures; the theorem columns stay pinned/vacuous-true.) */
+  private val ivfAuditNonemptySql =
+    "(SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3 AND vec_id % 5 = 0 AND vec_id < 2500) > 0"
+
   val ivfServeSql: String =
-    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
+    s"""SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
       |  true AS all_answered, true AS serve_exact,
-      |  true AS audit_nonempty""".stripMargin
+      |  $ivfAuditNonemptySql AS audit_nonempty""".stripMargin
 
   /** q58 as a SELF-VALIDATING query (centroids are data-dependent, so
     * the oracle pins the index's THEOREMS, the q19/q56/q57 pattern):
@@ -1343,15 +1355,17 @@ object SimilarityQueries {
     val stored = s.table(tbl).agg(
       graft.functions.HllSketch.hll_union_distinct($"sketch").as("est_stored"),
       count(lit(1)).as("n_sources"),
-      max(length($"sketch")).cast("long").as("sketch_bytes"))
+      // empty store (empty corpus): no sketch rows, so 0 bytes — the
+      // coalesces keep the row honest instead of NULL (r18 degen gate)
+      coalesce(max(length($"sketch")).cast("long"), lit(0L)).as("sketch_bytes"))
     val direct = Tables.documents(s, dir).agg(
       graft.functions.HllSketch.hll_distinct(fp).as("est_direct"),
       countDistinct(fp).as("exact_distinct"))
     stored.crossJoin(direct).select(
       $"n_sources", $"sketch_bytes", $"exact_distinct",
-      ($"est_stored" === $"est_direct").as("merge_exact"),
-      (abs($"est_stored" - $"exact_distinct") <=
-        $"exact_distinct" * 0.069 + 2.0).as("err_bounded"))
+      coalesce($"est_stored" === $"est_direct", lit(true)).as("merge_exact"),
+      coalesce(abs($"est_stored" - $"exact_distinct") <=
+        $"exact_distinct" * 0.069 + 2.0, lit(true)).as("err_bounded"))
   }
 
   // n_sources counts GROUPS, so a NULL source is one more group —
@@ -1361,9 +1375,9 @@ object SimilarityQueries {
   // for union-of-stored ≡ one-pass).
   lazy val hllStoredUnionSql: String =
     s"""SELECT CAST(count(DISTINCT source)
-       |    + max(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    + coalesce(max(CASE WHEN source IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
        |    AS n_sources,
-       |  CAST(2048 AS BIGINT) AS sketch_bytes,
+       |  CAST(CASE WHEN count(*) = 0 THEN 0 ELSE 2048 END AS BIGINT) AS sketch_bytes,
        |  CAST(count(DISTINCT ${TextQueries.fingerprintSql("text")}) AS BIGINT)
        |    AS exact_distinct,
        |  true AS merge_exact, true AS err_bounded
@@ -1616,10 +1630,15 @@ object SimilarityQueries {
     (queries.count(), served.count(), nAudited, nHit, codesOk)
   }
 
-  val pqAnnSql: String =
-    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 3) AS n_queries,
+  val pqAnnSql: String = {
+    // computed audit witness (the ivfAuditNonemptySql rationale);
+    // recall_ok pins its ≥60% theorem exactly where the audit binds
+    val nonempty =
+      "(SELECT count(*) FROM embeddings WHERE vec_id % 25 = 3 AND vec_id < 5000) > 0"
+    s"""SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 3) AS n_queries,
       |  true AS all_answered, true AS codes_match_model,
-      |  true AS recall_ok, true AS audit_nonempty""".stripMargin
+      |  $nonempty AS recall_ok, $nonempty AS audit_nonempty""".stripMargin
+  }
 
   // ---- q144: IVF-PQ composed index (IVFADC serving) ----------------
 
@@ -1840,9 +1859,9 @@ object SimilarityQueries {
   }
 
   val ivfPqServeSql: String =
-    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
-      |  true AS all_answered, true AS restricted_recall_ok,
-      |  true AS audit_nonempty""".stripMargin
+    s"""SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
+      |  true AS all_answered, $ivfAuditNonemptySql AS restricted_recall_ok,
+      |  $ivfAuditNonemptySql AS audit_nonempty""".stripMargin
 
   private def ivfPqRecallFloor(s: SparkSession): Int =
     s.conf.getOption("spark.graft.ivfpq.recallFloor").map(_.toInt).getOrElse(80)
@@ -1908,10 +1927,10 @@ object SimilarityQueries {
   }
 
   val ivfPqUpsertServeSql: String =
-    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
+    s"""SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
       |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_indexed,
-      |  true AS all_answered, true AS restricted_recall_ok,
-      |  true AS audit_nonempty""".stripMargin
+      |  true AS all_answered, $ivfAuditNonemptySql AS restricted_recall_ok,
+      |  $ivfAuditNonemptySql AS audit_nonempty""".stripMargin
 
   /** q147: IVF-PQ TOMBSTONED DELETION — the right-to-be-forgotten
     * path for the vector index, q136's ANN sibling: a deletion set
@@ -1991,18 +2010,19 @@ object SimilarityQueries {
   }
 
   val ivfPqCompactServeSql: String =
-    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
+    s"""SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 9 <> 4) AS BIGINT)
       |    AS n_live,
-      |  true AS all_answered, true AS restricted_recall_ok,
-      |  true AS audit_nonempty""".stripMargin
+      |  true AS all_answered, $ivfAuditNonemptySql AS restricted_recall_ok,
+      |  $ivfAuditNonemptySql AS audit_nonempty""".stripMargin
 
   val ivfPqTombstoneServeSql: String =
-    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
+    s"""SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_queries,
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 9 = 4) AS BIGINT)
       |    AS n_tombstoned,
       |  true AS all_answered, true AS no_tombstone_served,
-      |  true AS restricted_recall_ok, true AS audit_nonempty""".stripMargin
+      |  $ivfAuditNonemptySql AS restricted_recall_ok,
+      |  $ivfAuditNonemptySql AS audit_nonempty""".stripMargin
 
   /** Per-source VOCABULARY sketches — q96's artifact pattern with
     * token fingerprints as the sketched item (q83's universe). HLL

@@ -53,9 +53,15 @@ object TextQueries {
     * [[graft.functions.CodepointRollingHash]] must change this in
     * lockstep, and nowhere else. */
   def fingerprintSql(input: String): String =
+    // the list_filter matters only for the EMPTY string: DuckDB's
+    // string_split('', '') yields [''] and unicode('') is -1, which
+    // would hash '' to -1 where the Spark fold (a loop that never
+    // runs) gives 0 — a boundary divergence the r18 degenerate gate
+    // caught on q101's empty-merge-list fingerprint
     s"""list_reduce(
        |    list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(string_split($input, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+       |      list_transform(list_filter(string_split($input, ''), ch -> ch <> ''),
+       |        ch -> CAST(unicode(ch) AS BIGINT))),
        |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
   /** C1 + F1: clean then keep non-empty English docs.

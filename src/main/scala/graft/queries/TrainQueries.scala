@@ -1298,9 +1298,14 @@ object TrainQueries {
     // eval benchmark (thousands of rows), never a corpus split. The
     // limit(cap+1).count() probe stops scanning at cap+1 rows, so the
     // guard itself never pays a full pass.
-    val cap = s.conf
-      .getOption("spark.graft.decontam.maxProbes").getOrElse("100000").toLong
-    val overCap = probeFrame.limit((cap + 1).toInt).count() > cap
+    // clamp to Int range BEFORE the limit(): a configured cap ≥
+    // Int.MaxValue would overflow toInt to a negative limit and fail
+    // the query instead of applying the guard — and a collect beyond
+    // 2³¹ rows is impossible anyway, so the clamp loses nothing
+    val cap = math.min(
+      s.conf.getOption("spark.graft.decontam.maxProbes").getOrElse("100000").toLong,
+      Int.MaxValue - 1L)
+    val overCap = probeFrame.limit(cap.toInt + 1).count() > cap
     require(!overCap,
       s"decontamination probe set exceeds $cap rows — the probe side must be a " +
         "bounded eval benchmark, not a corpus split; the compiled automaton is a " +
@@ -1502,13 +1507,21 @@ object TrainQueries {
     val tbl = s"graft_vocab_q189_${SimilarityQueries.tableSuffix(dir)}"
     val now = SimilarityQueries.docsFingerprint(s, dir)
     if (SimilarityQueries.needsBuildOrStale(s, now, tbl, tbl)) {
+      // a 0-row vocabulary (empty corpus, or a corpus whose train
+      // split is empty) has no row to carry the freshness stamp, so
+      // requireFresh would reject its own just-built artifact as
+      // <absent> (r18 degenerate-sweep find — masked until the sweep's
+      // refusal filter was tightened). A tok=NULL stamp row rides
+      // along unconditionally; every reader filters it out (explode
+      // over split() can never produce a NULL real token).
       trainVocab(Tables.documents(s, dir), k)
+        .unionByName(Seq(Option.empty[String]).toDF("tok"))
         .withColumn("src_rows", lit(now._1))
         .withColumn("src_max_id", lit(now._2))
         .write.mode("overwrite").format("parquet").saveAsTable(tbl)
     }
     SimilarityQueries.requireFresh(s, tbl, now, dir, "vocab table")
-    val vocab = s.table(tbl).select($"tok")
+    val vocab = s.table(tbl).select($"tok").filter($"tok".isNotNull)
     val evalToks = Tables.documents(s, dir).withColumn("split", splitCol)
       .filter($"split" =!= "train")
       .select($"split", $"lang", explode(split(trim($"text"), "\\s+")).as("tok"))

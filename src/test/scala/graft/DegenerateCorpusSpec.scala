@@ -25,41 +25,36 @@ import org.apache.spark.sql.functions._
   * to empty output, never to an exception, because at 100 TB a
   * partition-local slice of ANY operator can be this sparse.
   *
-  * Cross-engine agreement WAS additionally measured out-of-band (r17:
-  * `graft.Verify` + `scripts/check.py` over these same fixture
-  * recipes): tiny 183/191 MATCH, mono 187/191 MATCH, every remaining
-  * mismatch a self-validating report whose oracle pins a CONSTANT
-  * `true` audit assertion (`audit_nonempty`, q44's `has_pairs`) that
-  * only binds at the real SFs — the Spark side honestly reports
-  * `false` when the degenerate corpus leaves the audit slice empty.
-  * Real divergences that run found and fixed: q101's oracle collapsed
-  * to zero rows on an empty encode sample (CROSS JOIN → LEFT JOIN ON
-  * true), q44's vacuous bool_and, and the q150/q191 NULL corpus-stats
-  * sums. */
+  * Cross-engine agreement is a COMMITTED gate since r18
+  * (`scripts/degen_check.py` over the same [[graft.MakeDegen]]
+  * recipes → `CORRECTNESS_DEGEN.json`): tiny/mono/emptydocs each
+  * read 187 MATCH + 2 rows-only of 191. r18 closed the r17 residuals
+  * by COMPUTING the SQL-expressible audit witnesses instead of
+  * pinning them (`audit_nonempty`/`recall_ok` from their slice
+  * predicates; q145's via the slice-restricted q131 CTE), aligning
+  * the empty-string fingerprint boundary (DuckDB `unicode('')` = -1
+  * vs the Spark fold's 0), and vacuous-truth-coalescing the
+  * q33/q34/q35/q43/q52/q96 theorem aggregates. The ONLY remaining
+  * non-MATCH is `has_pairs` on q44/q145 — a witness of the
+  * murmur-banded LSH output itself, which SQL cannot re-derive;
+  * documented as the expected residual in CORRECTNESS_DEGEN.json.
+  * Real divergences this program has found and fixed: q101's oracle
+  * collapsing to zero rows on an empty encode sample, q44's vacuous
+  * bool_and, the q150/q191 NULL corpus-stats sums (r17); q189
+  * rejecting its own just-built 0-row vocab artifact (masked until
+  * the refusal filter was tightened) and the fingerprint
+  * empty-string boundary (r18). */
 class DegenerateCorpusSpec extends SparkSpec {
 
-  private def derive(name: String)(xf: (String, org.apache.spark.sql.DataFrame)
-      => org.apache.spark.sql.DataFrame): String = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_degen_$name").toString
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-    tables.foreach { t =>
-      // copy the RAW parquet schema (spark.read, not the adaptive
-      // loader) so the derived fixture is byte-era-identical
-      val raw = spark.read.parquet(s"$sf/$t.parquet")
-      xf(t, raw).write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    }
-    dir
-  }
+  // recipes live in main ([[graft.MakeDegen]]) — the committed
+  // cross-engine gate (scripts/degen_check.py → CORRECTNESS_DEGEN
+  // .json) derives THE SAME fixtures, so spec and gate cannot drift
+  private def derive(name: String): String = MakeDegen.derive(spark, sf,
+    java.nio.file.Files.createTempDirectory(s"graft_degen_$name").toString, name)
 
-  private lazy val tinyDir = derive("tiny")((_, df) => df.limit(3))
+  private lazy val tinyDir = derive("tiny")
 
-  private lazy val monoDir = derive("mono") {
-    case ("documents", df)  => df.filter(col("source") === "src1").limit(50)
-    case ("embeddings", df) => df.filter(col("label") === 0).limit(50)
-    case ("events", df)     => df.filter(col("event_type") === "view").limit(50)
-    case (_, df)            => df.limit(5)
-  }
+  private lazy val monoDir = derive("mono")
 
   private def sweep(dir: String): Seq[String] =
     SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -86,11 +81,7 @@ class DegenerateCorpusSpec extends SparkSpec {
       s"${failures.size} queries throw on the mono corpus:\n${failures.mkString("\n")}")
   }
 
-  private lazy val emptyDocsDir = derive("emptydocs") {
-    case ("documents", df) => df.limit(0)
-    case ("events", df)    => df.limit(0)
-    case (_, df)           => df.limit(3)
-  }
+  private lazy val emptyDocsDir = derive("emptydocs")
 
   test("every registered query completes when documents/events are 0-row slices") {
     // the shape a FILTERED slice takes at scale: the table exists,
@@ -98,8 +89,13 @@ class DegenerateCorpusSpec extends SparkSpec {
     // Trainer-style operators over the still-populated embeddings may
     // refuse loudly on EMPTY input only (their documented contract);
     // everything over documents/events must degrade to empty output.
+    // match the DOCUMENTED refusal texts exactly (SimilarityQueries
+    // "cannot train {IVF centroids,PQ codebooks} on an empty
+    // embeddings corpus") — a bare "empty" substring would also mask
+    // generic JVM messages for the very bug class this sweep hunts
+    // ('head of empty list', 'next on empty iterator', …)
     val failures = sweep(emptyDocsDir)
-      .filterNot(_.contains("empty")) // documented empty-corpus refusals
+      .filterNot(_.contains("on an empty embeddings corpus"))
     assert(failures.isEmpty,
       s"${failures.size} queries throw on the empty-docs corpus:\n${failures.mkString("\n")}")
   }

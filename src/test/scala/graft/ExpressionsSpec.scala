@@ -544,4 +544,38 @@ class ExpressionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("gram_fps: null tokens follow concat_ws skip semantics (constructed nullable arrays)") {
+    // split() never yields null elements, but the contract is
+    // bit-identity with the declarative composition on EVERY
+    // array<string> input (ADVICE r17): concat_ws SKIPS a null token
+    // and its separator, so the fused expression must too — including
+    // windows that are entirely null (concat_ws → "" → hash 0)
+    val rows: Seq[Seq[String]] = Seq(
+      Seq("a", null, "b", "c"),
+      Seq(null, null, null),
+      Seq(null, "x"),
+      Seq("x", null),
+      Seq("hello", "wörld", null, "😀", null, "z"),
+      Seq("a", "", null, "a"), // empty token ≠ null token
+      Seq())
+    val df = rows.toDF("toks")
+    assert(df.schema("toks").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = true))
+    for (n <- Seq(1, 2, 3)) {
+      val want = df.select(
+        when(size(col("toks")) >= n,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => graft.functions.expressions.codepoint_rolling_hash(
+              concat_ws(" ", slice(col("toks"), i, lit(n)))))))
+          .otherwise(array().cast("array<long>")).as("fp")).collect()
+      val got = df.select(
+        graft.functions.expressions.gram_fps(col("toks"), n).as("fp")).collect()
+      rows.indices.foreach { i =>
+        assert(got(i).getSeq[Long](0) == want(i).getSeq[Long](0),
+          s"n=$n row $i (${rows(i)}): fused != composition on null tokens")
+      }
+    }
+  }
 }
