@@ -81,6 +81,14 @@ def assemble(runs):
         "harness": "graft.Bench — noop-sink full materialization; per-query cold (first run, incl. Catalyst planning + Janino codegen compile) and warm (median of 3 re-runs, codegen cache hot) seconds; local[32], AQE on, shuffle.partitions=32",
         "duckdb_baseline": "BASELINE_DUCK.json — best-of-2 seconds per oracle statement on the same parquet",
         "n_queries_bench": len(runs["sf0.1"]["queries"])}}
+    # the sf1 column is produced by a DIFFERENT harness
+    # (scripts/bench_sf1.py over the derived MakeScale fixture) —
+    # carry it through instead of dropping it on reassembly
+    scaling_path = os.path.join(REPO, "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        prior = json.load(open(scaling_path))
+        if "sf1" in prior:
+            art["sf1"] = prior["sf1"]
     for sf, d in runs.items():
         art[sf] = {"total_cold": round(d["value"], 2), "total_warm": round(d["value_warm"], 2),
                    "n_failed": d["n_failed"],
@@ -89,7 +97,7 @@ def assemble(runs):
         # the sf0.1 run doubles as the committed BENCH_FULL.json of record
         if sf == "sf0.1":
             json.dump(d, open(os.path.join(REPO, "BENCH_FULL.json"), "w"), indent=1)
-    json.dump(art, open(os.path.join(REPO, "BENCH_SCALING.json"), "w"), indent=1)
+    json.dump(art, open(scaling_path, "w"), indent=1)
     return art
 
 

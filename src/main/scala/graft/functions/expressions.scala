@@ -578,6 +578,15 @@ object expressions {
     * codepoint_rolling_hash(concat_ws(" ", slice(toks, i, n)))))`. */
   def gram_fps(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(GramFps(GraftColumnBridge.expression(tokens), n))
+
+  /** EVERY n-gram fingerprint of a token array IN POSITION ORDER
+    * (element i = the gram starting at token i) — [[GramFps]] without
+    * the distinct fold, for positional consumers (q196's span
+    * evidence joins on posexplode of this). Value-identical to
+    * `transform(sequence(1, m−n+1), i →
+    * codepoint_rolling_hash(concat_ws(" ", slice(toks, i, n))))`. */
+  def gram_fps_seq(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(GramFpsSeq(GraftColumnBridge.expression(tokens), n))
 }
 
 /** Monotone bucket assignment against a small ascending DISTINCT
@@ -828,23 +837,46 @@ case class GramFps(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [[GramFps]] without the distinct fold: EVERY gram fingerprint in
+  * position order (element i = the gram starting at token i), for
+  * positional consumers — q196's verbatim-span evidence posexplodes
+  * this and joins on (fp); positions must survive, so dedup is the
+  * caller's (non-)choice. Same null-token (concat_ws skip) and
+  * shorter-than-n (empty array) semantics as [[GramFps]]. */
+case class GramFpsSeq(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_fps_seq requires array<string> tokens, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GramFps.evalAll(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramFps.evalAll($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GramFps {
   import CodepointRollingHash.Mod
 
-  /** JVM-static gram-fingerprint fold (callable from codegen). */
-  def eval(arr: ArrayData, n: Int): ArrayData = {
-    val m = arr.numElements()
-    if (m < n) return new GenericArrayData(Array.empty[Long])
+  /** Per-token (hash, 31^len, isNull) precompute shared by both
+    * composers. A null token contributes NOTHING — neither its hash
+    * nor a separator — exactly concat_ws's skip-null semantics, so
+    * the bit-identity contract with the declarative composition holds
+    * on EVERY array<string> input, nullable or not (split() itself
+    * never yields nulls). */
+  private def tokenHashes(arr: ArrayData, m: Int): (Array[Long], Array[Long], Array[Boolean]) = {
     val h = new Array[Long](m)
     val p = new Array[Long](m)
     val nul = new Array[Boolean](m)
     var j = 0
     while (j < m) {
-      // split() never yields null elements, but a constructed frame
-      // can: a null token contributes NOTHING — neither its hash nor
-      // a separator — exactly concat_ws's skip-null semantics, so the
-      // bit-identity contract with the declarative composition holds
-      // on EVERY array<string> input, nullable or not.
       if (arr.isNullAt(j)) { nul(j) = true; h(j) = 0L; p(j) = 1L }
       else {
         val str = arr.getUTF8String(j).toString
@@ -862,26 +894,54 @@ object GramFps {
       }
       j += 1
     }
+    (h, p, nul)
+  }
+
+  private def gramAt(h: Array[Long], p: Array[Long], nul: Array[Boolean],
+      i0: Int, n: Int): Long = {
+    var acc = 0L
+    var started = false
+    var k = i0
+    while (k < i0 + n) {
+      if (!nul(k)) {
+        if (started) acc = (acc * 31L + 32L) % Mod // the single-space separator
+        acc = (acc * p(k) + h(k)) % Mod
+        started = true
+      }
+      k += 1
+    }
+    acc
+  }
+
+  /** JVM-static DISTINCT gram-fingerprint fold (callable from codegen). */
+  def eval(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val (h, p, nul) = tokenHashes(arr, m)
     val seen = new java.util.HashSet[Long]()
     val out = new scala.collection.mutable.ArrayBuilder.ofLong
     var i0 = 0
     val last = m - n
     while (i0 <= last) {
-      var acc = 0L
-      var started = false
-      var k = i0
-      while (k < i0 + n) {
-        if (!nul(k)) {
-          if (started) acc = (acc * 31L + 32L) % Mod // the single-space separator
-          acc = (acc * p(k) + h(k)) % Mod
-          started = true
-        }
-        k += 1
-      }
+      val acc = gramAt(h, p, nul, i0, n)
       if (seen.add(acc)) out += acc
       i0 += 1
     }
     new GenericArrayData(out.result())
+  }
+
+  /** JVM-static ORDERED gram-fingerprint fold (callable from codegen). */
+  def evalAll(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val (h, p, nul) = tokenHashes(arr, m)
+    val out = new Array[Long](m - n + 1)
+    var i0 = 0
+    while (i0 <= m - n) {
+      out(i0) = gramAt(h, p, nul, i0, n)
+      i0 += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

