@@ -371,6 +371,24 @@ class PlanSpec extends SparkSpec {
       s"the query-term prune and twin-score joins must broadcast:\n$p")
   }
 
+  test("q196: eval grams broadcast, corpus-side gram stream never shuffles before the hit join (r18)") {
+    val p = planOf("q196_span_evidence")
+    // the eval side is a bounded benchmark (the q182 contract): it
+    // must BROADCAST so the corpus-side gram stream surfaces matches
+    // map-side instead of exchanging corpus-sized (fp, id, pos) rows
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval gram side must broadcast into the hit join:\n$p")
+    assert(p.contains("gramfpsseq") || p.contains("GramFpsSeq") ||
+      p.contains("gram_fps_seq"),
+      s"expected the fused ordered-gram expression in the plan:\n$p")
+    // two window NODES by design: the per-diagonal island run and the
+    // per-eval top-1 — both over sparse HIT rows, never the corpus
+    // (match node headers; each node's expression list also contains
+    // the substring "Window" via windowspecdefinition)
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows <= 2, s"expected the two hit-row window nodes only, found $windows:\n$p")
+  }
+
   test("q127: the gram fingerprints come from the fused expression, not interpreted lambdas (r17)") {
     val p = planOf("q127_filter_stack")
     assert(p.contains("gramfps") || p.contains("GramFps"),
