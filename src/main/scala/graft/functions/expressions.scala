@@ -529,6 +529,100 @@ object HyperplaneBucket {
       .mkString("[", ",", "]::DOUBLE[]")
 }
 
+/** IVF probe-cell assignment fused into ONE codegen'd pass (r18; the
+  * [[GramFps]] discipline applied to the index build): replaces the
+  * k-literal-cosine array + interpreted higher-order `array_sort` +
+  * `slice`/`transform` composition, which evaluated OUTSIDE
+  * whole-stage codegen and paid TimSort's k·log k INTERPRETED
+  * comparator invocations per row — the dominant cost of the one-pass
+  * assignment once auto-√n sizing raises k (measured: the q92 live
+  * leg's assignment grew ~10× moving k 16→142 under the composition).
+  *
+  * Per row: k cosines in the EXACT sequential-double arithmetic of
+  * [[CosineSimilarity]] (same loop order, same operations — identical
+  * doubles, so identical ordering), then an O(k·np) selection by
+  * (cosine DESC, index ASC) — precisely the order the stable
+  * array_sort produced, ties included. Returns the 1-based ids of the
+  * top-min(np, k) cells (length-lenient on sub-np geometries, like
+  * the slice it replaces); element 1 is the home cell. A cosine the
+  * composition yielded NULL for (null element / length mismatch /
+  * zero norm — per-VECTOR conditions, so all-or-none across
+  * centroids) ranks as −∞, which reproduces the composition's
+  * stable-order result `[1..np]` for those rows. Null input → null. */
+case class IvfProbeCellsExpr(child: Expression, cents: Array[Array[Double]], np: Int)
+    extends UnaryExpression {
+  require(cents.nonEmpty && np >= 1, "need >= 1 centroid and nprobe >= 1")
+
+  override def prettyName: String = "ivf_probe_cells"
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_probe_cells requires array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    IvfProbeCellsExpr.eval(input.asInstanceOf[ArrayData], cents, np, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IvfProbeCellsExpr.eval($c, $ref, $np, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object IvfProbeCellsExpr {
+  /** JVM-static so generated code calls straight into it. */
+  def eval(e: ArrayData, cents: Array[Array[Double]], np: Int,
+      isFloat: Boolean): ArrayData = {
+    val k = cents.length
+    val cos = new Array[Double](k)
+    var ci = 0
+    while (ci < k) { cos(ci) = cosineWith(e, cents(ci), isFloat); ci += 1 }
+    val m = math.min(np, k)
+    val out = new Array[Int](m)
+    val used = new Array[Boolean](k)
+    var s = 0
+    while (s < m) {
+      // strict > keeps the FIRST best index on ties — (cosine DESC,
+      // index ASC), the stable sort's order
+      var best = -1; var bestC = 0.0
+      var i = 0
+      while (i < k) {
+        if (!used(i) && (best == -1 || cos(i) > bestC)) { best = i; bestC = cos(i) }
+        i += 1
+      }
+      used(best) = true; out(s) = best + 1; s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Bit-identical to [[CosineSimilarity.nullSafeEval]] against a
+    * double[] literal, with the composition's NULL outcomes mapped to
+    * −∞ (see the class Scaladoc for why that preserves ordering). */
+  private def cosineWith(x: ArrayData, c: Array[Double], isFloat: Boolean): Double = {
+    if (x.numElements() != c.length) return Double.NegativeInfinity
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < c.length) {
+      if (x.isNullAt(i)) return Double.NegativeInfinity
+      val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = c(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) Double.NegativeInfinity
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+}
+
 object expressions {
   /** Column API for [[CosineSimilarity]]; float and double arrays are
     * both read natively (no per-row cast allocation). */
@@ -551,6 +645,12 @@ object expressions {
 
   def hyperplane_bucket(emb: Column, planes: Int = 8, seed: Int = 0): Column =
     GraftColumnBridge.column(HyperplaneBucket(GraftColumnBridge.expression(emb), planes, seed))
+
+  /** Top-`np` IVF probe cells (1-based, cosine DESC / index ASC) for
+    * `emb` against a literal centroid matrix — one codegen'd pass;
+    * see [[IvfProbeCellsExpr]]. */
+  def ivf_probe_cells(emb: Column, cents: Array[Array[Double]], np: Int): Column =
+    GraftColumnBridge.column(IvfProbeCellsExpr(GraftColumnBridge.expression(emb), cents, np))
 
   def codepoint_rolling_hash(c: Column): Column =
     GraftColumnBridge.column(CodepointRollingHash(GraftColumnBridge.expression(c)))

@@ -478,7 +478,7 @@ object DedupQueries {
   private[graft] def embeddingNearDupsLshRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding", hyperplane_bucket($"embedding", 8, 0).as("bucket"))
+      .select($"vec_id", $"embedding", SimilarityQueries.embBucket(s, dir).as("bucket"))
     val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("emb_a"))
     val b = e.select($"vec_id".as("id_b"), $"bucket", $"embedding".as("emb_b"))
     a.join(b, Seq("bucket"))

@@ -100,7 +100,7 @@ object SimilarityQueries {
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding", hyperplane_bucket($"embedding", 8, 0).as("bucket"))
+      .select($"vec_id", $"embedding", embBucket(s, dir).as("bucket"))
     val a = e.select($"vec_id".as("query_id"), $"bucket", $"embedding".as("q_emb"))
       .filter($"query_id" < 10)
     val b = e.select($"vec_id".as("neighbor_id"), $"bucket", $"embedding".as("n_emb"))
@@ -113,6 +113,47 @@ object SimilarityQueries {
       .select($"query_id", $"neighbor_id", $"cosine", $"rank", $"bucket")
       .domainOrdered($"query_id", $"rank")
   }
+
+  /** `spark.graft.lsh.bits` (default `auto`): hyperplane count for
+    * the single-band sign-LSH bucket every embedding candidate
+    * generator shares (q48/q54/q55-sibling/q106/q156/q160). `auto`
+    * keeps the VALIDATED 8 planes (256 buckets) for corpora ≤
+    * [[IvfAutoSmallCorpus]] vectors — every priced SF and degenerate
+    * recipe, so the plane literals baked into [[bucketSql]] stay
+    * bit-identical to what the engine computes — and switches to
+    * ⌈log₂(n/8)⌉ above it: expected bucket size pins at the ~8
+    * vectors the priced regime was measured at, so same-bucket
+    * candidate volume stays O(8·n) LINEAR in the corpus instead of
+    * the O(n²/256) a pinned plane count degrades to (the r18 sf1
+    * measurement: q106 16.9× warm growth for 10× data). The
+    * trade-off is explicit: more planes → lower per-pair recall
+    * (sign-LSH collision probability is (1−θ/π)^bits); the recovery
+    * dial at scale is MULTI-BAND composition — exactly what the
+    * banded operators (q91 PCA-sign bands, q43 MinHash bands, q145
+    * LSH tier) implement — while these single-band operators keep
+    * the candidates-from-my-own-bucket contract their Scaladocs and
+    * oracles define. Capped at 30 (the bucket is an int). */
+  private[graft] def lshBits(s: SparkSession, dir: String): Int = {
+    val conf = s.conf.getOption("spark.graft.lsh.bits").getOrElse("auto")
+    val bits =
+      if (conf == "auto") {
+        val n = sourceFingerprint(s, dir)._1
+        if (n <= IvfAutoSmallCorpus) 8
+        // clamp BEFORE the range check: the int bucket caps auto at
+        // 30 planes (n > 2^33 would otherwise ask for more)
+        else math.min(30,
+          math.max(8, math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt))
+      } else conf.toInt
+    require(bits >= 1 && bits <= 30,
+      s"spark.graft.lsh.bits must be in [1, 30], got $conf")
+    bits
+  }
+
+  /** The shared single-band bucket column at the resolved plane
+    * count — THE one place the embedding candidate generators get
+    * their blocking key. */
+  private[graft] def embBucket(s: SparkSession, dir: String): Column =
+    graft.functions.expressions.hyperplane_bucket(col("embedding"), lshBits(s, dir), 0)
 
   /** The 8×64 bucket computation as DuckDB SQL — bit p of the bucket
     * is the sign of the dot product with the SAME integer-derived
@@ -149,7 +190,7 @@ object SimilarityQueries {
   def nnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding", hyperplane_bucket($"embedding", 8, 0).as("bucket"))
+      .select($"vec_id", $"embedding", embBucket(s, dir).as("bucket"))
     val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("emb_a"))
     val b = e.select($"vec_id".as("id_b"), $"bucket", $"embedding".as("emb_b"))
     // per-vector argmax as a partial-aggregating struct max, not a
@@ -195,7 +236,7 @@ object SimilarityQueries {
   def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding", hyperplane_bucket($"embedding", 8, 0).as("bucket"))
+      .select($"vec_id", $"embedding", embBucket(s, dir).as("bucket"))
     val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("emb_a"))
     val b = e.select($"vec_id".as("id_b"), $"bucket", $"embedding".as("emb_b"))
     val pairs = a.join(b, Seq("bucket"))
@@ -254,7 +295,7 @@ object SimilarityQueries {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"label", $"embedding",
-        hyperplane_bucket($"embedding", 8, 0).as("bucket"))
+        embBucket(s, dir).as("bucket"))
     val a = e.select($"vec_id".as("id_a"), $"label".as("label_a"), $"bucket",
       $"embedding".as("emb_a"))
     val b = e.select($"vec_id".as("id_b"), $"label".as("label_b"), $"bucket",
@@ -319,27 +360,83 @@ object SimilarityQueries {
       trainCentroidsMllib(s, dir)
     else trainCentroidsSample(s, dir)
 
-  /** `spark.graft.ivf.k` (default 16): cell count — the knob that
+  /** Corpora at or below this vector count keep the VALIDATED fixed
+    * geometry (k=16, nprobe=4 — every priced SF and every degenerate
+    * recipe lands here, so the oracle pins and the committed recall
+    * measurements are bit-identical under `auto`); above it the √n
+    * rule takes over. 10k sits one decade above sf0.1's 5k vectors. */
+  private val IvfAutoSmallCorpus = 10000L
+
+  /** `spark.graft.ivf.k` (default `auto`): cell count — the knob that
     * trades index selectivity (candidates per probe ~ n/k) against
     * training cost and per-row assignment work (k literal cosines).
-    * At 100 TB an operator raises this into the thousands; the
-    * assignment projection and both trainers read it here so one conf
-    * retunes the whole family (q58 validation theorems re-assert at a
-    * second setting in ExpressionsSpec). */
-  private[graft] def ivfK(s: SparkSession): Int = {
-    val k = s.conf.getOption("spark.graft.ivf.k").map(_.toInt).getOrElse(16)
-    require(k >= 2, s"spark.graft.ivf.k must be >= 2, got $k")
+    * `auto` resolves to the validated fixed 16 for corpora ≤
+    * [[IvfAutoSmallCorpus]] vectors, and to ⌈√n⌉ above it — the
+    * standard IVF sizing (FAISS guideline k ∈ [√n, 16√n]) that keeps
+    * the all-NN candidate volume O(nprobe·n^1.5) instead of the
+    * O(nprobe·n²/16) a pinned cell count degrades to; the r18 sf1
+    * measurement (50k vectors, q58 24.7 s at k=16 vs 7.5–8.5 s at
+    * k=64) is exactly that degradation. n comes from the same
+    * footer-stats fingerprint the staleness checks read — no extra
+    * scan. An explicit integer pins the geometry (q58 validation
+    * theorems re-assert at a second setting in ExpressionsSpec);
+    * both trainers and the assignment projection resolve here so one
+    * conf retunes the whole family. An explicit
+    * `spark.graft.ivf.nprobe` is validated against the resolved k
+    * here — at RESOLUTION time, so nprobe > k refuses loudly before
+    * any training work runs. */
+  private[graft] def ivfK(s: SparkSession, dir: String): Int = {
+    val conf = s.conf.getOption("spark.graft.ivf.k").getOrElse("auto")
+    val k =
+      if (conf == "auto") {
+        val n = sourceFingerprint(s, dir)._1
+        if (n <= IvfAutoSmallCorpus) 16
+        // auto caps at 512 cells (√n hits it at ~262k vectors): the
+        // assignment projection evaluates k literal-centroid cosines
+        // per row and the sample trainer's driver Lloyd loop is
+        // O(32k·k·dim) — both fine to ~512, neither the right
+        // mechanism in the thousands. Past the cap an operator sets
+        // k explicitly and swaps in the distributed mllib trainer;
+        // the probe list and serve paths are k-agnostic.
+        else math.min(512, math.ceil(math.sqrt(n.toDouble)).toInt)
+      } else conf.toInt
+    require(k >= 2, s"spark.graft.ivf.k must be >= 2, got $conf")
+    s.conf.getOption("spark.graft.ivf.nprobe").foreach { v =>
+      require(v.toInt >= 1 && v.toInt <= k,
+        s"spark.graft.ivf.nprobe must be in [1, k=$k], got $v")
+    }
     k
   }
 
-  /** `spark.graft.ivf.nprobe` (default 4): probed cells per query —
-    * THE recall/cost dial (recall rises and candidate count rises
-    * ~linearly with nprobe; nprobe = k degenerates to brute force). */
-  private[graft] def ivfNprobe(s: SparkSession): Int = {
-    val np = s.conf.getOption("spark.graft.ivf.nprobe").map(_.toInt).getOrElse(4)
-    require(np >= 1 && np <= ivfK(s),
-      s"spark.graft.ivf.nprobe must be in [1, k=${ivfK(s)}], got $np")
-    np
+  /** `spark.graft.ivf.nprobe` (default `auto`): probed cells per query
+    * — THE recall/cost dial (recall rises and candidate count rises
+    * ~linearly with nprobe; nprobe = k degenerates to brute force).
+    * `auto` probes 4 cells in the validated fixed-k regime and
+    * ⌈k/8⌉ above it — a constant 1/8 of the cell partition. The rule
+    * is MEASURED, not guessed (graft.IvfProbe on the 20k-vector sf1
+    * fixture): at the same 1/4 fraction the √n geometry recalls
+    * 0.780 vs pinned-16's 0.568 at 3.8× less wall; at 1/8 it reads
+    * recall 0.616 — still above the q58 floor WITH margin — at
+    * 9.7 s vs 122.9 s (12.7×). Finer cells target better at equal
+    * candidate volume, and the floor holds even on this fixture's
+    * worst case (10 Gaussians ⇒ no sub-label structure for cells to
+    * exploit; real embedding corpora cluster at every scale, which
+    * is where operators can push nprobe toward a constant and the
+    * candidate volume toward Θ(n^1.5)). `k` here is
+    * the geometry actually in hand (trained or sidecar-loaded cell
+    * count), so a serving tier resolves its probe list from the
+    * stored index alone; the result is clamped to it (slice-lenient
+    * on degenerate sub-k corpora, where fewer cells exist than the
+    * configured k would train). Explicit-conf range validation
+    * against the CONFIGURED k happens in [[ivfK]] at resolution
+    * time. */
+  private[graft] def ivfNprobe(s: SparkSession, k: Int): Int = {
+    val np = s.conf.getOption("spark.graft.ivf.nprobe") match {
+      case Some(v) => v.toInt
+      case None => if (k <= 16) 4 else math.max(4, math.ceil(k / 8.0).toInt)
+    }
+    require(np >= 1, s"spark.graft.ivf.nprobe must be >= 1, got $np")
+    math.min(np, k)
   }
 
   private def trainCentroidsMllib(s: SparkSession, dir: String): Array[Array[Double]] = {
@@ -351,7 +448,7 @@ object SimilarityQueries {
     val data = unit.transform(
       Tables.embeddings(s, dir)
         .select(array_to_vector(transform($"embedding", _.cast("double"))).as("features")))
-    val model = new KMeans().setK(ivfK(s)).setMaxIter(5).setSeed(42)
+    val model = new KMeans().setK(ivfK(s, dir)).setMaxIter(5).setSeed(42)
       .setFeaturesCol("unit").fit(data)
     model.clusterCenters.map { c =>
       val v = c.toArray
@@ -362,10 +459,16 @@ object SimilarityQueries {
 
   private def trainCentroidsSample(s: SparkSession, dir: String): Array[Array[Double]] = {
     import s.implicits._
-    val k = ivfK(s)
+    val k = ivfK(s, dir)
     val iters = 5
+    // Sample bound: the committed 256 in the validated fixed-k regime
+    // (bit-identical centroids, so the oracle-pinned recall figures
+    // stand); 32 points per centroid under auto-√n sizing — still
+    // constant driver state (32k vectors at k=1000), though at real
+    // 100 TB scale the mllib trainer is the intended path.
+    val sampleBound = if (k <= 16) 256L else 32L * k
     val sample: Array[Array[Float]] = Tables.embeddings(s, dir)
-      .filter($"vec_id" < 256).orderBy($"vec_id")
+      .filter($"vec_id" < sampleBound).orderBy($"vec_id")
       .select($"embedding").as[Array[Float]].collect()
     require(sample.nonEmpty,
       "cannot train IVF centroids on an empty embeddings corpus")
@@ -405,18 +508,33 @@ object SimilarityQueries {
 
   /** Codegen'd literal-centroid cell assignment (`cell`) and top-nprobe
     * probe list (`probeCells`) for a vector column named `embedding`. */
+  /** One codegen'd pass over the centroid matrix per row
+    * ([[graft.functions.IvfProbeCellsExpr]]): the former k-literal-
+    * cosine array + interpreted array_sort composition paid TimSort's
+    * k·log k interpreted comparator calls per row — ExpressionsSpec
+    * fuzz-pins the expression against that composition, ties, nulls
+    * and sub-np geometries included. */
+  private def ivfProbeList(s: SparkSession, cent: Array[Array[Double]]): Column =
+    ivf_probe_cells(col("embedding"), cent, ivfNprobe(s, cent.length))
+
+  /** The HOME CELL is element 1 of the probe list (the sort is
+    * DESC-by-cosine and TimSort-stable, so ties keep the lowest
+    * index — exactly the argmax rule the former
+    * array_position/array_max pair computed); a null embedding keeps
+    * its null cell. Consumers that need BOTH columns (ivfAssigned,
+    * buildIvfIndex) derive cell from the MATERIALIZED probe_cells
+    * column instead of selecting both expressions: the k
+    * literal-centroid cosines and the higher-order sort are
+    * interpreted (outside codegen CSE), and the former shape paid
+    * the cosine array three times per row — the dominant cost of the
+    * one-pass index build as k grows under auto-√n sizing. */
+  private def cellFromProbe(probe: Column): Column =
+    when(col("embedding").isNull, lit(null).cast("int"))
+      .otherwise(element_at(probe, 1))
+
   private def ivfCells(s: SparkSession, cent: Array[Array[Double]]): (Column, Column) = {
-    import s.implicits._
-    val cosines = cent.map(c => cosine_similarity($"embedding", typedlit(c.toSeq)))
-    val cell = array_position(array(cosines.toIndexedSeq: _*), array_max(array(cosines.toIndexedSeq: _*))).cast("int")
-    val scored = array(cosines.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      struct(c.as("c"), lit(i + 1).as("i")) }: _*)
-    val probeCells = transform(
-      slice(array_sort(scored, (l, r) =>
-        when(l("c") > r("c"), -1).otherwise(when(l("c") < r("c"), 1).otherwise(0))),
-        1, ivfNprobe(s)),
-      x => x("i").cast("int"))
-    (cell, probeCells)
+    val probe = ivfProbeList(s, cent)
+    (cellFromProbe(probe), probe)
   }
 
   /** Profiling accessor: trained (cell, probeCells) columns. */
@@ -434,15 +552,29 @@ object SimilarityQueries {
     * on each side. At 100 TB this materialization step IS the index
     * build every IVF system performs once and stores; the checkpoint
     * is the local-mode stand-in for that stored assignment. */
-  private def ivfAssigned(s: SparkSession, dir: String,
+  /** The uncheckpointed assignment projection — split out so PlanSpec
+    * can pin that the optimizer keeps the two-phase select (probe
+    * list materialized once, cell derived from it; CollapseProject
+    * must not inline the expensive alias it references twice). */
+  private[graft] def ivfAssignment(s: SparkSession, dir: String,
       cent: Array[Array[Double]]): DataFrame = {
     import s.implicits._
-    val (cell, probeCells) = ivfCells(s, cent)
+    // two-phase select: probe_cells materializes first, cell reads it
+    // back — one cosine/sort evaluation per row (see cellFromProbe)
     Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding", cell.as("cell"),
-        probeCells.as("probe_cells"))
-      .reliableCheckpoint()
+      .select($"vec_id", $"embedding",
+        ivfProbeList(s, cent).as("probe_cells"))
+      .select($"vec_id", $"embedding",
+        cellFromProbe($"probe_cells").as("cell"), $"probe_cells")
   }
+
+  private def ivfAssigned(s: SparkSession, dir: String,
+      cent: Array[Array[Double]]): DataFrame =
+    ivfAssignment(s, dir, cent).reliableCheckpoint()
+
+  /** Test accessor: assignment frame at the current conf geometry. */
+  private[graft] def ivfAssignmentAtConf(s: SparkSession, dir: String): DataFrame =
+    ivfAssignment(s, dir, trainCentroids(s, dir))
 
   private def ivfNnFrom(assigned: DataFrame): DataFrame = {
     val s = assigned.sparkSession
@@ -506,11 +638,13 @@ object SimilarityQueries {
   def buildIvfIndex(s: SparkSession, dir: String, table: String): Unit = {
     import s.implicits._
     val cent = trainCentroids(s, dir)
-    val (cell, probeCells) = ivfCells(s, cent)
     Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding", cell.as("cell"), probeCells.as("probe_cells"))
+      .select($"vec_id", $"embedding",
+        ivfProbeList(s, cent).as("probe_cells"))
+      .select($"vec_id", $"embedding",
+        cellFromProbe($"probe_cells").as("cell"), $"probe_cells")
       .write.mode("overwrite")
-      .bucketBy(ivfK(s), "cell").sortBy("cell")
+      .bucketBy(cent.length, "cell").sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
     val (srcRows, srcMaxId) = sourceFingerprint(s, dir)
@@ -585,6 +719,64 @@ object SimilarityQueries {
       if (stale) tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       stale
     }
+
+  /** Geometry staleness for a PERSISTED IVF artifact (r18, the
+    * auto-sizing corollary): the source fingerprint catches data
+    * drift but not CONF drift — with `spark.graft.ivf.k = auto` (or
+    * any explicit re-tune) an index built at one geometry must not
+    * silently serve another, because the stored `cell` assignments
+    * AND the stored `probe_cells` lists bake in (k, nprobe) at build
+    * time. Compares the sidecar's cell count against what the
+    * current conf resolves to (min(k, n): sub-k corpora train fewer
+    * cells) and one stored row's probe width against the resolved
+    * nprobe at that cell count; on mismatch drops the artifact
+    * generation so the caller's build path recreates it. Two
+    * metadata-scale lookups, same cost class as the fingerprint
+    * check. */
+  /** Positive geometry checks, keyed on (table, source fingerprint,
+    * resolved geometry): the verification itself costs two small
+    * Spark jobs, which a serve query must not re-pay per CALL — the
+    * r18 bench leg showed the whole serve family +0.7–1.1 s warm from
+    * exactly that. A key can only go stale through a conf change or a
+    * data change, both of which change the key itself; only OK
+    * results are cached, so a mismatch is always re-verified on the
+    * next call after its rebuild. */
+  private val geometryOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, (Long, Long), Long, Long)]()
+
+  private[graft] def ivfGeometryStale(s: SparkSession, dir: String, fpTable: String,
+      indexTable: String, tables: Seq[String]): Boolean = {
+    import s.implicits._
+    val fp = sourceFingerprint(s, dir)
+    val n = fp._1
+    val expectCellsPre = math.min(ivfK(s, dir).toLong, math.max(1L, n))
+    val expectProbe = math.min(ivfNprobe(s, expectCellsPre.toInt).toLong, expectCellsPre)
+    val key = (fpTable, fp, expectCellsPre, expectProbe)
+    if (geometryOk.contains(key)) return false
+    val stale = try {
+      val expectCells = expectCellsPre
+      val cells = s.table(fpTable).count()
+      val probeOk = !s.catalog.tableExists(indexTable) || {
+        val t = s.table(indexTable)
+        // PQ code tables carry no probe lists (probes are resolved at
+        // serve time from the sidecar) — only check where stored
+        !t.columns.contains("probe_cells") || {
+          val w = t.select(size($"probe_cells")).limit(1).as[Int].collect()
+          w.isEmpty || w.head ==
+            math.min(ivfNprobe(s, cells.toInt).toLong, expectCells)
+        }
+      }
+      cells != expectCells || !probeOk
+    } catch { case _: Exception => true }
+    if (stale) {
+      // the caller rebuilds at the CURRENT geometry — every cached OK
+      // for this artifact (e.g. the one the previous geometry earned)
+      // is now about a generation that no longer exists
+      geometryOk.removeIf(_._1 == fpTable)
+      tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    } else geometryOk.add(key)
+    stale
+  }
 
   /** NN query over a PERSISTED index — the read side of
     * [[buildIvfIndex]]; identical semantics to [[ivfTopk]] but no
@@ -671,7 +863,9 @@ object SimilarityQueries {
     import s.implicits._
     val tbl = s"graft_ivf_q92_${tableSuffix(dir)}"
     if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
-        tbl, s"${tbl}_centroids"))
+        tbl, s"${tbl}_centroids")
+        || ivfGeometryStale(s, dir, s"${tbl}_centroids", tbl,
+          Seq(tbl, s"${tbl}_centroids")))
       buildIvfIndex(s, dir, tbl)
     val stored = ivfNnFromIndex(s, tbl)
     val live = ivfNnFrom(ivfAssigned(s, dir, trainCentroids(s, dir)))
@@ -725,7 +919,9 @@ object SimilarityQueries {
     import s.implicits._
     val tbl = s"graft_ivf_q92_${tableSuffix(dir)}" // share q92's artifact
     if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
-        tbl, s"${tbl}_centroids"))
+        tbl, s"${tbl}_centroids")
+        || ivfGeometryStale(s, dir, s"${tbl}_centroids", tbl,
+          Seq(tbl, s"${tbl}_centroids")))
       buildIvfIndex(s, dir, tbl)
     // centroids from the SIDECAR only — all a serving tier has
     val cent: Array[Array[Double]] = s.table(s"${tbl}_centroids")
@@ -813,6 +1009,19 @@ object SimilarityQueries {
     * multi-probe, re-rank) runs unchanged underneath. */
   def ivfNnValidated(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    ivfNnAudited(s, dir)
+      .select($"n_points", $"n_sample",
+        ($"n_answered" === $"n_sample").as("all_answered"),
+        $"rerank_exact", ($"recall" >= 0.5).as("recall_ok"))
+  }
+
+  /** The q58 audit with recall@1 exposed as a NUMBER (and the raw
+    * answered count): [[ivfNnValidated]] derives its pinned booleans
+    * from this; [[graft.IvfProbe]] sweeps conf geometries over it so
+    * auto-sizing rules are chosen from measured recall/cost curves,
+    * not guessed. */
+  private[graft] def ivfNnAudited(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val cent = trainCentroids(s, dir)
     val sampled = (c: Column) => c % 5 === 0 && c < 2500
     // ONE materialized index feeds everything: the NN query's two join
@@ -851,12 +1060,9 @@ object SimilarityQueries {
         count(when($"r".isNotNull, lit(1))).as("n_answered"),
         min(coalesce($"nearest_id" === $"r.id" && $"cosine" === $"r.cosine",
           lit(false))).as("rerank_exact"),
-        (avg(when($"nearest_id" === $"bf.id" || $"cosine" === $"bf.cosine", 1.0)
-          .otherwise(0.0)) >= 0.5).as("recall_ok"))
+        avg(when($"nearest_id" === $"bf.id" || $"cosine" === $"bf.cosine", 1.0)
+          .otherwise(0.0)).as("recall"))
     nPoints.crossJoin(nSample).crossJoin(checks)
-      .select($"n_points", $"n_sample",
-        ($"n_answered" === $"n_sample").as("all_answered"),
-        $"rerank_exact", $"recall_ok")
   }
 
   val ivfNnValidatedSql: String =
@@ -1677,7 +1883,7 @@ object SimilarityQueries {
     ivfPqCodeRows(Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
         cent, cb)
       .write.mode("overwrite")
-      .bucketBy(ivfK(s), "cell").sortBy("cell")
+      .bucketBy(cent.length, "cell").sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
     val (srcRows, srcMaxId) = sourceFingerprint(s, dir)
@@ -1743,7 +1949,9 @@ object SimilarityQueries {
   private[graft] def ivfPqStats(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val tbl = s"graft_ivfpq_q144_${tableSuffix(dir)}"
     if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
-        tbl, s"${tbl}_centroids", s"${tbl}_pq"))
+        tbl, s"${tbl}_centroids", s"${tbl}_pq")
+        || ivfGeometryStale(s, dir, s"${tbl}_centroids", tbl,
+          Seq(tbl, s"${tbl}_centroids", s"${tbl}_pq")))
       buildIvfPqIndex(s, dir, tbl)
     val st = ivfPqServeStats(s, dir, tbl, tombstones = None)
     (st._1, st._2, st._3, st._4)
@@ -1891,13 +2099,15 @@ object SimilarityQueries {
     import s.implicits._
     val tbl = s"graft_ivfpq_q146_${tableSuffix(dir)}"
     if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
-        tbl, s"${tbl}_centroids", s"${tbl}_pq")) {
+        tbl, s"${tbl}_centroids", s"${tbl}_pq")
+        || ivfGeometryStale(s, dir, s"${tbl}_centroids", tbl,
+          Seq(tbl, s"${tbl}_centroids", s"${tbl}_pq"))) {
       val cent = trainCentroids(s, dir)
       val cb = pqCodebooks(s, dir)
       val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       ivfPqCodeRows(emb.filter($"vec_id" % 10 =!= 7), cent, cb)
         .write.mode("overwrite")
-        .bucketBy(ivfK(s), "cell").sortBy("cell")
+        .bucketBy(cent.length, "cell").sortBy("cell")
         .format("parquet").saveAsTable(tbl)
       // sidecars BEFORE the append: the append generation must encode
       // from the STORED state, as a nightly job would
@@ -1913,7 +2123,7 @@ object SimilarityQueries {
       val (storedCent, storedCb) = loadIvfPqSidecars(s, tbl)
       ivfPqCodeRows(emb.filter($"vec_id" % 10 === 7), storedCent, storedCb)
         .write.mode("append")
-        .bucketBy(ivfK(s), "cell").sortBy("cell")
+        .bucketBy(storedCent.length, "cell").sortBy("cell")
         .format("parquet").saveAsTable(tbl)
     }
     val nIndexed = s.table(tbl).count()
@@ -1947,7 +2157,9 @@ object SimilarityQueries {
     import s.implicits._
     val tbl = s"graft_ivfpq_q144_${tableSuffix(dir)}" // share q144's artifact
     if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
-        tbl, s"${tbl}_centroids", s"${tbl}_pq"))
+        tbl, s"${tbl}_centroids", s"${tbl}_pq")
+        || ivfGeometryStale(s, dir, s"${tbl}_centroids", tbl,
+          Seq(tbl, s"${tbl}_centroids", s"${tbl}_pq")))
       buildIvfPqIndex(s, dir, tbl)
     val tombstones = Tables.embeddings(s, dir)
       .filter($"vec_id" % 9 === 4).select($"vec_id")
@@ -1977,19 +2189,26 @@ object SimilarityQueries {
     import s.implicits._
     val base = s"graft_ivfpq_q144_${tableSuffix(dir)}"
     if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${base}_centroids",
-        base, s"${base}_centroids", s"${base}_pq"))
+        base, s"${base}_centroids", s"${base}_pq")
+        || ivfGeometryStale(s, dir, s"${base}_centroids", base,
+          Seq(base, s"${base}_centroids", s"${base}_pq")))
       buildIvfPqIndex(s, dir, base)
     val tbl = s"graft_ivfpq_q148_${tableSuffix(dir)}"
     if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
-        tbl, s"${tbl}_centroids", s"${tbl}_pq")) {
+        tbl, s"${tbl}_centroids", s"${tbl}_pq")
+        || ivfGeometryStale(s, dir, s"${tbl}_centroids", tbl,
+          Seq(tbl, s"${tbl}_centroids", s"${tbl}_pq"))) {
       val tombstones = Tables.embeddings(s, dir)
         .filter($"vec_id" % 9 === 4).select($"vec_id")
+      // sidecars first: the compacted generation keeps the BASE
+      // geometry (compaction never retrains), so its bucket count is
+      // the stored cell count, not a re-resolved k
+      val (cent, cb) = loadIvfPqSidecars(s, base)
       s.table(base).join(broadcast(tombstones), Seq("vec_id"), "left_anti")
         .write.mode("overwrite")
-        .bucketBy(ivfK(s), "cell").sortBy("cell")
+        .bucketBy(cent.length, "cell").sortBy("cell")
         .format("parquet").saveAsTable(tbl)
       val (srcRows, srcMaxId) = sourceFingerprint(s, dir)
-      val (cent, cb) = loadIvfPqSidecars(s, base)
       cent.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .withColumn("src_rows", lit(srcRows)).withColumn("src_max_id", lit(srcMaxId))

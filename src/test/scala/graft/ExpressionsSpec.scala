@@ -228,6 +228,88 @@ class ExpressionsSpec extends SparkSpec {
       spark.conf.unset("spark.graft.ivf.nprobe")
     }
   }
+  test("ivf_probe_cells: fixed-seed fuzz — fused expression equals the declarative composition") {
+    // The fused codegen'd expression must reproduce the k-literal-
+    // cosine + stable array_sort + slice composition it replaced,
+    // bit for bit: random vectors, duplicated centroids (ties), a
+    // zero-norm vector and a null-element vector (the composition's
+    // all-NULL cosine rows), and np > k (length-lenient slice).
+    val rnd = new scala.util.Random(4242)
+    val dim = 12
+    val cents: Array[Array[Double]] = Array.tabulate(7, dim)((_, _) => rnd.nextGaussian())
+    cents(5) = cents(2).clone() // exact duplicate → tie on every row
+    val rows: Seq[Seq[Option[Float]]] =
+      (0 until 200).map(_ => (0 until dim).map(_ => Some(rnd.nextGaussian().toFloat))) ++
+      Seq(Seq.fill(dim)(Some(0.0f)),                             // zero norm
+          (0 until dim).map(i => if (i == 3) None else Some(1.0f))) // null element
+    val df = rows.toDF("embedding")
+    for (np <- Seq(1, 3, 7, 11)) { // 11 > k=7: length-lenient
+      val fused = df.select(ivf_probe_cells(col("embedding"), cents, np).as("p"))
+        .collect().map(_.getSeq[Int](0))
+      val cosines = cents.map(c => cosine_similarity(col("embedding"), typedlit(c.toSeq)))
+      val scored = array(cosines.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        struct(c.as("c"), lit(i + 1).as("i")) }: _*)
+      val declarative = df.select(transform(
+          slice(array_sort(scored, (l, r) =>
+            when(l("c") > r("c"), -1).otherwise(when(l("c") < r("c"), 1).otherwise(0))),
+            1, np),
+          x => x("i").cast("int")).as("p"))
+        .collect().map(_.getSeq[Int](0))
+      fused.zip(declarative).zipWithIndex.foreach { case ((f, d), i) =>
+        assert(f == d, s"np=$np row $i: fused $f != declarative $d")
+      }
+    }
+    // null input → null
+    val nul = Seq(Option.empty[Seq[Float]]).toDF("embedding")
+    assert(nul.select(ivf_probe_cells(col("embedding"), cents, 3)).collect().head.isNullAt(0))
+  }
+
+  test("IVF auto-k: fixed 16/4 at small corpora, ⌈√n⌉/⌈k/16⌉ above threshold; theorems hold") {
+    // The default `spark.graft.ivf.k = auto` must (a) resolve to the
+    // VALIDATED fixed geometry on every priced fixture — bit-identical
+    // oracles — and (b) switch to the √n rule above 10k vectors, the
+    // r18 fix for the measured O(n²/k) growth at a pinned k. The q58
+    // theorem suite must hold under the auto geometry too.
+    assert(SimilarityQueries.ivfK(spark, sf) == 16,
+      "priced fixtures sit below the threshold: auto == the validated 16")
+    assert(SimilarityQueries.ivfNprobe(spark, 16) == 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_auto").toString
+    try {
+      // 10,368 vectors (just above the 10k threshold) in 8 tight,
+      // well-separated clusters: center = one-hot(label), plus a
+      // deterministic per-id jitter small enough that nearest
+      // neighbors stay intra-cluster — the structure IVF exploits.
+      spark.range(10368).selectExpr(
+        "id AS vec_id",
+        """transform(sequence(0, 15), i -> CAST(
+             (CASE WHEN i = id % 8 THEN 1.0 ELSE 0.0 END)
+             + 0.05 * sin((id * (i + 3)) / 97.0) AS FLOAT)) AS embedding""",
+        "CAST(id % 8 AS INT) AS label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val k = SimilarityQueries.ivfK(spark, dir)
+      assert(k == math.ceil(math.sqrt(10368.0)).toInt, s"auto k above threshold must be ⌈√n⌉, got $k")
+      assert(SimilarityQueries.ivfNprobe(spark, k) == math.max(4, math.ceil(k / 8.0).toInt))
+      val r = SimilarityQueries.ivfNnValidated(spark, dir).head()
+      val names = r.schema.fieldNames.zipWithIndex.toMap
+      assert(r.getLong(names("n_points")) == 10368L)
+      Seq("all_answered", "rerank_exact", "recall_ok").foreach { f =>
+        assert(r.getBoolean(names(f)), s"$f must hold under auto-√n geometry")
+      }
+      // the single-band LSH bucket follows the same discipline:
+      // validated 8 planes at priced corpora, ⌈log₂(n/8)⌉ above the
+      // threshold (constant expected bucket size ⇒ linear candidate
+      // volume), and the component clustering built on it still runs
+      assert(SimilarityQueries.lshBits(spark, sf) == 8,
+        "priced fixtures keep the oracle-pinned 8 planes")
+      assert(SimilarityQueries.lshBits(spark, dir) ==
+        math.ceil(math.log(10368.0 / 8.0) / math.log(2.0)).toInt)
+      val sd = DedupQueries.semanticDedup(spark, dir)
+      assert(sd.count() == 10368L, "every vector gets a component label")
+      assert(sd.filter(col("is_keeper")).count() > 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
   test("PCA (q89): planted low-rank corpus -> top components capture it; theorems hold") {
     // 500 vectors in a 2-D subspace of R^16 (+ tiny per-dim ramp so no
     // column is constant): top-8 PCA must explain essentially ALL

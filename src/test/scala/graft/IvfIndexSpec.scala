@@ -72,6 +72,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(createdAt1 == createdAt2, "the stored index must be reused, not rebuilt")
   }
 
+  test("conf geometry drift invalidates a persisted index (auto-k corollary, r18)") {
+    // An index built at one (k, nprobe) must not silently serve
+    // another geometry: the source fingerprint can't see a conf
+    // change, so the gate additionally compares the sidecar's cell
+    // count and the stored probe width against what the current conf
+    // resolves to, and drops + rebuilds the artifact generation on
+    // mismatch — stored_equals_live would read false otherwise.
+    spark.conf.set("spark.graft.ivf.k", "8")
+    try {
+      SimilarityQueries.ivfStoredNn(spark, sf).collect() // build at k=8
+      val tbl = s"graft_ivf_q92_${SimilarityQueries.tableSuffix(sf)}"
+      assert(spark.table(s"${tbl}_centroids").count() == 8L)
+      spark.conf.unset("spark.graft.ivf.k") // auto resolves to 16 here
+      val r = SimilarityQueries.ivfStoredNn(spark, sf).head()
+      assert(spark.table(s"${tbl}_centroids").count() == 16L,
+        "geometry drift must rebuild the artifact generation")
+      assert(r.getBoolean(1), "stored_equals_live must hold after the rebuild")
+    } finally spark.conf.unset("spark.graft.ivf.k")
+  }
+
   test("q144: composed IVF-PQ index — codes-only artifact, sidecar-served, audit-exact, reused") {
     val tbl = s"graft_ivfpq_q144_${SimilarityQueries.tableSuffix(sf)}"
     try {

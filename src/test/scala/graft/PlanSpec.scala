@@ -81,6 +81,22 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, s"expected 2-phase sketch agg:\n$p")
   }
 
+  test("ivf assignment: fused probe expression evaluates ONCE per row, no interpreted sort") {
+    // The k-cosine probe assignment is the dominant per-row cost of
+    // the index build; it must run as the single codegen'd
+    // ivf_probe_cells expression (not the interpreted array_sort
+    // composition it replaced), and cell must derive from the
+    // materialized probe_cells alias — CollapseProject must not
+    // inline the expensive alias it references twice. 2 occurrences
+    // here means the build went back to paying the cosines per
+    // consumer.
+    val p = graft.queries.SimilarityQueries.ivfAssignmentAtConf(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val n = "ivf_probe_cells".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 ivf_probe_cells, got $n:\n$p")
+    assert(!p.contains("array_sort"), s"interpreted sort crept back:\n$p")
+  }
+
   test("q54/q55: LSH similarity joins key on the hash bucket — no label-block cross product") {
     Seq("q54_embedding_neardups_lsh", "q55_nn_lsh").foreach { q =>
       val p = planOf(q)
