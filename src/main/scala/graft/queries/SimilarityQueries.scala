@@ -644,7 +644,7 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding",
         cellFromProbe($"probe_cells").as("cell"), $"probe_cells")
       .write.mode("overwrite")
-      .bucketBy(cent.length, "cell").sortBy("cell")
+      .bucketBy(ivfBucketCount(sourceFingerprint(s, dir)._1, cent.length), "cell").sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
     val (srcRows, srcMaxId) = sourceFingerprint(s, dir)
@@ -719,6 +719,20 @@ object SimilarityQueries {
       if (stale) tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       stale
     }
+
+  /** Storage bucket count for a cell-keyed persisted artifact:
+    * one bucket per cell once cells carry enough rows to amortize a
+    * file and a scan task (~2k rows), PACKED below that — r18: under
+    * auto-√n sizing a 20k-row fixture stored 142 one-file buckets
+    * and every serve-path scan became 142 near-empty tasks (~2×
+    * serve warm, np-independent — measured by pinning np=4 at
+    * k=142). The cell equi-join eliminates the index-side exchange
+    * at ANY bucket count (hash co-partitioning on the join key), so
+    * packing cells into fewer buckets trades nothing; at production
+    * row counts the rule is one bucket per cell again. Floor 16 keeps
+    * every priced fixture bit-identical to the committed layout. */
+  private[graft] def ivfBucketCount(nRows: Long, cells: Int): Int =
+    math.max(1L, math.min(cells.toLong, math.max(16L, nRows / 2000L))).toInt
 
   /** Geometry staleness for a PERSISTED IVF artifact (r18, the
     * auto-sizing corollary): the source fingerprint catches data
@@ -1883,7 +1897,7 @@ object SimilarityQueries {
     ivfPqCodeRows(Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
         cent, cb)
       .write.mode("overwrite")
-      .bucketBy(cent.length, "cell").sortBy("cell")
+      .bucketBy(ivfBucketCount(sourceFingerprint(s, dir)._1, cent.length), "cell").sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
     val (srcRows, srcMaxId) = sourceFingerprint(s, dir)
@@ -2010,9 +2024,18 @@ object SimilarityQueries {
         probeCol.as("probe_cells")) ++
         cb.indices.map(m => pqQueryTable(cb, m).as(s"qt$m")): _*)
       .reliableCheckpoint()
-    val probe = assignedQ.select(Seq($"q_id", $"src_id",
-      explode($"probe_cells").as("cell")) ++
-      cb.indices.map(m => col(s"qt$m")): _*)
+    // the probe explode carries ONLY (q_id, src_id, cell): the m ADC
+    // lookup tables are ~2k doubles per query, and hanging them on
+    // the exploded rows multiplies that payload by nprobe through the
+    // cell shuffle (measured r18: 4.5× exchange volume moving np
+    // 4→18 under auto geometry, the whole serve family +2-3× warm at
+    // sf1). They rejoin AFTER the cell join as a broadcast keyed on
+    // q_id — bounded by the external-query-set contract (the same
+    // q182-class bound the audit slice and q191's truth broadcast
+    // rely on), so the broadcast is query-count-sized at any corpus
+    // scale.
+    val probe = assignedQ.select($"q_id", $"src_id",
+      explode($"probe_cells").as("cell"))
     def live(df: DataFrame, key: String): DataFrame = tombstones match {
       case Some(t) => df.join(broadcast(t.select($"vec_id".as(key))), Seq(key), "left_anti")
       case None    => df
@@ -2020,6 +2043,8 @@ object SimilarityQueries {
     val index = live(s.table(tbl), "vec_id")
     val adc = probe.hint("shuffle_hash").join(index, Seq("cell"))
       .filter($"src_id" =!= $"vec_id")
+      .join(broadcast(assignedQ.select(
+        Seq($"q_id") ++ cb.indices.map(m => col(s"qt$m")): _*)), Seq("q_id"))
       .withColumn("approx",
         cb.indices.map(m => element_at(col(s"qt$m"), col(s"code$m")))
           .reduce(_ + _))
@@ -2107,7 +2132,7 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       ivfPqCodeRows(emb.filter($"vec_id" % 10 =!= 7), cent, cb)
         .write.mode("overwrite")
-        .bucketBy(cent.length, "cell").sortBy("cell")
+        .bucketBy(ivfBucketCount(sourceFingerprint(s, dir)._1, cent.length), "cell").sortBy("cell")
         .format("parquet").saveAsTable(tbl)
       // sidecars BEFORE the append: the append generation must encode
       // from the STORED state, as a nightly job would
@@ -2123,7 +2148,7 @@ object SimilarityQueries {
       val (storedCent, storedCb) = loadIvfPqSidecars(s, tbl)
       ivfPqCodeRows(emb.filter($"vec_id" % 10 === 7), storedCent, storedCb)
         .write.mode("append")
-        .bucketBy(storedCent.length, "cell").sortBy("cell")
+        .bucketBy(ivfBucketCount(sourceFingerprint(s, dir)._1, storedCent.length), "cell").sortBy("cell")
         .format("parquet").saveAsTable(tbl)
     }
     val nIndexed = s.table(tbl).count()
@@ -2206,7 +2231,7 @@ object SimilarityQueries {
       val (cent, cb) = loadIvfPqSidecars(s, base)
       s.table(base).join(broadcast(tombstones), Seq("vec_id"), "left_anti")
         .write.mode("overwrite")
-        .bucketBy(cent.length, "cell").sortBy("cell")
+        .bucketBy(ivfBucketCount(sourceFingerprint(s, dir)._1, cent.length), "cell").sortBy("cell")
         .format("parquet").saveAsTable(tbl)
       val (srcRows, srcMaxId) = sourceFingerprint(s, dir)
       cent.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
