@@ -20,14 +20,21 @@ from make_artifacts import OPENS
 CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
 SF1 = os.path.join(REPO, "data", "sf1")
 
-# VERDICT r17 #1's named tier (full registered names)
+# VERDICT r17 #1's named heavy tier + the r18 medium tier (the 31
+# queries of the committed sf1 column) + the r19 span-evidence pair —
+# the full set the scaling artifact versions.
 HEAVY = [
-    "q101_bpe_trained_tokens", "q129_corpus_assembly", "q131_editdist_neardups",
-    "q133_containment_pairs", "q140_pq_ann", "q143_assembly_funnel",
-    "q145_editdist_neardups_lsh", "q148_ivfpq_compact_serve", "q150_bm25_topk",
+    "q101_bpe_trained_tokens", "q102_bpe_trained_budget_select",
+    "q103_bpe_trained_pack", "q106_semantic_dedup", "q127_filter_stack",
+    "q129_corpus_assembly", "q131_editdist_neardups", "q133_containment_pairs",
+    "q138_textrank_terms", "q140_pq_ann", "q143_assembly_funnel",
+    "q144_ivfpq_serve", "q145_editdist_neardups_lsh", "q146_ivfpq_upsert_serve",
+    "q147_ivfpq_tombstone_serve", "q148_ivfpq_compact_serve", "q150_bm25_topk",
     "q157_cluster_split", "q158_neardup_index_serve", "q173_canonical_keepers",
-    "q184_skew_audit", "q191_retrieval_eval", "q66_dedup_clusters",
-    "q82_dedup_impact",
+    "q184_skew_audit", "q191_retrieval_eval", "q196_span_evidence",
+    "q197_span_offsets", "q47_nn_within_label", "q58_ivf_nn",
+    "q66_dedup_clusters", "q74_ivf_topk", "q82_dedup_impact",
+    "q91_pca_ann_pairs", "q92_ivf_stored_nn", "q93_pca_stored_projection",
 ]
 
 
@@ -64,16 +71,26 @@ def main():
     w01 = art["sf0.1"]["warm"]
     growth = {q: round(sf1[q]["warm"] / w01[q], 2)
               for q in sf1 if q in w01 and w01[q] > 0}
+    # carry the per-query attributions forward — they are builder-
+    # written analysis, not measurements, and a re-run must not drop
+    # them (stale entries are then UPDATED by hand against the new
+    # numbers, visible in the diff)
+    prior_attr = art.get("sf1", {}).get("attribution", {})
     art["sf1"] = {
         "_meta": "BENCH-ONLY derived fixture (graft.MakeScale: 10× sf0.1, "
                  "distribution-matched — see MakeScale.scala scaladoc); "
-                 "heavy tier only, 1 cold + median-of-3 warm via "
+                 "heavy tier + medium tier, 1 cold + median-of-3 warm via "
                  "graft.TimeQueries; growth_vs_sf0.1 = warm(sf1)/warm(sf0.1 "
-                 "committed record) for 10× data",
+                 "committed record) for 10× data. Geometry: DEFAULT auto "
+                 "confs (r19 — IVF k=⌈√n⌉ above 10k vectors, nprobe ⌈k/8⌉, "
+                 "trainer auto-dispatch; the r18 column was taken under the "
+                 "then-pinned k=16, so IVF-family growth is not comparable "
+                 "across the two columns by design)",
         "cold": {q: v["cold"] for q, v in sorted(sf1.items())},
         "warm": {q: v["warm"] for q, v in sorted(sf1.items())},
         "growth_vs_sf0.1": dict(sorted(growth.items())),
         "total_warm": round(sum(v["warm"] for v in sf1.values()), 2),
+        "attribution": prior_attr,
     }
     json.dump(art, open(scaling_path, "w"), indent=1)
     print(f"[sf1] total warm {art['sf1']['total_warm']}s; growth ratios:")

@@ -59,10 +59,11 @@ def main():
                     "cross-engine status is versioned here; non-MATCH "
                     "entries are self-validating oracles whose pinned "
                     "audit theorems only bind at real SFs",
-        "expected_residual": "q44/q145 has_pairs — a witness of the "
-                             "murmur-banded LSH output itself, not "
-                             "SQL-re-derivable; anything beyond these "
-                             "two is a regression"}}
+        "expected_residual": "NONE since r19 — q44/q145 has_pairs now "
+                             "binds exactly where each exhaustive audit "
+                             "proves pairs exist and is structurally "
+                             "vacuous on degenerate corpora; ANY "
+                             "non-MATCH is a regression"}}
     for recipe in RECIPES:
         fixture = f"{base}/{recipe}"
         vout = f"/tmp/graft_degen_vout_{recipe}"

@@ -94,6 +94,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Codegen-fallback sentinel (VERDICT r18 #2): two r18 expression
+    // bridges generated Java that never compiled, and every value
+    // gate stayed green because Spark's fallback runs the interpreted
+    // eval — the one failure class that costs only speed and is
+    // therefore invisible to a correctness artifact. CodegenBridgeSpec
+    // compiles every bridge directly in the test suite; this counter
+    // is the BENCH-side twin: it counts compile-failure / fallback
+    // log events during the measured run itself (WholeStageCodegenExec
+    // logs "Whole-stage codegen disabled" at WARN on Janino failure;
+    // CodeGenerator logs "failed to compile"), lands in the artifact
+    // as `n_codegen_fallbacks`, and sinks `sentinel_clean` when
+    // nonzero — a record set with an interpreted hot path can no
+    // longer read as clean.
+    val codegenFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+    try {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.appender.AbstractAppender
+      import org.apache.logging.log4j.core.config.Property
+      val appender = new AbstractAppender(
+          "graftCodegenSentinel", null, null, true, Property.EMPTY_ARRAY) {
+        override def append(event: org.apache.logging.log4j.core.LogEvent): Unit = {
+          val m = event.getMessage.getFormattedMessage
+          if (m.contains("Whole-stage codegen disabled") ||
+              m.contains("failed to compile") || m.contains("Failed to compile") ||
+              m.contains("CompileException"))
+            codegenFallbacks.incrementAndGet()
+        }
+      }
+      appender.start()
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val conf = ctx.getConfiguration
+      conf.getRootLogger.addAppender(appender, Level.WARN, null)
+      ctx.updateLoggers()
+    } catch { case _: Throwable => () } // sentinel must never sink the bench
+
     // Fixture-drift sentinel FIRST: a driver-side fixture regen that
     // changes a physical type costs one loud line here, not N opaque
     // per-query failures scattered through the bench record.
@@ -321,7 +357,9 @@ object Bench {
     val stillFlagged = finalResults.count(isFlagged)
     val nPriorRegressed = finalResults
       .count(r => r.err.isEmpty && priorRegressed(r.name))
-    val sentinelClean = calibFinalRatio <= 1.5 && stillFlagged == 0
+    val nCodegenFallbacks = codegenFallbacks.get()
+    val sentinelClean =
+      calibFinalRatio <= 1.5 && stillFlagged == 0 && nCodegenFallbacks == 0
 
     // totals sum successful queries only; a failed query cannot fabricate
     // a time, so failure is surfaced loudly instead: n_failed at top
@@ -356,6 +394,7 @@ object Bench {
         ",\"calib_sec_end\":" + jnum(calibEnd) +
         (if (calibRetry > 0) ",\"calib_sec_retry\":" + jnum(calibRetry) else "") +
         ",\"sentinel_clean\":" + sentinelClean +
+        ",\"n_codegen_fallbacks\":" + nCodegenFallbacks +
         ",\"n_retried\":" + flaggedNames.size +
         ",\"n_retry_rounds\":" + attempt +
         ",\"n_still_flagged\":" + stillFlagged +

@@ -567,20 +567,30 @@ case class IvfProbeCellsExpr(child: Expression, cents: Array[Array[Double]], np:
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any =
-    IvfProbeCellsExpr.eval(input.asInstanceOf[ArrayData], cents, np, isFloat)
+    IvfProbeCellsExpr.probeCells(input.asInstanceOf[ArrayData], cents, np, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ivfCents", cents, "double[][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.IvfProbeCellsExpr.eval($c, $ref, $np, $isFloat)")
+      s"graft.functions.IvfProbeCellsExpr.probeCells($c, $ref, $np, $isFloat)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object IvfProbeCellsExpr {
-  /** JVM-static so generated code calls straight into it. */
-  def eval(e: ArrayData, cents: Array[Array[Double]], np: Int,
+  /** JVM-static so generated code calls straight into it. Named
+    * `probeCells`, NOT `eval`: the case class inherits
+    * `Expression.eval(InternalRow)`, and scalac refuses to emit a
+    * static forwarder for a companion method whose name collides with
+    * a class member — so generated Java calling
+    * `GramFps.eval(...)`-style statics compiles against `evalAll`
+    * (no collision) but NOT against `eval`, and Janino's
+    * CompileException silently dropped every stage using this
+    * expression to interpreted execution (round-18 verdict finding).
+    * CodegenBridgeSpec now compiles every custom bridge directly, so
+    * a recurrence fails the suite instead of only costing speed. */
+  def probeCells(e: ArrayData, cents: Array[Array[Double]], np: Int,
       isFloat: Boolean): ArrayData = {
     val k = cents.length
     val cos = new Array[Double](k)
@@ -591,18 +601,27 @@ object IvfProbeCellsExpr {
     val used = new Array[Boolean](k)
     var s = 0
     while (s < m) {
-      // strict > keeps the FIRST best index on ties — (cosine DESC,
-      // index ASC), the stable sort's order
+      // strict "greater" keeps the FIRST best index on ties — (cosine
+      // DESC, index ASC), the stable sort's order — under SPARK's
+      // double ordering, not Java's operator `>`: NaN sorts greatest
+      // (a NaN-element embedding must probe the same cells the old
+      // array_sort path chose) and ±0.0 compare equal.
       var best = -1; var bestC = 0.0
       var i = 0
       while (i < k) {
-        if (!used(i) && (best == -1 || cos(i) > bestC)) { best = i; bestC = cos(i) }
+        if (!used(i) && (best == -1 || sqlGt(cos(i), bestC))) { best = i; bestC = cos(i) }
         i += 1
       }
       used(best) = true; out(s) = best + 1; s += 1
     }
     new GenericArrayData(out)
   }
+
+  /** `a > b` in Spark SQL's total order for doubles: NaN greatest,
+    * NaN == NaN, -0.0 == 0.0 — the order the stable array_sort this
+    * expression replaced compared with. */
+  private def sqlGt(a: Double, b: Double): Boolean =
+    if (a == b) false else java.lang.Double.compare(a, b) > 0
 
   /** Bit-identical to [[CosineSimilarity.nullSafeEval]] against a
     * double[] literal, with the composition's NULL outcomes mapped to
@@ -620,6 +639,205 @@ object IvfProbeCellsExpr {
     }
     if (nx == 0.0 || ny == 0.0) Double.NegativeInfinity
     else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+}
+
+/** All M product-quantization codes of a vector in ONE codegen'd pass
+  * — argmin_j ||x_m − c_mj||² per subspace m, computed as
+  * argmin_j (−2·x_m·c_mj + ||c_mj||²) with ||x_m||² dropped
+  * (constant across j). Output: array<int> of length M, 1-based
+  * codes, first-min ties — value-identical to the declarative
+  * per-subspace composition it replaces
+  * (`array_position(scores_m, array_min(scores_m))` over literal
+  * `element_at` sums) AND to the Scala reference encoder
+  * (SimilarityQueries.pqEncodeModel): same left-fold dot order, same
+  * −2·dot + Σc² shape, same first-min rule. The composition's cost
+  * model is what it fixes — and not just speed: M·K'·(dim/M)
+  * `element_at` terms unrolled into one projection (≈1k for the
+  * default 8×16×8 geometry) blow Janino's 64 KB method limit inside
+  * whole-stage codegen, so every PQ encode stage (q140/q144/
+  * q146–q148) silently fell back to interpreted execution — the same
+  * defect class as the round-18 GramFps/IvfProbeCells bridges, found
+  * by the CodegenBridgeSpec discipline. Here the generated Java is
+  * one static call; the M·K' centroid norms are precomputed once at
+  * plan time and ride as a reference object.
+  *
+  * Null/short-vector semantics are `try_element_at`'s (the tolerant
+  * rules; ANSI `element_at` — the Spark 4 default the old
+  * composition used — THROWS on a short vector, which no fixture
+  * contains), per subspace: a null element or out-of-range index
+  * inside subspace m's window nulls ALL of m's scores (the NULL
+  * propagates through the sum), array_min over all-NULL is NULL and
+  * array_position(_, NULL) is NULL → code_m NULL — other subspaces
+  * are unaffected. Null input vector → null output. */
+case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(cb.nonEmpty && cb.forall(_.nonEmpty), "need >= 1 codebook with >= 1 centroid")
+
+  override def prettyName: String = "pq_codes"
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes requires array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** ||c_mj||² per (subspace, centroid), summed in index order like
+    * the literal `lit(c.map(x => x*x).sum)` the composition embedded
+    * — computed once at plan time, not per row. */
+  @transient private lazy val norms: Array[Array[Double]] = PqEncodeExpr.norms(cb)
+
+  override def nullSafeEval(input: Any): Any =
+    PqEncodeExpr.codes(input.asInstanceOf[ArrayData], cb, norms, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "double[][][]")
+    val nRef = ctx.addReferenceObj("pqNorms", norms, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqEncodeExpr.codes($c, $cbRef, $nRef, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqEncodeExpr {
+  private[functions] def norms(cb: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    cb.map(_.map { c =>
+      var ss = 0.0; var i = 0
+      while (i < c.length) { ss += c(i) * c(i); i += 1 }
+      ss
+    })
+
+  /** JVM-static (callable from codegen; name must not collide with an
+    * inherited Expression member — the round-18 forwarder lesson). */
+  def codes(e: ArrayData, cb: Array[Array[Array[Double]]],
+      norms: Array[Array[Double]], isFloat: Boolean): ArrayData = {
+    val mSub = cb.length
+    val out = new Array[Any](mSub)
+    val n = e.numElements()
+    var m = 0
+    var base = 0
+    while (m < mSub) {
+      val cents = cb(m)
+      val sub = cents(0).length
+      // subspace window valid iff fully in range with no null element
+      // (the composition's element_at NULL rules, all-or-none per m)
+      var valid = base + sub <= n
+      var v = 0
+      while (valid && v < sub) { if (e.isNullAt(base + v)) valid = false; v += 1 }
+      if (!valid) out(m) = null
+      else {
+        var bestJ = -1; var bestS = 0.0
+        var j = 0
+        while (j < cents.length) {
+          val c = cents(j)
+          var dot = 0.0
+          var i = 0
+          while (i < sub) {
+            val xi = if (isFloat) e.getFloat(base + i).toDouble else e.getDouble(base + i)
+            dot += xi * c(i)
+            i += 1
+          }
+          val s = -2.0 * dot + norms(m)(j)
+          if (bestJ == -1 || s < bestS) { bestJ = j; bestS = s }
+          j += 1
+        }
+        out(m) = bestJ + 1
+      }
+      base += sub
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-query ADC lookup tables for ALL M subspaces in ONE codegen'd
+  * pass: element (m, j) = −2·x_m·c_mj + ||c_mj||², the asymmetric-
+  * distance score the serve path adds up via
+  * `element_at(qt_m, code_m)`. Output: array<array<double>> (M outer,
+  * K' inner) — value-identical to M separate
+  * [[SimilarityQueries.pqQueryTable]] literal-arithmetic columns,
+  * which had the same ≈1k-term unroll (and the same Janino 64 KB
+  * compile failure) as the encode side; see [[PqEncodeExpr]].
+  * Null rules per subspace: invalid window (short vector / null
+  * element) → that subspace's K' scores are ALL NULL (an array of
+  * nulls, not a null array — exactly the composition's shape, so
+  * downstream `element_at(qt_m, code_m)` yields NULL either via the
+  * null score or the null code). Null input → null. */
+case class PqAdcTableExpr(child: Expression, cb: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(cb.nonEmpty && cb.forall(_.nonEmpty), "need >= 1 codebook with >= 1 centroid")
+
+  override def prettyName: String = "pq_adc_table"
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = true), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_table requires array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val norms: Array[Array[Double]] = PqEncodeExpr.norms(cb)
+
+  override def nullSafeEval(input: Any): Any =
+    PqAdcTableExpr.table(input.asInstanceOf[ArrayData], cb, norms, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "double[][][]")
+    val nRef = ctx.addReferenceObj("pqNorms", norms, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqAdcTableExpr.table($c, $cbRef, $nRef, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqAdcTableExpr {
+  /** JVM-static (callable from codegen). */
+  def table(e: ArrayData, cb: Array[Array[Array[Double]]],
+      norms: Array[Array[Double]], isFloat: Boolean): ArrayData = {
+    val mSub = cb.length
+    val out = new Array[Any](mSub)
+    val n = e.numElements()
+    var m = 0
+    var base = 0
+    while (m < mSub) {
+      val cents = cb(m)
+      val sub = cents(0).length
+      val row = new Array[Any](cents.length)
+      var valid = base + sub <= n
+      var v = 0
+      while (valid && v < sub) { if (e.isNullAt(base + v)) valid = false; v += 1 }
+      if (valid) {
+        var j = 0
+        while (j < cents.length) {
+          val c = cents(j)
+          var dot = 0.0
+          var i = 0
+          while (i < sub) {
+            val xi = if (isFloat) e.getFloat(base + i).toDouble else e.getDouble(base + i)
+            dot += xi * c(i)
+            i += 1
+          }
+          row(j) = -2.0 * dot + norms(m)(j)
+          j += 1
+        }
+      } // else: row stays all-null — the composition's NULL-score shape
+      out(m) = new GenericArrayData(row)
+      base += sub
+      m += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -687,6 +905,17 @@ object expressions {
     * codepoint_rolling_hash(concat_ws(" ", slice(toks, i, n))))`. */
   def gram_fps_seq(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(GramFpsSeq(GraftColumnBridge.expression(tokens), n))
+
+  /** All M product-quantization codes (1-based) in one fused pass;
+    * see [[PqEncodeExpr]]. */
+  def pq_codes(emb: Column, cb: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqEncodeExpr(GraftColumnBridge.expression(emb), cb))
+
+  /** All M per-query ADC lookup tables (array<array<double>>, outer =
+    * subspace, inner = centroid) in one fused pass; see
+    * [[PqAdcTableExpr]]. */
+  def pq_adc_table(emb: Column, cb: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqAdcTableExpr(GraftColumnBridge.expression(emb), cb))
 }
 
 /** Monotone bucket assignment against a small ascending DISTINCT
@@ -929,10 +1158,10 @@ case class GramFps(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    GramFps.eval(input.asInstanceOf[ArrayData], n)
+    GramFps.evalDistinct(input.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.GramFps.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramFps.evalDistinct($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -1013,8 +1242,16 @@ object GramFps {
     acc
   }
 
-  /** JVM-static DISTINCT gram-fingerprint fold (callable from codegen). */
-  def eval(arr: ArrayData, n: Int): ArrayData = {
+  /** JVM-static DISTINCT gram-fingerprint fold (callable from
+    * codegen). Named `evalDistinct`, NOT `eval`: the case class
+    * inherits `Expression.eval(InternalRow)` and scalac emits no
+    * static forwarder for a colliding companion-method name — a
+    * bare `GramFps.eval` in generated Java threw Janino
+    * CompileException and dropped the whole dup-gram family to
+    * interpreted execution (round-18 verdict finding; `evalAll`
+    * below never collided, which is why GramFpsSeq always compiled).
+    * CodegenBridgeSpec compiles every bridge to keep this pinned. */
+  def evalDistinct(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])
     val (h, p, nul) = tokenHashes(arr, m)

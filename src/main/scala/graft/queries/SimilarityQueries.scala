@@ -356,9 +356,30 @@ object SimilarityQueries {
     * sample trainer so the q58 oracle pins don't depend on MLlib
     * implementation details. */
   private def trainCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
-    if (s.conf.getOption("spark.graft.ivf.trainer").contains("mllib"))
-      trainCentroidsMllib(s, dir)
+    if (ivfTrainer(s, dir) == "mllib") trainCentroidsMllib(s, dir)
     else trainCentroidsSample(s, dir)
+
+  /** Which trainer the geometry RESOLVES to (spec-pinned): an explicit
+    * `spark.graft.ivf.trainer` (`mllib` | `sample`) wins; otherwise
+    * the driver-bounded sample trainer up to [[IvfTrainerHandoff]]
+    * cells and the distributed MLlib trainer above it — the handoff
+    * the r18 auto-√n sizing comment promised. Past ~512 cells the
+    * sample trainer's premises break, not its code: a 32·k-row
+    * driver sample thins to fewer and fewer points per centroid while
+    * the driver Lloyd loop is O(32k·k·dim) serial work; distributed
+    * KMeans over the corpus is the right mechanism there, and the
+    * probe/serve paths are k-agnostic so nothing downstream changes.
+    * With the cap gone, `auto` k stays ⌈√n⌉ at any corpus size —
+    * √n hits 512 at ~262k vectors, so every priced fixture still
+    * resolves to the sample trainer and keeps its bit-identical
+    * oracle pins. */
+  private[graft] def ivfTrainer(s: SparkSession, dir: String): String =
+    s.conf.getOption("spark.graft.ivf.trainer").getOrElse(
+      if (ivfK(s, dir) > IvfTrainerHandoff) "mllib" else "sample")
+
+  /** Cell count above which auto trainer dispatch hands off to
+    * distributed MLlib KMeans (≈ the √n of a 262k-vector corpus). */
+  private val IvfTrainerHandoff = 512
 
   /** Corpora at or below this vector count keep the VALIDATED fixed
     * geometry (k=16, nprobe=4 — every priced SF and every degenerate
@@ -391,14 +412,15 @@ object SimilarityQueries {
       if (conf == "auto") {
         val n = sourceFingerprint(s, dir)._1
         if (n <= IvfAutoSmallCorpus) 16
-        // auto caps at 512 cells (√n hits it at ~262k vectors): the
-        // assignment projection evaluates k literal-centroid cosines
-        // per row and the sample trainer's driver Lloyd loop is
-        // O(32k·k·dim) — both fine to ~512, neither the right
-        // mechanism in the thousands. Past the cap an operator sets
-        // k explicitly and swaps in the distributed mllib trainer;
-        // the probe list and serve paths are k-agnostic.
-        else math.min(512, math.ceil(math.sqrt(n.toDouble)).toInt)
+        // ⌈√n⌉ UNCAPPED (r18 capped at 512; r19 removed it): past
+        // [[IvfTrainerHandoff]] cells the trainer dispatch hands off
+        // to distributed MLlib KMeans automatically ([[ivfTrainer]]),
+        // so the √n sizing that keeps candidate volume O(nprobe·n^1.5)
+        // holds at any corpus size instead of silently degrading to
+        // O(n²/512). The per-row assignment stays the one fused
+        // [[graft.functions.IvfProbeCellsExpr]] pass — O(k·dim)
+        // multiply-adds per row, linear in k, no plan-size growth.
+        else math.ceil(math.sqrt(n.toDouble)).toInt
       } else conf.toInt
     require(k >= 2, s"spark.graft.ivf.k must be >= 2, got $conf")
     s.conf.getOption("spark.graft.ivf.nprobe").foreach { v =>
@@ -521,7 +543,21 @@ object SimilarityQueries {
     * DESC-by-cosine and TimSort-stable, so ties keep the lowest
     * index — exactly the argmax rule the former
     * array_position/array_max pair computed); a null embedding keeps
-    * its null cell. Consumers that need BOTH columns (ivfAssigned,
+    * its null cell. DOCUMENTED semantic change vs the pre-fusion
+    * composition (round-18 advice): a non-null but DEGENERATE
+    * embedding (zero norm, null element, or centroid-length mismatch
+    * — all-or-none conditions across centroids) used to get a null
+    * cell via array_position(cosines, array_max(cosines)) over an
+    * all-NULL cosine array and was thereby excluded from the
+    * index-side equi-join; it now lands deterministically in cell 1
+    * (the probe list's stable [1..np] order for all-(−∞) rows). This
+    * is deliberate: both the index and the query side assign the
+    * same way, so a degenerate query can now meet a degenerate index
+    * row (the old shape made them mutually invisible), and every
+    * downstream re-rank computes a NULL cosine for such pairs, which
+    * the rank/threshold predicates already drop — no priced oracle
+    * or degenerate-recipe result changes (fixture embeddings are
+    * non-degenerate; the three-recipe degen gate stayed green). Consumers that need BOTH columns (ivfAssigned,
     * buildIvfIndex) derive cell from the MATERIALIZED probe_cells
     * column instead of selecting both expressions: the k
     * literal-centroid cosines and the higher-order sort are
@@ -1707,25 +1743,6 @@ object SimilarityQueries {
     }
   }
 
-  /** The ENCODER's per-(subspace, centroid) comparison score as a
-    * codegen'd literal column: argmin_j ||x_m − c_mj||² ≡
-    * argmin_j (−2·x_m·c_mj + ||c_mj||²) — the ||x_m||² term is
-    * constant across j and dropped. Summation is in index order
-    * (left fold), bit-identical to [[pqEncodeModel]]. */
-  private def pqScore(cb: Array[Array[Array[Double]]], m: Int, j: Int): Column = {
-    val c = cb(m)(j); val sub = c.length
-    val dot = (0 until sub).map(i =>
-      element_at(col("embedding"), m * sub + i + 1).cast("double") * lit(c(i)))
-      .reduce(_ + _)
-    lit(-2.0) * dot + lit(c.map(x => x * x).sum)
-  }
-
-  /** code_m column (1-based centroid index, first-min ties). */
-  private def pqCode(cb: Array[Array[Array[Double]]], m: Int): Column = {
-    val scores = array(cb(m).indices.map(j => pqScore(cb, m, j)): _*)
-    array_position(scores, array_min(scores)).cast("int")
-  }
-
   /** Scala reference encoder with the IDENTICAL arithmetic order —
     * the cross-implementation check behind `codes_match_model`. */
   private[graft] def pqEncodeModel(cb: Array[Array[Array[Double]]], v: Array[Float]): Array[Int] =
@@ -1781,21 +1798,30 @@ object SimilarityQueries {
     val PqRerank = pqRerank(s)
     val cb = pqCodebooks(s, dir)
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-    // materialize once: the encode projection is a ~2k-term codegen
-    // unit and feeds BOTH the ADC scan and the codes_match_model
-    // sample; without the checkpoint each report action re-runs (and
-    // re-compiles) it
-    val codes = emb.select(
-      (Seq($"vec_id") ++ cb.indices.map(m => pqCode(cb, m).as(s"code$m"))): _*)
+    // materialize once: the encode feeds BOTH the ADC scan and the
+    // codes_match_model sample; without the checkpoint each report
+    // action re-runs it. The encode itself is ONE fused expression
+    // ([[graft.functions.PqEncodeExpr]]) — the former per-subspace
+    // literal composition unrolled ~1k element_at terms into the
+    // projection and blew Janino's 64 KB method limit, silently
+    // dropping every PQ encode stage to interpreted execution.
+    val codes = emb.select($"vec_id", pq_codes($"embedding", cb).as("codes"))
+      .select((Seq($"vec_id") ++
+        cb.indices.map(m => element_at($"codes", m + 1).as(s"code$m"))): _*)
       .reliableCheckpoint()
 
     // queries: deterministic out-of-corpus slice with per-query ADC
-    // lookup tables ([[pqQueryTable]] — literal codebook arithmetic,
-    // one row per query; shared with q144's stored-serving path)
+    // lookup tables ([[graft.functions.PqAdcTableExpr]] — one fused
+    // pass for all M tables, one row per query; shared with q144's
+    // stored-serving path). Two-phase select: the fused table is
+    // materialized once and the m per-subspace aliases are derived
+    // from it (CollapseProject keeps the split — the alias is
+    // referenced M times).
     val queries = emb.filter($"vec_id" % 25 === 3)
-      .select((Seq($"vec_id".as("q_src"), ($"vec_id" + 1000000L).as("q_id"),
-        $"embedding".as("q_emb")) ++
-        cb.indices.map(m => pqQueryTable(cb, m).as(s"qt$m"))): _*)
+      .select($"vec_id".as("q_src"), ($"vec_id" + 1000000L).as("q_id"),
+        $"embedding".as("q_emb"), pq_adc_table($"embedding", cb).as("qt"))
+      .select((Seq($"q_src", $"q_id", $"q_emb") ++
+        cb.indices.map(m => element_at($"qt", m + 1).as(s"qt$m"))): _*)
 
     // ADC scan: M element_at lookups + adds per (query, code) pair
     val adc = codes.join(broadcast(queries), $"vec_id" =!= $"q_src")
@@ -1861,21 +1887,6 @@ object SimilarityQueries {
   }
 
   // ---- q144: IVF-PQ composed index (IVFADC serving) ----------------
-
-  /** Per-query ADC lookup table for subspace `m`: 1 array of K'
-    * scores (−2·x_m·c_mj + ||c_mj||²) over a raw `embedding` column —
-    * the arithmetic twin of [[pqScore]], shared by q140's live path
-    * and q144's stored-serving path. */
-  private def pqQueryTable(cb: Array[Array[Array[Double]]], m: Int): Column = {
-    val sub = cb(m)(0).length
-    array(cb(m).indices.map { j =>
-      val c = cb(m)(j)
-      val dot = (0 until sub).map(i =>
-        element_at(col("embedding"), m * sub + i + 1).cast("double") * lit(c(i)))
-        .reduce(_ + _)
-      lit(-2.0) * dot + lit(c.map(x => x * x).sum)
-    }: _*)
-  }
 
   /** Build the COMPOSED index artifact (VERDICT r15 #5): ONE bucketed
     * table `(vec_id, cell, code0..code{M-1})` — the PQ codes stored
@@ -1999,8 +2010,9 @@ object SimilarityQueries {
     val s = emb.sparkSession
     import s.implicits._
     val (cell, _) = ivfCells(s, cent)
-    emb.select(Seq($"vec_id", cell.as("cell")) ++
-      cb.indices.map(m => pqCode(cb, m).as(s"code$m")): _*)
+    emb.select($"vec_id", cell.as("cell"), pq_codes($"embedding", cb).as("codes"))
+      .select(Seq($"vec_id", $"cell") ++
+        cb.indices.map(m => element_at($"codes", m + 1).as(s"code$m")): _*)
   }
 
   /** Shared q144/q146/q147 serving + audit core over an ALREADY-FRESH
@@ -2020,9 +2032,10 @@ object SimilarityQueries {
       .select($"vec_id".as("src_id"), ($"vec_id" + 1000000L).as("q_id"),
         $"embedding")
     val assignedQ = queries
-      .select(Seq($"q_id", $"src_id", $"embedding".as("q_emb"),
-        probeCol.as("probe_cells")) ++
-        cb.indices.map(m => pqQueryTable(cb, m).as(s"qt$m")): _*)
+      .select($"q_id", $"src_id", $"embedding".as("q_emb"),
+        probeCol.as("probe_cells"), pq_adc_table($"embedding", cb).as("qt"))
+      .select(Seq($"q_id", $"src_id", $"q_emb", $"probe_cells") ++
+        cb.indices.map(m => element_at($"qt", m + 1).as(s"qt$m")): _*)
       .reliableCheckpoint()
     // the probe explode carries ONLY (q_id, src_id, cell): the m ADC
     // lookup tables are ~2k doubles per query, and hanging them on

@@ -1583,6 +1583,106 @@ object TextQueries {
       |FROM ranked WHERE rn = 1 ORDER BY eval_id""".stripMargin
   }
 
+  // ---- q197: span-evidence triage feed (top-m with offsets) ---------
+
+  /** q197: SPAN-EVIDENCE TRIAGE FEED — q196 extended to the TOP-M
+    * candidate training documents per eval doc, each with the best
+    * span's TOKEN OFFSETS in both documents (0-based, inclusive end):
+    * the drop-in work queue for the q182 decontamination pipeline —
+    * a reviewer (or the Aho–Corasick verifier) jumps straight to
+    * `eval[eval_start..eval_end]` / `train[train_start..]` instead of
+    * re-searching the documents q196 only ranked. Same plan shape and
+    * the same 100 TB contract as q196 (bounded eval side broadcasts;
+    * corpus grams never shuffle; only hit rows reach the windowed
+    * run-length pass) — the only additions are `min(epos)` carried
+    * through the island aggregation (one extra agg column, no new
+    * exchange) and the per-pair best-run tiebreak (span DESC,
+    * eval_start ASC, diag ASC — fully deterministic, so DuckDB
+    * re-derives offsets bit-for-bit from raw text). */
+  def spanEvidenceOffsets(s: SparkSession, dir: String, n: Int = 8,
+      m: Int = 3): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    def grams(side: DataFrame, idCol: String, posCol: String): DataFrame =
+      side.select(col("doc_id").as(idCol),
+        posexplode(graft.functions.expressions.gram_fps_seq(
+          split(trim(col("text")), "\\s+"), n)))
+        .toDF(idCol, posCol, "fp")
+    val evalG = grams(docs.filter($"source" === "src0"), "eval_id", "epos")
+    val trainG = grams(docs.filter($"source" =!= "src0"), "train_id", "tpos")
+    val hits = trainG.join(broadcast(evalG), Seq("fp"))
+      .select($"eval_id", $"train_id", $"epos", ($"tpos" - $"epos").as("diag"))
+    val wRun = Window.partitionBy($"eval_id", $"train_id", $"diag").orderBy($"epos")
+    val runs = hits
+      .withColumn("isl", $"epos" - row_number().over(wRun))
+      .groupBy($"eval_id", $"train_id", $"diag", $"isl")
+      .agg(count(lit(1)).as("run"), min($"epos").as("estart"))
+    val wBest = Window.partitionBy($"eval_id", $"train_id")
+      .orderBy($"run".desc, $"estart".asc, $"diag".asc)
+    val best = runs.withColumn("rb", row_number().over(wBest)).filter($"rb" === 1)
+      .select($"eval_id", $"train_id",
+        ($"run" + (n - 1)).cast("long").as("span_tokens"),
+        $"estart".cast("long").as("eval_start"),
+        ($"estart" + $"run" + (n - 2)).cast("long").as("eval_end"),
+        ($"estart" + $"diag").cast("long").as("train_start"))
+    val wTop = Window.partitionBy($"eval_id")
+      .orderBy($"span_tokens".desc, $"train_id".asc)
+    best.withColumn("evidence_rank", row_number().over(wTop))
+      .filter($"evidence_rank" <= m)
+      .select($"eval_id", $"evidence_rank".cast("long").as("evidence_rank"),
+        $"train_id", $"span_tokens", $"eval_start", $"eval_end", $"train_start")
+      .orderBy($"eval_id", $"evidence_rank")
+  }
+
+  /** Offsets re-derived by DuckDB from raw text; its 1-based token
+    * positions are shifted to the Spark side's 0-based ones at the
+    * end (diagonals/islands are differences, so the base cancels
+    * everywhere else). */
+  def spanEvidenceOffsetsSql(n: Int = 8, m: Int = 3): String = {
+    val fp = fingerprintSql(s"array_to_string(tk[pos:pos+${n - 1}], ' ')")
+    s"""WITH t AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS tk
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, source, tk,
+      |    unnest(range(1, len(tk) - ${n - 2})) AS pos
+      |  FROM t WHERE len(tk) >= $n),
+      |g AS (
+      |  SELECT doc_id, source, pos, $fp AS fp FROM g0),
+      |h AS (
+      |  SELECT e.doc_id AS eval_id, r.doc_id AS train_id,
+      |    e.pos AS epos, r.pos - e.pos AS diag
+      |  FROM g e JOIN g r ON e.fp = r.fp
+      |  WHERE e.source = 'src0' AND r.source <> 'src0'),
+      |runs AS (
+      |  SELECT eval_id, train_id, diag, isl,
+      |    count(*) AS run, min(epos) AS estart
+      |  FROM (SELECT eval_id, train_id, diag, epos,
+      |          epos - row_number() OVER (PARTITION BY eval_id, train_id, diag
+      |                                    ORDER BY epos) AS isl
+      |        FROM h)
+      |  GROUP BY eval_id, train_id, diag, isl),
+      |best AS (
+      |  SELECT eval_id, train_id,
+      |    CAST(run + ${n - 1} AS BIGINT) AS span_tokens,
+      |    CAST(estart - 1 AS BIGINT) AS eval_start,
+      |    CAST(estart - 1 + run + ${n - 2} AS BIGINT) AS eval_end,
+      |    CAST(estart - 1 + diag AS BIGINT) AS train_start,
+      |    row_number() OVER (PARTITION BY eval_id, train_id
+      |                       ORDER BY run DESC, estart, diag) AS rb
+      |  FROM runs),
+      |ranked AS (
+      |  SELECT eval_id, train_id, span_tokens, eval_start, eval_end, train_start,
+      |    row_number() OVER (PARTITION BY eval_id
+      |                       ORDER BY span_tokens DESC, train_id) AS evidence_rank
+      |  FROM best WHERE rb = 1)
+      |SELECT eval_id, CAST(evidence_rank AS BIGINT) AS evidence_rank,
+      |  CAST(train_id AS BIGINT) AS train_id, span_tokens,
+      |  eval_start, eval_end, train_start
+      |FROM ranked WHERE evidence_rank <= $m
+      |ORDER BY eval_id, evidence_rank""".stripMargin
+  }
+
   // ---- q192: characteristic tokens per source (PMI lift) ------------
 
   /** q192: CHARACTERISTIC TOKENS PER SOURCE — the tokens each source
@@ -1662,6 +1762,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q192_characteristic_tokens" -> ((s: SparkSession, dir: String) => characteristicTokens(s, dir)),
     "q196_span_evidence" -> ((s: SparkSession, dir: String) => spanEvidence(s, dir)),
+    "q197_span_offsets" -> ((s: SparkSession, dir: String) => spanEvidenceOffsets(s, dir)),
     "q191_retrieval_eval" -> ((s: SparkSession, dir: String) => retrievalEval(s, dir)),
     "q190_score_quantile_norm" -> (scoreQuantileNorm _),
     "q150_bm25_topk" -> (bm25TopkServe _),
@@ -1697,6 +1798,7 @@ object TextQueries {
     "q190_score_quantile_norm" -> scoreQuantileNormSql,
     "q191_retrieval_eval" -> retrievalEvalSql(),
     "q196_span_evidence" -> spanEvidenceSql(),
+    "q197_span_offsets" -> spanEvidenceOffsetsSql(),
     "q192_characteristic_tokens" -> characteristicTokensSql(),
     "q134_inverted_index_serve" -> invertedIndexServeSql,
     "q136_index_tombstone_serve" -> invertedIndexPurgeServeSql,

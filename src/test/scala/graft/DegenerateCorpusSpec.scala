@@ -34,10 +34,12 @@ import org.apache.spark.sql.functions._
   * predicates; q145's via the slice-restricted q131 CTE), aligning
   * the empty-string fingerprint boundary (DuckDB `unicode('')` = -1
   * vs the Spark fold's 0), and vacuous-truth-coalescing the
-  * q33/q34/q35/q43/q52/q96 theorem aggregates. The ONLY remaining
-  * non-MATCH is `has_pairs` on q44/q145 — a witness of the
-  * murmur-banded LSH output itself, which SQL cannot re-derive;
-  * documented as the expected residual in CORRECTNESS_DEGEN.json.
+  * q33/q34/q35/q43/q52/q96 theorem aggregates. r19 closed the last
+  * residual pair: q44/q145 `has_pairs` now binds exactly where each
+  * exhaustive audit proves pairs exist (found_pairs OR NOT
+  * audit-nonempty) and goes structurally vacuous on degenerate
+  * corpora — all three recipes read 190 MATCH + 2 rows-only with an
+  * empty non_match map.
   * Real divergences this program has found and fixed: q101's oracle
   * collapsing to zero rows on an empty encode sample, q44's vacuous
   * bool_and, the q150/q191 NULL corpus-stats sums (r17); q189

@@ -241,7 +241,13 @@ class ExpressionsSpec extends SparkSpec {
     val rows: Seq[Seq[Option[Float]]] =
       (0 until 200).map(_ => (0 until dim).map(_ => Some(rnd.nextGaussian().toFloat))) ++
       Seq(Seq.fill(dim)(Some(0.0f)),                             // zero norm
-          (0 until dim).map(i => if (i == 3) None else Some(1.0f))) // null element
+          (0 until dim).map(i => if (i == 3) None else Some(1.0f)), // null element
+          // NaN element: every cosine is NaN, and Spark's double order
+          // sorts NaN GREATEST — the fused selection must compare via
+          // SQL semantics (Double.compare), not Java's `>` where NaN
+          // is never greater and the loop would keep index order by
+          // accident of a different rule
+          (0 until dim).map(i => if (i == 0) Some(Float.NaN) else Some(1.0f)))
     val df = rows.toDF("embedding")
     for (np <- Seq(1, 3, 7, 11)) { // 11 > k=7: length-lenient
       val fused = df.select(ivf_probe_cells(col("embedding"), cents, np).as("p"))
@@ -264,7 +270,65 @@ class ExpressionsSpec extends SparkSpec {
     assert(nul.select(ivf_probe_cells(col("embedding"), cents, 3)).collect().head.isNullAt(0))
   }
 
-  test("IVF auto-k: fixed 16/4 at small corpora, ⌈√n⌉/⌈k/16⌉ above threshold; theorems hold") {
+  test("pq_codes / pq_adc_table: fixed-seed fuzz — fused equals the declarative composition and the model encoder") {
+    // The fused expressions replace the per-subspace literal columns
+    // (M·K'·sub element_at terms — the unroll that blew Janino's
+    // 64 KB method limit and silently dropped q140/q144/q146–q148's
+    // encode stages to interpreted execution). Values must match the
+    // composition bit for bit: random vectors, a short vector (out-of-
+    // range window → null code / null scores) and a null-element
+    // vector, plus the Scala reference encoder (first-min ties).
+    val rnd = new scala.util.Random(7272)
+    val mSub = 3; val kp = 5; val sub = 4; val dim = mSub * sub
+    val cb: Array[Array[Array[Double]]] =
+      Array.tabulate(mSub, kp, sub)((_, _, _) => rnd.nextGaussian())
+    cb(1)(3) = cb(1)(0).clone() // duplicate centroid → tie in subspace 1
+    val rows: Seq[Seq[Option[Float]]] =
+      (0 until 150).map(_ => (0 until dim).map(_ => Some(rnd.nextGaussian().toFloat))) ++
+      Seq((0 until dim - sub).map(_ => Some(1.0f)),                 // short: last window invalid
+          (0 until dim).map(i => if (i == 5) None else Some(0.5f))) // null element in subspace 1
+    val df = rows.toDF("embedding")
+    def declScore(m: Int, j: Int): org.apache.spark.sql.Column = {
+      val c = cb(m)(j)
+      // try_element_at, not element_at: ANSI element_at (Spark 4
+      // default) THROWS on the short row's out-of-range window; the
+      // fused expressions implement the tolerant NULL semantics
+      val dot = (0 until sub).map(i =>
+        try_element_at(col("embedding"), lit(m * sub + i + 1)).cast("double") * lit(c(i)))
+        .reduce(_ + _)
+      lit(-2.0) * dot + lit(c.map(x => x * x).sum)
+    }
+    val declCodes = df.select(array((0 until mSub).map { m =>
+      val scores = array((0 until kp).map(j => declScore(m, j)): _*)
+      array_position(scores, array_min(scores)).cast("int")
+    }: _*).as("c")).collect().map(r => r.getSeq[Any](0))
+    val fusedCodes = df.select(pq_codes(col("embedding"), cb).as("c"))
+      .collect().map(r => r.getSeq[Any](0))
+    fusedCodes.zip(declCodes).zipWithIndex.foreach { case ((f, d), i) =>
+      assert(f == d, s"codes row $i: fused $f != declarative $d")
+    }
+    val declTables = df.select(array((0 until mSub).map(m =>
+      array((0 until kp).map(j => declScore(m, j)): _*)): _*).as("t"))
+      .collect().map(_.getSeq[Seq[Any]](0))
+    val fusedTables = df.select(pq_adc_table(col("embedding"), cb).as("t"))
+      .collect().map(_.getSeq[Seq[Any]](0))
+    fusedTables.zip(declTables).zipWithIndex.foreach { case ((f, d), i) =>
+      assert(f == d, s"adc table row $i: fused $f != declarative $d")
+    }
+    // fused codes == the Scala reference encoder on the full-length rows
+    rows.filter(r => r.length == dim && r.forall(_.isDefined)).take(50).foreach { r =>
+      val v = r.map(_.get).toArray
+      val got = Seq(v).toDF("embedding")
+        .select(pq_codes(col("embedding"), cb)).collect().head.getSeq[Int](0)
+      assert(got == SimilarityQueries.pqEncodeModel(cb, v).toSeq)
+    }
+    // null input → null
+    val nul = Seq(Option.empty[Seq[Float]]).toDF("embedding")
+    assert(nul.select(pq_codes(col("embedding"), cb)).collect().head.isNullAt(0))
+    assert(nul.select(pq_adc_table(col("embedding"), cb)).collect().head.isNullAt(0))
+  }
+
+  test("IVF auto-k: fixed 16/4 at small corpora, ⌈√n⌉/⌈k/8⌉ above threshold; theorems hold") {
     // The default `spark.graft.ivf.k = auto` must (a) resolve to the
     // VALIDATED fixed geometry on every priced fixture — bit-identical
     // oracles — and (b) switch to the √n rule above 10k vectors, the
@@ -582,7 +646,7 @@ class ExpressionsSpec extends SparkSpec {
       val m = rnd.nextInt(14)
       val toks = (0 until m).map(_ => tok())
       val n = 1 + rnd.nextInt(9)
-      val got = graft.functions.GramFps.eval(
+      val got = graft.functions.GramFps.evalDistinct(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
           toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray),
         n).toLongArray().toSeq

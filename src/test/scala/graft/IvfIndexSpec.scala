@@ -234,6 +234,44 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.forall(_.getLong(3) == 0L), "each vector is its own center: radius 0")
   }
 
+  test("trainer handoff: k>512 auto-dispatches to distributed MLlib KMeans; theorems hold (VERDICT r18 #4)") {
+    // The auto-√n sizing is now UNCAPPED: past 512 cells the trainer
+    // dispatch must hand off to distributed KMeans by itself (the
+    // driver-side 32·k-row sample Lloyd loop is the wrong mechanism
+    // there), with the k-agnostic probe/serve paths unchanged — the
+    // q58 theorem suite is the serve-parity pin.
+    import graft.queries.SimilarityQueries.{ivfTrainer, ivfK, ivfNnValidated}
+    // priced fixtures resolve to the sample trainer (oracle pins stay
+    // bit-identical) …
+    assert(ivfTrainer(spark, sf) == "sample")
+    // … and an explicit conf always wins the dispatch
+    spark.conf.set("spark.graft.ivf.trainer", "mllib")
+    try assert(ivfTrainer(spark, sf) == "mllib")
+    finally spark.conf.unset("spark.graft.ivf.trainer")
+    // 8 tight one-hot clusters, 10,368 vectors (the ExpressionsSpec
+    // auto-k fixture shape) — big enough to serve k=520 sensibly
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_handoff").toString
+    spark.range(10368).selectExpr(
+      "id AS vec_id",
+      """transform(sequence(0, 15), i -> CAST(
+           (CASE WHEN i = id % 8 THEN 1.0 ELSE 0.0 END)
+           + 0.05 * sin((id * (i + 3)) / 97.0) AS FLOAT)) AS embedding""",
+      "CAST(id % 8 AS INT) AS label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    spark.conf.set("spark.graft.ivf.k", "520")
+    try {
+      assert(ivfK(spark, dir) == 520)
+      assert(ivfTrainer(spark, dir) == "mllib",
+        "k>512 with no explicit trainer must dispatch to the distributed trainer")
+      val r = ivfNnValidated(spark, dir).head()
+      val names = r.schema.fieldNames.zipWithIndex.toMap
+      assert(r.getLong(names("n_points")) == 10368L)
+      Seq("all_answered", "rerank_exact", "recall_ok").foreach { f =>
+        assert(r.getBoolean(names(f)), s"$f must hold under the k=520 mllib-trained geometry")
+      }
+    } finally spark.conf.unset("spark.graft.ivf.k")
+  }
+
   test("tableSuffix: distinct dataset dirs never collide (ADVICE r11)") {
     // the slug alone collapses these to the same name — one dataset's
     // persisted index would shadow the other's within a session

@@ -51,6 +51,52 @@ class SpanEvidenceSpec extends SparkSpec {
     assert(out.head.getLong(2) == 9L)
   }
 
+  test("q197: top-m offsets — planted spans recovered exactly, rank order deterministic") {
+    val evalTokens = (1 to 30).map(i => s"w$i")
+    // twin A: eval tokens w5..w16 (0-based eval positions 4..15)
+    // planted at train positions 3..14
+    val winA = evalTokens.slice(4, 16)
+    val twinA = (Seq("x1", "x2", "x3") ++ winA ++ Seq("y1", "y2")).mkString(" ")
+    // twin B: a SHORTER window w10..w18 (eval 9..17) planted at train
+    // position 0 — must rank BELOW twin A (span 9 < 12)
+    val winB = evalTokens.slice(9, 18)
+    val twinB = (winB ++ Seq("q1", "q2", "q3")).mkString(" ")
+    // impostor: same bag as A reversed — no 8-gram overlap, absent
+    val impostor = (Seq("x1", "x2", "x3") ++ winA.reverse ++ Seq("y1", "y2")).mkString(" ")
+    val dir = plant(Seq(
+      (1L, evalTokens.mkString(" "), "en", "src0"),
+      (10L, twinA, "en", "src1"),
+      (11L, twinB, "en", "src2"),
+      (12L, impostor, "en", "src3")))
+    val out = graft.queries.TextQueries.spanEvidenceOffsets(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (eval, rank, train, span, eval_start, eval_end, train_start)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 10L, 12L, 4L, 15L, 3L),
+      (1L, 2L, 11L, 9L, 9L, 17L, 0L)),
+      s"got ${out.mkString(", ")}")
+  }
+
+  test("q197: within one pair the best run wins; offsets point at the maximal span") {
+    // one train doc carrying TWO separate copies of eval material:
+    // a 8-token window early and a LONGER 10-token window later —
+    // offsets must name the longer one
+    val evalTokens = (1 to 24).map(i => s"e$i")
+    val short = evalTokens.slice(0, 8)   // eval 0..7
+    val long = evalTokens.slice(12, 22)  // eval 12..21
+    val train = (short ++ Seq("gap1", "gap2") ++ long).mkString(" ")
+    val dir = plant(Seq(
+      (1L, evalTokens.mkString(" "), "en", "src0"),
+      (40L, train, "en", "src1")))
+    val out = graft.queries.TextQueries.spanEvidenceOffsets(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(3) == 10L, s"span must be the longer window: ${r.getLong(3)}")
+    assert(r.getLong(4) == 12L && r.getLong(5) == 21L, "eval offsets = 12..21")
+    assert(r.getLong(6) == 10L, "train offset = after short(8) + gap(2)")
+  }
+
   test("gram_fps_seq: identical to the ordered declarative composition (positions preserved)") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog and then returns home",
