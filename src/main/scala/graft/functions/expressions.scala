@@ -706,6 +706,18 @@ case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Double]]])
 }
 
 object PqEncodeExpr {
+  /** `a < b` in Spark SQL's total order for doubles — the sqlGt twin
+    * (see [[IvfProbeCellsExpr.sqlGt]]): NaN greatest, NaN == NaN,
+    * -0.0 == 0.0. Java's `<` never displaces a NaN bestS, so an
+    * embedding with a NaN/Inf element (representable, not NULL)
+    * could encode to a NaN-scored centroid while the declarative
+    * composition (array_min treats NaN as greatest) and
+    * pqEncodeModel (Scala TotalOrdering min) both pick the non-NaN
+    * minimum — the same defect class the IvfProbeCells bridge fixed
+    * via sqlGt. */
+  private def sqlLt(a: Double, b: Double): Boolean =
+    if (a == b) false else java.lang.Double.compare(a, b) < 0
+
   private[functions] def norms(cb: Array[Array[Array[Double]]]): Array[Array[Double]] =
     cb.map(_.map { c =>
       var ss = 0.0; var i = 0
@@ -744,7 +756,7 @@ object PqEncodeExpr {
             i += 1
           }
           val s = -2.0 * dot + norms(m)(j)
-          if (bestJ == -1 || s < bestS) { bestJ = j; bestS = s }
+          if (bestJ == -1 || sqlLt(s, bestS)) { bestJ = j; bestS = s }
           j += 1
         }
         out(m) = bestJ + 1

@@ -283,10 +283,23 @@ class ExpressionsSpec extends SparkSpec {
     val cb: Array[Array[Array[Double]]] =
       Array.tabulate(mSub, kp, sub)((_, _, _) => rnd.nextGaussian())
     cb(1)(3) = cb(1)(0).clone() // duplicate centroid → tie in subspace 1
+    // A zero codebook entry makes an Inf embedding element produce a
+    // MIXED NaN/±Inf score row (Inf·0 = NaN for j=0 only) — the exact
+    // shape where Java `<` keeps a NaN bestS forever while array_min
+    // (NaN greatest) picks the non-NaN minimum (ADVICE r19, medium).
+    cb(0)(0)(0) = 0.0
     val rows: Seq[Seq[Option[Float]]] =
       (0 until 150).map(_ => (0 until dim).map(_ => Some(rnd.nextGaussian().toFloat))) ++
       Seq((0 until dim - sub).map(_ => Some(1.0f)),                 // short: last window invalid
-          (0 until dim).map(i => if (i == 5) None else Some(0.5f))) // null element in subspace 1
+          (0 until dim).map(i => if (i == 5) None else Some(0.5f)), // null element in subspace 1
+          // NaN element → subspace 2's scores ALL NaN: both engines
+          // must agree (array_min = NaN, first position; fused keeps
+          // the first index under SQL total order where NaN == NaN)
+          (0 until dim).map(i => if (i == 9) Some(Float.NaN) else Some(0.5f)),
+          // Inf element in subspace 0 → scores [NaN, ∓Inf, …]: the
+          // fused argmin must displace the NaN via Double.compare
+          // (sqlLt), not Java `<` where nothing is ever < NaN
+          (0 until dim).map(i => if (i == 0) Some(Float.PositiveInfinity) else Some(0.5f)))
     val df = rows.toDF("embedding")
     def declScore(m: Int, j: Int): org.apache.spark.sql.Column = {
       val c = cb(m)(j)
@@ -312,7 +325,14 @@ class ExpressionsSpec extends SparkSpec {
       .collect().map(_.getSeq[Seq[Any]](0))
     val fusedTables = df.select(pq_adc_table(col("embedding"), cb).as("t"))
       .collect().map(_.getSeq[Seq[Any]](0))
-    fusedTables.zip(declTables).zipWithIndex.foreach { case ((f, d), i) =>
+    // bit-level compare: Seq[Double] == uses primitive equality where
+    // NaN != NaN, so the NaN fuzz rows would fail a value-identical pair
+    def bits(x: Any): Any = x match {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case s: scala.collection.Seq[_] => s.map(bits).toList
+      case other => other
+    }
+    fusedTables.map(bits).zip(declTables.map(bits)).zipWithIndex.foreach { case ((f, d), i) =>
       assert(f == d, s"adc table row $i: fused $f != declarative $d")
     }
     // fused codes == the Scala reference encoder on the full-length rows
