@@ -71,11 +71,39 @@ def main():
     w01 = art["sf0.1"]["warm"]
     growth = {q: round(sf1[q]["warm"] / w01[q], 2)
               for q in sf1 if q in w01 and w01[q] > 0}
+    # Phase split (VERDICT r19 #3): TimeQueries stamps per-run build/
+    # validate seconds for the artifact-lifecycle queries; serve-only
+    # warm = warm - per-run eager phases, which is what the 100 TB
+    # build-once/query-many design should be priced on. Growth of the
+    # SERVE path vs the committed sf0.1 warm (which for these rows
+    # historically conflated the phases) is reported alongside.
+    serve_warm = {}
+    for q, v in sf1.items():
+        ph = v.get("phases_warm", {})
+        if ph:
+            serve_warm[q] = round(v["warm"] - sum(ph.values()), 3)
+    serve_growth = {q: round(s / w01[q], 2)
+                    for q, s in serve_warm.items() if q in w01 and w01[q] > 0}
     # carry the per-query attributions forward — they are builder-
     # written analysis, not measurements, and a re-run must not drop
-    # them (stale entries are then UPDATED by hand against the new
-    # numbers, visible in the diff)
-    prior_attr = art.get("sf1", {}).get("attribution", {})
+    # them — but PRUNED to queries present in the new measurement
+    # column (ADVICE r19: entries for queries dropped or renamed out
+    # of HEAVY would otherwise persist forever, reading as current
+    # analysis of a measurement that no longer exists). Queries whose
+    # new growth exceeds 2x with no carried attribution are flagged
+    # loudly so the builder updates the analysis against the new
+    # numbers (visible in the diff either way).
+    prior_attr = {q: a for q, a in
+                  art.get("sf1", {}).get("attribution", {}).items()
+                  if q in sf1}
+    dropped = sorted(set(art.get("sf1", {}).get("attribution", {})) - set(sf1))
+    if dropped:
+        print(f"[sf1] pruned stale attributions (no longer measured): {dropped}")
+    unattributed = sorted(q for q, g in growth.items()
+                          if g > 2.0 and q not in prior_attr)
+    if unattributed:
+        print(f"[sf1] WARNING: >2x growth with NO attribution — analyze and "
+              f"stamp these in the artifact: {unattributed}")
     art["sf1"] = {
         "_meta": "BENCH-ONLY derived fixture (graft.MakeScale: 10× sf0.1, "
                  "distribution-matched — see MakeScale.scala scaladoc); "
@@ -89,6 +117,12 @@ def main():
         "cold": {q: v["cold"] for q, v in sorted(sf1.items())},
         "warm": {q: v["warm"] for q, v in sorted(sf1.items())},
         "growth_vs_sf0.1": dict(sorted(growth.items())),
+        "phases_cold": {q: v["phases_cold"] for q, v in sorted(sf1.items())
+                        if v.get("phases_cold")},
+        "phases_warm": {q: v["phases_warm"] for q, v in sorted(sf1.items())
+                        if v.get("phases_warm")},
+        "serve_warm": dict(sorted(serve_warm.items())),
+        "serve_growth_vs_sf0.1": dict(sorted(serve_growth.items())),
         "total_warm": round(sum(v["warm"] for v in sf1.values()), 2),
         "attribution": prior_attr,
     }

@@ -135,7 +135,8 @@ object BpeQueries {
     * call (cheap: one argmax round) and `merges_full` reads false,
     * surfacing the misconfiguration through the oracle row instead of
     * hiding it. */
-  def buildBpeTable(s: SparkSession, dir: String, table: String): Unit = {
+  def buildBpeTable(s: SparkSession, dir: String, table: String): Unit =
+      graft.PhaseTimer.timed("build") {
     import s.implicits._
     val (srcRows, srcMaxId) = SimilarityQueries.docsFingerprint(s, dir)
     trainBpeMerges(s, dir).zipWithIndex

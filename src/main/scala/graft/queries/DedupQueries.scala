@@ -1338,7 +1338,7 @@ object DedupQueries {
     val tbl = s"graft_ndi_q158_${SimilarityQueries.tableSuffix(dir)}"
     if (SimilarityQueries.needsBuildOrStale(s,
         SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
-        tbl, s"${tbl}_counts", s"${tbl}_meta")) {
+        tbl, s"${tbl}_counts", s"${tbl}_meta")) graft.PhaseTimer.timed("build") {
       val hist = Tables.documents(s, dir)
         .filter($"source" =!= NdiBatchSource).select($"doc_id", $"text")
       val g = TrainQueries.gramFps(hist, n = 8)

@@ -671,7 +671,8 @@ object SimilarityQueries {
     * exchange under the join). At 100 TB this is the build-once/
     * query-many lifecycle every IVF system runs; the bucket count
     * equals k so each cell is one bucket. */
-  def buildIvfIndex(s: SparkSession, dir: String, table: String): Unit = {
+  def buildIvfIndex(s: SparkSession, dir: String, table: String): Unit =
+      graft.PhaseTimer.timed("build") {
     import s.implicits._
     val cent = trainCentroids(s, dir)
     Tables.embeddings(s, dir)
@@ -918,8 +919,13 @@ object SimilarityQueries {
           Seq(tbl, s"${tbl}_centroids")))
       buildIvfIndex(s, dir, tbl)
     val stored = ivfNnFromIndex(s, tbl)
-    val live = ivfNnFrom(ivfAssigned(s, dir, trainCentroids(s, dir)))
-    val nDiff = stored.exceptAll(live).union(live.exceptAll(stored)).count()
+    // the live train+assign pipeline exists ONLY to verify the stored
+    // answers — price it as its own phase so the serve-path number in
+    // the bench artifact is not inflated by validation (VERDICT r19 #3)
+    val nDiff = graft.PhaseTimer.timed("validate") {
+      val live = ivfNnFrom(ivfAssigned(s, dir, trainCentroids(s, dir)))
+      stored.exceptAll(live).union(live.exceptAll(stored)).count()
+    }
     // settle AQE, then pin the executed shape (IvfIndexSpec's method)
     stored.count()
     val plan = stored.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -1445,7 +1451,8 @@ object SimilarityQueries {
     * embedding frame through the STORED model without refitting.
     * Doubles round-trip parquet exactly, so stored-model projections
     * are bit-identical to fresh-fit ones (PcaModelSpec pins it). */
-  def buildPcaModel(s: SparkSession, dir: String, table: String, k: Int = 8): Unit = {
+  def buildPcaModel(s: SparkSession, dir: String, table: String, k: Int = 8): Unit =
+      graft.PhaseTimer.timed("build") {
     import s.implicits._
     val (mean, comps) = fitPca(
       Tables.embeddings(s, dir).select($"embedding").na.drop(), k)
@@ -1557,7 +1564,8 @@ object SimilarityQueries {
     * "how many distinct documents across sources X, Y, any date range"
     * is answered by merging kilobyte register arrays — never by
     * re-scanning raw data. */
-  def buildDocSketches(s: SparkSession, dir: String, table: String): Unit = {
+  def buildDocSketches(s: SparkSession, dir: String, table: String): Unit =
+      graft.PhaseTimer.timed("build") {
     import s.implicits._
     val (srcRows, srcMaxId) = docsFingerprint(s, dir)
     Tables.documents(s, dir)
@@ -1901,7 +1909,8 @@ object SimilarityQueries {
     * the cell residual (FAISS `by_residual=false`): codes stay
     * cell-independent (one codebook serves every probe cell) and on
     * the near-isotropic fixture residual coding buys little. */
-  def buildIvfPqIndex(s: SparkSession, dir: String, table: String): Unit = {
+  def buildIvfPqIndex(s: SparkSession, dir: String, table: String): Unit =
+      graft.PhaseTimer.timed("build") {
     import s.implicits._
     val cent = trainCentroids(s, dir)
     val cb = pqCodebooks(s, dir)
@@ -2139,7 +2148,7 @@ object SimilarityQueries {
     if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
         tbl, s"${tbl}_centroids", s"${tbl}_pq")
         || ivfGeometryStale(s, dir, s"${tbl}_centroids", tbl,
-          Seq(tbl, s"${tbl}_centroids", s"${tbl}_pq"))) {
+          Seq(tbl, s"${tbl}_centroids", s"${tbl}_pq"))) graft.PhaseTimer.timed("build") {
       val cent = trainCentroids(s, dir)
       val cb = pqCodebooks(s, dir)
       val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
@@ -2235,7 +2244,7 @@ object SimilarityQueries {
     if (needsBuildOrStale(s, sourceFingerprint(s, dir), s"${tbl}_centroids",
         tbl, s"${tbl}_centroids", s"${tbl}_pq")
         || ivfGeometryStale(s, dir, s"${tbl}_centroids", tbl,
-          Seq(tbl, s"${tbl}_centroids", s"${tbl}_pq"))) {
+          Seq(tbl, s"${tbl}_centroids", s"${tbl}_pq"))) graft.PhaseTimer.timed("build") {
       val tombstones = Tables.embeddings(s, dir)
         .filter($"vec_id" % 9 === 4).select($"vec_id")
       // sidecars first: the compacted generation keeps the BASE
@@ -2286,7 +2295,8 @@ object SimilarityQueries {
     * insertion is duplicate-insensitive, so no distinct pass is
     * needed before the aggregate: ONE corpus scan, constant state
     * per source. */
-  private[graft] def buildVocabSketches(s: SparkSession, dir: String, table: String): Unit = {
+  private[graft] def buildVocabSketches(s: SparkSession, dir: String, table: String): Unit =
+      graft.PhaseTimer.timed("build") {
     import s.implicits._
     val (srcRows, srcMaxId) = docsFingerprint(s, dir)
     Tables.documents(s, dir)

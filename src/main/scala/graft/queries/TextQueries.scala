@@ -686,7 +686,8 @@ object TextQueries {
     docs.select(col("doc_id"),
       explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
 
-  private[graft] def buildInvertedIndex(s: SparkSession, dir: String, table: String): Unit = {
+  private[graft] def buildInvertedIndex(s: SparkSession, dir: String, table: String): Unit =
+      graft.PhaseTimer.timed("build") {
     import s.implicits._
     val postings = postingsOf(Tables.documents(s, dir))
     postings.write.mode("overwrite")
@@ -805,7 +806,7 @@ object TextQueries {
     val tbl = s"graft_inv_q149_${SimilarityQueries.tableSuffix(dir)}"
     if (SimilarityQueries.needsBuildOrStale(s,
         SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
-        tbl, s"${tbl}_meta")) {
+        tbl, s"${tbl}_meta")) graft.PhaseTimer.timed("build") {
       val base = invIndexTable(s, dir) // ensure the live artifact is fresh
       val tombstones = Tables.documents(s, dir)
         .filter($"doc_id" % 10 === 3).select($"doc_id")
@@ -844,7 +845,7 @@ object TextQueries {
     val tbl = s"graft_inv_q137_${SimilarityQueries.tableSuffix(dir)}"
     if (SimilarityQueries.needsBuildOrStale(s,
         SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
-        tbl, s"${tbl}_meta")) {
+        tbl, s"${tbl}_meta")) graft.PhaseTimer.timed("build") {
       val docs = Tables.documents(s, dir)
       postingsOf(docs.filter($"doc_id" % 10 =!= 7)).write.mode("overwrite")
         .bucketBy(32, "term").sortBy("term", "doc_id")
@@ -969,7 +970,7 @@ object TextQueries {
     val tbl = s"graft_bm25_q150_${SimilarityQueries.tableSuffix(dir)}"
     if (SimilarityQueries.needsBuildOrStale(s,
         SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
-        tbl, s"${tbl}_vocab", s"${tbl}_meta")) {
+        tbl, s"${tbl}_vocab", s"${tbl}_meta")) graft.PhaseTimer.timed("build") {
       val toks = Tables.documents(s, dir)
         .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
       val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
@@ -1074,7 +1075,7 @@ object TextQueries {
     val tbl = s"graft_pos_q151_${SimilarityQueries.tableSuffix(dir)}"
     if (SimilarityQueries.needsBuildOrStale(s,
         SimilarityQueries.docsFingerprint(s, dir), s"${tbl}_meta",
-        tbl, s"${tbl}_meta")) {
+        tbl, s"${tbl}_meta")) graft.PhaseTimer.timed("build") {
       Tables.documents(s, dir)
         .select($"doc_id", posexplode(split(trim($"text"), "\\s+")))
         .select($"doc_id", $"col".as("term"), ($"pos" + 1).cast("long").as("pos"))

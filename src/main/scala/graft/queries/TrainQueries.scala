@@ -1506,7 +1506,7 @@ object TrainQueries {
     import s.implicits._
     val tbl = s"graft_vocab_q189_${SimilarityQueries.tableSuffix(dir)}"
     val now = SimilarityQueries.docsFingerprint(s, dir)
-    if (SimilarityQueries.needsBuildOrStale(s, now, tbl, tbl)) {
+    if (SimilarityQueries.needsBuildOrStale(s, now, tbl, tbl)) graft.PhaseTimer.timed("build") {
       // a 0-row vocabulary (empty corpus, or a corpus whose train
       // split is empty) has no row to carry the freshness stamp, so
       // requireFresh would reject its own just-built artifact as
