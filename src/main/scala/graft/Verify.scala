@@ -22,11 +22,34 @@ object Verify {
     // Fixture-drift sentinel FIRST (one loud diagnostic per drifted
     // table; queries still run so unaffected families stay green).
     Tables.sentinel(spark, sfDir).foreach(d => System.err.println(s"[sentinel] $d"))
+    // Vacuous-witness ledger (ADVICE r19): several self-validating
+    // reports carry an `audit_nonempty` column whose FALSE means the
+    // audit slice bound nothing and the sibling theorem columns
+    // (has_pairs / serve_exact / recall floors) are vacuously true —
+    // a cross-engine MATCH either way, so a slice that silently stops
+    // covering real cases would read green forever. Every false
+    // witness observed on THIS fixture is surfaced loudly: a stderr
+    // line per query and a committed-shape `witness_vacuous.json`
+    // next to the results (expected non-empty only on degenerate
+    // recipes, where vacuity is the documented design).
+    val vacuous = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        if (df.columns.contains("audit_nonempty")) {
+          val back = spark.read.parquet(s"$outDir/$name")
+          val nFalse = back.filter(!org.apache.spark.sql.functions
+            .col("audit_nonempty")).count()
+          if (nFalse > 0) {
+            vacuous += name
+            System.err.println(s"[verify] $name: audit_nonempty=false — its " +
+              "witness columns are VACUOUS on this fixture (audit slice bound nothing)")
+          }
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -46,6 +69,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/witness_vacuous.json"),
+      vacuous.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }
