@@ -12,15 +12,30 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   * the driver generator's OBSERVED distributions so the heavy-tier
   * scaling bench measures the same statistical regime:
   *
-  *  - `documents` (50k): fresh i.i.d. docs — uniform token sequences
-  *    over the fixture's own 30-word vocabulary, uniform length
-  *    10..100 tokens (sf0.1: min 10, max 100, mean 54.1, std 25.7),
-  *    lang weights from the fixture (en .41 / zh .15 / es .15 /
-  *    fr .15 / de .14), source uniform src0..src19, and the fixture's
-  *    near-dup construction: 5% of docs are a COPY of another doc's
-  *    base text with " dup" appended (sf0.1: 250/5000 docs end in
-  *    " dup"; shared-prefix pair count 247). Base text is a pure
-  *    function of doc_id, so copies need no join.
+  *  - `documents` (50k): fresh i.i.d. docs with a REALISTIC text
+  *    distribution (VERDICT r19 #1 — the r18/r19 fixture reused the
+  *    driver fixture's 30-word vocabulary, which degenerates every
+  *    df-based cost model: df ≈ n for all terms, so q191-class
+  *    scaling attributions could not be verified against it):
+  *      - ZIPFIAN vocabulary, 30,000 types: the fixture's own ~30
+  *        corpus-scale tokens as the head ranks, 19,970 synthetic
+  *        shared types behind them under Zipf(s = 1.07) — the
+  *        canonical natural-text exponent — plus 20 × 500
+  *        source-exclusive types (per-source vocabulary skew: 15% of
+  *        each doc's tokens draw from its source's private tier,
+  *        itself Zipf-distributed), so df varies over four orders of
+  *        magnitude and per-source term distributions differ the way
+  *        real multi-site corpora do;
+  *      - VARIED doc lengths: lognormal (mu = ln 48, sigma = 0.5)
+  *        clipped to [8, 120] tokens — mean ~54 matches the driver
+  *        fixture (54.1), with the heavy right tail uniform lengths
+  *        lack; the clip keeps the char-length regime of the
+  *        oracle-tier q131 census comparable across rounds;
+  *      - lang weights from the fixture (en .41 / zh .15 / es .15 /
+  *        fr .15 / de .14), source uniform src0..src19, and the
+  *        fixture's near-dup construction: 5% of docs are a COPY of
+  *        another doc's base text with " dup" appended. Base text is
+  *        a pure function of doc_id, so copies need no join.
   *  - `embeddings` (20k): unit-normalized 64-dim vectors sampled from
   *    per-label Gaussians FIT TO the input (per-label per-dim mean +
   *    per-label residual std) — preserves the weak 10-cluster
@@ -42,7 +57,13 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   * `Tables.sentinel` (asserted before exit).
   *
   * Usage: runMain graft.MakeScale [inDir] [outDir] [factor]
-  */
+  *        runMain graft.MakeScale --vectors [inDir] [outDir] [nVec]
+  *
+  * The `--vectors` recipe (VERDICT r19 #2) writes ONLY an
+  * `embeddings.parquet` of nVec vectors — the ≥262k-vector tier that
+  * pushes auto IVF k = ceil(sqrt(n)) past the 512-cell trainer
+  * handoff, so the distributed-MLlib-KMeans path can be benched where
+  * it is the DEFAULT, not a forced conf. */
 object MakeScale extends Serializable {
   private final val Seed = 0x5F18C0DE42L
 
@@ -56,10 +77,60 @@ object MakeScale extends Serializable {
   private def rng(id: Long, stream: Long): java.util.Random =
     new java.util.Random(mix(Seed ^ mix(id) ^ (stream * 0xC2B2AE3D27D4EB4FL)))
 
+  /** nVec unit-normalized vectors sampled from per-label Gaussians FIT
+    * TO the input corpus (per-label per-dim mean + residual std) —
+    * preserves the weak 10-cluster structure IVF/PQ/k-center training
+    * sees. Shared by the full-fixture path and the `--vectors` recipe. */
+  private def embeddingsDf(spark: SparkSession, in: String, nVec: Long): DataFrame = {
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$in/embeddings.parquet")
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(avg($"x").as("mu"), stddev_pop($"x").as("sd"))
+      .collect()
+    val dim = stats.map(_.getInt(1)).max + 1
+    val nLabels = stats.map(_.getInt(0)).max + 1
+    val mu = Array.ofDim[Double](nLabels, dim)
+    val sd = Array.ofDim[Double](nLabels, dim)
+    stats.foreach { row =>
+      mu(row.getInt(0))(row.getInt(1)) = row.getDouble(2)
+      sd(row.getInt(0))(row.getInt(1)) = row.getDouble(3)
+    }
+    val muB = spark.sparkContext.broadcast(mu)
+    val sdB = spark.sparkContext.broadcast(sd)
+    spark.range(nVec).mapPartitions { it =>
+      val m = muB.value; val s = sdB.value
+      val d = m(0).length
+      it.map { id =>
+        val r = rng(id, 4)
+        val label = r.nextInt(m.length)
+        val v = new Array[Double](d)
+        var nrm = 0.0
+        var i = 0
+        while (i < d) {
+          v(i) = m(label)(i) + r.nextGaussian() * s(label)(i)
+          nrm += v(i) * v(i)
+          i += 1
+        }
+        nrm = math.sqrt(nrm)
+        val f = new Array[Float](d)
+        i = 0
+        while (i < d) { f(i) = (v(i) / nrm).toFloat; i += 1 }
+        (id, f, label)
+      }
+    }.toDF("vec_id", "embedding", "label")
+      // the driver's fixtures declare nullable array elements; match
+      // the sentinel's canonical schema exactly
+      .withColumn("embedding",
+        $"embedding".cast(ArrayType(FloatType, containsNull = true)))
+  }
+
   def main(args: Array[String]): Unit = {
-    val in = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val out = if (args.length > 1) args(1) else "data/sf1"
-    val factor = if (args.length > 2) args(2).toInt else 10
+    val vectorsOnly = args.headOption.contains("--vectors")
+    val rest = if (vectorsOnly) args.drop(1) else args
+    val in = if (rest.length > 0) rest(0) else "/root/testdata/sf0.1"
+    val out = if (rest.length > 1) rest(1) else (if (vectorsOnly) "data/sfvec" else "data/sf1")
+    val factor = if (rest.length > 2) rest(2).toInt else 10
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -74,6 +145,17 @@ object MakeScale extends Serializable {
     def write(df: DataFrame, t: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[makescale] wrote $t")
+    }
+
+    if (vectorsOnly) {
+      // --vectors nVec: rest(2) is an absolute vector count, not a factor
+      val nVec = if (rest.length > 2) rest(2).toLong else 300000L
+      write(embeddingsDf(spark, in, nVec), "embeddings")
+      val n = spark.read.parquet(s"$out/embeddings.parquet").count()
+      println(s"[makescale] counts: embeddings=$n")
+      require(n == nVec, s"wrote $n vectors, wanted $nVec")
+      spark.stop()
+      return
     }
 
     // ---- fixed dimensions: verbatim ---------------------------------
@@ -137,26 +219,82 @@ object MakeScale extends Serializable {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     write(eventsDf, "events")
 
-    // ---- documents: fresh i.i.d. + 5% appended-" dup" near-copies ----
-    val vocab = spark.read.parquet(s"$in/documents.parquet")
+    // ---- documents: Zipfian vocab + per-source skew + 5% " dup" -----
+    // Head ranks = the driver fixture's own corpus-scale tokens, so
+    // the most frequent types stay continuous with the priced SFs
+    // (decontamination patterns, stoplists, and the " dup" marker all
+    // keep their semantics); everything behind them is synthetic.
+    val fixtureVocab: Array[String] = spark.read.parquet(s"$in/documents.parquet")
       .select(explode(split($"text", " ")).as("tok"))
       .groupBy("tok").count()
       // the 'dup' marker rides only on copies; the BASE vocabulary is
       // every token that appears at corpus scale (≫ copy count)
       .filter($"count" > 1000).select("tok")
       .as[String].collect().sorted
-    println(s"[makescale] vocab=${vocab.length} tokens")
+    val nShared = 20000      // shared Zipf tier (incl. the fixture head)
+    val nExcl = 500          // per-source exclusive types
+    val nSources = 20
+    val exclFrac = 0.15      // per-token probability of a source-tier draw
+    // synthetic pseudo-words: driver-built once, deterministic,
+    // collision-free by construction (a mutable seen-set, fixed seed)
+    val wordRnd = new java.util.Random(mix(Seed ^ 0xD0C5EEDL))
+    val seen = scala.collection.mutable.Set[String](fixtureVocab.toIndexedSeq: _*)
+    seen += "dup"
+    def freshWord(): String = {
+      var w = ""
+      do {
+        val len = 3 + wordRnd.nextInt(8)
+        w = (0 until len).map(_ => ('a' + wordRnd.nextInt(26)).toChar).mkString
+      } while (!seen.add(w))
+      w
+    }
+    val vocab: Array[String] = fixtureVocab ++
+      Array.fill(nShared - fixtureVocab.length + nSources * nExcl)(freshWord())
+    println(s"[makescale] vocab=${vocab.length} types " +
+      s"(${fixtureVocab.length} fixture head + shared Zipf + $nSources×$nExcl source-exclusive)")
+    // Zipf(s=1.07) cumulative weight tables (normalized); token draw =
+    // one uniform + binary search. Rank r weight = 1/(r+1)^s.
+    def zipfCum(n: Int): Array[Double] = {
+      val w = Array.tabulate(n)(r => 1.0 / math.pow(r + 1.0, 1.07))
+      val total = w.sum
+      var acc = 0.0
+      w.map { x => acc += x / total; acc }
+    }
+    val sharedCum = zipfCum(nShared)
+    val exclCum = zipfCum(nExcl)
+    def zipfIdx(cum: Array[Double], u: Double): Int = {
+      val i = java.util.Arrays.binarySearch(cum, u)
+      val p = if (i >= 0) i else -i - 1
+      math.min(p, cum.length - 1)
+    }
     val nDocs = 5000L * factor
     val langs = Array("en", "zh", "es", "fr", "de")
     val langCum = Array(0.41, 0.56, 0.71, 0.86, 1.0)
+    val vocabB = spark.sparkContext.broadcast(vocab)
+    val sharedCumB = spark.sparkContext.broadcast(sharedCum)
+    val exclCumB = spark.sparkContext.broadcast(exclCum)
+    // source is a pure function of doc_id on its OWN stream, so
+    // baseText can skew toward the doc's source tier while the row
+    // loop labels the doc with the same source (a dup copy keeps the
+    // BASE doc's skew under its own label — a cross-site copy).
+    def srcIdx(id: Long): Int = (((mix(Seed ^ mix(id) ^ 0x50C0L) >>> 1) % nSources)).toInt
     def baseText(id: Long): String = {
+      val voc = vocabB.value; val sc = sharedCumB.value; val ec = exclCumB.value
       val r = rng(id, 2)
-      val len = 10 + r.nextInt(91)
-      val sb = new java.lang.StringBuilder(len * 7)
+      // lognormal(ln 48, 0.5) clipped to [8, 120]: mean ~54 tokens
+      // (the fixture's 54.1) with a real right tail
+      val len = math.min(120L, math.max(8L,
+        math.rint(math.exp(math.log(48.0) + 0.5 * r.nextGaussian())).toLong)).toInt
+      val src = srcIdx(id)
+      val sb = new java.lang.StringBuilder(len * 8)
       var i = 0
       while (i < len) {
         if (i > 0) sb.append(' ')
-        sb.append(vocab((r.nextDouble() * vocab.length).toInt))
+        val tok =
+          if (r.nextDouble() < exclFrac)
+            voc(nShared + src * nExcl + zipfIdx(ec, r.nextDouble()))
+          else voc(zipfIdx(sc, r.nextDouble()))
+        sb.append(tok)
         i += 1
       }
       sb.toString
@@ -174,54 +312,13 @@ object MakeScale extends Serializable {
         val u = r.nextDouble()
         var li = 0
         while (u > langCum(li)) li += 1
-        (id, text, langs(li), s"src${r.nextInt(20)}", text.length.toLong)
+        (id, text, langs(li), s"src${srcIdx(id)}", text.length.toLong)
       }
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     write(docsDf, "documents")
 
     // ---- embeddings: per-label Gaussian fit, unit-normalized ---------
-    val stats = spark.read.parquet(s"$in/embeddings.parquet")
-      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg(avg($"x").as("mu"), stddev_pop($"x").as("sd"))
-      .collect()
-    val dim = stats.map(_.getInt(1)).max + 1
-    val nLabels = stats.map(_.getInt(0)).max + 1
-    val mu = Array.ofDim[Double](nLabels, dim)
-    val sd = Array.ofDim[Double](nLabels, dim)
-    stats.foreach { row =>
-      mu(row.getInt(0))(row.getInt(1)) = row.getDouble(2)
-      sd(row.getInt(0))(row.getInt(1)) = row.getDouble(3)
-    }
-    val muB = spark.sparkContext.broadcast(mu)
-    val sdB = spark.sparkContext.broadcast(sd)
-    val nVec = 2000L * factor
-    val embDf = spark.range(nVec).mapPartitions { it =>
-      val m = muB.value; val s = sdB.value
-      val d = m(0).length
-      it.map { id =>
-        val r = rng(id, 4)
-        val label = r.nextInt(m.length)
-        val v = new Array[Double](d)
-        var nrm = 0.0
-        var i = 0
-        while (i < d) {
-          v(i) = m(label)(i) + r.nextGaussian() * s(label)(i)
-          nrm += v(i) * v(i)
-          i += 1
-        }
-        nrm = math.sqrt(nrm)
-        val f = new Array[Float](d)
-        i = 0
-        while (i < d) { f(i) = (v(i) / nrm).toFloat; i += 1 }
-        (id, f, label)
-      }
-    }.toDF("vec_id", "embedding", "label")
-      // the driver's fixtures declare nullable array elements; match
-      // the sentinel's canonical schema exactly
-      .withColumn("embedding",
-        $"embedding".cast(ArrayType(FloatType, containsNull = true)))
-    write(embDf, "embeddings")
+    write(embeddingsDf(spark, in, 2000L * factor), "embeddings")
 
     // ---- self-check: the derived fixture must pass the sentinel ------
     val drift = Tables.sentinel(spark, out)
