@@ -152,6 +152,42 @@ object Bench {
       codegenSentinelArmed = true
     } catch { case _: Throwable => () } // sentinel must never sink the bench
 
+    // Window-WARN whitelist (VERDICT r19 #7): three documented
+    // bounded-frame windows (TrainQueries sources-sized frames, the
+    // q150 ≤100-row top-k frame) legitimately run unpartitioned, and
+    // WindowExec WARNs once per execution — hundreds of identical
+    // lines that bury the warnings the machine-read tail exists for
+    // (the codegen-fallback counter proved those matter). Scoped to
+    // the bench runner only: a DENY filter on the CONSOLE appenders
+    // for exactly that message, COUNTED into the artifact as
+    // `n_window_warns_suppressed` — suppressed from the tail, never
+    // from the record. The counting sentinel appender above is
+    // unfiltered, and the plan-lint spec still fails any NEW
+    // corpus-sized rank window.
+    val windowWarns = new java.util.concurrent.atomic.AtomicLong(0)
+    try {
+      import org.apache.logging.log4j.core.{Filter => L4Filter, LogEvent, LoggerContext}
+      import org.apache.logging.log4j.core.appender.AbstractAppender
+      import org.apache.logging.log4j.core.filter.AbstractFilter
+      import org.apache.logging.log4j.LogManager
+      import scala.jdk.CollectionConverters._
+      val deny = new AbstractFilter(L4Filter.Result.DENY, L4Filter.Result.NEUTRAL) {
+        override def filter(event: LogEvent): L4Filter.Result =
+          if (event.getMessage != null && event.getMessage.getFormattedMessage
+              .startsWith("No Partition Defined for Window operation")) {
+            windowWarns.incrementAndGet(); L4Filter.Result.DENY
+          } else L4Filter.Result.NEUTRAL
+      }
+      deny.start()
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      ctx.getConfiguration.getAppenders.asScala.values.foreach {
+        case a: AbstractAppender if a.getName != "graftCodegenSentinel" =>
+          a.addFilter(deny)
+        case _ => ()
+      }
+      ctx.updateLoggers()
+    } catch { case _: Throwable => () } // readability aid, never sinks the bench
+
     // Fixture-drift sentinel FIRST: a driver-side fixture regen that
     // changes a physical type costs one loud line here, not N opaque
     // per-query failures scattered through the bench record.
@@ -470,6 +506,7 @@ object Bench {
         ",\"sentinel_clean\":" + sentinelClean +
         ",\"codegen_sentinel_armed\":" + codegenSentinelArmed +
         ",\"n_codegen_fallbacks\":" + nCodegenFallbacks +
+        ",\"n_window_warns_suppressed\":" + windowWarns.get() +
         (if (priorWarm.nonEmpty)
           ",\"calib_scale_vs_prior\":" + jnum(scaleVsPrior) else "") +
         ",\"n_retried\":" + flaggedNames.size +

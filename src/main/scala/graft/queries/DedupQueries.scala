@@ -471,10 +471,12 @@ object DedupQueries {
 
   /** Scale-path sibling of q45 (VERDICT r01 "What's wrong" #3):
     * embedding near-dup pairs with LSH-bucket candidate generation +
-    * exact cosine re-rank — candidates come from one 256-bucket
-    * shuffle keyed by [[graft.functions.HyperplaneBucket]], never a
-    * label-block cross product, so pair enumeration is O(Σ bucket²)
-    * with ~n/256 per bucket instead of O(n²/L). Near-dup pairs
+    * exact cosine re-rank — candidates come from one bucket-keyed
+    * shuffle via [[graft.functions.HyperplaneBucket]] (auto plane
+    * count, see [[SimilarityQueries.lshBits]]), never a label-block
+    * cross product; buckets above [[HotBucketThreshold]] are further
+    * split by a second-level hash, so per-bucket pair enumeration is
+    * LINEAR in bucket size past the threshold. Near-dup pairs
     * (cosine ≥ 0.4 here) are overwhelmingly bucket-mates (8 sign
     * bits agree with prob ≈ (1−θ/π)^8); the blocked q45 stays as the
     * exhaustive small-sf oracle. Oracle-hash-checked: the integer-
@@ -484,28 +486,96 @@ object DedupQueries {
     embeddingNearDupsLshRaw(s, dir).orderBy($"id_a", $"id_b")
   }
 
+  /** HOT-BUCKET second-level split (VERDICT r19 #5). Auto plane
+    * sizing (r18) pins the EXPECTED bucket size, but a dense semantic
+    * cluster collides into one bucket no matter how many first-level
+    * planes exist (near-parallel vectors share every sign), so the
+    * per-bucket pair enumeration inside it stays quadratic — the
+    * measured q106 sf1 residual (8.08× for 10× data). The standard
+    * escape: re-hash members of buckets ABOVE a size threshold with
+    * EXTRA planes (an independent seed) and enumerate pairs only
+    * within (bucket, sub). The modulus doubles with bucket size
+    * (table below), so expected sub-bucket size caps at the ~64-row
+    * regime the threshold defines and pair volume per bucket is
+    * O(size · 64) — LINEAR in the bucket, quadratic only below the
+    * threshold. Recall trade, explicit: a second-level plane cuts a
+    * tight pair with prob θ/π per plane (tiny for the dense clusters
+    * that trigger the split), EXACT duplicates can never separate
+    * (identical vectors ⇒ identical sub-hash), and a cluster that
+    * fragments yields extra keepers — weaker dedup, never a wrong
+    * row, and the DuckDB oracle recomputes the identical rule
+    * (ONE table generates both the when-chain and the SQL CASE).
+    * Buckets ≤ [[HotBucketThreshold]] keep modulus 1 ⇒ sub = 0 ⇒
+    * bit-identical to the pre-split operator (the sf0.01 verify
+    * fixture's largest bucket is 36 — the gate output is unchanged). */
+  private[graft] val HotBucketThreshold = 64
+  /** Seed for the second-level planes: ≥ dim (64), so no component
+    * position coincides with the seed-0 first-level stream. */
+  private[graft] val HotBucketSeed = 4096
+  /** (upper size bound → sub modulus): modulus = 2^⌈log₂(size/64)⌉
+    * as pure integer comparisons — bit-exact in both engines, no
+    * float log. Capped at 256 (8 planes; a >16k-row single bucket is
+    * the recursive-split regime, out of scope for one level). */
+  private val HotBucketModulus: Seq[(Int, Int)] =
+    Seq(64 -> 1, 128 -> 2, 256 -> 4, 512 -> 8, 1024 -> 16,
+      2048 -> 32, 4096 -> 64, 8192 -> 128)
+  private val HotBucketMaxModulus = 256
+
+  private def subModulus(bsz: Column): Column =
+    HotBucketModulus.tail.foldLeft(
+      when(bsz <= HotBucketModulus.head._1, lit(HotBucketModulus.head._2))) {
+      case (acc, (lim, m)) => acc.when(bsz <= lim, lit(m))
+    }.otherwise(lit(HotBucketMaxModulus))
+
+  private def subModulusSql: String =
+    HotBucketModulus.map { case (lim, m) => s"WHEN bsz <= $lim THEN $m" }
+      .mkString("CASE ", " ", s" ELSE $HotBucketMaxModulus END")
+
   /** Unsorted q54 pair graph — shared with q106's clustering, which
     * must not pay (or re-trigger, via the range sampler) a global
-    * sort the edge set immediately discards. */
+    * sort the edge set immediately discards. Candidates are
+    * (bucket, sub)-mates under the hot-bucket split above; the bucket
+    * sizes come from one map-side-combined aggregate (≤ one row per
+    * distinct bucket — broadcastable at priced scale, and O(n/8) rows
+    * under auto planes, never corpus-wide state). */
   private[graft] def embeddingNearDupsLshRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding", SimilarityQueries.embBucket(s, dir).as("bucket"))
-    val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("emb_a"))
-    val b = e.select($"vec_id".as("id_b"), $"bucket", $"embedding".as("emb_b"))
-    a.join(b, Seq("bucket"))
+    val sizes = e.groupBy($"bucket").agg(count(lit(1)).as("bsz"))
+    val keyed = e.join(sizes, Seq("bucket"))
+      .withColumn("sub",
+        hyperplane_bucket($"embedding", 8, HotBucketSeed) % subModulus($"bsz"))
+    val a = keyed.select($"vec_id".as("id_a"), $"bucket", $"sub", $"embedding".as("emb_a"))
+    val b = keyed.select($"vec_id".as("id_b"), $"bucket", $"sub", $"embedding".as("emb_b"))
+    a.join(b, Seq("bucket", "sub"))
       .filter($"id_b" > $"id_a")
       .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
       .filter($"cosine" >= 0.4)
       .select($"id_a", $"id_b", $"cosine")
   }
 
+  /** The second-level 8-plane hash as DuckDB SQL — same integer-
+    * derived plane matrix at [[HotBucketSeed]]; see
+    * [[SimilarityQueries.bucketSql]] for the exactness argument. */
+  private def subBitsSql: String =
+    (0 until 8).map { p =>
+      s"(CASE WHEN list_dot_product(e, " +
+        s"${graft.functions.HyperplaneBucket.planeSqlLiteral(p, 64, HotBucketSeed)}) > 0 " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   val embeddingNearDupsLshSql: String =
-    s"""WITH b AS (${SimilarityQueries.bucketSql})
+    s"""WITH b AS (${SimilarityQueries.bucketSql}),
+      |sz AS (SELECT bucket, count(*) AS bsz FROM b GROUP BY bucket),
+      |b2 AS (SELECT b.vec_id, b.e, b.bucket,
+      |  ($subBitsSql) % ($subModulusSql) AS sub
+      |  FROM b JOIN sz USING (bucket))
       |SELECT id_a, id_b, cosine FROM (
       |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
       |    round(list_cosine_similarity(a.e, c.e), 6) AS cosine
-      |  FROM b a JOIN b c ON a.bucket = c.bucket AND c.vec_id > a.vec_id)
+      |  FROM b2 a JOIN b2 c
+      |    ON a.bucket = c.bucket AND a.sub = c.sub AND c.vec_id > a.vec_id)
       |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
   /** q66: dedup CLUSTER assignment — connected components over the
@@ -832,7 +902,9 @@ object DedupQueries {
     * embeddings agree (cosine ≥ 0.4) while their n-grams differ.
     *
     * Same [[componentsOver]] core as q66: edges come from the
-    * 256-bucket LSH shuffle (never an all-pairs product), rounds are
+    * bucket-keyed LSH shuffle with the hot-bucket second-level split
+    * (never an all-pairs product, and dense clusters no longer pay a
+    * quadratic bucket — VERDICT r19 #5), rounds are
     * O(log diameter) shuffle barriers. The oracle recomputes the
     * components by recursive-CTE closure over the SAME edge SQL (the
     * q54 pair graph is itself hash-verified), so two different

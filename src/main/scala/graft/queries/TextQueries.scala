@@ -1604,13 +1604,37 @@ object TextQueries {
       m: Int = 3): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
+    val best = spanPairsOver(docs.filter($"source" === "src0"),
+      docs.filter($"source" =!= "src0"), n)
+    val wTop = Window.partitionBy($"eval_id")
+      .orderBy($"span_tokens".desc, $"train_id".asc)
+    best.withColumn("evidence_rank", row_number().over(wTop))
+      .filter($"evidence_rank" <= m)
+      .select($"eval_id", $"evidence_rank".cast("long").as("evidence_rank"),
+        $"train_id", $"span_tokens", $"eval_start", $"eval_end", $"train_start")
+      .orderBy($"eval_id", $"evidence_rank")
+  }
+
+  /** The PAIR-LEVEL span-evidence chain behind q197 and the streaming
+    * ingest guard ([[graft.streaming.Pipeline.screenSpanBatch]] —
+    * stream ≡ batch is structural, the round-7 rule): best common
+    * span per (eval, train) pair with offsets, over injectable
+    * frames. Per-pair results carry NO cross-train-document state, so
+    * a micro-batch of train docs screens to exactly the rows the
+    * whole-corpus pass would produce for those docs. Plan contract as
+    * documented on q196/q197: the eval side broadcasts, corpus grams
+    * never shuffle, windows only over per-pair hit rows. */
+  private[graft] def spanPairsOver(evalDocs: DataFrame, trainDocs: DataFrame,
+      n: Int = 8): DataFrame = {
+    val s = evalDocs.sparkSession
+    import s.implicits._
     def grams(side: DataFrame, idCol: String, posCol: String): DataFrame =
       side.select(col("doc_id").as(idCol),
         posexplode(graft.functions.expressions.gram_fps_seq(
           split(trim(col("text")), "\\s+"), n)))
         .toDF(idCol, posCol, "fp")
-    val evalG = grams(docs.filter($"source" === "src0"), "eval_id", "epos")
-    val trainG = grams(docs.filter($"source" =!= "src0"), "train_id", "tpos")
+    val evalG = grams(evalDocs, "eval_id", "epos")
+    val trainG = grams(trainDocs, "train_id", "tpos")
     val hits = trainG.join(broadcast(evalG), Seq("fp"))
       .select($"eval_id", $"train_id", $"epos", ($"tpos" - $"epos").as("diag"))
     val wRun = Window.partitionBy($"eval_id", $"train_id", $"diag").orderBy($"epos")
@@ -1620,19 +1644,12 @@ object TextQueries {
       .agg(count(lit(1)).as("run"), min($"epos").as("estart"))
     val wBest = Window.partitionBy($"eval_id", $"train_id")
       .orderBy($"run".desc, $"estart".asc, $"diag".asc)
-    val best = runs.withColumn("rb", row_number().over(wBest)).filter($"rb" === 1)
+    runs.withColumn("rb", row_number().over(wBest)).filter($"rb" === 1)
       .select($"eval_id", $"train_id",
         ($"run" + (n - 1)).cast("long").as("span_tokens"),
         $"estart".cast("long").as("eval_start"),
         ($"estart" + $"run" + (n - 2)).cast("long").as("eval_end"),
         ($"estart" + $"diag").cast("long").as("train_start"))
-    val wTop = Window.partitionBy($"eval_id")
-      .orderBy($"span_tokens".desc, $"train_id".asc)
-    best.withColumn("evidence_rank", row_number().over(wTop))
-      .filter($"evidence_rank" <= m)
-      .select($"eval_id", $"evidence_rank".cast("long").as("evidence_rank"),
-        $"train_id", $"span_tokens", $"eval_start", $"eval_end", $"train_start")
-      .orderBy($"eval_id", $"evidence_rank")
   }
 
   /** Offsets re-derived by DuckDB from raw text; its 1-based token

@@ -1349,6 +1349,111 @@ object TrainQueries {
       |FROM ev e JOIN tr t ON contains(t.text, e.pat)
       |ORDER BY eval_id, train_id""".stripMargin
 
+  /** q198: END-TO-END DECONTAMINATION REPORT (VERDICT r19 #6) — the
+    * q191→q196→q197 triage arc closed with q182's verifier, as ONE
+    * query: for every (eval doc, evidence_rank ≤ m) row of q197's
+    * span-offsets feed, re-check the claimed span VERBATIM against
+    * the candidate training document and report two independent
+    * booleans a reviewer acts on:
+    *
+    *   - `verified`      — the span's token sequence occurs verbatim
+    *     ANYWHERE in the candidate (the q182 rule). q197's spans come
+    *     from rolling-hash gram fingerprints, so this is a genuine
+    *     re-derivation, not a tautology: a fingerprint-collision span
+    *     reads `false` here.
+    *   - `offset_exact`  — the candidate's tokens at the CLAIMED
+    *     `train_start` equal the span (pins the offsets themselves;
+    *     `verified ∧ ¬offset_exact` would localize an offset bug,
+    *     `¬verified` a collision).
+    *
+    * Engine composition, narrated for 100 TB: the triage feed is
+    * eval-bounded (≤ m rows per eval doc — the same bounded-sidecar
+    * class as q182's probe windows, enforced by the same cap conf),
+    * so the span strings collect to the driver and compile into ONE
+    * Aho–Corasick automaton ([[graft.functions.AhoCorasick]] —
+    * O(len + hits) per document, no per-pattern scans). The corpus is
+    * pruned to the ≤ m·|eval| CANDIDATE documents by an `isin` on the
+    * bounded id set before the automaton runs, so the verify pass
+    * touches candidate docs only — the corpus-sized work is q197's
+    * (one gram pass, eval side broadcast), already priced. Matching
+    * runs over whitespace-NORMALIZED text (tokens joined by one
+    * space) because spans are TOKEN sequences — the gram family's
+    * definition — not raw-byte windows. DuckDB re-derives both flags
+    * from raw text through the composed q197 SQL. */
+  def decontamReport(s: SparkSession, dir: String, n: Int = 8,
+      m: Int = 3): DataFrame = {
+    import s.implicits._
+    val outCols = Seq("eval_id", "evidence_rank", "train_id", "span_tokens",
+      "eval_start", "eval_end", "train_start", "verified", "offset_exact")
+    val docs = Tables.documents(s, dir)
+    val triage = TextQueries.spanEvidenceOffsets(s, dir, n, m)
+    val evalToks = docs.filter($"source" === "src0")
+      .select($"doc_id".as("eval_id"), split(trim($"text"), "\\s+").as("etoks"))
+    // probe string = the claimed span's tokens, single-space joined
+    // (slice is 1-based; eval_start is 0-based)
+    val probeFrame = triage.join(evalToks, Seq("eval_id"))
+      .withColumn("probe", concat_ws(" ",
+        slice($"etoks", ($"eval_start" + 1).cast("int"), $"span_tokens".cast("int"))))
+      .drop("etoks")
+    // bounded-sidecar contract before collecting — same cap as q182
+    val cap = math.min(
+      s.conf.getOption("spark.graft.decontam.maxProbes").getOrElse("100000").toLong,
+      Int.MaxValue - 1L)
+    val rows = probeFrame.limit(cap.toInt + 1).collect()
+    require(rows.length <= cap,
+      s"decontamination triage feed exceeds $cap rows — the eval side must be a " +
+        "bounded benchmark; raise spark.graft.decontam.maxProbes if it genuinely is.")
+    if (rows.isEmpty) {
+      // degenerate corpora with no cross-source span hits: empty
+      // report, same schema
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long, Boolean, Boolean)]
+        .toDF(outCols: _*)
+    }
+    val pdf = rows.toSeq.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getAs[Long]("eval_id"), r.getAs[Long]("evidence_rank"),
+        r.getAs[Long]("train_id"), r.getAs[Long]("span_tokens"),
+        r.getAs[Long]("eval_start"), r.getAs[Long]("eval_end"),
+        r.getAs[Long]("train_start"), r.getAs[String]("probe"))
+    }.toDF("pid" +: outCols.take(7) :+ "probe": _*)
+    val ac = graft.functions.AhoCorasick.build(
+      rows.zipWithIndex.map { case (r, i) => (i.toLong, r.getAs[String]("probe")) })
+    val candIds = rows.map(_.getAs[Long]("train_id")).distinct.toSeq
+    val cand = docs.filter($"source" =!= "src0")
+      .filter($"doc_id".isin(candIds: _*))
+      .select($"doc_id".as("train_id"), split(trim($"text"), "\\s+").as("ttoks"))
+      .withColumn("ntext", concat_ws(" ", $"ttoks"))
+    val acHits = cand.select($"train_id",
+        explode(graft.functions.AhoCorasick.ac_match_ids($"ntext", ac)).as("pid"))
+      .distinct().withColumn("hit", lit(true))
+    pdf.join(acHits, Seq("pid", "train_id"), "left")
+      .join(cand.select($"train_id", $"ttoks"), Seq("train_id"))
+      .withColumn("verified", coalesce($"hit", lit(false)))
+      .withColumn("offset_exact", concat_ws(" ",
+        slice($"ttoks", ($"train_start" + 1).cast("int"),
+          $"span_tokens".cast("int"))) === $"probe")
+      .select(outCols.map(col): _*)
+      .orderBy($"eval_id", $"evidence_rank")
+  }
+
+  /** DuckDB re-derives BOTH flags from raw text through the composed
+    * q197 SQL (list slices are 1-based inclusive, matching the Spark
+    * side's `slice`). */
+  def decontamReportSql(n: Int = 8, m: Int = 3): String =
+    s"""WITH triage AS (${TextQueries.spanEvidenceOffsetsSql(n, m)}),
+      |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      |        FROM documents),
+      |p AS (
+      |  SELECT t.*, array_to_string(
+      |      e.tk[t.eval_start + 1 : t.eval_start + t.span_tokens], ' ') AS probe
+      |  FROM triage t JOIN tok e ON e.doc_id = t.eval_id)
+      |SELECT p.eval_id, p.evidence_rank, p.train_id, p.span_tokens,
+      |  p.eval_start, p.eval_end, p.train_start,
+      |  contains(array_to_string(c.tk, ' '), p.probe) AS verified,
+      |  (array_to_string(c.tk[p.train_start + 1 : p.train_start + p.span_tokens],
+      |     ' ') = p.probe) AS offset_exact
+      |FROM p JOIN tok c ON c.doc_id = p.train_id
+      |ORDER BY eval_id, evidence_rank""".stripMargin
+
   /** q183: TRAIN-VOCABULARY OOV RATE — the held-out coverage check a
     * tokenizer/vocab decision needs: build the top-`k` token
     * vocabulary from the TRAIN split only (q94's hash split — the
@@ -2748,6 +2853,7 @@ object TrainQueries {
     "q167_split_balance" -> ((s: SparkSession, dir: String) => splitBalance(s, dir)),
     "q172_contamination_span" -> ((s: SparkSession, dir: String) => contaminationSpan(s, dir)),
     "q182_decontam_pairs" -> (decontamPairs _),
+    "q198_decontam_report" -> ((s: SparkSession, dir: String) => decontamReport(s, dir)),
     "q183_oov_rate" -> ((s: SparkSession, dir: String) => oovRate(s, dir)),
     "q185_truncation_loss" -> ((s: SparkSession, dir: String) => truncationLoss(s, dir)),
     "q189_vocab_stored_oov" -> ((s: SparkSession, dir: String) => vocabStoredOov(s, dir)),
@@ -2773,6 +2879,7 @@ object TrainQueries {
     "q167_split_balance" -> splitBalanceSql(),
     "q172_contamination_span" -> contaminationSpanSql,
     "q182_decontam_pairs" -> decontamPairsSql,
+    "q198_decontam_report" -> decontamReportSql(),
     "q183_oov_rate" -> oovRateSql(),
     "q185_truncation_loss" -> truncationLossSql(),
     "q189_vocab_stored_oov" -> vocabStoredOovSql(),

@@ -499,6 +499,52 @@ object Pipeline {
         screenDecontamBatch(batch, ac, reportTable)
       }
 
+  /** STREAMING SPAN-EVIDENCE GUARD (VERDICT r19 #8) — q197's
+    * pair-level core running at ingest time: each micro-batch of
+    * (doc_id, text) training documents is screened for verbatim token
+    * spans against the STANDING held-out eval set through the ONE
+    * shared chain ([[graft.queries.TextQueries.spanPairsOver]] —
+    * stream ≡ batch is structural), and (eval, train, span, offsets)
+    * rows append to a report table. Per-pair span evidence carries no
+    * cross-train-document state, so batch boundaries cannot change
+    * any row; q197's top-m triage ranking is a READ-side view over
+    * the accumulated report, not per-batch state. The eval side is
+    * bounded (the benchmark being protected — q182's sidecar class),
+    * so its per-batch gram pass is eval-sized and broadcasts; batch
+    * grams never shuffle. Effectively-once: the report anti-joins on
+    * the (eval_id, train_id) pair key before the append, so an
+    * at-least-once replay cannot double-report (the
+    * screenNeardupBatch rule). */
+  def screenSpanBatch(batch: DataFrame, evalDocs: DataFrame,
+      reportTable: String, n: Int = 8): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val hits = graft.queries.TextQueries.spanPairsOver(
+      evalDocs, batch.select(col("doc_id"), col("text")), n)
+    val fresh =
+      if (s.catalog.tableExists(reportTable))
+        hits.join(s.table(reportTable).select($"eval_id", $"train_id"),
+          Seq("eval_id", "train_id"), "left_anti")
+      else hits
+    fresh.write.mode("append").format("parquet").saveAsTable(reportTable)
+  }
+
+  /** The streaming writer over [[screenSpanBatch]]: training documents
+    * stream in, span-evidence rows against the standing eval set
+    * append to the report — q197's decontamination triage feed as a
+    * continuous ingest guard. */
+  def spanScreenWriter(docs: DataFrame, evalDocs: DataFrame,
+      reportTable: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+  : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        screenSpanBatch(batch, evalDocs, reportTable)
+      }
+
   /** STREAMING VOCAB-DRIFT GUARD — q183 running at ingest time: each
     * micro-batch of (doc_id, lang, text) documents is tokenized and
     * measured against the STANDING train vocabulary (the stored top-k

@@ -694,6 +694,48 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming span-evidence guard ≡ the q197 pair chain; replay cannot double-report") {
+    // q197's pair-level core running continuously: train docs stream
+    // through spanScreenWriter in three micro-batches against the
+    // standing eval set; the appended report must equal the
+    // whole-corpus pair sweep (shared spanPairsOver chain — per-pair
+    // rows carry no cross-train state, so batch boundaries cannot
+    // change them), and re-screening the full train side adds nothing.
+    implicit val sqlCtx = spark.sqlContext
+    val reportTbl = s"graft_span_report_${System.nanoTime()}"
+    val ckpt = Files.createTempDirectory("graft-span-ckpt").toString
+    try {
+      val docs = Tables.documents(spark, sf)
+      val evalDocs = docs.filter($"source" === "src0").select($"doc_id", $"text")
+      val want = graft.queries.TextQueries.spanPairsOver(
+          evalDocs, docs.filter($"source" =!= "src0").select($"doc_id", $"text"))
+        .collect().map(_.toSeq).toSet
+      assert(want.nonEmpty, "fixture must yield at least one span pair")
+      val trainDocs = docs.filter($"source" =!= "src0")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.Pipeline.spanScreenWriter(
+        mem.toDF().toDF("doc_id", "text"), evalDocs, reportTbl, ckpt,
+        Trigger.ProcessingTime("1 second")).start()
+      try {
+        val third = math.max(1, trainDocs.size / 3)
+        trainDocs.grouped(third).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(reportTbl)
+        .select("eval_id", "train_id", "span_tokens", "eval_start", "eval_end", "train_start")
+        .collect()
+      assert(got.map(_.toSeq).toSet == want,
+        s"stream report (${got.length}) must equal the batch pair sweep (${want.size})")
+      // at-least-once replay: re-screening the full train side adds nothing
+      graft.streaming.Pipeline.screenSpanBatch(
+        trainDocs.toDF("doc_id", "text"), evalDocs, reportTbl)
+      assert(spark.table(reportTbl).count() == got.length,
+        "replayed screen must be a no-op")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $reportTbl")
+    }
+  }
+
   test("streaming vocab-drift guard: per-batch OOV rollups reconcile with q183; replay cannot double-report") {
     implicit val sqlCtx = spark.sqlContext
     val vocabTbl = s"graft_vocab_${System.nanoTime()}"

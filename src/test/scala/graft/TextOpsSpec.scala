@@ -138,6 +138,72 @@ class TextOpsSpec extends SparkSpec {
       }
   }
 
+  test("q54/q106 hot-bucket split: dense bucket pairs go linear; exact copies never separate") {
+    // 120-member dense cluster engineered (center constants searched
+    // offline against the integer plane formula) so that ALL members
+    // share ONE first-level bucket — the hot-bucket premise: no
+    // seed-0 plane cuts the cluster — while exactly ONE second-level
+    // plane (seed 4096, plane 0) cuts it by id parity (the jitter is
+    // ±ε along that plane's normal; every other plane's |dot| margin
+    // ≥ 0.0095 across all members, far above double-rounding noise).
+    // With two exact copies of member 0 appended (ids 200/201) the
+    // bucket holds 122 > 64 rows ⇒ sub modulus 2 ⇒ the pair join runs
+    // inside two sub-buckets (62 evens + copies / 60 odds): 3661
+    // pairs instead of the unsplit C(122,2) = 7381 — the
+    // linear-in-bucket-size contract. Identical vectors have
+    // identical sub-hashes, so exact duplicates can never be
+    // separated by the split, and q106 resolves exactly two clusters
+    // with min-id keepers 0 and 1.
+    val center: Array[Float] = Array(
+      0.10352428257465363f, 0.19049400091171265f, 0.08800891786813736f, 0.1593324989080429f,
+      0.0976564958691597f, 0.09471873193979263f, 0.10730406641960144f, 0.10388612002134323f,
+      0.19085584580898285f, 0.08837076276540756f, 0.1596943438053131f, 0.0980183333158493f,
+      0.09508056938648224f, 0.10766590386629105f, 0.10424796491861343f, 0.19121767580509186f,
+      0.08873260021209717f, 0.16005617380142212f, 0.09838017076253891f, 0.09544240683317184f,
+      0.10802774131298065f, 0.10460980236530304f, 0.19157952070236206f, 0.08909443765878677f,
+      0.16041801869869232f, 0.09874200820922852f, 0.09580424427986145f, 0.10838958621025085f,
+      0.07980869710445404f, 0.1936098039150238f, 0.08945627510547638f, 0.16077984869480133f,
+      0.09910384565591812f, 0.09616608172655106f, 0.10875142365694046f, 0.08017054200172424f,
+      0.193971648812294f, 0.08981811255216599f, 0.16114169359207153f, 0.09946568310260773f,
+      0.09652791917324066f, 0.10911326110363007f, 0.08053237944841385f, 0.19433347880840302f,
+      0.09017994999885559f, 0.16150352358818054f, 0.09982752054929733f, 0.09688975661993027f,
+      0.10947509855031967f, 0.08089421689510345f, 0.19469532370567322f, 0.0905417874455452f,
+      0.16186536848545074f, 0.10018936544656754f, 0.09725159406661987f, 0.10983693599700928f,
+      0.08125605434179306f, 0.19505715370178223f, 0.0909036248922348f, 0.16222721338272095f,
+      0.10055120289325714f, 0.09761343896389008f, 0.11019877344369888f, 0.08161789178848267f)
+    val p20 = (0 until 64).map(j => graft.functions.HyperplaneBucket.component(0, j, 4096))
+    val nrm = math.sqrt(p20.map(x => x * x).sum)
+    val u = p20.map(_ / nrm)
+    def member(i: Int): Array[Float] = {
+      val e = 0.05 * (1 + i * 1e-4) * (if (i % 2 == 0) 1 else -1)
+      Array.tabulate(64)(j => (center(j) + e * u(j)).toFloat)
+    }
+    val rows = (0 until 120).map(i => (i.toLong, member(i), i % 8)) ++
+      Seq((200L, member(0), 0), (201L, member(0), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotbucket").toString
+    try {
+      rows.toDF("vec_id", "embedding", "label").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val pairs = graft.queries.DedupQueries.embeddingNearDupsLshRaw(spark, dir)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.size == 3661,
+        s"expected 62·61/2 + 60·59/2 = 3661 within-sub pairs (unsplit: 7381), got ${pairs.size}")
+      assert(pairs.contains((200L, 201L)), "exact copies must stay pair-able after the split")
+      assert(pairs.contains((0L, 200L)) && pairs.contains((0L, 201L)))
+      assert(!pairs.contains((0L, 1L)), "the split must separate the two parity sub-groups")
+      val labels = graft.queries.DedupQueries.semanticDedup(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(labels.values.toSet == Set(0L, 1L), s"expected clusters {0, 1}, got ${labels.values.toSet}")
+      (0 until 120).foreach { i =>
+        assert(labels(i.toLong) == (i % 2).toLong, s"member $i in cluster ${labels(i.toLong)}")
+      }
+      assert(labels(200L) == 0L && labels(201L) == 0L, "copies of member 0 stay in its cluster")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("componentsOver equals union-find on random graphs (shared q66/q106 core)") {
     // Both dedup families now ride one label-propagation core; harden
     // it beyond the fixture graphs: three seeded random graphs checked

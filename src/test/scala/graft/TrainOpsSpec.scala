@@ -1083,6 +1083,63 @@ class TrainOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.decontam.maxProbes")
   }
 
+  // ---- q198 end-to-end decontamination report ----
+
+  test("q198: planted verbatim span verifies at the claimed offsets; clean candidate absent") {
+    // eval doc 1 (src0): tokens e1..e10 then the 12-token span s1..s12
+    // then f1..f8. Train doc 20 carries s1..s12 verbatim at token
+    // offset 5; train doc 21 shares nothing 8-gram-long. The report
+    // must contain exactly the (1, rank 1, 20) row with span 12,
+    // eval_start 10 / eval_end 21 / train_start 5 and BOTH flags true
+    // (collision-caught verified=false rows are exercised on the
+    // priced sf0.1 fixture, where the rolling-hash gram feed produces
+    // genuine spurious candidates — asserted cross-engine by the
+    // driver's oracle, not constructible deterministically here).
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val evalText = (1 to 10).map(i => s"e$i").mkString(" ") + " " + span + " " +
+      (1 to 8).map(i => s"f$i").mkString(" ")
+    val trainA = (1 to 5).map(i => s"a$i").mkString(" ") + " " + span + " " +
+      (1 to 6).map(i => s"b$i").mkString(" ")
+    val trainB = (1 to 30).map(i => s"z$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q198").toString
+    try {
+      Seq((1L, evalText, "en", "src0"), (20L, trainA, "en", "src1"),
+        (21L, trainB, "en", "src1"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length($"text").cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = TrainQueries.decontamReport(spark, dir).collect()
+      assert(rows.length == 1, s"expected one report row, got ${rows.toSeq}")
+      val r = rows.head
+      assert(r.getAs[Long]("eval_id") == 1L && r.getAs[Long]("train_id") == 20L)
+      assert(r.getAs[Long]("evidence_rank") == 1L)
+      assert(r.getAs[Long]("span_tokens") == 12L)
+      assert(r.getAs[Long]("eval_start") == 10L && r.getAs[Long]("eval_end") == 21L)
+      assert(r.getAs[Long]("train_start") == 5L)
+      assert(r.getAs[Boolean]("verified"), "planted verbatim span must verify")
+      assert(r.getAs[Boolean]("offset_exact"), "claimed train offset must hold")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("q198: corpus with no span hits yields an empty report with the full schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q198e").toString
+    try {
+      Seq((1L, (1 to 20).map(i => s"e$i").mkString(" "), "en", "src0"),
+        (2L, (1 to 20).map(i => s"t$i").mkString(" "), "en", "src1"))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length($"text").cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val df = TrainQueries.decontamReport(spark, dir)
+      assert(df.columns.toSeq == Seq("eval_id", "evidence_rank", "train_id",
+        "span_tokens", "eval_start", "eval_end", "train_start", "verified", "offset_exact"))
+      assert(df.count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   // ---- q183 OOV rate / q185 truncation loss ----
 
   test("q183: engine output equals a driver-built reference (vocab tie-break included)") {
