@@ -43,10 +43,11 @@ object Profile {
       case "med" :: pats if pats.nonEmpty => med(spark, sfDir, pats)
       case "stage" :: Nil => stage(spark, sfDir)
       case "floor" :: Nil => floor(spark, sfDir)
+      case "r20" :: Nil => r20(spark, sfDir)
       case other =>
         System.err.println(
           s"unknown profile subcommand '${other.mkString(" ")}'; " +
-            "usage: Profile med <substr...> | stage | floor")
+            "usage: Profile med <substr...> | stage | floor | r20")
         sys.exit(2)
     } finally spark.stop()
   }
@@ -128,6 +129,97 @@ object Profile {
     time("q09 as-is")(graft.queries.Relational.distinctParts(spark, sfDir))
     time("q33 again")(graft.queries.SentimentQueries.vaderDocs(spark, sfDir))
     time("q09 again")(graft.queries.Relational.distinctParts(spark, sfDir))
+  }
+
+  /** Round-20 optimization decompositions: where the warm seconds of
+    * the top bench rows actually go (q131/q145 candidate-vs-DP split,
+    * q191 stage split, the q66/q82/q157/q173 shared label loop). */
+  private def r20(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def time(label: String)(df: => DataFrame): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); noop(df); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[r20] $label%-46s med ${ts(1)}%.3f  min ${ts.head}%.3f")
+    }
+
+    // ---- q131 decomposition (mirrors editDistanceNearDupsOver) ----
+    val docs = Tables.documents(spark, sfDir)
+    val alphabet = ('a' to 'z') ++ ('0' to '9') :+ ' '
+    def bagCols(prefix: String): Seq[org.apache.spark.sql.Column] =
+      alphabet.zipWithIndex.map { case (ch, i) =>
+        (length($"text") - length(translate($"text", ch.toString, "")))
+          .cast("int").as(s"$prefix$i")
+      }
+    val ascii = docs.filter(octet_length($"text") === length($"text"))
+    val maxLen: Long = ascii
+      .agg(coalesce(max(length($"text")), lit(0)).cast("long")).head().getLong(0)
+    val maxDist: Int = math.max(1L, maxLen / 10).toInt
+    val bandW: Long = math.max(64L, maxDist + 1L)
+    val d = ascii
+      .select(Seq($"doc_id", $"lang", $"text",
+        length($"text").cast("long").as("len"),
+        expr(s"length(text) div $bandW").as("band")) ++ bagCols("bag"): _*)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val aBags = alphabet.indices.map(i => col(s"bag$i").as(s"a$i"))
+    val bBags = alphabet.indices.map(i => col(s"bag$i").as(s"b$i"))
+    val build = d.select(Seq($"doc_id".as("doc_a"), $"lang",
+      $"text".as("text_a"), $"len".as("len_a"), $"band".as("key")) ++ aBags: _*)
+    val probe = d.select(Seq($"doc_id".as("doc_b"), $"lang",
+      $"text".as("text_b"), $"len".as("len_b"),
+      explode(array($"band" - 1, $"band", $"band" + 1)).as("key")) ++ bBags: _*)
+    val l1 = alphabet.indices.map(i => abs(col(s"a$i") - col(s"b$i"))).reduce(_ + _)
+    val joined = build.join(probe, Seq("lang", "key"))
+      .filter($"doc_a" < $"doc_b" &&
+        abs($"len_a" - $"len_b") * 10 <= least($"len_a", $"len_b"))
+    val survivors = joined
+      .filter(l1 * 5 <= least($"len_a", $"len_b"))
+      .select($"doc_a", $"doc_b", $"text_a", $"text_b", $"len_a", $"len_b")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_a"), col("doc_b"))
+    println("[r20] q131 raw block pairs  = " + joined.select($"doc_a").count())
+    println("[r20] q131 survivor pairs   = " + survivors.count())
+    time("q131 d projection")(d)
+    time("q131 join+len filter (no L1)")(
+      joined.select($"doc_a", $"doc_b", $"len_a", $"len_b"))
+    time("q131 join+L1 survivors (ids only)")(
+      survivors.select($"doc_a", $"doc_b"))
+    time("q131 survivors + texts")(survivors)
+    time("q131 + DP at corpus maxDist")(survivors
+      .withColumn("dist", levenshtein($"text_a", $"text_b", maxDist).cast("long"))
+      .filter($"dist" >= 0 && $"dist" * 10 <= least($"len_a", $"len_b")))
+    time("q131 + DP at per-pair band")(survivors
+      .withColumn("dist", expr("levenshtein(text_a, text_b, " +
+        "cast(greatest(1L, least(len_a, len_b) div 10) as int))").cast("long"))
+      .filter($"dist" >= 0 && $"dist" * 10 <= least($"len_a", $"len_b")))
+
+    // ---- q191 decomposition (mirrors retrievalEval) ----
+    val truthSrc = graft.queries.TrainQueries.decontamPairsOver(docs)
+    time("q191 truth (decontam pairs)")(truthSrc)
+    val train = docs.filter($"source" =!= "src0")
+    val toksD = train.select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+    val dfT = toksD
+      .select($"doc_id", explode(array_distinct($"toks")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    time("q191 dfT (term df agg)")(dfT)
+    val evalToks = docs.filter($"source" === "src0")
+      .select($"doc_id".as("eval_id"),
+        explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
+    val wQ = Window.partitionBy($"eval_id").orderBy($"df".asc, $"term".asc)
+    val qtermsPlan = evalToks.join(dfT, "term")
+      .withColumn("rn", row_number().over(wQ)).filter($"rn" <= 8)
+      .select($"eval_id", $"term", $"df")
+    time("q191 qterms (df join + window)")(qtermsPlan)
+    time("q191 full")(graft.queries.TextQueries.retrievalEval(spark, sfDir))
+
+    // ---- label-loop family ----
+    time("q42 raw pairs (edges)")(graft.queries.DedupQueries
+      .ngramJaccardPairsRaw(spark, sfDir).select($"id_a", $"id_b"))
+    time("q66 labels (component loop)")(
+      graft.queries.DedupQueries.clusterLabels(spark, sfDir))
+    time("q66 full")(graft.queries.DedupQueries.dedupClusters(spark, sfDir))
+    time("q173 full")(graft.queries.DedupQueries.canonicalKeepers(spark, sfDir))
+    time("q157 full")(graft.queries.TrainQueries.clusterSplit(spark, sfDir))
   }
 
   /** Per-action scheduling-floor probes (median-of-7). */

@@ -997,17 +997,19 @@ object DedupQueries {
     // runs. Counting only a char subset keeps the bound sound
     // (subset L1 ≤ true L1 ⇒ the filter only ever keeps extra
     // pairs). 66 s → ~4 s at sf0.1 on this filter alone.
-    // SCALAR columns, not an array: zip_with/aggregate are
-    // higher-order functions evaluated by interpreted per-element
-    // lambdas (~0.6 ms/pair for 37 elements — measured 7 s of the
-    // original 13 s at sf0.1); 37 plain int columns keep the whole
-    // L1 computation inside WholeStageCodegen.
-    val alphabet = ('a' to 'z') ++ ('0' to '9') :+ ' '
-    def bagCols(prefix: String): Seq[Column] = alphabet.zipWithIndex.map {
-      case (ch, i) =>
-        (length($"text") - length(translate($"text", ch.toString, "")))
-          .cast("int").as(s"$prefix$i")
-    }
+    // FUSED expressions, not 37 scalar columns (r20): the former
+    // per-char `length − length(translate(·))` columns scanned and
+    // re-allocated the text 37 times per row — measured 2.2 s per
+    // evaluation site at sf0.1, the dominant cost of the whole
+    // operator once the DP was bag-filtered. [[CharBagCounts]] builds
+    // the same 37 counts in one byte pass and [[IntArrayL1]] folds
+    // the same abs-diff sum in one codegen'd loop; both are
+    // value-identical to the column compositions (ExpressionsSpec
+    // fuzz-pins this), so the candidate algebra — and the oracle —
+    // are unchanged. (The r7 lesson about interpreted zip_with
+    // lambdas motivated the scalar columns; the fused expressions
+    // keep everything inside WholeStageCodegen too, without the
+    // 37-scan projection.)
     // The DP filter below is PUSHED DOWN through the rebalancing
     // repartition (RepartitionByExpression is transparent to
     // predicate pushdown), so the verification actually executes in
@@ -1030,19 +1032,19 @@ object DedupQueries {
     val maxDist: Int = math.max(1L, maxLen / 10).toInt
     val bandW: Long = math.max(64L, maxDist + 1L)
     val d = ascii
-      .select(Seq($"doc_id", $"lang", $"text",
+      .select($"doc_id", $"lang", $"text",
         length($"text").cast("long").as("len"),
-        expr(s"length(text) div $bandW").as("band")) ++ bagCols("bag"): _*)
+        expr(s"length(text) div $bandW").as("band"),
+        graft.functions.expressions.char_bag($"text").as("bag"))
       .repartition(s.sparkContext.defaultParallelism)
-    val aBags = alphabet.indices.map(i => col(s"bag$i").as(s"a$i"))
-    val bBags = alphabet.indices.map(i => col(s"bag$i").as(s"b$i"))
-    val build = d.select(Seq($"doc_id".as("doc_a"), $"lang",
-      $"text".as("text_a"), $"len".as("len_a"), $"band".as("key")) ++ aBags: _*)
-    val probe = d.select(Seq($"doc_id".as("doc_b"), $"lang",
+    val build = d.select($"doc_id".as("doc_a"), $"lang",
+      $"text".as("text_a"), $"len".as("len_a"), $"band".as("key"),
+      $"bag".as("bag_a"))
+    val probe = d.select($"doc_id".as("doc_b"), $"lang",
       $"text".as("text_b"), $"len".as("len_b"),
-      explode(array($"band" - 1, $"band", $"band" + 1)).as("key")) ++ bBags: _*)
-    val l1 = alphabet.indices.map(i => abs(col(s"a$i") - col(s"b$i")))
-      .reduce(_ + _)
+      explode(array($"band" - 1, $"band", $"band" + 1)).as("key"),
+      $"bag".as("bag_b"))
+    val l1 = graft.functions.expressions.int_array_l1($"bag_a", $"bag_b")
     val survivors = build.join(probe, Seq("lang", "key"))
       .filter($"doc_a" < $"doc_b" &&
         abs($"len_a" - $"len_b") * 10 <= least($"len_a", $"len_b"))
@@ -1060,7 +1062,20 @@ object DedupQueries {
       .repartition(s.sparkContext.defaultParallelism,
         col("doc_a"), col("doc_b"))
     val matches = survivors
-      .withColumn("dist", levenshtein($"text_a", $"text_b", maxDist).cast("long"))
+      // PER-PAIR DP band (r20, guide §1.2 "per-task work"): a pair can
+      // only qualify with dist ≤ least(len)/10, so banding the DP at
+      // the PAIR's own bound instead of the corpus-wide maxDist does
+      // strictly less work per candidate (O(least/10 · n) vs
+      // O(maxLen/10 · n)) and returns the identical value for every
+      // surviving row — candidates past their own bound now return -1
+      // (dropped by the dist >= 0 guard) where they used to return a
+      // positive distance dropped by the ≤10% predicate. greatest(1,·)
+      // keeps the threshold positive for sub-10-char pairs, where only
+      // dist = 0 can qualify either way. Levenshtein's threshold is a
+      // full per-row expression since Spark 3.5 (codegen'd).
+      .withColumn("dist", expr(
+        "levenshtein(text_a, text_b, " +
+          "cast(greatest(1L, least(len_a, len_b) div 10) as int))").cast("long"))
       .filter($"dist" >= 0 && $"dist" * 10 <= least($"len_a", $"len_b"))
       .select($"doc_a", $"doc_b", $"len_a", $"len_b", $"dist")
     // Materialize the (tiny) match set before the global sort: the
@@ -1218,12 +1233,6 @@ object DedupQueries {
     // char 4-gram shingle profile (order-sensitive, the OCR/typo unit)
     val grams = expr(
       "transform(sequence(1, greatest(length(text) - 3, 0)), i -> substring(text, i, 4))")
-    val alphabet = ('a' to 'z') ++ ('0' to '9') :+ ' '
-    def bagCols(prefix: String): Seq[Column] = alphabet.zipWithIndex.map {
-      case (ch, i) =>
-        (length($"text") - length(translate($"text", ch.toString, "")))
-          .cast("int").as(s"$prefix$i")
-    }
     // Repartition BEFORE the projection, then materialize ONCE: the
     // gram explode + murmur SimHash + 37-bag projection is the
     // per-doc heavy step here, and projected after the scan it
@@ -1234,10 +1243,12 @@ object DedupQueries {
     // without recomputing the shingle scan.
     val d = ascii
       .repartition(s.sparkContext.defaultParallelism)
-      .select(Seq($"doc_id", $"lang", $"text",
+      .select($"doc_id", $"lang", $"text",
         length($"text").cast("long").as("len"),
         expr(s"length(text) div $bandW").as("lband"),
-        simhash64(grams).as("fp")) ++ bagCols("bag"): _*)
+        simhash64(grams).as("fp"),
+        // fused one-pass bag (r20) — see editDistanceNearDupsOver
+        graft.functions.expressions.char_bag($"text").as("bag"))
       .reliableCheckpoint()
     val simBands = array((0 until nBands).map(b =>
       struct(lit(b).as("sbi"),
@@ -1247,25 +1258,22 @@ object DedupQueries {
     // 100 TB the candidate exchange must never ship documents. Texts
     // are fetched BY KEY from the checkpointed doc frame just before
     // the DP, once per surviving pair.
-    val aBags = alphabet.indices.map(i => col(s"bag$i").as(s"a$i"))
-    val bBags = alphabet.indices.map(i => col(s"bag$i").as(s"b$i"))
     val build = d
-      .select(Seq($"doc_id".as("doc_a"), $"lang",
+      .select($"doc_id".as("doc_a"), $"lang",
         $"len".as("len_a"), $"lband".as("lkey"),
-        explode(simBands).as("sb")) ++ aBags: _*)
-      .select(Seq(col("doc_a"), col("lang"), col("len_a"),
-        col("lkey"), col("sb.sbi").as("sbi"), col("sb.sbv").as("sbv")) ++
-        alphabet.indices.map(i => col(s"a$i")): _*)
+        explode(simBands).as("sb"), $"bag".as("bag_a"))
+      .select(col("doc_a"), col("lang"), col("len_a"),
+        col("lkey"), col("sb.sbi").as("sbi"), col("sb.sbv").as("sbv"),
+        col("bag_a"))
     val probe = d
-      .select(Seq($"doc_id".as("doc_b"), $"lang",
-        $"len".as("len_b"), $"lband", explode(simBands).as("sb")) ++ bBags: _*)
-      .select(Seq(col("doc_b"), col("lang"), col("len_b"),
+      .select($"doc_id".as("doc_b"), $"lang",
+        $"len".as("len_b"), $"lband", explode(simBands).as("sb"),
+        $"bag".as("bag_b"))
+      .select(col("doc_b"), col("lang"), col("len_b"),
         col("sb.sbi").as("sbi"), col("sb.sbv").as("sbv"),
         explode(array(col("lband") - 1, col("lband"), col("lband") + 1))
-          .as("lkey")) ++
-        alphabet.indices.map(i => col(s"b$i")): _*)
-    val l1 = alphabet.indices.map(i => abs(col(s"a$i") - col(s"b$i")))
-      .reduce(_ + _)
+          .as("lkey"), col("bag_b"))
+    val l1 = graft.functions.expressions.int_array_l1($"bag_a", $"bag_b")
     val cand = build.join(probe, Seq("lang", "sbi", "sbv", "lkey"))
       .filter($"doc_a" < $"doc_b" &&
         abs($"len_a" - $"len_b") * 10 <= least($"len_a", $"len_b"))
@@ -1281,7 +1289,12 @@ object DedupQueries {
     cand
       .join(d.select($"doc_id".as("doc_a"), $"text".as("text_a")), Seq("doc_a"))
       .join(d.select($"doc_id".as("doc_b"), $"text".as("text_b")), Seq("doc_b"))
-      .withColumn("dist", levenshtein($"text_a", $"text_b", maxDist).cast("long"))
+      // per-pair DP band — same transformation as q131 (see the
+      // editDistanceNearDupsOver comment): identical survivors and
+      // distances, strictly less DP work per candidate
+      .withColumn("dist", expr(
+        "levenshtein(text_a, text_b, " +
+          "cast(greatest(1L, least(len_a, len_b) div 10) as int))").cast("long"))
       .filter($"dist" >= 0 && $"dist" * 10 <= least($"len_a", $"len_b"))
       .select($"doc_a", $"doc_b", $"len_a", $"len_b", $"dist")
   }

@@ -713,22 +713,35 @@ object TrainQueries {
   private[graft] def dupNgramFractionOver(docs: DataFrame, n: Int = 8): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val g = gramFps(docs.select($"doc_id", $"text"), n)
-    val dupFps = g.groupBy($"fp").agg(count(lit(1)).as("nd"))
-      .filter($"nd" >= 2).select($"fp").withColumn("dup", lit(1))
-    val perDoc = g.join(dupFps, Seq("fp"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"), count($"dup").as("n_dup"))
-    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+    // COUNT-1 COMPLEMENT reshape (r20, guide §2.3/§2.4): the former
+    // plan exploded the gram fps TWICE (once into the ≥2-doc dup-fp
+    // aggregate, once as the join probe), joined the corpus-gram
+    // stream against the dup set, and re-aggregated every gram row by
+    // doc_id — at broadcast-defying scale that is two corpus-gram
+    // exchanges plus an fp-keyed join of the whole gram stream.
+    // Identity used instead: per-doc fps are DISTINCT (gramFps), so
+    //   n_dup(doc) = n_grams(doc) − |fps of doc with corpus count 1|
+    // and a count-1 fp's min(doc_id) IS its only owner. One explode,
+    // one fp-keyed exchange (count + min carry 16 bytes of mergeable
+    // state), then a doc-keyed aggregate over ONLY the count-1 fps;
+    // n_grams is map-side size(gram_fps(·)) — no explode, no shuffle.
+    val uniqPerDoc = gramFps(docs.select($"doc_id", $"text"), n)
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("nfp"), min($"doc_id").as("doc_id"))
+      .filter($"nfp" === 1)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_uniq"))
+    docs
       .select($"doc_id",
-        coalesce($"n_grams", lit(0L)).as("n_grams"),
-        coalesce($"n_dup", lit(0L)).as("n_dup"),
-        // integer-cents half-up division (the round-3 rounding rule);
-        // coalesce INSIDE the arithmetic — n_grams/n_dup are null
-        // (not 0) for short docs at this point in the plan
-        when(coalesce($"n_grams", lit(0L)) === 0, lit(0.0))
+        coalesce(size(graft.functions.expressions.gram_fps(
+          split(trim($"text"), "\\s+"), n)).cast("long"), lit(0L)).as("n_grams"))
+      .join(uniqPerDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        ($"n_grams" - coalesce($"n_uniq", lit(0L))).as("n_dup"))
+      .select($"doc_id", $"n_grams", $"n_dup",
+        // integer-cents half-up division (the round-3 rounding rule)
+        when($"n_grams" === 0, lit(0.0))
           .otherwise(
-            expr("(20000 * coalesce(n_dup, 0) + n_grams) div (2 * n_grams)") / 10000.0)
+            expr("(20000 * n_dup + n_grams) div (2 * n_grams)") / 10000.0)
           .as("dup_frac"))
       .orderBy($"doc_id")
   }
@@ -825,19 +838,25 @@ object TrainQueries {
   private[graft] def filterStackOver(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val g = gramFps(docs.select($"doc_id", $"text"), 8)
-    val dupFps = g.groupBy($"fp").agg(count(lit(1)).as("ndocs"))
-      .filter($"ndocs" >= 2).select($"fp").withColumn("dup", lit(1))
-    val perDoc = g.join(dupFps, Seq("fp"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("ng"), count($"dup").as("nd"))
+    // count-1 complement reshape — see [[dupNgramFractionOver]] (r20):
+    // nd = ng − n_uniq with ng computed map-side, so the dup-gram
+    // signal costs ONE gram explode + ONE fp exchange instead of two
+    // explodes, an fp join of the gram stream, and a gram-stream
+    // re-aggregate. Rule bit unchanged: nd·5 > ng.
+    val uniqPerDoc = gramFps(docs.select($"doc_id", $"text"), 8)
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("nfp"), min($"doc_id").as("doc_id"))
+      .filter($"nfp" === 1)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_uniq"))
     val base = withQualitySignals(docs.select($"doc_id", $"text"), "text")
       .select($"doc_id", col("_q_n").as("n_tokens"),
-        statelessReasonBits.as("stateless_bits"))
-    base.join(perDoc, Seq("doc_id"), "left")
+        statelessReasonBits.as("stateless_bits"),
+        coalesce(size(graft.functions.expressions.gram_fps(
+          split(trim($"text"), "\\s+"), 8)).cast("long"), lit(0L)).as("ng"))
+    base.join(uniqPerDoc, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
         ($"stateless_bits"
-          + when(coalesce($"nd", lit(0L)) * 5 > coalesce($"ng", lit(0L)), 4L)
+          + when(($"ng" - coalesce($"n_uniq", lit(0L))) * 5 > $"ng", 4L)
             .otherwise(0L)).as("reasons"))
       .withColumn("keep", $"reasons" === 0L)
       .orderBy($"doc_id")

@@ -137,6 +137,18 @@ class CodegenBridgeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assertBridge("GramFpsSeq[n=3]", GramFpsSeq(tokRef, 3), tokRows)
   }
 
+  test("char-bag bridges (r20 q131/q145 fusion): char_bag / int_array_l1") {
+    assertBridge("CharBagCounts", CharBagCounts(strRef), strRows)
+    val intArr = (xs: Seq[Any]) => new GenericArrayData(xs.toArray[Any])
+    val l = BoundReference(0, ArrayType(IntegerType), nullable = true)
+    val r = BoundReference(1, ArrayType(IntegerType), nullable = true)
+    assertBridge("IntArrayL1", IntArrayL1(l, r), Seq(
+      Array[Any](intArr(Seq(1, 5, 3)), intArr(Seq(4, 2, 3))),
+      Array[Any](intArr(Seq(1, 2)), intArr(Seq(1, 2, 3))),  // mismatch → null
+      Array[Any](intArr(Seq(1, null, 3)), intArr(Seq(1, 2, 3))), // null elem → null
+      Array[Any](null, intArr(Seq(1)))))
+  }
+
   test("text bridges: normalize_text / regex_scrub / quantile_bucket") {
     assertBridge("NormalizeText", NormalizeText(strRef), strRows)
     assertBridge("RegexScrub", RegexScrub(strRef, Seq(

@@ -711,6 +711,71 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("char_bag / int_array_l1: bit-identical to the 37-column translate composition (r20 q131/q145 fusion)") {
+    // the fused pair replaces the 37 `length − length(translate(·))`
+    // bag columns and their abs-diff sum in both edit-distance
+    // operators — identity must hold on every shape the old columns
+    // saw, including non-ASCII text (the UTF-8 byte argument in the
+    // CharBagCounts doc: ASCII byte values never occur inside
+    // multi-byte sequences)
+    val texts = Seq(
+      "the quick brown fox 123 jumps over 456 lazy dogs",
+      "aaaa bbbb 0000 9999    ", "", "   ", "ALL CAPS NO MATCH",
+      "héllo wörld ünïcode 42", "日本語テキスト 7", "a0z9 ")
+    val alphabet = ('a' to 'z') ++ ('0' to '9') :+ ' '
+    val df = texts.toDF("text")
+    val want = df.select(array(alphabet.map(ch =>
+      (length($"text") - length(translate($"text", ch.toString, "")))
+        .cast("int")): _*).as("bag")).collect()
+    val got = df.select(char_bag($"text").as("bag")).collect()
+    texts.indices.foreach { i =>
+      assert(got(i).getSeq[Int](0) == want(i).getSeq[Int](0),
+        s"text $i: fused char_bag != translate composition")
+    }
+    // L1 over every text pair equals the 37-term abs-diff column sum
+    val pairs = df.select($"text".as("ta"))
+      .crossJoin(df.select($"text".as("tb")))
+    val wantL1 = pairs.select(alphabet.map(ch =>
+      abs((length($"ta") - length(translate($"ta", ch.toString, ""))).cast("int")
+        - (length($"tb") - length(translate($"tb", ch.toString, ""))).cast("int")))
+      .reduce(_ + _).cast("long").as("l1")).collect()
+    val gotL1 = pairs.select(
+      int_array_l1(char_bag($"ta"), char_bag($"tb")).as("l1")).collect()
+    wantL1.indices.foreach { i =>
+      assert(gotL1(i).getLong(0) == wantL1(i).getLong(0),
+        s"pair $i: fused L1 != column composition")
+    }
+  }
+
+  test("per-pair levenshtein band (r20): banded-at-pair-threshold equals banded-at-corpus-max after the qualify filter") {
+    // the q131/q145 DP now bands at greatest(1, least(len)/10) instead
+    // of the corpus maxDist — identical survivors and distances because
+    // any pair the tighter band rejects (-1) fails dist·10 ≤ least(len)
+    // under the wider band too
+    val docs = Seq(
+      ("aaaaaaaaaaaaaaaaaaaaaaaa", "aaaaaaaaaaaaaaaaaaaaaaab"), // 1 edit / 24
+      ("abcdefghij", "abcdefghij"),                              // equal, short
+      ("abcdefghij", "abcdefghix"),                              // 1 edit / 10
+      ("short", "shorx"),                                        // 1 edit / 5 (fails rule)
+      ("completely different text here", "nothing alike whatsoever okay"),
+      ("x" * 200 + "abc", "x" * 200 + "abd"))
+      .toDF("text_a", "text_b")
+      .withColumn("len_a", length($"text_a").cast("long"))
+      .withColumn("len_b", length($"text_b").cast("long"))
+    val maxDist = 20 // stands in for the corpus-wide bound
+    val wide = docs.withColumn("dist",
+        levenshtein($"text_a", $"text_b", maxDist).cast("long"))
+      .filter($"dist" >= 0 && $"dist" * 10 <= least($"len_a", $"len_b"))
+      .select($"text_a", $"dist").collect().toSet
+    val tight = docs.withColumn("dist", expr(
+        "levenshtein(text_a, text_b, " +
+          "cast(greatest(1L, least(len_a, len_b) div 10) as int))").cast("long"))
+      .filter($"dist" >= 0 && $"dist" * 10 <= least($"len_a", $"len_b"))
+      .select($"text_a", $"dist").collect().toSet
+    assert(tight == wide, "per-pair band changed the qualified pair set")
+    assert(wide.nonEmpty, "vacuous: no pair qualified under either band")
+  }
+
   test("gram_fps: null tokens follow concat_ws skip semantics (constructed nullable arrays)") {
     // split() never yields null elements, but the contract is
     // bit-identity with the declarative composition on EVERY
