@@ -44,6 +44,7 @@ object Profile {
       case "stage" :: Nil => stage(spark, sfDir)
       case "floor" :: Nil => floor(spark, sfDir)
       case "r20" :: Nil => r20(spark, sfDir)
+      case "jobs" :: pats if pats.nonEmpty => jobs(spark, sfDir, pats)
       case other =>
         System.err.println(
           s"unknown profile subcommand '${other.mkString(" ")}'; " +
@@ -131,6 +132,56 @@ object Profile {
     time("q09 again")(graft.queries.Relational.distinctParts(spark, sfDir))
   }
 
+  /** Per-query JOB accounting (r20): how much of a warm run is
+    * per-job/stage scheduling floor vs executor compute. Runs each
+    * matching query once warm under a listener and reports job count,
+    * stage count, task count, summed executor task time, and wall —
+    * a query whose wall ≫ task-time/32 is floor-dominated (driver
+    * jobs, checkpoints, collects), not compute-dominated. */
+  private def jobs(spark: SparkSession, sfDir: String, pats: Seq[String]): Unit = {
+    import org.apache.spark.scheduler._
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => pats.exists(n.contains))
+    Tables.events(spark, sfDir).select(count(lit(1))).count()
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      noop(fn(spark, sfDir)) // warm
+      val nJobs = new java.util.concurrent.atomic.AtomicLong(0)
+      val nStages = new java.util.concurrent.atomic.AtomicLong(0)
+      val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
+      val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val stageMs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          nJobs.incrementAndGet()
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          nStages.incrementAndGet()
+          nTasks.addAndGet(s.stageInfo.numTasks)
+          val tm = Option(s.stageInfo.taskMetrics)
+            .map(_.executorRunTime).getOrElse(0L)
+          val site = s.stageInfo.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("Profile"))
+            .getOrElse(s.stageInfo.name.takeWhile(_ != '\n')).trim
+          stageMs.put(s.stageInfo.stageId, (site, tm))
+        }
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      noop(fn(spark, sfDir))
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[jobs] $name%-34s wall ${wall}%6.2f  jobs ${nJobs.get()}%3d  " +
+        f"stages ${nStages.get()}%3d  tasks ${nTasks.get()}%5d  taskSum ${taskMs.get() / 1e3}%7.2f s")
+      import scala.jdk.CollectionConverters._
+      stageMs.asScala.toSeq.sortBy(-_._2._2).take(5).foreach { case (id, (nm, ms)) =>
+        if (ms > 200) println(f"[jobs]   stage $id%4d ${ms / 1e3}%6.2f s  $nm")
+      }
+    }
+  }
+
   /** Round-20 optimization decompositions: where the warm seconds of
     * the top bench rows actually go (q131/q145 candidate-vs-DP split,
     * q191 stage split, the q66/q82/q157/q173 shared label loop). */
@@ -193,23 +244,140 @@ object Profile {
         "cast(greatest(1L, least(len_a, len_b) div 10) as int))").cast("long"))
       .filter($"dist" >= 0 && $"dist" * 10 <= least($"len_a", $"len_b")))
 
-    // ---- q191 decomposition (mirrors retrievalEval) ----
-    val truthSrc = graft.queries.TrainQueries.decontamPairsOver(docs)
-    time("q191 truth (decontam pairs)")(truthSrc)
-    val train = docs.filter($"source" =!= "src0")
-    val toksD = train.select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
-    val dfT = toksD
-      .select($"doc_id", explode(array_distinct($"toks")).as("term"))
-      .groupBy($"term").agg(count(lit(1)).as("df"))
-    time("q191 dfT (term df agg)")(dfT)
-    val evalToks = docs.filter($"source" === "src0")
-      .select($"doc_id".as("eval_id"),
-        explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
-    val wQ = Window.partitionBy($"eval_id").orderBy($"df".asc, $"term".asc)
-    val qtermsPlan = evalToks.join(dfT, "term")
-      .withColumn("rn", row_number().over(wQ)).filter($"rn" <= 8)
-      .select($"eval_id", $"term", $"df")
-    time("q191 qterms (df join + window)")(qtermsPlan)
+    // ---- q191 decomposition (mirrors retrievalEval, WITH the
+    // checkpoints — the earlier pruned-plan probes showed sub-second
+    // stages while the full query reads 4 s) ----
+    {
+      import graft.operators.Scale.CheckpointOps
+      def t(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"[r20] $label%-46s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      (1 to 2).foreach { pass =>
+        println(s"[r20] ---- q191 pass $pass ----")
+        var truth: DataFrame = null
+        t("q191 truth checkpoint") { truth =
+          graft.queries.TrainQueries.decontamPairsOver(docs).reliableCheckpoint() }
+        val train = docs.filter($"source" =!= "src0")
+        val toksD = train.select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+        val dfT = toksD
+          .select($"doc_id", explode(array_distinct($"toks")).as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        var nDocs = 0L; var avgdl = 1.0
+        t("q191 dl stats head()") {
+          val mrow = toksD.select($"doc_id", size($"toks").cast("long").as("dl"))
+            .agg(count(lit(1)).as("n"), coalesce(sum($"dl"), lit(0L)).as("s")).head()
+          nDocs = mrow.getLong(0)
+          avgdl = if (nDocs == 0L) 1.0 else mrow.getLong(1).toDouble / nDocs
+        }
+        val evalToks = docs.filter($"source" === "src0")
+          .select($"doc_id".as("eval_id"),
+            explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
+        val wQ = Window.partitionBy($"eval_id").orderBy($"df".asc, $"term".asc)
+        var qterms: DataFrame = null
+        t("q191 qterms checkpoint") { qterms =
+          evalToks.join(dfT, "term")
+            .withColumn("rn", row_number().over(wQ)).filter($"rn" <= 8)
+            .select($"eval_id", $"term", $"df").reliableCheckpoint() }
+        val idf = (($"df" * lit(-1L) + lit(nDocs)) + lit(0.5)) / ($"df" + lit(0.5))
+        val tfn = ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / lit(avgdl))))
+        val qset = qterms.select($"term").distinct()
+        val tfQ = toksD
+          .select($"doc_id", size($"toks").cast("long").as("dl"),
+            explode($"toks").as("term"))
+          .join(broadcast(qset), "term")
+          .groupBy($"doc_id", $"term")
+          .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+        var scored: DataFrame = null
+        t("q191 scored checkpoint") { scored =
+          qterms.join(tfQ, "term")
+            .select($"eval_id", $"doc_id",
+              org.apache.spark.sql.functions.floor(lit(1000000.0) * idf * tfn).cast("long").as("sc"))
+            .groupBy($"eval_id", $"doc_id").agg(sum($"sc").as("score"))
+            .reliableCheckpoint() }
+        val twinScore = truth.join(
+          scored.select($"eval_id", $"doc_id".as("train_id"), $"score".as("t_score")),
+          Seq("eval_id", "train_id"), "left")
+        val withScore = twinScore.filter($"t_score".isNotNull)
+          .select($"eval_id", $"train_id", $"t_score")
+        val better = scored.join(broadcast(withScore), Seq("eval_id"))
+          .filter($"score" > $"t_score" ||
+            ($"score" === $"t_score" && $"doc_id" < $"train_id"))
+          .groupBy($"eval_id", $"train_id").agg(count(lit(1)).as("n_better"))
+        val ranks = withScore.join(better, Seq("eval_id", "train_id"), "left")
+          .select($"eval_id", $"train_id",
+            (coalesce($"n_better", lit(0L)) + 1L).cast("int").as("twin_rank"))
+        val nCand = scored.groupBy($"eval_id").agg(count(lit(1)).as("n_candidates"))
+        t("q191 tail (better/ranks/nCand/sort noop)")(noop(truth
+          .join(ranks, Seq("eval_id", "train_id"), "left")
+          .join(nCand, Seq("eval_id"), "left")
+          .select($"eval_id", $"train_id", $"twin_rank",
+            coalesce($"n_candidates", lit(0L)).as("n_candidates"))
+          .orderBy($"eval_id", $"train_id")))
+      }
+    }
+    // repartition probe: is `scored` serialized by AQE byte-based
+    // coalescing (2.5M tiny rows → 1 partition)?
+    {
+      import graft.operators.Scale.CheckpointOps
+      val truth = graft.queries.TrainQueries.decontamPairsOver(docs).reliableCheckpoint()
+      val train = docs.filter($"source" =!= "src0")
+      val toksD = train.select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      val dfT = toksD
+        .select($"doc_id", explode(array_distinct($"toks")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val mrow = toksD.select($"doc_id", size($"toks").cast("long").as("dl"))
+        .agg(count(lit(1)).as("n"), coalesce(sum($"dl"), lit(0L)).as("s")).head()
+      val nDocs = mrow.getLong(0)
+      val avgdl = if (nDocs == 0L) 1.0 else mrow.getLong(1).toDouble / nDocs
+      val evalToks = docs.filter($"source" === "src0")
+        .select($"doc_id".as("eval_id"),
+          explode(array_distinct(split(trim($"text"), "\\s+"))).as("term"))
+      val wQ = Window.partitionBy($"eval_id").orderBy($"df".asc, $"term".asc)
+      val qterms = evalToks.join(dfT, "term")
+        .withColumn("rn", row_number().over(wQ)).filter($"rn" <= 8)
+        .select($"eval_id", $"term", $"df").reliableCheckpoint()
+      val idf = (($"df" * lit(-1L) + lit(nDocs)) + lit(0.5)) / ($"df" + lit(0.5))
+      val tfn = ($"tf" * lit(2.2)) /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / lit(avgdl))))
+      val qset = qterms.select($"term").distinct()
+      def tfQ(repart: Boolean) = {
+        val base = toksD
+          .select($"doc_id", size($"toks").cast("long").as("dl"),
+            explode($"toks").as("term"))
+          .join(broadcast(qset), "term")
+        (if (repart) base.repartition(spark.sparkContext.defaultParallelism,
+          $"doc_id", $"term") else base)
+          .groupBy($"doc_id", $"term")
+          .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+      }
+      def scored(repart: Boolean) = {
+        val base = qterms.join(tfQ(repart), "term")
+          .select($"eval_id", $"doc_id",
+            org.apache.spark.sql.functions.floor(lit(1000000.0) * idf * tfn)
+              .cast("long").as("sc"))
+        (if (repart) base.repartition(spark.sparkContext.defaultParallelism,
+          $"eval_id", $"doc_id") else base)
+          .groupBy($"eval_id", $"doc_id").agg(sum($"sc").as("score"))
+      }
+      time("q191 scored as-is (no ckpt)")(scored(false))
+      time("q191 scored repartitioned (no ckpt)")(scored(true))
+      // term-key skew probe: ~30 distinct terms make the qterms⋈tfQ
+      // exchange nearly single-key — broadcast the bounded qterms side
+      def scoredB(repartTfq: Boolean) = {
+        val base = tfQ(repartTfq).join(broadcast(qterms), "term")
+          .select($"eval_id", $"doc_id",
+            org.apache.spark.sql.functions.floor(lit(1000000.0) * idf * tfn)
+              .cast("long").as("sc"))
+        base.repartition(spark.sparkContext.defaultParallelism,
+          $"eval_id", $"doc_id")
+          .groupBy($"eval_id", $"doc_id").agg(sum($"sc").as("score"))
+      }
+      time("q191 scored bcast qterms + repart")(scoredB(true))
+      time("q191 scored bcast qterms, tfQ as-is")(scoredB(false))
+      println("[r20] scored rows = " + scored(true).count())
+    }
     time("q191 full")(graft.queries.TextQueries.retrievalEval(spark, sfDir))
 
     // ---- label-loop family ----
@@ -217,6 +385,55 @@ object Profile {
       .ngramJaccardPairsRaw(spark, sfDir).select($"id_a", $"id_b"))
     time("q66 labels (component loop)")(
       graft.queries.DedupQueries.clusterLabels(spark, sfDir))
+    println("[r20] q66 component rounds = " +
+      graft.queries.DedupQueries.lastComponentRounds)
+    // jump-count experiment: does a deeper per-round pointer chase cut
+    // rounds (each round is ~15 driver jobs of floor) enough to pay
+    // for its extra join?
+    def expComponents(jumps: Int): DataFrame = {
+      import graft.operators.Scale.CheckpointOps
+      val edges = graft.queries.DedupQueries
+        .ngramJaccardPairsRaw(spark, sfDir).select($"id_a", $"id_b")
+        .reliableCheckpoint()
+      val und = edges.unionByName(
+        edges.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      val nbrMin = und.groupBy($"id_a").agg(min($"id_b").as("nb"))
+        .withColumnRenamed("id_a", "id")
+      val nodes = Tables.documents(spark, sfDir).select($"doc_id".as("id"))
+      var labels = nodes.select($"id")
+        .join(nbrMin, Seq("id"), "left")
+        .select($"id", least($"id", coalesce($"nb", $"id")).as("cluster_id"))
+        .reliableCheckpoint()
+      var prevSum = labels.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
+      var changed = true
+      var rounds = 0
+      while (changed && rounds < 30) {
+        val viaEdges = und
+          .join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"))
+          .select($"id_b".as("id"), $"cluster_id")
+        val viaJump = labels
+          .join(labels.select($"id".as("cluster_id"), $"cluster_id".as("jump")),
+            Seq("cluster_id"))
+          .select($"id", $"jump".as("cluster_id"))
+        var hop = labels.unionByName(viaEdges).unionByName(viaJump)
+          .groupBy($"id").agg(min($"cluster_id").as("cluster_id"))
+        for (j <- 2 to jumps) {
+          hop = hop
+            .join(hop.select($"id".as("cluster_id"), $"cluster_id".as(s"j$j")),
+              Seq("cluster_id"), "left")
+            .select($"id", coalesce(col(s"j$j"), $"cluster_id").as("cluster_id"))
+        }
+        val next = hop.reliableCheckpoint()
+        val nextSum = next.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
+        changed = nextSum != prevSum
+        prevSum = nextSum
+        labels = next
+        rounds += 1
+      }
+      println(s"[r20] expComponents jumps=$jumps rounds=$rounds")
+      labels
+    }
+    for (j <- Seq(2, 3, 4)) time(s"q66-like labels, jumps=$j")(expComponents(j))
     time("q66 full")(graft.queries.DedupQueries.dedupClusters(spark, sfDir))
     time("q173 full")(graft.queries.DedupQueries.canonicalKeepers(spark, sfDir))
     time("q157 full")(graft.queries.TrainQueries.clusterSplit(spark, sfDir))

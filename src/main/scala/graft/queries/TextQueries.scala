@@ -1401,16 +1401,27 @@ object TextQueries {
     // NO join back to a corpus-sized doc-length frame — the only
     // corpus-row exchange in the whole scoring path is the posting
     // groupBy, already pruned to Σ df rows
+    // BOTH scoring aggregates repartition EXPLICITLY by their group
+    // key (r20, guide §2.5): the posting rows are tiny in BYTES but
+    // each carries real aggregation work, so AQE's byte-based
+    // coalescing folds these exchanges to one partition and
+    // serializes the scoring on one core (the q131 repartition
+    // lesson, aggregate-shaped — measured 3.0 → 1.1 s at sf0.1,
+    // where the 30-word fixture vocabulary makes the posting union
+    // its worst case). A user repartition is exempt from coalescing;
+    // defaultParallelism keeps it scale-adaptive.
     val tfQ = toksD
       .select($"doc_id", size($"toks").cast("long").as("dl"),
         explode($"toks").as("term"))
       .join(broadcast(qset), "term")
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id", $"term")
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
     val scored = graft.operators.Scale.checkpointed(
       qterms.join(tfQ, "term")
         .select($"eval_id", $"doc_id",
           floor(lit(1000000.0) * idf * tfn).cast("long").as("sc"))
+        .repartition(s.sparkContext.defaultParallelism, $"eval_id", $"doc_id")
         .groupBy($"eval_id", $"doc_id").agg(sum($"sc").as("score")))
     // Only the TWIN's rank is reported, so ranking the whole candidate
     // frame (a per-eval sort window over every posting-union member)
