@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -557,6 +558,139 @@ case class IntArrayL1(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused PCA projection (r20): the k coordinates
+  * z_j = Σ_i (x_i − mean_i)·w_j_i — and optionally the centered
+  * squared norm Σ_i (x_i − mean_i)² as element 1 — in ONE codegen'd
+  * pass over the embedding. Replaces the per-coordinate
+  * `aggregate(zip_with(transform(x − mean), w, ·*·), 0.0, +)`
+  * composition, whose higher-order lambdas are interpreted and
+  * re-walk the array once per coordinate (8 × per row in q89/q91/q93
+  * — the dominant per-row cost of the PCA family).
+  *
+  * BIT-IDENTICAL to the composition, nulls included (fuzz-pinned in
+  * ExpressionsSpec):
+  *  - doubles accumulate per coordinate in ascending element order —
+  *    the same IEEE sequence the zip_with/aggregate fold performs;
+  *  - a null INPUT yields the composition's array-of-nulls (the outer
+  *    `array(...)` of null aggregates), not a null array;
+  *  - any null ELEMENT nulls every slot (null poisons both folds);
+  *  - length mismatch: coords are null unless len(x) == dim (zip_with
+  *    pads the shorter side with null), normSq tolerates len(x) < dim
+  *    (transform only iterates x); len(x) > dim yields all-null slots
+  *    where the ANSI composition would THROW on element_at(mean, i)
+  *    past dim — strictly more defined, never a changed value where
+  *    the composition is defined (no operator feeds mismatched rows;
+  *    the fixture dimensionality is uniform).
+  * Output element layout: withNormSq ? [normSq, z_1..z_k]
+  * : [z_1..z_k]. */
+case class PcaProjectExpr(child: Expression, mean: Array[Double],
+    comps: Array[Array[Double]], withNormSq: Boolean)
+    extends UnaryExpression {
+  require(comps.forall(_.length == mean.length),
+    "every component must have the mean's dimensionality")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pca_project requires array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def k: Int = comps.length
+  private def outLen: Int = if (withNormSq) k + 1 else k
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val out = new Array[Any](outLen)
+    if (v != null) {
+      val x = v.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val dim = mean.length
+      var anyNull = false
+      var i = 0
+      while (i < n && !anyNull) { if (x.isNullAt(i)) anyNull = true; i += 1 }
+      val coordsOk = !anyNull && n == dim
+      val normOk = !anyNull && n <= dim
+      if (coordsOk || normOk) {
+        var norm = 0.0
+        val acc = new Array[Double](k)
+        i = 0
+        while (i < n) {
+          val xi = if (childIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          val c = xi - mean(i)
+          if (normOk) norm += c * c
+          if (coordsOk) {
+            var j = 0
+            while (j < k) { acc(j) += c * comps(j)(i); j += 1 }
+          }
+          i += 1
+        }
+        if (withNormSq && normOk) out(0) = java.lang.Double.valueOf(norm)
+        if (coordsOk) {
+          var j = 0
+          while (j < k) {
+            out(if (withNormSq) j + 1 else j) = java.lang.Double.valueOf(acc(j))
+            j += 1
+          }
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val meanRef = ctx.addReferenceObj("pcaMean", mean, "double[]")
+    val compsRef = ctx.addReferenceObj("pcaComps", comps, "double[][]")
+    val childGen = child.genCode(ctx)
+    val get = if (childIsFloat) "getFloat" else "getDouble"
+    val x = childGen.value
+    val out = ctx.freshName("out"); val n = ctx.freshName("n")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val anyNull = ctx.freshName("anyNull"); val coordsOk = ctx.freshName("coordsOk")
+    val normOk = ctx.freshName("normOk"); val norm = ctx.freshName("norm")
+    val acc = ctx.freshName("acc"); val c = ctx.freshName("c")
+    val body =
+      s"""
+         |Object[] $out = new Object[$outLen];
+         |if (!${childGen.isNull}) {
+         |  int $n = $x.numElements();
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n && !$anyNull; $i++) {
+         |    if ($x.isNullAt($i)) $anyNull = true;
+         |  }
+         |  boolean $coordsOk = !$anyNull && $n == ${mean.length};
+         |  boolean $normOk = !$anyNull && $n <= ${mean.length};
+         |  if ($coordsOk || $normOk) {
+         |    double $norm = 0.0;
+         |    double[] $acc = new double[$k];
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $c = (double) $x.$get($i) - $meanRef[$i];
+         |      if ($normOk) $norm += $c * $c;
+         |      if ($coordsOk) {
+         |        for (int $j = 0; $j < $k; $j++) $acc[$j] += $c * $compsRef[$j][$i];
+         |      }
+         |    }
+         |    ${if (withNormSq) s"if ($normOk) $out[0] = Double.valueOf($norm);" else ""}
+         |    if ($coordsOk) {
+         |      for (int $j = 0; $j < $k; $j++)
+         |        $out[${if (withNormSq) s"$j + 1" else j}] = Double.valueOf($acc[$j]);
+         |    }
+         |  }
+         |}
+         |final org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    ev.copy(code = childGen.code + code"$body", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Deterministic random-hyperplane LSH bucket (Charikar 2002 sign-
   * random-projection): an embedding hashes to an `planes`-bit bucket
   * id where bit p is the SIGN of the dot product with pseudo-random
@@ -1067,6 +1201,14 @@ object expressions {
   def int_array_l1(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntArrayL1(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** One-pass PCA projection (optionally with the centered squared
+    * norm as element 1); see [[PcaProjectExpr]]. Value-identical to
+    * the per-coordinate aggregate/zip_with composition. */
+  def pca_project(emb: Column, mean: Array[Double],
+      comps: Array[Array[Double]], withNormSq: Boolean = false): Column =
+    GraftColumnBridge.column(PcaProjectExpr(
+      GraftColumnBridge.expression(emb), mean, comps, withNormSq))
 }
 
 /** Monotone bucket assignment against a small ascending DISTINCT

@@ -1255,23 +1255,19 @@ object SimilarityQueries {
     (mean, comps)
   }
 
-  /** The centered embedding column against literal mean — the shared
-    * front of every projection expression (codegen'd, no broadcast). */
-  private def centeredCol(s: SparkSession, mean: Array[Double]): Column = {
-    import s.implicits._
-    transform($"embedding",
-      (x, i) => x.cast("double") - element_at(typedlit(mean.toSeq), i + 1))
-  }
-
-  /** Projection coordinates z_j = (x − mean)·w_j as pure column
-    * arithmetic against the literal component matrix. */
+  /** Projection coordinates z_j = (x − mean)·w_j — element views over
+    * the fused one-pass [[graft.functions.PcaProjectExpr]] (r20: the
+    * former per-coordinate aggregate/zip_with composition walked the
+    * embedding through interpreted lambdas once per coordinate — 8×
+    * per row, the dominant per-row cost of q89/q91/q93; the fused
+    * expression is fuzz-pinned bit-identical, null and length
+    * asymmetries included). Whole-stage codegen's subexpression
+    * elimination evaluates the shared array once per row across the
+    * k element_at views. */
   private def pcaCoords(s: SparkSession, mean: Array[Double],
       comps: Array[Array[Double]]): Seq[Column] = {
-    val centered = centeredCol(s, mean)
-    comps.toSeq.map { w =>
-      aggregate(zip_with(centered, typedlit(w.toSeq), (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
-    }
+    val z = graft.functions.expressions.pca_project(col("embedding"), mean, comps)
+    comps.indices.map(j => element_at(z, j + 1))
   }
 
   private[graft] def pcaValidatedOver(embIn: DataFrame): DataFrame = {
@@ -1290,10 +1286,13 @@ object SimilarityQueries {
         math.abs(d0 - (if (a == b) 1.0 else 0.0)) < 1e-6
       }
     }
-    // corpus-side: variance totals under the centered projection
-    val centered = centeredCol(s, mean)
-    val totalSq = aggregate(centered, lit(0.0), (acc, x) => acc + x * x)
-    val projSq = pcaCoords(s, mean, comps).map(p => p * p).reduce(_ + _)
+    // corpus-side: variance totals under the centered projection —
+    // one fused pass (norm + k coords); see [[pcaCoords]] (r20)
+    val zz = graft.functions.expressions.pca_project(
+      $"embedding", mean, comps, withNormSq = true)
+    val totalSq = element_at(zz, 1)
+    val projSq = (0 until k)
+      .map(j => element_at(zz, j + 2) * element_at(zz, j + 2)).reduce(_ + _)
     emb.agg(count(lit(1)).as("n_vectors"),
         sum(totalSq).as("tot"), sum(projSq).as("proj"))
       .select($"n_vectors", lit(dim).cast("long").as("dim"), lit(k).cast("long").as("k"),
@@ -1523,8 +1522,9 @@ object SimilarityQueries {
     val fresh = emb.select($"vec_id", array(pcaCoords(s, meanF, compsF): _*).as("z"))
     val nDiff = proj.exceptAll(fresh).union(fresh.exceptAll(proj)).count()
     val (mean, _) = loadPcaModel(s, tbl)
-    val centered = centeredCol(s, mean)
-    val totalSq = aggregate(centered, lit(0.0), (acc, x) => acc + x * x)
+    // norm-only fused pass (empty component matrix) — see pcaCoords (r20)
+    val totalSq = element_at(graft.functions.expressions.pca_project(
+      $"embedding", mean, Array.empty, withNormSq = true), 1)
     val zSq = aggregate($"z", lit(0.0), (acc, x) => acc + x * x)
     pcaProjected(s, tbl, emb)
       .agg(count(lit(1)).as("n_vectors"),

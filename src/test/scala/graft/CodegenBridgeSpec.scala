@@ -137,6 +137,26 @@ class CodegenBridgeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assertBridge("GramFpsSeq[n=3]", GramFpsSeq(tokRef, 3), tokRows)
   }
 
+  test("pca_project bridge (r20 PCA fusion): coords, norm, float + double, degenerate shapes") {
+    val mean = Array(0.5, -1.0, 2.0)
+    val comps = Array(Array(1.0, 0.0, 0.5), Array(-0.5, 2.0, 1.0))
+    for (withNorm <- Seq(false, true)) {
+      assertBridge(s"PcaProjectExpr[double,norm=$withNorm]",
+        PcaProjectExpr(vecDRef, mean, comps, withNorm), Seq(
+          Array[Any](vecD(1.0, 2.0, 3.0)),
+          Array[Any](vecD(1.0, 2.0)),            // shorter: norm ok, coords null
+          Array[Any](vecD(1.0, 2.0, 3.0, 4.0)),  // longer: all null
+          Array[Any](new GenericArrayData(Array[Any](1.0, null, 3.0))),
+          Array[Any](null)))
+      assertBridge(s"PcaProjectExpr[float,norm=$withNorm]",
+        PcaProjectExpr(vecFRef, mean, comps, withNorm),
+        Seq(Array[Any](vecF(1.5f, -0.25f, 8.0f)), Array[Any](null)))
+    }
+    assertBridge("PcaProjectExpr[norm-only, k=0]",
+      PcaProjectExpr(vecDRef, mean, Array.empty, withNormSq = true),
+      Seq(Array[Any](vecD(1.0, 2.0, 3.0)), Array[Any](null)))
+  }
+
   test("char-bag bridges (r20 q131/q145 fusion): char_bag / int_array_l1") {
     assertBridge("CharBagCounts", CharBagCounts(strRef), strRows)
     val intArr = (xs: Seq[Any]) => new GenericArrayData(xs.toArray[Any])

@@ -776,6 +776,47 @@ class ExpressionsSpec extends SparkSpec {
     assert(wide.nonEmpty, "vacuous: no pair qualified under either band")
   }
 
+  test("pca_project: bit-identical to the aggregate/zip_with composition (r20 PCA fusion)") {
+    // the fused expression replaces this exact composition in
+    // q89/q91/q93 — identity must hold on every shape the old columns
+    // saw: normal rows, short/long arrays (the asymmetric zip_with vs
+    // transform padding), and the empty-matrix norm-only form
+    val rnd = new scala.util.Random(42)
+    val dim = 16; val k = 4
+    val mean = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val comps = Array.fill(k)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    // longer-than-dim rows are NOT in the identity set: under ANSI
+    // (Spark 4 default) the composition's element_at(mean, i+1)
+    // THROWS there, while the fused expression yields all-null slots
+    // — strictly more defined, never a changed value where the
+    // composition is defined (asserted separately below)
+    val rows: Seq[Seq[Float]] =
+      Seq.fill(50)(Seq.fill(dim)(rnd.nextFloat() * 4 - 2)) ++
+        Seq(Seq.fill(dim - 3)(1.5f))        // shorter than dim
+    val df = rows.toDF("embedding")
+    val centered = transform($"embedding",
+      (x, i) => x.cast("double") - element_at(typedlit(mean.toSeq), i + 1))
+    val wantCols = comps.toSeq.map { w =>
+      aggregate(zip_with(centered, typedlit(w.toSeq), (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val wantNorm = aggregate(centered, lit(0.0), (acc, x) => acc + x * x)
+    val want = df.select(array(wantNorm +: wantCols: _*).as("zz")).collect()
+    val got = df.select(graft.functions.expressions.pca_project(
+      $"embedding", mean, comps, withNormSq = true).as("zz")).collect()
+    rows.indices.foreach { i =>
+      val w = want(i).getSeq[java.lang.Double](0)
+      val g = got(i).getSeq[java.lang.Double](0)
+      assert(g == w, s"row $i: fused $g != composition $w")
+    }
+    // longer-than-dim: fused yields all-null slots (the composition
+    // throws under ANSI — see comment above)
+    val long = Seq(Seq.fill(dim + 2)(0.25f)).toDF("embedding")
+      .select(graft.functions.expressions.pca_project(
+        $"embedding", mean, comps, withNormSq = true).as("zz")).head()
+    assert(long.getSeq[java.lang.Double](0).forall(_ == null))
+  }
+
   test("gram_fps: null tokens follow concat_ws skip semantics (constructed nullable arrays)") {
     // split() never yields null elements, but the contract is
     // bit-identity with the declarative composition on EVERY
