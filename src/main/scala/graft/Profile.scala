@@ -434,6 +434,55 @@ object Profile {
       labels
     }
     for (j <- Seq(2, 3, 4)) time(s"q66-like labels, jumps=$j")(expComponents(j))
+
+    // checkpoint-every-2nd-round variant: compose two pointer-jump
+    // rounds into one materialization (AQE stage reuse dedups the
+    // duplicated inner-round exchanges), halving the per-round
+    // checkpoint+fixpoint-collect driver actions
+    def expComponents2(): DataFrame = {
+      import graft.operators.Scale.CheckpointOps
+      val edges = graft.queries.DedupQueries
+        .ngramJaccardPairsRaw(spark, sfDir).select($"id_a", $"id_b")
+        .reliableCheckpoint()
+      val und = edges.unionByName(
+        edges.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      val nbrMin = und.groupBy($"id_a").agg(min($"id_b").as("nb"))
+        .withColumnRenamed("id_a", "id")
+      val nodes = Tables.documents(spark, sfDir).select($"doc_id".as("id"))
+      var labels = nodes.select($"id")
+        .join(nbrMin, Seq("id"), "left")
+        .select($"id", least($"id", coalesce($"nb", $"id")).as("cluster_id"))
+        .reliableCheckpoint()
+      var prevSum = labels.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
+      var changed = true
+      var rounds = 0
+      def oneRound(l: DataFrame): DataFrame = {
+        val viaEdges = und
+          .join(l.withColumnRenamed("id", "id_a"), Seq("id_a"))
+          .select($"id_b".as("id"), $"cluster_id")
+        val viaJump = l
+          .join(l.select($"id".as("cluster_id"), $"cluster_id".as("jump")),
+            Seq("cluster_id"))
+          .select($"id", $"jump".as("cluster_id"))
+        val hop = l.unionByName(viaEdges).unionByName(viaJump)
+          .groupBy($"id").agg(min($"cluster_id").as("cluster_id"))
+        hop
+          .join(hop.select($"id".as("cluster_id"), $"cluster_id".as("jump2")),
+            Seq("cluster_id"), "left")
+          .select($"id", coalesce($"jump2", $"cluster_id").as("cluster_id"))
+      }
+      while (changed && rounds < 30) {
+        val next = oneRound(oneRound(labels)).reliableCheckpoint()
+        val nextSum = next.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
+        changed = nextSum != prevSum
+        prevSum = nextSum
+        labels = next
+        rounds += 2
+      }
+      println(s"[r20] expComponents2 logical rounds=$rounds")
+      labels
+    }
+    time("q66-like labels, ckpt every 2nd round")(expComponents2())
     time("q66 full")(graft.queries.DedupQueries.dedupClusters(spark, sfDir))
     time("q173 full")(graft.queries.DedupQueries.canonicalKeepers(spark, sfDir))
     time("q157 full")(graft.queries.TrainQueries.clusterSplit(spark, sfDir))
