@@ -212,6 +212,86 @@ object MinHashUtil {
     (h1 << 32) | h2
   }
 
+  /** `MurmurHash3.bytesHash` over the byte range [off, off+len) of
+    * `s`, without materializing the slice — bit-identical to
+    * `bytesHash(s.getBytes.slice(off, off+len), seed)` (fuzz-pinned in
+    * ExpressionsSpec): same 4-byte little-endian body chunks, same
+    * tail handling, same `finalizeHash(h, len)`. Lets shingle hashing
+    * run zero-allocation over substrings of one UTF8String. */
+  def rangeHash(s: UTF8String, off: Int, len: Int, seed: Int): Int = {
+    var h = seed
+    var i = off
+    var rem = len
+    while (rem >= 4) {
+      var k = s.getByte(i) & 0xFF
+      k |= (s.getByte(i + 1) & 0xFF) << 8
+      k |= (s.getByte(i + 2) & 0xFF) << 16
+      k |= (s.getByte(i + 3) & 0xFF) << 24
+      h = MurmurHash3.mix(h, k)
+      i += 4; rem -= 4
+    }
+    var k = 0
+    if (rem == 3) k ^= (s.getByte(i + 2) & 0xFF) << 16
+    if (rem >= 2) k ^= (s.getByte(i + 1) & 0xFF) << 8
+    if (rem >= 1) { k ^= (s.getByte(i) & 0xFF); h = MurmurHash3.mixLast(h, k) }
+    MurmurHash3.finalizeHash(h, len)
+  }
+
+  /** [[tokenHash64]] over a byte range — the two-seed 64-bit
+    * combination applied to [off, off+len) of `s`. */
+  def rangeHash64(s: UTF8String, off: Int, len: Int, seed: Int): Long = {
+    val h1 = rangeHash(s, off, len, seed).toLong & 0xffffffffL
+    val h2 = rangeHash(s, off, len, seed + 0x9e3779b9).toLong & 0xffffffffL
+    (h1 << 32) | h2
+  }
+
+  /** [[SimHashCharGrams]]'s kernel: the 64-bit SimHash over character
+    * 4-grams of `s`, computed in one pass with zero per-gram
+    * allocation. Value-identical (fuzz-pinned) to
+    * `simhash64(transform(sequence(1, greatest(length(s) - 3, 0)),
+    * i -> substring(s, i, 4)))` for ANY input:
+    *  - ≥4 chars: each gram is the byte range of 4 consecutive code
+    *    points (offsets walked once via numBytesForFirstByte — the
+    *    same code-point stepping `substring` performs), hashed with
+    *    [[rangeHash64]] ≡ tokenHash64 of the materialized gram;
+    *  - <4 chars (incl. empty): `sequence(1, 0)` DESCENDS, yielding
+    *    [1, 0] → substring(s,1,4) and substring(s,0,4) are both the
+    *    whole (short) string, so the composition votes the same hash
+    *    twice and the fingerprint is exactly tokenHash64(s). */
+  def simhashCharGrams(s: UTF8String, seed: Int): Long = {
+    val nBytes = s.numBytes()
+    // code-point start offsets; sentinel at the end
+    val offs = new Array[Int](nBytes + 1)
+    var nChars = 0
+    var i = 0
+    while (i < nBytes) {
+      offs(nChars) = i
+      i += UTF8String.numBytesForFirstByte(s.getByte(i))
+      nChars += 1
+    }
+    offs(nChars) = nBytes
+    if (nChars < 4) return rangeHash64(s, 0, nBytes, seed)
+    val votes = new Array[Int](64)
+    val nG = nChars - 3
+    var g = 0
+    while (g < nG) {
+      val h = rangeHash64(s, offs(g), offs(g + 4) - offs(g), seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      g += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** (a_i, b_i) interleaved, derived deterministically from the seed. */
   def coefficients(k: Int, seed: Int): Array[Long] = {
     val rnd = new java.util.Random(seed.toLong)
@@ -426,6 +506,39 @@ case class SimHash64(child: Expression, seed: Int)
        """.stripMargin
     })
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over CHARACTER 4-GRAMS of a string, fused into one
+  * codegen'd pass (r21, guide §4): replaces the q145 composition
+  * `simhash64(transform(sequence(1, greatest(length(text) - 3, 0)),
+  * i -> substring(text, i, 4)))`, whose higher-order transform runs an
+  * INTERPRETED lambda that materializes a length(text)-element array
+  * of 4-char strings per row before the fused SimHash ever sees it —
+  * the dominant per-row cost of the q145 shingle projection (builder
+  * attribution: ~2.7 s taskSum at sf0.1). Value-identical for any
+  * input, including the <4-char descending-sequence edge; see
+  * [[MinHashUtil.simhashCharGrams]]. Null input → null, like the
+  * composition (every layer is null-intolerant). */
+case class SimHashCharGrams(child: Expression, seed: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_char4 requires a string argument, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      MinHashUtil.simhashCharGrams(input.asInstanceOf[UTF8String], seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashUtil.simhashCharGrams($c, $seed);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -1134,6 +1247,12 @@ object expressions {
 
   def simhash64(tokens: Column, seed: Int = 42): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens), seed))
+
+  /** Fused char-4-gram SimHash; see [[SimHashCharGrams]].
+    * Value-identical to `simhash64(transform(sequence(1,
+    * greatest(length(c) - 3, 0)), i -> substring(c, i, 4)))`. */
+  def simhash_char4(c: Column, seed: Int = 42): Column =
+    GraftColumnBridge.column(SimHashCharGrams(GraftColumnBridge.expression(c), seed))
 
   def hyperplane_bucket(emb: Column, planes: Int = 8, seed: Int = 0): Column =
     GraftColumnBridge.column(HyperplaneBucket(GraftColumnBridge.expression(emb), planes, seed))

@@ -43,7 +43,7 @@ object BpeQueries {
 
   /** Training state: one dictionary word as its current symbol
     * sequence, weighted by corpus frequency. */
-  final case class WordSyms(syms: Seq[String], freq: Long)
+  final case class WordSyms(syms: ArrayBuffer[String], freq: Long)
 
   /** `spark.graft.bpe.merges` (default 64): learned merge count —
     * vocabulary size minus the base alphabet. */
@@ -67,17 +67,6 @@ object BpeQueries {
   private[graft] def bpeMinFreq(s: SparkSession): Long =
     s.conf.getOption("spark.graft.bpe.minFreq").map(_.toLong).getOrElse(2L)
 
-  /** Adjacent-pair enumeration of one word's symbol sequence.
-    * Overlapping pairs all count ('aaa' yields (a,a) twice) — the
-    * classic get_stats; merging is still leftmost non-overlapping.
-    * CASE guards `sequence(1, 0)`, which generates a DESCENDING
-    * range, not an empty one (the q71 rule). */
-  private val adjacentPairs = expr(
-    """CASE WHEN size(syms) < 2 THEN array()
-      |ELSE transform(sequence(1, size(syms) - 1),
-      |  i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))
-      |END""".stripMargin)
-
   /** Train a rank-ordered BPE merge list from the documents corpus.
     * Deterministic: dictionary cap breaks ties (freq desc, word asc),
     * argmax breaks ties (count desc, l asc, r asc) — same corpus,
@@ -89,7 +78,28 @@ object BpeQueries {
   /** Trainer over any (text) frame — injectable so constructed
     * corpora with hand-computable merge sequences have a spec (the
     * round-7 rule; the gate fixture's 31-word vocabulary can't pin
-    * specific merges). */
+    * specific merges).
+    *
+    * r21 reshape (guide §1.2/§5): ONE distributed corpus scan builds
+    * the capped word dictionary — the only data-scale work — then the
+    * argmax-merge fixpoint runs ON THE COLLECTED DICTIONARY in driver
+    * memory. The dictionary is bounded by `spark.graft.bpe.dict`
+    * (≤65536 rows of one word + one long — the same
+    * constant-bounded-collect class as [[loadBpeTable]] and the IVF
+    * trainer sample), so the loop is O(rounds × dict-chars) local
+    * compute with NO per-round Spark job. The previous shape ran each
+    * of the ≤64 argmax rounds as a distributed aggregate + collect
+    * over the ≤65536-row state (plus checkpoints every 8 rounds to
+    * cut the map lineage): 80+ driver jobs and ~16 s of the bench's
+    * cold leg spent scheduling sub-megabyte stages. At 100 TB the
+    * dictionary cap is IDENTICAL — corpus size only affects the scan
+    * that builds it — so the local loop is the scale shape, not a
+    * small-data shortcut. Merge-for-merge identical output: same
+    * overlapping pair counts (summed in Long), same (count desc,
+    * l asc, r asc) argmax tie-break (symbols are ASCII `\w` chars,
+    * where Java String ordering ≡ Spark's UTF8String binary
+    * ordering), same minFreq early-exit, same leftmost
+    * non-overlapping [[Bpe.mergePass]]. */
   private[graft] def trainBpeMergesFrom(docs: DataFrame, nMerges: Int,
       dictSize: Int, minFreq: Long): Seq[(String, String)] = {
     val s = docs.sparkSession
@@ -99,30 +109,65 @@ object BpeQueries {
       .select(explode(expr("regexp_extract_all(text, '\\\\w+', 0)")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
       .orderBy($"freq".desc, $"word".asc).limit(dictSize)
-    // filter() guards Java's split("", -1) trailing empty string
-    var state = dict
-      .select(expr("filter(split(word, ''), x -> x <> '')").as("syms"), $"freq")
-      .as[WordSyms]
+      .as[(String, Long)].collect()
+    trainMergesLocal(dict, nMerges, minFreq)
+  }
+
+  /** The argmax-merge fixpoint over a collected (word, freq)
+    * dictionary — pure driver-local compute, see
+    * [[trainBpeMergesFrom]] for why that is the right scale shape. */
+  private[graft] def trainMergesLocal(dict: Array[(String, Long)],
+      nMerges: Int, minFreq: Long): Seq[(String, String)] = {
+    val state = dict.map { case (w, f) =>
+      val syms = new ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) { syms += String.valueOf(w.charAt(i)); i += 1 }
+      WordSyms(syms, f)
+    }
     val out = ArrayBuffer[(String, String)]()
     var continue = true
     while (continue && out.length < nMerges) {
-      val top = state.toDF().select(explode(adjacentPairs).as("p"), $"freq")
-        .groupBy($"p.l".as("l"), $"p.r".as("r"))
-        .agg(sum($"freq").as("cnt"))
-        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getAs[Long]("cnt") < minFreq) continue = false
+      // overlapping adjacent-pair counts ('aaa' yields (a,a) twice) —
+      // the classic get_stats; merging is still leftmost non-overlapping
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < state.length) {
+        val w = state(wi)
+        val syms = w.syms
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts.merge((syms(i), syms(i + 1)), w.freq, (a, b) => a + b)
+          i += 1
+        }
+        wi += 1
+      }
+      // argmax with the distributed trainer's exact tie-break:
+      // count desc, l asc, r asc
+      var best: (String, String) = null
+      var bestCnt = Long.MinValue
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey
+        val c = e.getValue
+        if (c > bestCnt || (c == bestCnt &&
+            (k._1.compareTo(best._1) < 0 ||
+              (k._1 == best._1 && k._2.compareTo(best._2) < 0)))) {
+          best = k; bestCnt = c
+        }
+      }
+      if (best == null || bestCnt < minFreq) continue = false
       else {
-        val (l, r) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"))
+        val (l, r) = best
         out += ((l, r))
         val fused = l + r
-        state = state.map { w =>
-          WordSyms(Bpe.mergePass(ArrayBuffer(w.syms: _*), l, r, fused).toSeq, w.freq)
+        var i = 0
+        while (i < state.length) {
+          if (state(i).syms.length > 1)
+            state(i) = WordSyms(Bpe.mergePass(state(i).syms, l, r, fused),
+              state(i).freq)
+          i += 1
         }
-        // q66 discipline: cut the per-round map lineage before it
-        // compounds into quadratic recompute under the argmax jobs
-        if (out.length % 8 == 0)
-          state = graft.operators.Scale.checkpointed(state.toDF()).as[WordSyms]
       }
     }
     out.toSeq

@@ -1231,23 +1231,24 @@ object DedupQueries {
       .head().getLong(0)
     val maxDist: Int = math.max(1L, maxLen / 10).toInt
     val bandW: Long = math.max(64L, maxDist + 1L)
-    // char 4-gram shingle profile (order-sensitive, the OCR/typo unit)
-    val grams = expr(
-      "transform(sequence(1, greatest(length(text) - 3, 0)), i -> substring(text, i, 4))")
     // Repartition BEFORE the projection, then materialize ONCE: the
-    // gram explode + murmur SimHash + 37-bag projection is the
-    // per-doc heavy step here, and projected after the scan it
-    // inherits the scan's partitioning — the fixture's single
-    // row-group would serialize ~4 s of shingle work on one core
-    // (measured; the q131 pushdown lesson, projection-shaped). The
-    // checkpoint then feeds BOTH join sides and the late text fetch
-    // without recomputing the shingle scan.
+    // char-4-gram SimHash + 37-bag projection is the per-doc heavy
+    // step here, and projected after the scan it inherits the scan's
+    // partitioning — the fixture's single row-group would serialize
+    // ~4 s of shingle work on one core (measured; the q131 pushdown
+    // lesson, projection-shaped). The checkpoint then feeds BOTH join
+    // sides and the late text fetch without recomputing the shingle
+    // scan. The shingle fingerprint is the fused SimHashCharGrams
+    // (r21, guide §4): the previous
+    // `simhash64(transform(sequence(...), i -> substring(text, i, 4)))`
+    // ran an interpreted lambda materializing a per-row gram array —
+    // value-identical by the fuzz-pinned expression contract.
     val d = ascii
       .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", $"lang", $"text",
         length($"text").cast("long").as("len"),
         expr(s"length(text) div $bandW").as("lband"),
-        simhash64(grams).as("fp"),
+        graft.functions.expressions.simhash_char4($"text").as("fp"),
         // fused one-pass bag (r20) — see editDistanceNearDupsOver
         graft.functions.expressions.char_bag($"text").as("bag"))
       .reliableCheckpoint()

@@ -92,6 +92,7 @@ class CodegenBridgeSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("hashing bridges: minhash_signature / simhash64 / hyperplane_bucket / rolling hash") {
     assertBridge("MinHashSignature", MinHashSignature(tokRef, n = 2, k = 8, seed = 42), tokRows)
     assertBridge("SimHash64", SimHash64(tokRef, seed = 42), tokRows)
+    assertBridge("SimHashCharGrams", SimHashCharGrams(strRef, seed = 42), strRows)
     assertBridge("HyperplaneBucket[double]", HyperplaneBucket(vecDRef, planes = 8, seed = 0),
       Seq(Array[Any](vecD(0.3, -1.2, 0.8, 2.2)), Array[Any](null)))
     assertBridge("HyperplaneBucket[float]", HyperplaneBucket(vecFRef, planes = 5, seed = 7),

@@ -747,6 +747,52 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("simhash_char4: bit-identical to the transform/substring composition (r21 q145 fusion)") {
+    // the fused expression replaces q145's interpreted
+    // `simhash64(transform(sequence(1, greatest(length(text)-3, 0)),
+    // i -> substring(text, i, 4)))` — identity must hold on every
+    // shape, including the <4-char descending-sequence edge (two
+    // whole-string grams), the empty string, multibyte code points,
+    // and null
+    val rnd = new scala.util.Random(20260819)
+    val alphabet = "abcdefghij 0123456789_éü日本"
+    val fuzz = (1 to 200).map { _ =>
+      val n = rnd.nextInt(40)
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val texts = Seq("", "a", "ab", "abc", "abcd", "abcde", "日本語", "日本語テ",
+      "the quick brown fox jumps over the lazy dog") ++ fuzz
+    val df = texts.toDF("text")
+    val comp = expr(
+      "transform(sequence(1, greatest(length(text) - 3, 0)), i -> substring(text, i, 4))")
+    val want = df.select(simhash64(comp).as("fp")).collect()
+    val got = df.select(
+      graft.functions.expressions.simhash_char4($"text").as("fp")).collect()
+    texts.indices.foreach { i =>
+      assert(got(i).getLong(0) == want(i).getLong(0),
+        s"text $i '${texts(i)}': fused simhash_char4 != composition")
+    }
+    // null propagates like the composition (both all-null)
+    val nulls = Seq[Option[String]](None).toDF("text")
+    assert(nulls.select(
+      graft.functions.expressions.simhash_char4($"text")).collect().head.isNullAt(0))
+    // the range hash underneath equals bytesHash over the materialized slice
+    import org.apache.spark.unsafe.types.UTF8String
+    import scala.util.hashing.MurmurHash3
+    (1 to 500).foreach { _ =>
+      val s = (1 to rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val u = UTF8String.fromString(s)
+      val bytes = u.getBytes
+      val off = if (bytes.length == 0) 0 else rnd.nextInt(bytes.length)
+      val len = rnd.nextInt(bytes.length - off + 1)
+      val seed = rnd.nextInt()
+      assert(graft.functions.MinHashUtil.rangeHash(u, off, len, seed) ==
+        MurmurHash3.bytesHash(bytes.slice(off, off + len), seed),
+        s"rangeHash mismatch on '$s' off=$off len=$len")
+    }
+  }
+
   test("per-pair levenshtein band (r20): banded-at-pair-threshold equals banded-at-corpus-max after the qualify filter") {
     // the q131/q145 DP now bands at greatest(1, least(len)/10) instead
     // of the corpus maxDist — identical survivors and distances because
