@@ -651,10 +651,16 @@ object DedupQueries {
     // neighborhood min only ever propagates along real edges.
     val nbrMin = und.groupBy($"id_a").agg(min($"id_b").as("nb"))
       .withColumnRenamed("id_a", "id")
-    var labels = nodes.select($"id")
-      .join(nbrMin, Seq("id"), "left")
-      .select($"id", least($"id", coalesce($"nb", $"id")).as("cluster_id"))
-      .reliableCheckpoint()
+    // LAZY checkpoint + fixpoint aggregate share ONE driver action per
+    // round (r21, guide §1/§5): the sum's job computes every labels
+    // partition, which the lazy localCheckpoint caches and truncates
+    // at job end — the former eager checkpoint paid a dedicated job
+    // first and the sum a second one, doubling the loop's driver-floor
+    // cost (2 actions × rounds × 5 queries sharing this core).
+    var labels = graft.operators.Scale.checkpointedLazy(
+      nodes.select($"id")
+        .join(nbrMin, Seq("id"), "left")
+        .select($"id", least($"id", coalesce($"nb", $"id")).as("cluster_id")))
     // labels are monotonically non-increasing, so the label SUM
     // strictly decreases on any change — fixpoint detection is one
     // tiny aggregate over the checkpointed frame, no compare join
@@ -679,11 +685,12 @@ object DedupQueries {
       // extra tiny join trades against the per-job floor). LEFT join +
       // coalesce: every label IS a node id, but the guard keeps a row
       // with an unmatched label from being dropped rather than kept.
-      val next = hop
+      val next = graft.operators.Scale.checkpointedLazy(hop
         .join(hop.select($"id".as("cluster_id"), $"cluster_id".as("jump2")),
           Seq("cluster_id"), "left")
-        .select($"id", coalesce($"jump2", $"cluster_id").as("cluster_id"))
-        .reliableCheckpoint()
+        .select($"id", coalesce($"jump2", $"cluster_id").as("cluster_id")))
+      // materializes the lazy checkpoint AND reads the fixpoint sum in
+      // the same job (see the seed comment above)
       val nextSum = next.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
       changed = nextSum != prevSum
       prevSum = nextSum
