@@ -100,33 +100,87 @@ object Bpe {
 
   /** Encode one `\w+` pre-token: chars → sequential rank application. */
   def encodeWord(word: String, t: BpeTable): ArrayBuffer[String] = {
-    var toks = new ArrayBuffer[String](word.length)
+    val (cuts, m) = encodeWordCuts(word, t)
+    val out = new ArrayBuffer[String](m)
     var i = 0
-    while (i < word.length) { toks += String.valueOf(word.charAt(i)); i += 1 }
+    while (i < m) { out += word.substring(cuts(i), cuts(i + 1)); i += 1 }
+    out
+  }
+
+  /** The encode loop over CUT POINTS instead of string buffers (r21,
+    * guide §1.2 per-task work): a word's token sequence is always a
+    * partition of the word into contiguous substrings, so the whole
+    * state is the ascending cut-position array — token i is
+    * word[cuts(i), cuts(i+1)). One merge pass compares each token to
+    * (l, r) via regionMatches and drops the cut between a matching
+    * adjacent pair, left to right — EXACTLY [[mergePass]] on the
+    * materialized strings (fused = concatenation of adjacent ranges;
+    * leftmost non-overlapping because a merged pair is skipped
+    * whole), but with zero per-pass allocation where the string form
+    * allocated a buffer of boxed per-char Strings plus a new buffer
+    * per rank (~300 µs/doc at the fixture's word lengths — the
+    * dominant warm cost of the whole BPE query family). Fuzz-pinned
+    * ≡ the string form in BpeSpec. Returns (cuts, token count);
+    * `cuts(0) = 0`, `cuts(m) = word.length`. */
+  private def encodeWordCuts(word: String, t: BpeTable): (Array[Int], Int) = {
+    val len = word.length
+    var cuts = new Array[Int](len + 1)
+    var next = new Array[Int](len + 1)
+    var m = len // token count
+    var i = 0
+    while (i <= len) { cuts(i) = i; i += 1 }
     val n = t.left.length
     var rank = 0
-    while (rank < n && toks.length > 1) {
-      toks = mergePass(toks, t.left(rank), t.right(rank), t.fused(rank))
+    while (rank < n && m > 1) {
+      val l = t.left(rank); val r = t.right(rank)
+      val ll = l.length; val rl = r.length
+      var in = 0   // token index in cuts
+      var out = 0  // token index in next
+      next(0) = 0
+      while (in < m) {
+        if (in + 1 < m &&
+            cuts(in + 1) - cuts(in) == ll &&
+            cuts(in + 2) - cuts(in + 1) == rl &&
+            word.regionMatches(cuts(in), l, 0, ll) &&
+            word.regionMatches(cuts(in + 1), r, 0, rl)) {
+          next(out + 1) = cuts(in + 2); in += 2
+        } else {
+          next(out + 1) = cuts(in + 1); in += 1
+        }
+        out += 1
+      }
+      if (out < m) { val tmp = cuts; cuts = next; next = tmp; m = out }
       rank += 1
     }
-    toks
+    (cuts, m)
   }
 
   // ASCII \w / \s, matching RE2's default classes (the q70-proven
   // cross-engine agreement; non-ASCII letters are atomic [^\w\s]
   // pre-tokens on both sides)
   private val preToken = java.util.regex.Pattern.compile("\\w+|[^\\w\\s]")
-  private val wordOnly = java.util.regex.Pattern.compile("\\w+")
+
+  /** A pre-token from the `\w+|[^\w\s]` alternation is a `\w+` word
+    * iff its FIRST char is an ASCII word char (the alternation
+    * guarantees all-word-chars or a single non-word char) — the same
+    * predicate the former full `\w+` re-match decided, without a
+    * second regex pass per pre-token (r21). */
+  @inline private def isWordToken(p: String): Boolean = {
+    val c = p.charAt(0)
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+  }
 
   /** Doc-level token count: Σ encodeWord over `\w+` pre-tokens +
-    * one token per `[^\w\s]` pre-token. */
+    * one token per `[^\w\s]` pre-token. Counts via the cut-point
+    * encoder — no token strings are materialized to be counted. */
   def countDoc(text: UTF8String, t: BpeTable): Long = {
     if (text == null) return 0L
     val m = preToken.matcher(text.toString)
     var total = 0L
     while (m.find()) {
       val p = m.group()
-      total += (if (wordOnly.matcher(p).matches()) encodeWord(p, t).length else 1)
+      total += (if (isWordToken(p)) encodeWordCuts(p, t)._2 else 1)
     }
     total
   }
@@ -141,7 +195,7 @@ object Bpe {
     val out = new ArrayBuffer[Any]()
     while (m.find()) {
       val p = m.group()
-      if (wordOnly.matcher(p).matches())
+      if (isWordToken(p))
         encodeWord(p, t).foreach(s => out += UTF8String.fromString(s))
       else out += UTF8String.fromString(p)
     }

@@ -72,6 +72,26 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("cut-point encoder (r21) ≡ the string-buffer merge-pass chain, fuzzed") {
+    // encodeWord now walks cut positions with zero per-pass allocation;
+    // the reference is the former implementation: per-char string
+    // buffer threaded through mergePass at every rank
+    val rnd = new scala.util.Random(20260819L)
+    val alphabet = "lteahsnoir_0"
+    for (_ <- 1 to 400) {
+      val w = Seq.fill(1 + rnd.nextInt(18))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val merges = Seq.fill(1 + rnd.nextInt(10)) {
+        def sym() = Seq.fill(1 + rnd.nextInt(3))(alphabet(rnd.nextInt(alphabet.length))).mkString
+        (sym(), sym())
+      }
+      val t = Bpe.BpeTable(merges)
+      var ref = scala.collection.mutable.ArrayBuffer(w.map(String.valueOf): _*)
+      for ((l, r) <- merges if ref.length > 1)
+        ref = Bpe.mergePass(ref, l, r, l + r)
+      assert(Bpe.encodeWord(w, t).toSeq == ref.toSeq, s"word=$w merges=$merges")
+    }
+  }
+
   test("doc-level count and encode: punctuation atomic, round-trip lossless") {
     val df = Seq(
       ("the cat, the hat!", 2L),  // 2 punct tokens
