@@ -45,10 +45,12 @@ object Profile {
       case "floor" :: Nil => floor(spark, sfDir)
       case "r20" :: Nil => r20(spark, sfDir)
       case "jobs" :: pats if pats.nonEmpty => jobs(spark, sfDir, pats)
+      case "q122ab" :: Nil => q122ab(spark, sfDir)
+      case "loop" :: Nil => loopProbe(spark, sfDir)
       case other =>
         System.err.println(
           s"unknown profile subcommand '${other.mkString(" ")}'; " +
-            "usage: Profile med <substr...> | stage | floor | r20")
+            "usage: Profile med <substr...> | stage | floor | r20 | q122ab | loop")
         sys.exit(2)
     } finally spark.stop()
   }
@@ -150,6 +152,7 @@ object Profile {
       val nStages = new java.util.concurrent.atomic.AtomicLong(0)
       val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
       val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val runMs = new java.util.concurrent.atomic.AtomicLong(0)
       val stageMs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
       val listener = new SparkListener {
         override def onJobStart(j: SparkListenerJobStart): Unit =
@@ -164,8 +167,14 @@ object Profile {
             .getOrElse(s.stageInfo.name.takeWhile(_ != '\n')).trim
           stageMs.put(s.stageInfo.stageId, (site, tm))
         }
-        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        // BOTH sums, labeled distinctly (ADVICE r20): taskInfo.duration
+        // is wall clock including scheduler delay; executorRunTime is
+        // what the per-stage rows below report — mixing them under one
+        // name made the two numbers incomparable
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
           if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+          if (t.taskMetrics != null) runMs.addAndGet(t.taskMetrics.executorRunTime)
+        }
       }
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
@@ -174,7 +183,8 @@ object Profile {
       Thread.sleep(300) // let the listener bus drain
       spark.sparkContext.removeSparkListener(listener)
       println(f"[jobs] $name%-34s wall ${wall}%6.2f  jobs ${nJobs.get()}%3d  " +
-        f"stages ${nStages.get()}%3d  tasks ${nTasks.get()}%5d  taskSum ${taskMs.get() / 1e3}%7.2f s")
+        f"stages ${nStages.get()}%3d  tasks ${nTasks.get()}%5d  " +
+        f"taskWallSum ${taskMs.get() / 1e3}%7.2f s  taskRunSum ${runMs.get() / 1e3}%7.2f s")
       import scala.jdk.CollectionConverters._
       stageMs.asScala.toSeq.sortBy(-_._2._2).take(5).foreach { case (id, (nm, ms)) =>
         if (ms > 200) println(f"[jobs]   stage $id%4d ${ms / 1e3}%6.2f s  $nm")
@@ -515,5 +525,122 @@ object Profile {
           date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
         .orderBy($"event_id"))
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Round-21 sf1 probes (VERDICT r20 #3/#6). Point SPARK_GRAFT_SF_DIR
+  // at the MakeScale-derived fixture (scripts/bench_sf1.py generates
+  // data/sf1) — the questions only bind above the priced SFs.
+  // ------------------------------------------------------------------
+
+  /** The PRE-r20 q122 shape (dup-fp set + gram-stream join), verbatim
+    * from 9202c81~1 minus the trailing sort both shapes dropped —
+    * kept runnable so the sf1 keep/revert decision for the r20
+    * count-1-complement reshape stays reproducible. */
+  private def q122OldShape(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = graft.queries.TrainQueries.gramFps(docs.select($"doc_id", $"text"), 8)
+    val dupFps = g.groupBy($"fp").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2).select($"fp").withColumn("dup", lit(1))
+    val perDoc = g.join(dupFps, Seq("fp"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), count($"dup").as("n_dup"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"),
+        when(coalesce($"n_grams", lit(0L)) === 0, lit(0.0))
+          .otherwise(
+            expr("(20000 * coalesce(n_dup, 0) + n_grams) div (2 * n_grams)") / 10000.0)
+          .as("dup_frac"))
+  }
+
+  private def q122ab(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    def med5(label: String)(df: => DataFrame): Unit = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); noop(df); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[q122ab] $label%-36s med=${ts(2)}%.3f min=${ts.head}%.3f max=${ts.last}%.3f")
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val newDf = graft.queries.TrainQueries.dupNgramFraction(spark, sfDir)
+    val oldDf = q122OldShape(docs)
+    val diff = newDf.as("n").join(oldDf.as("o"), Seq("doc_id"))
+      .filter($"n.n_grams" =!= $"o.n_grams" || $"n.n_dup" =!= $"o.n_dup" ||
+        $"n.dup_frac" =!= $"o.dup_frac").count()
+    println(s"[q122ab] shape mismatch rows: $diff (docs=${docs.count()})")
+    med5("NEW (count-1 complement)")(newDf)
+    med5("OLD (dup-set join)")(oldDf)
+    med5("NEW (2nd)")(newDf)
+    med5("OLD (2nd)")(oldDf)
+  }
+
+  /** Per-round wall + shuffle bytes of the q66 label loop (the sf1
+    * structural probe of VERDICT r20 #6). */
+  private def loopProbe(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import graft.operators.Scale.CheckpointOps
+    val shufR = new java.util.concurrent.atomic.AtomicLong()
+    val shufW = new java.util.concurrent.atomic.AtomicLong()
+    val lst = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(lst)
+    def snap(label: String, t0: Long): Unit = {
+      Thread.sleep(300) // listener-bus drain (dev probe; good enough)
+      println(f"[loop] $label%-12s wall=${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+        f"shufRead=${shufR.getAndSet(0) / 1e6}%9.2f MB shufWrite=${shufW.getAndSet(0) / 1e6}%9.2f MB")
+    }
+    var t0 = System.nanoTime()
+    val edges = graft.queries.DedupQueries
+      .ngramJaccardPairsRaw(spark, sfDir).select($"id_a", $"id_b")
+      .reliableCheckpoint()
+    snap("edges", t0)
+    val und = edges.unionByName(
+      edges.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+    val nbrMin = und.groupBy($"id_a").agg(min($"id_b").as("nb"))
+      .withColumnRenamed("id_a", "id")
+    val nodes = Tables.documents(spark, sfDir).select($"doc_id".as("id"))
+    t0 = System.nanoTime()
+    var labels = graft.operators.Scale.checkpointedLazy(
+      nodes.select($"id")
+        .join(nbrMin, Seq("id"), "left")
+        .select($"id", least($"id", coalesce($"nb", $"id")).as("cluster_id")))
+    var prevSum = labels.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
+    snap("seed", t0)
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 30) {
+      t0 = System.nanoTime()
+      val viaEdges = und
+        .join(labels.withColumnRenamed("id", "id_a"), Seq("id_a"))
+        .select($"id_b".as("id"), $"cluster_id")
+      val viaJump = labels
+        .join(labels.select($"id".as("cluster_id"), $"cluster_id".as("jump")),
+          Seq("cluster_id"))
+        .select($"id", $"jump".as("cluster_id"))
+      val hop = labels.unionByName(viaEdges).unionByName(viaJump)
+        .groupBy($"id").agg(min($"cluster_id").as("cluster_id"))
+      val next = graft.operators.Scale.checkpointedLazy(hop
+        .join(hop.select($"id".as("cluster_id"), $"cluster_id".as("jump2")),
+          Seq("cluster_id"), "left")
+        .select($"id", coalesce($"jump2", $"cluster_id").as("cluster_id")))
+      val nextSum = next.agg(coalesce(sum($"cluster_id"), lit(0L))).head().getLong(0)
+      changed = nextSum != prevSum
+      prevSum = nextSum
+      labels = next
+      rounds += 1
+      snap(s"round $rounds", t0)
+    }
+    println(s"[loop] rounds=$rounds nodes=${nodes.count()} edges=${edges.count()}")
   }
 }

@@ -702,6 +702,27 @@ case class PcaProjectExpr(child: Expression, mean: Array[Double],
   require(comps.forall(_.length == mean.length),
     "every component must have the mean's dimensionality")
 
+  // Content-based equality over the model arrays (ADVICE r20): the
+  // case-class default compares Array references, so two instances
+  // built from separately loaded but identical models would never
+  // semanticEquals — defeating subexpression elimination and
+  // plan-fragment dedup across columns.
+  override def equals(o: Any): Boolean = o match {
+    case p: PcaProjectExpr =>
+      p.child == child && p.withNormSq == withNormSq &&
+        java.util.Arrays.equals(p.mean, mean) &&
+        p.comps.length == comps.length &&
+        p.comps.indices.forall(i => java.util.Arrays.equals(p.comps(i), comps(i)))
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = child.hashCode() * 31 + withNormSq.hashCode()
+    h = h * 31 + java.util.Arrays.hashCode(mean)
+    comps.foreach(c => h = h * 31 + java.util.Arrays.hashCode(c))
+    h
+  }
+
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = false
 

@@ -228,6 +228,13 @@ object DedupQueries {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
+  /** Unordered-result note (ADVICE r20): the Spark side emits these
+    * rows UNSORTED — the trailing ORDER BY was dropped because the
+    * range sampler re-executed the heavy final stage purely to order
+    * output the driver hashes order-insensitively (check.py sorts
+    * rows before hashing). This oracle statement keeps its ORDER BY
+    * as the canonical presentation; row order is NOT part of the
+    * result contract. */
   val ngramJaccardPairsSql: String =
     """SELECT id_a, id_b, jaccard FROM (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -464,6 +471,13 @@ object DedupQueries {
       .select($"id_a", $"id_b", $"cosine") // unsorted: the q42 r20 sampling rule
   }
 
+  /** Unordered-result note (ADVICE r20): the Spark side emits these
+    * rows UNSORTED — the trailing ORDER BY was dropped because the
+    * range sampler re-executed the heavy final stage purely to order
+    * output the driver hashes order-insensitively (check.py sorts
+    * rows before hashing). This oracle statement keeps its ORDER BY
+    * as the canonical presentation; row order is NOT part of the
+    * result contract. */
   val embeddingNearDupsSql: String =
     """SELECT id_a, id_b, cosine FROM (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -566,6 +580,13 @@ object DedupQueries {
         s"THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Unordered-result note (ADVICE r20): the Spark side emits these
+    * rows UNSORTED — the trailing ORDER BY was dropped because the
+    * range sampler re-executed the heavy final stage purely to order
+    * output the driver hashes order-insensitively (check.py sorts
+    * rows before hashing). This oracle statement keeps its ORDER BY
+    * as the canonical presentation; row order is NOT part of the
+    * result contract. */
   val embeddingNearDupsLshSql: String =
     s"""WITH b AS (${SimilarityQueries.bucketSql}),
       |sz AS (SELECT bucket, count(*) AS bsz FROM b GROUP BY bucket),

@@ -78,6 +78,13 @@ object SimilarityQueries {
       .select($"id_a", $"id_b".as("nearest_id"), $"cosine", $"label")
   }
 
+  /** Unordered-result note (ADVICE r20): the Spark side emits these
+    * rows UNSORTED — the trailing ORDER BY was dropped because the
+    * range sampler re-executed the heavy final stage purely to order
+    * output the driver hashes order-insensitively (check.py sorts
+    * rows before hashing). This oracle statement keeps its ORDER BY
+    * as the canonical presentation; row order is NOT part of the
+    * result contract. */
   val nnWithinLabelSql: String =
     """SELECT id_a, nearest_id, cosine, label FROM (
       |  SELECT a.vec_id AS id_a, b.vec_id AS nearest_id, a.label AS label,

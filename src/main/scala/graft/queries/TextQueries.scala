@@ -1482,6 +1482,13 @@ object TextQueries {
   }
 
   /** Parameterized like the Spark side (the q81 rule). */
+  /** Unordered-result note (ADVICE r20): the Spark side emits these
+    * rows UNSORTED — the trailing ORDER BY was dropped because the
+    * range sampler re-executed the heavy final stage purely to order
+    * output the driver hashes order-insensitively (check.py sorts
+    * rows before hashing). This oracle statement keeps its ORDER BY
+    * as the canonical presentation; row order is NOT part of the
+    * result contract. */
   def retrievalEvalSql(m: Int = 8): String =
     s"""WITH truth AS (
       |  SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id

