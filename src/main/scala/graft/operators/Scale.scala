@@ -159,6 +159,26 @@ object Scale {
     }
   }
 
+  /** Spread an under-partitioned scan before a heavy per-row
+    * projection (r21): small fixtures arrive as one parquet row-group
+    * → ONE scan partition, which serializes everything projected
+    * directly after the scan (the q131/q145/q58 lesson, measured at
+    * 2–4 s per site at sf0.1). Repartitioning UNCONDITIONALLY is the
+    * wrong scale shape though — a 100 TB scan already yields
+    * thousands of partitions, and a blanket round-robin repartition
+    * would add a full corpus shuffle (and with numPartitions below
+    * the scan's count, even REDUCE parallelism). So: shuffle only
+    * when the scan yields fewer than half of defaultParallelism —
+    * scale-adaptive by construction, a no-op exactly where the
+    * shuffle would cost something. Row-identical either way
+    * (round-robin repartition reassigns rows, never changes them;
+    * sort-before-repartition keeps the assignment retry-safe). */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+
   /** Chain syntax for [[checkpointed]]:
     * `df.transform(...).reliableCheckpoint()`. */
   implicit class CheckpointOps(private val df: DataFrame) {

@@ -604,9 +604,20 @@ object SimilarityQueries {
   private[graft] def ivfAssignment(s: SparkSession, dir: String,
       cent: Array[Array[Double]]): DataFrame = {
     import s.implicits._
+    // Spread the scan BEFORE the projection (r21; the q145/q131
+    // pushdown lesson, projection-shaped): projected directly after
+    // the scan, the k-cosine probe assignment inherits the scan's
+    // partitioning — the fixture's single row-group serialized the
+    // whole assignment (and everything downstream of the checkpoint,
+    // including q58's audit pair join) on ONE task (Profile jobs:
+    // two 1-task stages carrying 2.2 of q58's 2.4 s taskRunSum).
+    // Scale.spreadScan is conditional, so at real corpus sizes —
+    // where the scan already yields plenty of partitions — no extra
+    // shuffle is added. Per-row assignment is order-independent;
+    // results unchanged.
     // two-phase select: probe_cells materializes first, cell reads it
     // back — one cosine/sort evaluation per row (see cellFromProbe)
-    Tables.embeddings(s, dir)
+    graft.operators.Scale.spreadScan(Tables.embeddings(s, dir))
       .select($"vec_id", $"embedding",
         ivfProbeList(s, cent).as("probe_cells"))
       .select($"vec_id", $"embedding",
@@ -684,7 +695,11 @@ object SimilarityQueries {
       graft.PhaseTimer.timed("build") {
     import s.implicits._
     val cent = trainCentroids(s, dir)
-    Tables.embeddings(s, dir)
+    // same conditional pre-projection spread as ivfAssignment (r21):
+    // the bucketed write shuffles by cell afterwards either way, but
+    // the k-cosine assignment itself must not run on the scan's
+    // (single row-group) partitioning
+    graft.operators.Scale.spreadScan(Tables.embeddings(s, dir))
       .select($"vec_id", $"embedding",
         ivfProbeList(s, cent).as("probe_cells"))
       .select($"vec_id", $"embedding",
